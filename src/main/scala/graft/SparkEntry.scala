@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.ConnectedComponents
+import graft.ops.{AssociationRules, ConnectedComponents}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -46,6 +46,35 @@ object SparkEntry {
       ConnectedComponents.components(Tables.partSupplierEdges(s, d))
         .groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component")
+    },
+    "q_assoc" -> { (s, d) =>
+      // unweighted association mining over order→part transactions;
+      // minConfidence=0 keeps the association graph symmetric so `pattern`
+      // reduces to undirected components (SQL-checkable)
+      val tx = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("tid"),
+        concat(lit("P"), col("l_partkey")).as("item"))
+      AssociationRules.graphAssociationRules(tx, "tid", "item", None,
+          AssociationRules.Params(minSupport = 0.002, minConfidence = 0.0,
+            maxItemsetSize = 5, weighted = false, firstAppearanceOrder = false))
+        .select(col("item"), col("support"), col("lift_score"), col("pattern"))
+        .orderBy("item")
+    },
+    "q_assoc_weighted" -> { (s, d) =>
+      // weighted mode: frequency = l_quantity; exercises the per-pair
+      // confidence filter and the top-5 consequent ranking (scalar digest)
+      val tx = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("tid"),
+        concat(lit("P"), col("l_partkey")).as("item"),
+        col("l_quantity").as("freq"))
+      AssociationRules.graphAssociationRules(tx, "tid", "item", Some("freq"),
+          AssociationRules.Params(minSupport = 0.04, minConfidence = 0.5,
+            maxItemsetSize = 8, weighted = true, firstAppearanceOrder = false))
+        .select(col("item"), col("support"), col("lift_score"),
+          size(col("consequents")).as("n_top"),
+          coalesce(element_at(col("consequents"), 1), lit("")).as("top_consequent"),
+          coalesce(element_at(col("confidence_scores"), 1), lit(0.0)).as("top_confidence"))
+        .orderBy("item")
     }
   )
 
@@ -65,7 +94,68 @@ object SparkEntry {
     "q_components_stats" -> ccOracle(
       """SELECT component, COUNT(*) AS n_nodes
         |FROM (SELECT node, min(lab) AS component FROM cc GROUP BY node)
-        |GROUP BY component ORDER BY component""".stripMargin)
+        |GROUP BY component ORDER BY component""".stripMargin),
+    "q_assoc" ->
+      """WITH RECURSIVE
+        |rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT tid) AS t FROM rows0),
+        |supp AS (SELECT item, COUNT(*) AS cnt FROM rows0 GROUP BY item),
+        |valid AS (SELECT item, cnt FROM supp, tot WHERE CAST(cnt AS DOUBLE) / t >= 0.002),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 5),
+        |vrows AS (SELECT r.tid, r.item FROM rows0 r JOIN valid USING (item) JOIN txok USING (tid)),
+        |pairs AS (SELECT a.item AS ant, c.item AS cons
+        |          FROM vrows a JOIN vrows c ON a.tid = c.tid AND a.item <> c.item),
+        |liftn AS (SELECT ant, COUNT(*) AS npairs FROM pairs GROUP BY ant),
+        |sym AS (SELECT DISTINCT ant AS a, cons AS b FROM pairs
+        |        UNION SELECT DISTINCT cons AS a, ant AS b FROM pairs),
+        |cc AS (
+        |  SELECT item AS node, item AS lab FROM valid
+        |  UNION
+        |  SELECT s.b AS node, c.lab FROM cc c JOIN sym s ON c.node = s.a WHERE c.lab < s.b),
+        |comp AS (SELECT node, MIN(lab) AS comp FROM cc GROUP BY node),
+        |pat AS (SELECT node, DENSE_RANK() OVER (ORDER BY comp) AS pattern FROM comp)
+        |SELECT v.item,
+        |       CAST(v.cnt AS DOUBLE) AS support,
+        |       COALESCE(CAST(l.npairs * v.cnt AS DOUBLE) / (SELECT t FROM tot), 0.0) AS lift_score,
+        |       CAST(p.pattern AS INT) AS pattern
+        |FROM valid v
+        |LEFT JOIN liftn l ON v.item = l.ant
+        |JOIN pat p ON v.item = p.node
+        |ORDER BY v.item""".stripMargin,
+    "q_assoc_weighted" ->
+      """WITH
+        |rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item,
+        |                 l_quantity AS q FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT tid) AS t FROM rows0),
+        |supp AS (SELECT item, SUM(q) AS ws FROM rows0 GROUP BY item),
+        |valid AS (SELECT item, ws FROM supp, tot WHERE ws / t >= 0.04),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |vrows AS (SELECT r.tid, r.item, r.q FROM rows0 r JOIN valid USING (item) JOIN txok USING (tid)),
+        |kept AS (SELECT a.item AS ant, c.item AS cons, a.q AS qa, c.q AS qc,
+        |                a.q * c.q / v.ws AS conf
+        |         FROM vrows a
+        |         JOIN vrows c ON a.tid = c.tid AND a.item <> c.item
+        |         JOIN valid v ON v.item = a.item
+        |         WHERE a.q * c.q / v.ws >= 0.5),
+        |lift AS (SELECT ant, SUM(qa * qc) / MIN(vv.ws) AS lift_score
+        |         FROM kept JOIN valid vv ON vv.item = kept.ant GROUP BY ant),
+        |ranked AS (SELECT ant, cons, conf,
+        |                  ROW_NUMBER() OVER (PARTITION BY ant ORDER BY conf DESC, cons ASC) AS rn
+        |           FROM kept),
+        |digest AS (SELECT ant,
+        |                  CAST(SUM(CASE WHEN rn <= 5 THEN 1 ELSE 0 END) AS INT) AS n_top,
+        |                  MAX(CASE WHEN rn = 1 THEN cons END) AS top_consequent,
+        |                  MAX(CASE WHEN rn = 1 THEN conf END) AS top_confidence
+        |           FROM ranked GROUP BY ant)
+        |SELECT v.item, v.ws AS support,
+        |       COALESCE(l.lift_score, 0.0) AS lift_score,
+        |       COALESCE(d.n_top, 0) AS n_top,
+        |       COALESCE(d.top_consequent, '') AS top_consequent,
+        |       COALESCE(d.top_confidence, 0.0) AS top_confidence
+        |FROM valid v
+        |LEFT JOIN lift l ON v.item = l.ant
+        |LEFT JOIN digest d ON v.item = d.ant
+        |ORDER BY v.item""".stripMargin
   )
 
   /** DuckDB min-label-propagation connected components over the same
