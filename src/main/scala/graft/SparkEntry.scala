@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AssociationRules, ConnectedComponents}
+import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, PageRank, ShortestPaths}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -75,6 +75,28 @@ object SparkEntry {
           coalesce(element_at(col("consequents"), 1), lit("")).as("top_consequent"),
           coalesce(element_at(col("confidence_scores"), 1), lit(0.0)).as("top_confidence"))
         .orderBy("item")
+    },
+    "q_shortest_path" -> { (s, d) =>
+      // all-pairs fixed-point Dijkstra over the 25-node nation graph;
+      // multiple competing paths + truncating weight quantization
+      ShortestPaths.allPairs(Tables.nationGraphEdges(s, d), directed = false)
+        .orderBy("from", "to")
+    },
+    "q_pagerank" -> { (s, d) =>
+      // reference recurrence (no dangling redistribution), fixed 12
+      // iterations on the directed part→supplier graph; no SQL oracle
+      // (iterative fixpoint) → driver records rows-only, goldens in ScalaTest
+      PageRank.scores(Tables.partSupplierDirectedEdges(s, d),
+          damping = 0.85, maxIter = 12, tol = 1e-12)
+        .orderBy("node")
+    },
+    "q_betweenness" -> { (s, d) =>
+      // exact Brandes over the undirected nation graph, normalized;
+      // no SQL oracle → rows-only + ScalaTest goldens
+      Betweenness.betweennessCentrality(
+          Tables.nationGraphEdges(s, d), "src", "dst",
+          normalized = true, directed = false)
+        .orderBy("node")
     }
   )
 
@@ -155,7 +177,31 @@ object SparkEntry {
         |FROM valid v
         |LEFT JOIN lift l ON v.item = l.ant
         |LEFT JOIN digest d ON v.item = d.ant
-        |ORDER BY v.item""".stripMargin
+        |ORDER BY v.item""".stripMargin,
+    "q_shortest_path" ->
+      """WITH RECURSIVE
+        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst,
+        |            CAST(TRUNC((CAST(0.1 AS DOUBLE) + (b.n_nationkey % 7) * CAST(0.35 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
+        |          FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst,
+        |           CAST(TRUNC((CAST(1.0 AS DOUBLE) + (b.n_nationkey % 5) * CAST(0.21 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
+        |         FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
+        |sym AS (SELECT src, dst, cost FROM edges UNION ALL SELECT dst AS src, src AS dst, cost FROM edges),
+        |p AS (
+        |  SELECT src, src AS node, CAST(0 AS BIGINT) AS cost, [src] AS path
+        |  FROM (SELECT DISTINCT src FROM sym)
+        |  UNION ALL
+        |  SELECT p.src, s.dst AS node, p.cost + s.cost, list_append(p.path, s.dst)
+        |  FROM p JOIN sym s ON p.node = s.src
+        |  WHERE NOT list_contains(p.path, s.dst)),
+        |d AS (SELECT src, node AS dst, MIN(cost) AS cost FROM p WHERE node <> src GROUP BY src, node)
+        |SELECT CASE WHEN src < dst THEN src ELSE dst END AS "from",
+        |       CASE WHEN src < dst THEN dst ELSE src END AS "to",
+        |       CAST(MIN(cost) AS DOUBLE) / 1000.0 AS distance
+        |FROM d GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin
   )
 
   /** DuckDB min-label-propagation connected components over the same

@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.core.{Ingest, LocalGraph}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Brandes' exact betweenness centrality, reference-parity
+  * (reference: src/graph_betweenness_centrality.rs:51-138, SURVEY.md §2.2.5).
+  *
+  *   - unweighted BFS stage + dependency accumulation per source
+  *     (rs:77-105); multi-edges contribute path multiplicity (adjacency
+  *     keeps duplicates).
+  *   - undirected: reverse adjacency inserted per edge (rs:162-169) and raw
+  *     scores halved (rs:118-123).
+  *   - normalization (normalized=true): × 1/((n-1)(n-2)) directed,
+  *     × 2/((n-1)(n-2)) undirected, n = TOTAL node count of the input even
+  *     across disconnected components (rs:126-137). The reference has no
+  *     n<=2 guard — replicated as-is (tiny graphs yield inf/NaN factors).
+  *
+  * Spark shape: Brandes is embarrassingly parallel over sources. The
+  * adjacency is broadcast; each task runs the exact per-source algorithm
+  * for its slice of sources, accumulates a local dense delta vector, and
+  * emits sparse (node, partial) pairs that a final groupBy sums. Exact
+  * betweenness is inherently O(V·E); the documented scale path for graphs
+  * beyond broadcast size is source sampling (approximation, SURVEY.md §7.6).
+  *
+  * Returns one row per node: (node string, centrality double).
+  */
+object Betweenness {
+
+  def betweennessCentrality(df: DataFrame, from: String, to: String,
+      normalized: Boolean = true, directed: Boolean = false,
+      maxLocalEdges: Long = 50000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val e = Ingest.edges(df, from, to)
+    val nEdges = e.count()
+    require(nEdges <= maxLocalEdges,
+      s"betweenness broadcast fast path supports <= $maxLocalEdges edges " +
+        s"(got $nEdges); use the source-sampling scale path")
+    val rows = e.as[(String, String)].collect().map { case (f, t) => (f, t, 1L) }
+    val graph = LocalGraph.fromEdges(rows.toSeq, directed)
+    val n = graph.numNodes
+    if (n == 0) return spark.emptyDataset[(String, Double)].toDF("node", "centrality")
+
+    val bc = spark.sparkContext.broadcast(graph)
+    val parallelism = math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 4))
+    val partials = spark.range(n).repartition(parallelism).as[Long]
+      .mapPartitions { sources =>
+        val g = bc.value
+        val acc = Array.fill(g.numNodes)(0.0)
+        sources.foreach(src => accumulate(g, src.toInt, acc))
+        acc.iterator.zipWithIndex.filter(_._1 != 0.0).map { case (v, i) => (i, v) }
+      }
+      .toDF("id", "partial")
+      .groupBy($"id").agg(sum($"partial").as("raw"))
+
+    val halve = if (directed) 1.0 else 0.5
+    val norm =
+      if (!normalized) 1.0
+      else if (directed) 1.0 / ((n - 1.0) * (n - 2.0))
+      else 2.0 / ((n - 1.0) * (n - 2.0))
+
+    val idNames = spark.createDataFrame(
+      graph.names.zipWithIndex.map { case (name, i) => (i, name) }.toSeq)
+      .toDF("id", "node")
+    idNames.join(partials, Seq("id"), "left")
+      .select($"node",
+        (coalesce($"raw", lit(0.0)) * lit(halve) * lit(norm)).as("centrality"))
+  }
+
+  /** One Brandes source pass (rs:64-106), adding deltas into `acc`. */
+  private def accumulate(g: LocalGraph, source: Int, acc: Array[Double]): Unit = {
+    val n = g.numNodes
+    val stack = mutable.ArrayBuffer.empty[Int]
+    val paths = Array.fill(n)(0L)
+    val distances = Array.fill(n)(-1)
+    val preds = Array.fill(n)(mutable.ArrayBuffer.empty[Int])
+    val queue = mutable.Queue.empty[Int]
+
+    paths(source) = 1L
+    distances(source) = 0
+    queue.enqueue(source)
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      stack += v
+      val nbrs = g.adj(v)
+      var i = 0
+      while (i < nbrs.length) {
+        val w = nbrs(i)._1
+        if (distances(w) < 0) {
+          queue.enqueue(w)
+          distances(w) = distances(v) + 1
+        }
+        if (distances(w) == distances(v) + 1) {
+          paths(w) += paths(v)
+          preds(w) += v
+        }
+        i += 1
+      }
+    }
+
+    val delta = Array.fill(n)(0.0)
+    var k = stack.length - 1
+    while (k >= 0) {
+      val w = stack(k)
+      preds(w).foreach { v =>
+        delta(v) += (paths(v).toDouble / paths(w).toDouble) * (1.0 + delta(w))
+      }
+      if (w != source) acc(w) += delta(w)
+      k -= 1
+    }
+  }
+}

@@ -92,9 +92,12 @@ object ConnectedComponents {
 
     val srcIds = idDf.select($"node".as("src"), $"vid".as("u"))
     val dstIds = idDf.select($"node".as("dst"), $"vid".as("v"))
+    // localCheckpoint (not persist) each round: truncates the logical plan,
+    // which otherwise nests one union+join+distinct layer per round and
+    // blows up planning/explain beyond a handful of iterations
     var cur = edges.join(srcIds, "src").join(dstIds, "dst")
       .select($"u", $"v").where($"u" =!= $"v")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     var converged = false
     var round = 0
@@ -112,12 +115,12 @@ object ConnectedComponents {
         .select(explode(array($"u", $"v")).as("x"), $"m")
         .where($"x" =!= $"m")
         .select($"x".as("u"), $"m".as("v")).distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(true)
 
-      val prevSig = cur.agg(count(lit(1)), coalesce(sum(xxhash64($"u", $"v")), lit(0L))).first()
-      val curSig = small.agg(count(lit(1)), coalesce(sum(xxhash64($"u", $"v")), lit(0L))).first()
+      // order-insensitive edge-set signature (bit_xor: no ANSI overflow)
+      val prevSig = cur.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).first()
+      val curSig = small.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).first()
       converged = prevSig == curSig
-      cur.unpersist()
       cur = small
       round += 1
     }
@@ -166,6 +169,7 @@ object ConnectedComponents {
         .join(groups.withColumnRenamed("node", "__from_node"),
           col(from).cast("string") === col("__from_node"), "left")
         .withColumn("group", coalesce(col("group"), lit(0L)))
+        .orderBy("_rid") // restore input row order (output is row-aligned)
         .drop("__from_node", "_rid")
     } finally withRid.unpersist()
   }

@@ -1,0 +1,92 @@
+package graft.ops
+
+import graft.core.Ingest
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** PageRank with the reference's exact recurrence
+  * (reference: src/page_rank.rs:60-129, SURVEY.md §2.2.4):
+  *
+  *   rank_0[v]   = 1/N
+  *   rank_t+1[v] = (1-d)/N + d * Σ_{u→v} rank_t[u] / outdeg(u)
+  *
+  * with NO dangling-mass redistribution and NO renormalization (sinks leak
+  * mass; ranks sum to < 1 — deliberate parity with the reference, which
+  * differs from GraphX's staticPageRank normalization). Multi-edges count
+  * with multiplicity in both outdeg and contributions (rs:72-75).
+  * Convergence: stop after the iteration whose L1 change Σ|new-old| drops
+  * below `tol`, or after `maxIter` iterations (rs:82-114).
+  *
+  * Spark shape: the graph stays distributed; each iteration is one
+  * broadcast-or-shuffle join (contributions) + one aggregation, with
+  * `localCheckpoint` truncating lineage so 100 iterations don't blow up
+  * planning time. The L1 check is an `agg(sum(abs(...)))` action per
+  * iteration, same cadence as the reference.
+  */
+object PageRank {
+
+  /** Per-node scores: (node string, score double). Input columns src/dst. */
+  def scores(edges: DataFrame, damping: Double = 0.85, maxIter: Int = 100,
+      tol: Double = 1e-6): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    val e = edges.select($"src", $"dst").persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) { e.unpersist(); return nodes.withColumn("score", lit(0.0)) }
+
+    // collapse multi-edges once: contribution weight = multiplicity/outdeg
+    val outdeg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
+    val wEdges = e.groupBy($"src", $"dst").agg(count(lit(1)).as("m"))
+      .join(outdeg, "src")
+      .select($"src", $"dst", ($"m" / $"outdeg").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    wEdges.count()
+    e.unpersist()
+
+    val base = (1.0 - damping) / n
+    var ranks = nodes.withColumn("score", lit(1.0 / n))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    ranks.count()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val contrib = wEdges
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy($"dst").agg(sum($"score" * $"w").as("incoming"))
+      val newRanks = nodes
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(base) + lit(damping) * coalesce($"incoming", lit(0.0))).as("score"))
+        .localCheckpoint(true)
+      val l1 = newRanks.as("n").join(ranks.as("o"), "node")
+        .agg(sum(abs($"n.score" - $"o.score"))).first().getDouble(0)
+      ranks.unpersist()
+      ranks = newRanks
+      converged = l1 < tol
+      iter += 1
+    }
+    wEdges.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
+  /** Reference-parity row-aligned form: returns `df` plus a `page_rank`
+    * column holding the score of each row's `from` node; rows whose `from`
+    * is null or never formed a valid edge get 0.0 (rs:118-126).
+    */
+  def pageRankColumn(df: DataFrame, from: String, to: String,
+      damping: Double = 0.85, maxIter: Int = 100, tol: Double = 1e-6): DataFrame = {
+    val s = scores(Ingest.edges(df, from, to), damping, maxIter, tol)
+    Ingest.withRowIdx(df, "_rid")
+      .join(s.withColumnRenamed("node", "__pr_node"),
+        col(from).cast("string") === col("__pr_node"), "left")
+      .withColumn("page_rank", coalesce(col("score"), lit(0.0)))
+      .orderBy("_rid") // restore input row order (output is row-aligned)
+      .drop("__pr_node", "score", "_rid")
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Readers for the driver-generated parquet testdata (TESTDATA.md) and the
@@ -32,4 +33,33 @@ object Tables {
       .select(
         concat(lit("P"), col("l_partkey")).as("src"),
         concat(lit("S"), col("l_suppkey")).as("dst"))
+
+  /** Weighted nation graph: a chain over nations ordered by nationkey plus
+    * +5 skip links, with deterministic fractional weights that exercise the
+    * reference's ×1000 truncating quantization. Mirrored verbatim in the
+    * q_shortest_path oracle SQL.
+    */
+  def nationGraphEdges(s: SparkSession, d: String): DataFrame = {
+    val nk = nation(s, d)
+      .select(col("n_name"), col("n_nationkey"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("n_nationkey"))))
+    val a = nk.select(col("n_name").as("a_name"), col("rn").as("a_rn"))
+    val b = nk.select(col("n_name").as("b_name"), col("n_nationkey").as("b_key"),
+      col("rn").as("b_rn"))
+    val chain = a.join(b, col("b_rn") === col("a_rn") + 1)
+      .select(col("a_name").as("src"), col("b_name").as("dst"),
+        (lit(0.1) + (col("b_key") % 7) * lit(0.35)).as("weight"))
+    val skip = a.join(b, col("b_rn") === col("a_rn") + 5)
+      .select(col("a_name").as("src"), col("b_name").as("dst"),
+        (lit(1.0) + (col("b_key") % 5) * lit(0.21)).as("weight"))
+    chain.union(skip)
+  }
+
+  /** Directed part→supplier edge list (full lineitem, multi-edges kept) for
+    * PageRank/centrality queries.
+    */
+  def partSupplierDirectedEdges(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(
+      concat(lit("P"), col("l_partkey")).as("src"),
+      concat(lit("S"), col("l_suppkey")).as("dst"))
 }

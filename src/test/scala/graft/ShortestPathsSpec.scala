@@ -1,0 +1,62 @@
+package graft
+
+import graft.ops.ShortestPaths
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of the reference shortest-path goldens
+  * (reference: tests/test_graph_solver.py:367-433). Distances are
+  * fixed-point quantized (×1000 truncation) so comparisons are exact.
+  */
+class ShortestPathsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def pathMap(rows: Seq[(String, String, Double)], directed: Boolean) = {
+    val df = rows.toDF("from", "to", "weight")
+    ShortestPaths.calculateShortestPath(df, "from", "to", "weight", directed)
+      .as[(String, String, Double)].collect()
+      .map { case (f, t, d) => (f, t) -> d }.toMap
+  }
+
+  test("undirected all-pairs golden (py:367-393)") {
+    val got = pathMap(Seq(
+      ("A", "B", 1.0), ("A", "C", 2.0), ("B", "C", 1.0), ("C", "D", 1.5)),
+      directed = false)
+    val expected = Map(
+      ("A", "B") -> 1.0, ("A", "C") -> 2.0, ("A", "D") -> 3.5,
+      ("B", "C") -> 1.0, ("B", "D") -> 2.5, ("C", "D") -> 1.5)
+    assert(got == expected)
+  }
+
+  test("directed asymmetry (py:396-414)") {
+    val got = pathMap(Seq(
+      ("A", "B", 1.0), ("B", "C", 2.0), ("B", "A", 3.0), ("C", "A", 4.0)),
+      directed = true)
+    assert(got(("A", "B")) == 1.0)
+    assert(got(("B", "A")) == 3.0)
+  }
+
+  test("cycle picks min-cost path (py:417-433)") {
+    val got = pathMap(Seq(
+      ("A", "B", 1.0), ("B", "C", 1.0), ("C", "A", 3.0), ("A", "C", 2.0)),
+      directed = true)
+    assert(got(("A", "C")) == 2.0)
+  }
+
+  test("weight quantization truncates toward zero at 3 decimals (rs:70)") {
+    // 0.0005*1000 = 0.5 → cost 0; 1.0015*1000 = 1001.49... → 1001
+    val got = pathMap(Seq(("A", "B", 0.0005), ("B", "C", 1.0015)), directed = true)
+    assert(got(("A", "B")) == 0.0)
+    assert(got(("A", "C")) == 1.001)
+  }
+
+  test("empty graph yields empty result (py:436-443 stub, implemented here)") {
+    val schema = StructType(Seq(
+      StructField("from", StringType), StructField("to", StringType),
+      StructField("weight", DoubleType)))
+    val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+    assert(ShortestPaths.calculateShortestPath(df, "from", "to", "weight").count() == 0)
+  }
+}
