@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, PageRank, ShortestPaths}
+import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, PageRank, ShortestPaths, Similarity}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -97,6 +97,50 @@ object SparkEntry {
           Tables.nationGraphEdges(s, d), "src", "dst",
           normalized = true, directed = false)
         .orderBy("node")
+    },
+    "q_dedup_exact" -> { (s, d) =>
+      Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("text_sha")
+    },
+    "q_dedup_ngram" -> { (s, d) =>
+      Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    "q_dedup_minhash" -> { (s, d) =>
+      // MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified;
+      // engine-specific hashing → rows-only check + recall test in ScalaTest
+      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    "q_dedup_simhash" -> { (s, d) =>
+      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxBits = 3)
+        .orderBy("id_a", "id_b")
+    },
+    "q_dedup_embed" -> { (s, d) =>
+      // cosine near-dup over ×10000-quantized embeddings: integer dot
+      // products are exact in any summation order → bit-identical to the
+      // DuckDB oracle
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      Dedup.embeddingCosinePairs(q, "vec_id", "qv", threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    "q_ann_topk" -> { (s, d) =>
+      // exact brute-force cosine top-5 for the first 20 vectors
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      Similarity.bruteForceTopK(q, "vec_id", "qv",
+          q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+        .orderBy("query_id", "rank")
+    },
+    "q_ann_lsh" -> { (s, d) =>
+      // hyperplane-LSH bucketed ANN (the sub-quadratic scale path);
+      // approximate by design → rows-only + recall assertion in ScalaTest
+      val e = Tables.embeddings(s, d)
+      Similarity.lshTopK(e, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -201,7 +245,52 @@ object SparkEntry {
         |       CASE WHEN src < dst THEN dst ELSE src END AS "to",
         |       CAST(MIN(cost) AS DOUBLE) / 1000.0 AS distance
         |FROM d GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin
+        |ORDER BY 1, 2""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
+        |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_embed" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+        |p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |        (SELECT SUM(a.v[i]*b.v[i]) FROM UNNEST(range(1, len(a.v)+1)) AS t(i)) AS dot
+        |      FROM q a JOIN q b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, dot / SQRT(na.nrm * nb.nrm) AS cosine
+        |FROM p JOIN n na ON na.vec_id = id_a JOIN n nb ON nb.vec_id = id_b
+        |WHERE dot / SQRT(na.nrm * nb.nrm) >= CAST(0.3 AS DOUBLE)
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+        |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT SUM(qq.v[i]*c.v[i]) FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+        |      FROM (SELECT * FROM q WHERE vec_id < 20) qq
+        |      JOIN q c ON c.vec_id <> qq.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             dot / SQRT(na.nrm * nb.nrm) AS cosine,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |               ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC, neighbor_id ASC) AS rank
+        |           FROM p JOIN n na ON na.vec_id = query_id
+        |                  JOIN n nb ON nb.vec_id = neighbor_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   /** DuckDB min-label-propagation connected components over the same

@@ -1,0 +1,184 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines.
+  *
+  * All variants are pure column algebra / shuffle SQL — no driver-side
+  * state — so they scale with the cluster:
+  *
+  *   - [[exactDuplicates]]      content-hash groupBy (one shuffle)
+  *   - [[ngramJaccardPairs]]    exact word-n-gram Jaccard via shingle
+  *                              inverted index (self-equi-join on shingle;
+  *                              no O(n²) cross join)
+  *   - [[minHashLshPairs]]      MinHash signatures + banded LSH: candidate
+  *                              generation by band-bucket join, exact
+  *                              Jaccard verification of candidates only —
+  *                              the 100 TB path (cost ∝ colliding pairs)
+  *   - [[simHashPairs]]         64-bit SimHash fingerprints, banded
+  *                              hamming-distance candidate join
+  *   - [[embeddingCosinePairs]] exact cosine near-dup over an embedding
+  *                              column (brute-force pair join; for the ANN
+  *                              scale path see [[Similarity]])
+  *
+  * Hashes use Spark's xxhash64 with literal seed columns — deterministic
+  * across runs and cluster layouts.
+  */
+object Dedup {
+
+  /** Word n-gram shingle set, one row per (id, distinct shingle). */
+  private[graft] def shingles(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val toks = split(col(textCol), " ")
+    df.select(col(idCol).as("id"),
+        when(size(toks) >= n,
+          expr(s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
+            s"i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))"))
+          .otherwise(array(col(textCol)))
+          .as("shs"))
+      .select(col("id"), explode(col("shs")).as("shingle"))
+      .distinct()
+  }
+
+  /** Exact duplicate groups by content hash (sha256 of the raw text).
+    * Returns one row per distinct content: (text_sha, n_copies, keep_id)
+    * where keep_id is the smallest id — the canonical survivor.
+    */
+  def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("text_sha"), col(idCol).as("id"))
+      .groupBy("text_sha")
+      .agg(count(lit(1)).as("n_copies"), min(col("id")).as("keep_id"))
+
+  /** Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b,
+    * jaccard >= threshold). Inverted-index join: only documents sharing at
+    * least one shingle are ever paired.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("a")
+      .join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** MinHash signature per document: minhash_i = min over shingles of
+    * xxhash64(seed_i, shingle), i in [0, numHashes).
+    */
+  def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
+    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** MinHash + banded LSH near-duplicate pairs. Signatures are split into
+    * `bands` bands of numHashes/bands rows; documents colliding in any
+    * band become candidates; candidates are verified with exact n-gram
+    * Jaccard >= threshold. At scale only band-bucket collisions are ever
+    * joined — never all pairs.
+    */
+  def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(df, idCol, textCol, n, threshold, candidates)
+  }
+
+  /** Exact-Jaccard verification of candidate pairs (id_a, id_b). */
+  private def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
+      n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = candidates
+      .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .where(col("jaccard") >= lit(threshold))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 64-bit SimHash fingerprint per document from whitespace tokens:
+    * bit j of the fingerprint is 1 iff Σ_tokens sign(bit j of
+    * xxhash64(token)) > 0.
+    */
+  def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v_$j"))
+    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val fp = (0 until 64).map(j =>
+      when(col(s"v_$j") > 0, expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    agg.select(col("id"), fp.as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <= maxBits.
+    * Candidates via 4×16-bit band collision (exact for maxBits <= 3 by
+    * pigeonhole), then exact hamming verification.
+    */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxBits: Int = 3): DataFrame = {
+    val fp = simHashFingerprints(df, idCol, textCol)
+    val bandCols = (0 until 4).map(b =>
+      struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bucket")))
+    val buckets = fp.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        expr("bit_count(a.simhash ^ b.simhash)").as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxBits)
+  }
+
+  /** Embedding cosine near-duplicate pairs (id_a < id_b,
+    * cosine >= threshold), exact brute force over all pairs. Vectors may be
+    * pre-quantized to integer-valued doubles for cross-engine determinism.
+    * For sub-quadratic candidate generation at scale use
+    * [[Similarity.hyperplaneLshBuckets]].
+    */
+  def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double): DataFrame = {
+    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
+      .where(col("cosine") >= lit(threshold))
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import graft.ops.{Dedup, Similarity}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Correctness + recall characteristics of the dedup and similarity-search
+  * operators on controlled fixtures and the sf0.001 testdata.
+  */
+class DedupSimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val docs =
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").cache()
+
+  test("exactDuplicates groups identical texts under min id") {
+    val df = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y z"))
+      .toDF("doc_id", "text")
+    val out = Dedup.exactDuplicates(df, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length == 2)
+    assert(out(0).getLong(1) == 2 && out(0).getLong(2) == 1) // n_copies, keep_id
+    assert(out(1).getLong(1) == 1 && out(1).getLong(2) == 3)
+  }
+
+  test("ngramJaccardPairs finds identical and near-identical docs, skips distinct") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now ok yes"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.4)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // docs 1/2 share 6 of 7 trigrams in each: inter=6, union=8 → 0.75
+    assert(pairs.keySet == Set((1L, 2L)))
+    assert(math.abs(pairs((1L, 2L)) - 6.0 / 8.0) < 1e-12)
+  }
+
+  test("minHashLshPairs achieves full recall of high-jaccard pairs on testdata") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairs(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "testdata should contain planted near-dups")
+    // banded LSH at b=16,r=4 collides w.p. >0.999 at j>=0.8; and every LSH
+    // pair is exact-verified, so lsh ⊆ exact always
+    assert(lsh.subsetOf(exact))
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+
+  test("simHash hamming 0 for identical docs, small for near-identical") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "the quick brown fox jumps over the lazy cat"))
+      .toDF("doc_id", "text")
+    val fp = Dedup.simHashFingerprints(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
+  }
+
+  test("cosine column: exact on known vectors") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
+      (2L, Seq(1.0, 2.0), Seq(2.0, 4.0)))
+      .toDF("id", "a", "b")
+    val got = df.select(Similarity.cosine(col("a"), col("b"))).as[Double].collect()
+    assert(math.abs(got(0) - 0.0) < 1e-12)
+    assert(math.abs(got(1) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK ranks by cosine desc with id tiebreak") {
+    val df = Seq(
+      (1L, Seq(1.0, 0.0)),
+      (2L, Seq(1.0, 0.1)),
+      (3L, Seq(0.0, 1.0)),
+      (4L, Seq(1.0, 0.0)))
+      .toDF("vec_id", "v")
+    val got = Similarity.bruteForceTopK(df, "vec_id", "v",
+        df.where($"vec_id" === 1), "vec_id", "v", 2)
+      .orderBy("rank").select("neighbor_id").as[Long].collect().toSeq
+    assert(got == Seq(4L, 2L)) // 4 is identical (cos 1.0), then 2
+  }
+
+  test("lshTopK recall vs brute force on sf0.001 embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(e, "vec_id", "embedding", 64, 5,
+        nBits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    // multi-table (8×4-bit) hyperplane LSH on weakly-clustered vectors
+    assert(recall > 0.5, s"recall=$recall")
+    assert(lsh.nonEmpty)
+  }
+}
