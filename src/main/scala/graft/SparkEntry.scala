@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, PageRank, ShortestPaths, Similarity}
+import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, PageRank, Sessionize, ShortestPaths, Similarity, TextStats}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -141,6 +141,60 @@ object SparkEntry {
       val e = Tables.embeddings(s, d)
       Similarity.lshTopK(e, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
         .orderBy("query_id", "rank")
+    },
+    "q_text_stats" -> { (s, d) =>
+      // integer token statistics rolled up per (lang, source); the one
+      // ratio column is a single final division (deterministic)
+      TextStats.withTokenStats(Tables.documents(s, d), "text")
+        .groupBy(col("lang"), col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("tot_tokens"),
+          sum(col("n_chars")).as("tot_chars"),
+          sum(col("n_distinct")).as("tot_distinct"),
+          sum(col("n_stop")).as("tot_stop"),
+          (sum(col("n_stop")).cast("double") / sum(col("n_tokens"))).as("stop_ratio"))
+        .orderBy("lang", "source")
+    },
+    "q_lang_id" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextStats.langId("text").as("predicted"))
+        .groupBy(col("lang"), col("predicted"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "predicted")
+    },
+    "q_fingerprint" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
+        .orderBy("doc_id")
+    },
+    "q_quality" -> { (s, d) =>
+      TextStats.withTokenStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"), TextStats.qualityScore.as("quality"))
+        .orderBy("doc_id")
+    },
+    "q_sessionize" -> { (s, d) =>
+      Sessionize.sessionStats(Tables.events(s, d), "user_id", "ts_us", "event_id",
+          gapUs = 1800000000L)
+        .orderBy("user_id")
+    },
+    "q_event_windows" -> { (s, d) =>
+      // hourly tumbling windows per event type; value summed as exact cents
+      Sessionize.tumbling(Tables.events(s, d), "ts_us", 3600000000L)
+        .groupBy(col("window_start_us"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
+    "q_events_json" -> { (s, d) =>
+      // JSON property extraction from the props column
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy("event_type")
     }
   )
 
@@ -290,7 +344,80 @@ object SparkEntry {
         |                  JOIN n nb ON nb.vec_id = neighbor_id)
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM scored WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_text_stats" ->
+      """WITH t AS (SELECT lang, source, text, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT lang, source,
+        |        len(w) AS n_tokens, length(text) AS n_chars,
+        |        len(list_distinct(w)) AS n_distinct,
+        |        len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS n_stop
+        |      FROM t)
+        |SELECT lang, source, COUNT(*) AS n_docs,
+        |       SUM(n_tokens) AS tot_tokens, SUM(n_chars) AS tot_chars,
+        |       SUM(n_distinct) AS tot_distinct, SUM(n_stop) AS tot_stop,
+        |       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stop_ratio
+        |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin,
+    "q_lang_id" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |sc AS (SELECT lang,
+        |         len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS en,
+        |         len(list_filter(w, x -> x IN ('der','die','das','und'))) AS de,
+        |         len(list_filter(w, x -> x IN ('el','los','y','es'))) AS es,
+        |         len(list_filter(w, x -> x IN ('le','les','et','est'))) AS fr
+        |       FROM t),
+        |p AS (SELECT lang,
+        |        CASE WHEN en >= GREATEST(de, es, fr) AND en > 0 THEN 'en'
+        |             WHEN de >= GREATEST(es, fr) AND de > 0 THEN 'de'
+        |             WHEN es >= fr AND es > 0 THEN 'es'
+        |             WHEN fr > 0 THEN 'fr'
+        |             ELSE 'unknown' END AS predicted
+        |      FROM sc)
+        |SELECT lang, predicted, COUNT(*) AS n
+        |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q_fingerprint" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST((SELECT SUM((ascii(substr(w[i+1], 1, 1)) * 31 + length(w[i+1])) *
+        |          CAST(([1,31,961,29791,923521,28629151,887503681,27512614111])[(i % 8) + 1] AS BIGINT))
+        |        FROM UNNEST(range(0, len(w))) AS u(i)) % 1000000007 AS BIGINT) AS fp
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT doc_id,
+        |        len(w) AS n_tokens,
+        |        len(list_distinct(w)) AS n_distinct,
+        |        len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS n_stop
+        |      FROM t)
+        |SELECT doc_id,
+        |  CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |  + CAST(0.4 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |  + CAST(0.2 AS DOUBLE) * LEAST(CAST(n_stop AS DOUBLE) * CAST(5.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE))
+        |  AS quality
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |             OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_session,
+        |        event_id
+        |      FROM e),
+        |sn AS (SELECT user_id, us,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_no
+        |       FROM g)
+        |SELECT user_id, COUNT(DISTINCT session_no) AS n_sessions, COUNT(*) AS n_events,
+        |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
+        |FROM sn GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_event_windows" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_events_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** DuckDB min-label-propagation connected components over the same

@@ -1,0 +1,63 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.TimestampType
+
+/** Event-stream batch analytics: gap-based sessionization and tumbling
+  * windows. Pure window/aggregation algebra — partitioned by user/window
+  * key, so it scales horizontally (one shuffle per op). The streaming
+  * incremental counterpart lives in [[graft.streaming.StreamSessionize]].
+  *
+  * Time arithmetic is integer microseconds (`unix_micros`) end-to-end for
+  * cross-engine determinism.
+  */
+object Sessionize {
+
+  /** The time column as integer microseconds: accepts either a timestamp
+    * column or an already-integer microsecond long column. */
+  private def usOf(df: DataFrame, tsCol: String): Column =
+    df.schema(tsCol).dataType match {
+      case TimestampType => unix_micros(col(tsCol))
+      case _ => col(tsCol)
+    }
+
+  /** Assign 1-based per-user session numbers: a new session starts when the
+    * gap since the user's previous event exceeds `gapUs` microseconds.
+    * Ties are ordered by (ts, orderCol) — supply a unique orderCol.
+    */
+  def sessionize(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapUs: Long): DataFrame = {
+    val us = usOf(df, tsCol)
+    val w = Window.partitionBy(col(userCol)).orderBy(us, col(orderCol))
+    val newSession = when(
+      lag(us, 1).over(w).isNull || (us - lag(us, 1).over(w)) > gapUs, 1).otherwise(0)
+    df.withColumn("__new_session", newSession)
+      .withColumn("session_no",
+        sum(col("__new_session")).over(
+          Window.partitionBy(col(userCol)).orderBy(us, col(orderCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__new_session")
+  }
+
+  /** Per-user session statistics. */
+  def sessionStats(df: DataFrame, userCol: String, tsCol: String,
+      orderCol: String, gapUs: Long): DataFrame = {
+    val s = sessionize(df, userCol, tsCol, orderCol, gapUs)
+    val us = usOf(s, tsCol)
+    s.groupBy(col(userCol))
+      .agg(
+        countDistinct(col("session_no")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        (max(us) - min(us)).as("span_us"))
+  }
+
+  /** Tumbling fixed-size windows: `window_start_us` = ts floored to a
+    * multiple of `windowUs` (equivalent to UTC date_trunc for hour/day).
+    */
+  def tumbling(df: DataFrame, tsCol: String, windowUs: Long): DataFrame = {
+    val us = usOf(df, tsCol)
+    df.withColumn("window_start_us", us - (us % lit(windowUs)))
+  }
+}

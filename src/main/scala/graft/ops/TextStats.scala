@@ -1,0 +1,73 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines: token statistics, quality
+  * scoring, heuristic language id, and document fingerprinting.
+  *
+  * Everything is a single codegen'd column expression over
+  * whitespace-tokenized text — no UDFs, no shuffles beyond the caller's
+  * aggregation — and every formula is engine-portable (mirrored verbatim
+  * in the DuckDB oracle SQL): integer counts, exact integer fingerprint
+  * arithmetic, and single-division ratios, so results are bit-identical
+  * across engines.
+  */
+object TextStats {
+
+  val stopwordsEn: Seq[String] = Seq("the", "a", "of", "and", "in")
+  val markersDe: Seq[String] = Seq("der", "die", "das", "und")
+  val markersEs: Seq[String] = Seq("el", "los", "y", "es")
+  val markersFr: Seq[String] = Seq("le", "les", "et", "est")
+
+  private def inList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("(", ",", ")")
+
+  /** Count of whitespace tokens contained in `words`. */
+  def tokenCountIn(textCol: String, words: Seq[String]): Column =
+    expr(s"size(filter(split($textCol, ' '), x -> x IN ${inList(words)}))")
+
+  /** Per-document token statistics: n_tokens, n_chars, n_distinct, n_stop. */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_tokens", size(split(col(textCol), " ")))
+      .withColumn("n_chars", length(col(textCol)))
+      .withColumn("n_distinct", size(array_distinct(split(col(textCol), " "))))
+      .withColumn("n_stop", tokenCountIn(textCol, stopwordsEn))
+
+  /** Deterministic quality score in [0,1]:
+    * 0.4·min(n_tokens/100, 1) + 0.4·type-token-ratio + 0.2·min(5·stop_ratio, 1).
+    * Requires the [[withTokenStats]] columns.
+    */
+  def qualityScore: Column =
+    lit(0.4) * least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) +
+      lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens")) +
+      lit(0.2) * least(col("n_stop").cast("double") * lit(5.0) / col("n_tokens"), lit(1.0))
+
+  /** Heuristic language id from marker-word counts, deterministic argmax
+    * with fixed priority en > de > es > fr > unknown.
+    */
+  def langId(textCol: String): Column = {
+    val en = tokenCountIn(textCol, stopwordsEn)
+    val de = tokenCountIn(textCol, markersDe)
+    val es = tokenCountIn(textCol, markersEs)
+    val fr = tokenCountIn(textCol, markersFr)
+    when(en >= greatest(de, es, fr) && en > 0, lit("en"))
+      .when(de >= greatest(es, fr) && de > 0, lit("de"))
+      .when(es >= fr && es > 0, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** 31-ary position-weighted rolling token fingerprint, mod 1e9+7.
+    * Token code = ascii(first char)·31 + length; weight cycles through
+    * 31^(i mod 8). All arithmetic stays below 2^63 → exact in any engine.
+    */
+  def fingerprint(textCol: String): Column = {
+    val pows = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+    val w = split(col(textCol), " ")
+    val terms = transform(w, (x, i) =>
+      (ascii(substring(x, 1, 1)) * lit(31) + length(x)).cast("long") *
+        element_at(array(pows.map(lit): _*), (i % lit(8)) + lit(1)))
+    aggregate(terms, lit(0L), (acc, v) => acc + v) % lit(1000000007L)
+  }
+}

@@ -20,7 +20,15 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read as a timestamp; read it as a nanosecond long and derive `ts_us`
+    * (integer microseconds — floor division, matching DuckDB's ns→µs
+    * truncation on read). All downstream time arithmetic is integer µs.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
