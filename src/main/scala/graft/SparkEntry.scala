@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, PageRank, Sessionize, ShortestPaths, Similarity, TextStats}
+import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, Multimodal, PageRank, Sessionize, ShortestPaths, Similarity, TextStats}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -195,6 +195,19 @@ object SparkEntry {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")
+    },
+    "q_multimodal" -> { (s, d) =>
+      // binary-asset pipeline: pack → partition-wise (stubbed) decode →
+      // feature extraction → per-kind/format rollup; hashes are
+      // engine-specific → rows-only check + determinism asserted in ScalaTest
+      val assets = Multimodal.decodeAssets(
+        Multimodal.packAssets(Tables.documents(s, d), "doc_id", "text"))
+      Multimodal.extractFeatures(assets, dim = 8)
+        .groupBy(col("kind"), col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("meta.width").cast("long")).as("tot_width"),
+          sum(length(col("payload")).cast("long")).as("tot_bytes"))
+        .orderBy("kind", "format")
     }
   )
 

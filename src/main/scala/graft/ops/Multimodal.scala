@@ -1,0 +1,99 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, processed partition-wise.
+  *
+  * The Spark-side plumbing (schema, partitioning, batch shape, feature
+  * columns) is real and tested; the actual media DECODE step is a
+  * clearly-marked deterministic STUB (`fakeDecode`) because no
+  * image/audio libraries exist in this environment — swap `fakeDecode`
+  * for a real codec (e.g. javax.imageio / ffmpeg bindings) to productionize.
+  * Decode runs inside `mapPartitions`, so a real implementation amortizes
+  * per-partition codec initialization exactly where the stub sits.
+  */
+object Multimodal {
+
+  val assetSchema: StructType = StructType(Seq(
+    StructField("asset_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("payload", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("format", StringType, nullable = false))), nullable = false)))
+
+  /** Pack any (id, text) table into binary assets — stands in for reading
+    * real media files; payload = utf-8 bytes, kind round-robins
+    * image/audio/video deterministically by id.
+    */
+  def packAssets(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val kind = element_at(
+      array(lit("image"), lit("audio"), lit("video")),
+      (pmod(col(idCol), lit(3)) + 1).cast("int"))
+    df.select(
+      col(idCol).cast("long").as("asset_id"),
+      kind.as("kind"),
+      encode(col(textCol), "UTF-8").as("payload"))
+  }
+
+  /** STUB — deterministic fake media decode. A real implementation would
+    * parse the container header here; this derives plausible metadata from
+    * the payload bytes so the full pipeline is exercisable and testable.
+    */
+  private[graft] def fakeDecode(payload: Array[Byte], kind: String): (Int, Int, String) = {
+    // ??? real decoder goes here; deterministic stand-in below
+    val h = java.util.Arrays.hashCode(payload)
+    val width = 64 + math.floorMod(h, 1024)
+    val height = 64 + math.floorMod(h >> 10, 1024)
+    val format = kind match {
+      case "image" => if (math.floorMod(h, 2) == 0) "png" else "jpeg"
+      case "audio" => "wav"
+      case _ => "mp4"
+    }
+    (width, height, format)
+  }
+
+  /** Partition-wise "decode": fills the meta struct from the payload.
+    * Returns the full [[assetSchema]].
+    */
+  def decodeAssets(assets: DataFrame): DataFrame = {
+    val spark = assets.sparkSession
+    val rdd = assets.select("asset_id", "kind", "payload").rdd.mapPartitions { it =>
+      // per-partition: a real codec would be initialized ONCE here
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val payload = r.getAs[Array[Byte]](2)
+        val (w, h, fmt) = fakeDecode(payload, kind)
+        Row(id, kind, payload, Row(w, h, fmt))
+      }
+    }
+    spark.createDataFrame(rdd, assetSchema)
+  }
+
+  /** Deterministic fake feature extraction: `dim` floats derived from
+    * xxhash64(payload, lane) — the column shape (array<float>) and
+    * partition-wise batching are what a real embedding model would use.
+    */
+  def extractFeatures(assets: DataFrame, dim: Int): DataFrame = {
+    val lanes = (0 until dim).map(i =>
+      (xxhash64(col("payload"), lit(i)) % lit(1000)).cast("float") / lit(1000.0f))
+    assets.withColumn("features", array(lanes: _*))
+  }
+
+  /** Frame sampling plumbing for video assets: emit `n` (asset_id,
+    * frame_idx, frame_offset_bytes) rows per video — the decode of each
+    * frame is the same stubbed step.
+    */
+  def sampleFrames(assets: DataFrame, n: Int): DataFrame =
+    assets.where(col("kind") === "video")
+      .select(col("asset_id"), explode(sequence(lit(0), lit(n - 1))).as("frame_idx"),
+        length(col("payload")).as("payload_len"))
+      .withColumn("frame_offset_bytes",
+        (col("frame_idx") * col("payload_len")) / lit(n))
+      .drop("payload_len")
+}

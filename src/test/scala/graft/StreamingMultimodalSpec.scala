@@ -1,0 +1,86 @@
+package graft
+
+import graft.ops.Multimodal
+import graft.streaming.StreamSessionize
+import graft.streaming.StreamSessionize.{SessionEvent, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class StreamingMultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming sessionization closes sessions when watermark passes gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = StreamSessionize.sessions(input.toDS(), gapUs = 60000000L, // 1 min gap
+      delayThreshold = "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("sessions_out")
+      .start()
+
+    // base offset > 0: an event at exactly epoch 0 equals the initial
+    // watermark and is discarded as late data
+    def us(min: Long) = (min + 60) * 60000000L
+    // user 1: two events 10s apart (one session), then silence
+    input.addData(
+      SessionEvent(1L, us(0), 1), SessionEvent(1L, us(0) + 10000000L, 2))
+    q.processAllAvailable()
+    // advance event time far past the gap → user 1's session must close
+    input.addData(SessionEvent(2L, us(10), 3))
+    q.processAllAvailable()
+    input.addData(SessionEvent(2L, us(30), 4)) // closes user 2's first session too
+    q.processAllAvailable()
+    q.stop()
+
+    val sessions = spark.table("sessions_out").as[SessionOut].collect()
+      .sortBy(s => (s.user_id, s.session_start_us))
+    info("emitted: " + sessions.mkString("; "))
+    assert(sessions.exists(s => s.user_id == 1 && s.n_events == 2 &&
+      s.session_end_us - s.session_start_us == 10000000L))
+    assert(sessions.exists(s => s.user_id == 2 && s.n_events == 1))
+  }
+
+  test("streaming windowed stats over memory stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Double)]
+    val df = input.toDS().toDF("ts_us", "event_type", "value")
+    val out = StreamSessionize.windowedStats(df, "ts_us", "event_type", "value",
+      "1 hour", "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("win_out")
+      .start()
+    input.addData((0L, "click", 1.0), (1000000L, "click", 2.0), (3599000000L, "buy", 5.0))
+    q.processAllAvailable()
+    input.addData((7200000000L, "click", 1.0)) // advances watermark, closes hour 0
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("win_out")
+      .select(col("event_type"), col("n"), col("sum_value")).collect()
+    assert(rows.exists(r => r.getString(0) == "click" && r.getLong(1) == 2 &&
+      r.getDouble(2) == 3.0))
+    assert(rows.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
+  }
+
+  test("multimodal: pack → decode → features pipeline, deterministic") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val assets = Multimodal.decodeAssets(Multimodal.packAssets(docs, "doc_id", "text"))
+    assert(assets.schema == Multimodal.assetSchema)
+    val metas = assets.select("asset_id", "meta.width", "meta.height", "meta.format")
+      .as[(Long, Int, Int, String)].collect()
+    assert(metas.length == 50)
+    assert(metas.forall { case (_, w, h, _) => w >= 64 && h >= 64 })
+    // deterministic across runs
+    val again = Multimodal.decodeAssets(Multimodal.packAssets(docs, "doc_id", "text"))
+      .select("asset_id", "meta.width").as[(Long, Int)].collect().toMap
+    assert(metas.forall { case (id, w, _, _) => again(id) == w })
+    // features: fixed dim, deterministic, partition-count preserved
+    val feats = Multimodal.extractFeatures(assets, dim = 8)
+    assert(feats.select(size(col("features"))).as[Int].collect().forall(_ == 8))
+    // frame sampling emits n rows per video asset
+    val frames = Multimodal.sampleFrames(assets, n = 4)
+    val videos = assets.where(col("kind") === "video").count()
+    assert(frames.count() == videos * 4)
+  }
+}
