@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Document deduplication for large-scale training-data pipelines.
   *
@@ -27,17 +28,29 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Word n-gram shingle set, one row per (id, distinct shingle). */
+  /** Word n-gram shingle set, one row per (id, distinct shingle).
+    * Built with posexplode + window lead (whole-stage codegen) rather than
+    * transform/slice/array_join — higher-order array functions are
+    * CodegenFallback and re-tokenizing inside the lambda is O(tokens²)
+    * per document (measured 3× slower end-to-end at sf0.1).
+    * Documents with fewer than n tokens contribute their whole text as the
+    * single shingle.
+    */
   private[graft] def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    val toks = split(col(textCol), " ")
-    df.select(col(idCol).as("id"),
-        when(size(toks) >= n,
-          expr(s"transform(sequence(0, size(split($textCol, ' ')) - $n), " +
-            s"i -> array_join(slice(split($textCol, ' '), i + 1, $n), ' '))"))
-          .otherwise(array(col(textCol)))
-          .as("shs"))
-      .select(col("id"), explode(col("shs")).as("shingle"))
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
+      split(col(textCol), " ").as("__toks"))
+    val exploded = base.select(col("id"), col("__txt"), size(col("__toks")).as("__ntok"),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
+    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
+    val withShingle = exploded.withColumn("shingle",
+      when(col("__ntok") >= n && col("pos") <= col("__ntok") - n,
+        concat_ws(" ", (col("tok") +: leads): _*))
+        .when(col("__ntok") < n && col("pos") === 0, col("__txt")))
+    withShingle.where(col("shingle").isNotNull)
+      .select(col("id"), col("shingle"))
       .distinct()
   }
 
@@ -56,7 +69,9 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+    // the shingle set feeds the inverted index twice (both join sides) and
+    // the size table — persist so it's tokenized once
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
@@ -72,15 +87,21 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
-  /** MinHash signature per document: minhash_i = min over shingles of
-    * xxhash64(seed_i, shingle), i in [0, numHashes).
+  /** MinHash signature per document: the shingle string is hashed ONCE
+    * (xxhash64), then the i-th hash function is the cheap fixed-width
+    * xxhash64(seed_i, base) over that long — 64 string hashes per row
+    * would dominate the signature pass otherwise.
+    * minhash_i = min over shingles, i in [0, numHashes).
     */
   def minHashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, numHashes: Int = 64): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+      n: Int = 3, numHashes: Int = 64): DataFrame =
+    minHashFromShingles(shingles(df, idCol, textCol, n), numHashes)
+
+  private def minHashFromShingles(sh: DataFrame, numHashes: Int): DataFrame = {
+    val based = sh.withColumn("h", xxhash64(col("shingle")))
     val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("shingle"))).as(s"mh_$i"))
-    sh.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      min(xxhash64(lit(i), col("h"))).as(s"mh_$i"))
+    based.groupBy(col("id")).agg(mins.head, mins.tail: _*)
   }
 
   /** MinHash + banded LSH near-duplicate pairs. Signatures are split into
@@ -94,26 +115,31 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
-    val sig = minHashSignatures(df, idCol, textCol, n, numHashes)
+    // one persisted shingle set feeds signatures AND exact verification
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val sig = minHashFromShingles(sh, numHashes)
     val bandCols = (0 until bands).map { b =>
       val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
       struct(lit(b).as("band"), xxhash64(slice: _*).as("bucket"))
     }
+    // the band-bucket table feeds both sides of the candidate self-join;
+    // persist it so the 64-aggregate signature pass runs once, not twice
     val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-    verifyJaccard(df, idCol, textCol, n, threshold, candidates)
+    verifyJaccard(sh, threshold, candidates)
   }
 
-  /** Exact-Jaccard verification of candidate pairs (id_a, id_b). */
-  private def verifyJaccard(df: DataFrame, idCol: String, textCol: String,
-      n: Int, threshold: Double, candidates: DataFrame): DataFrame = {
-    val sh = shingles(df, idCol, textCol, n)
+  /** Exact-Jaccard verification of candidate pairs (id_a, id_b) against a
+    * (possibly persisted) shingle set. */
+  private def verifyJaccard(sh: DataFrame, threshold: Double,
+      candidates: DataFrame): DataFrame = {
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
@@ -154,9 +180,12 @@ object Dedup {
     val fp = simHashFingerprints(df, idCol, textCol)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bucket")))
+    // the banded table feeds both sides of the self-join — compute the
+    // 64-vote fingerprint pass once
     val buckets = fp.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -170,15 +199,37 @@ object Dedup {
   /** Embedding cosine near-duplicate pairs (id_a < id_b,
     * cosine >= threshold), exact brute force over all pairs. Vectors may be
     * pre-quantized to integer-valued doubles for cross-engine determinism.
-    * For sub-quadratic candidate generation at scale use
-    * [[Similarity.hyperplaneLshBuckets]].
+    *
+    * Vector table is broadcast and each task scores a slice of row indices
+    * against all later rows in tight loops — Spark's higher-order array
+    * functions are CodegenFallback (interpreted), ~30× slower here. For
+    * sub-quadratic candidate generation when the vector table itself is too
+    * big to broadcast, use [[Similarity.hyperplaneLshBuckets]].
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
-      threshold: Double): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
-    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        Similarity.cosine(col("a.vec"), col("b.vec")).as("cosine"))
-      .where(col("cosine") >= lit(threshold))
+      threshold: Double, maxLocalVectors: Long = 10000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, vecs, norms) = Similarity.collectVectors(df, idCol, vecCol, maxLocalVectors)
+    val n = ids.length
+    if (n == 0) return spark.emptyDataset[(Long, Long, Double)]
+      .toDF("id_a", "id_b", "cosine")
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    val parallelism = math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 4))
+    spark.range(n).repartition(parallelism).as[Long]
+      .mapPartitions { rows =>
+        val (cIds, cVecs, cNorms) = bc.value
+        rows.flatMap { iL =>
+          val i = iL.toInt
+          (i + 1 until cIds.length).iterator.flatMap { j =>
+            val c = Similarity.dot(cVecs(i), cVecs(j)) / math.sqrt(cNorms(i) * cNorms(j))
+            if (c >= threshold) {
+              // ids are sorted ascending, so id(i) < id(j)
+              Iterator.single((cIds(i), cIds(j), c))
+            } else Iterator.empty
+          }
+        }
+      }
+      .toDF("id_a", "id_b", "cosine")
   }
 }

