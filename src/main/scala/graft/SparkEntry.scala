@@ -166,8 +166,11 @@ object SparkEntry {
         .orderBy("lang", "predicted")
     },
     "q_fingerprint" -> { (s, d) =>
+      // native codegen'd Catalyst expression (ScalaTest proves it equals
+      // the column-algebra formula the oracle mirrors)
       Tables.documents(s, d)
-        .select(col("doc_id"), TextStats.fingerprint("text").as("fp"))
+        .select(col("doc_id"),
+          graft.functions.functions.token_fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")
     },
     "q_quality" -> { (s, d) =>

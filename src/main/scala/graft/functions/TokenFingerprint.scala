@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Loop kernel for [[TokenFingerprint]], shared by interpreted eval and the
+  * generated code. Semantically identical to the column-algebra formula in
+  * [[graft.ops.TextStats.fingerprint]]:
+  *
+  *   fp = ( Σ_i (codepoint(token_i[0])·31 + len(token_i)) · 31^(i mod 8) ) mod 1e9+7
+  *
+  * over tokens split on single spaces (trailing empties kept, like Spark's
+  * `split(text, ' ')` with limit -1; empty token → code 0). ASCII-safe
+  * byte iteration; multi-byte leading characters use their first byte,
+  * matching `ascii()` only for ASCII inputs — documented limitation.
+  */
+object TokenFingerprintImpl {
+  private val pows: Array[Long] =
+    Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
+
+  def compute(s: UTF8String, mod: Long): Long = {
+    val bytes = s.getBytes
+    var acc = 0L
+    var tokIdx = 0
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        val len = i - start
+        val first = if (len == 0) 0 else bytes(start) & 0xff
+        // character length for ASCII == byte length; count non-continuation
+        // bytes so multi-byte text still gets the char count
+        var chars = 0
+        var j = start
+        while (j < i) { if ((bytes(j) & 0xc0) != 0x80) chars += 1; j += 1 }
+        val code = first.toLong * 31L + chars
+        acc += code * pows(tokIdx & 7)
+        tokIdx += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    acc % mod
+  }
+}
+
+/** Native Catalyst expression (with real codegen, no CodegenFallback) for
+  * the rolling token fingerprint — a single tight loop over the UTF8String
+  * bytes instead of split + transform + aggregate (three interpreted
+  * higher-order passes with per-token allocations).
+  */
+case class TokenFingerprint(child: Expression, mod: Long = 1000000007L)
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenFingerprintImpl.compute(input.asInstanceOf[UTF8String], mod)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.TokenFingerprintImpl.compute($c, ${mod}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): TokenFingerprint =
+    copy(child = newChild)
+}
+
+object functions {
+  import org.apache.spark.sql.graft.shims
+
+  /** Column API for the native fingerprint expression. */
+  def token_fingerprint(c: Column): Column =
+    shims.columnOf(TokenFingerprint(shims.expressionOf(c)))
+
+  /** Register graft's native functions for SQL use
+    * (`SELECT token_fingerprint(text) ...`). */
+  def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "token_fingerprint", exprs => TokenFingerprint(exprs.head), "scala_udf")
+  }
+}

@@ -72,6 +72,52 @@ object Betweenness {
         (coalesce($"raw", lit(0.0)) * lit(halve) * lit(norm)).as("centrality"))
   }
 
+  /** Source-sampled approximate betweenness — the scale path for graphs
+    * where exact O(V·E) Brandes is too expensive (SURVEY.md §7.6): run the
+    * per-source pass for a seeded deterministic sample of sources and scale
+    * contributions by n/sampleSize (unbiased estimator, Brandes & Pich
+    * 2007). sampleSize >= n degenerates to the exact computation.
+    */
+  def betweennessCentralitySampled(df: DataFrame, from: String, to: String,
+      sampleSize: Int, normalized: Boolean = true, directed: Boolean = false,
+      seed: Long = 42L, maxLocalEdges: Long = 50000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = Ingest.edges(df, from, to)
+    val rows = e.as[(String, String)].collect().map { case (f, t) => (f, t, 1L) }
+    require(rows.length <= maxLocalEdges, "edge list exceeds broadcast fast path")
+    val graph = LocalGraph.fromEdges(rows.toSeq, directed)
+    val n = graph.numNodes
+    if (n == 0) return spark.emptyDataset[(String, Double)].toDF("node", "centrality")
+    val k = math.min(sampleSize, n)
+    val sampled = new scala.util.Random(seed).shuffle((0 until n).toVector).take(k)
+    val scale = n.toDouble / k
+
+    val bc = spark.sparkContext.broadcast(graph)
+    val parallelism = math.max(1, math.min(k, spark.sparkContext.defaultParallelism * 4))
+    val partials = spark.createDataset(sampled).repartition(parallelism)
+      .mapPartitions { sources =>
+        val g = bc.value
+        val acc = Array.fill(g.numNodes)(0.0)
+        sources.foreach(src => accumulate(g, src, acc))
+        acc.iterator.zipWithIndex.filter(_._1 != 0.0).map { case (v, i) => (i, v) }
+      }
+      .toDF("id", "partial")
+      .groupBy($"id").agg(sum($"partial").as("raw"))
+
+    val halve = if (directed) 1.0 else 0.5
+    val norm =
+      if (!normalized) 1.0
+      else if (directed) 1.0 / ((n - 1.0) * (n - 2.0))
+      else 2.0 / ((n - 1.0) * (n - 2.0))
+    val idNames = spark.createDataFrame(
+      graph.names.zipWithIndex.map { case (name, i) => (i, name) }.toSeq)
+      .toDF("id", "node")
+    idNames.join(partials, Seq("id"), "left")
+      .select($"node",
+        (coalesce($"raw", lit(0.0)) * lit(scale) * lit(halve) * lit(norm)).as("centrality"))
+  }
+
   /** One Brandes source pass (rs:64-106), adding deltas into `acc`. */
   private def accumulate(g: LocalGraph, source: Int, acc: Array[Double]): Unit = {
     val n = g.numNodes

@@ -131,6 +131,34 @@ object ConnectedComponents {
     assign.join(labels, "cc").select($"node", $"component")
   }
 
+  /** One-pass connected components via the [[graft.functions.UnionFindAgg]]
+    * Catalyst aggregate: each partition folds its edges into a disjoint-set
+    * forest, partials merge by replaying parent links. Suits graphs whose
+    * VERTEX set fits in a task while edges stream (SURVEY.md §7.7); for
+    * larger vertex sets use [[components]] / [[componentsAlternatingStar]].
+    * Returns (node string, component string) like [[components]].
+    */
+  def componentsViaAggregate(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select($"src".as("node")).union(edges.select($"dst".as("node"))).distinct()
+    val idDf = spark
+      .createDataFrame(nodes.as[String].rdd.zipWithIndex())
+      .toDF("node", "vid")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    idDf.count()
+    val eids = edges
+      .join(idDf.select($"node".as("src"), $"vid".as("svid")), "src")
+      .join(idDf.select($"node".as("dst"), $"vid".as("dvid")), "dst")
+    val mapRow = eids
+      .agg(graft.functions.UnionFindAgg.union_find($"svid", $"dvid").as("uf"))
+    val nodeCc = mapRow.select(explode($"uf").as(Seq("vid", "cc")))
+    val withNames = idDf.join(nodeCc, Seq("vid"), "left")
+      .select($"node", coalesce($"cc", $"vid").as("cc")) // isolated nodes
+    val labels = withNames.groupBy($"cc").agg(min($"node").as("component"))
+    withNames.join(labels, "cc").select($"node", $"component")
+  }
+
   /** Reference-parity `super_merger`: returns `df` plus a `group` column
     * (long): 1-based component id numbered by first appearance, rows with a
     * null `from` get sentinel 0 (reference: src/graph_solver.rs:78-100,

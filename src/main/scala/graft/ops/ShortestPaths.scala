@@ -1,8 +1,10 @@
 package graft.ops
 
 import graft.core.{Ingest, LocalGraph}
+import org.apache.spark.graphx.{Edge => GXEdge, EdgeTriplet, Graph, Pregel, VertexId}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 import scala.collection.mutable
 
@@ -70,6 +72,71 @@ object ShortestPaths {
         }
       }
     out.toDF("from", "to", "distance")
+  }
+
+  /** The 100 TB scale path: multi-source weighted SSSP as a GraphX Pregel
+    * fixpoint — no broadcast adjacency, no per-task graph copy; state is a
+    * per-vertex map of (source → best cost) and supersteps relax edges in
+    * parallel. Use for graphs too big for [[allPairs]]'s broadcast (and
+    * pick a bounded source set: all-pairs output is O(V²) by definition).
+    *
+    * Same fixed-point quantization and emission rules as [[allPairs]]
+    * restricted to the given sources; results for those sources are
+    * identical. Undirected mode symmetrizes edges; `from` in the output is
+    * the source name (lexicographic pair-collapse only applies to the
+    * undirected all-pairs form).
+    */
+  def fromSourcesPregel(edges: DataFrame, sources: Seq[String],
+      directed: Boolean): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val quantized = edges.select($"src", $"dst",
+      ($"weight" * lit(1000.0)).cast("long").as("cost"))
+    val nodes = quantized.select($"src".as("node"))
+      .union(quantized.select($"dst".as("node"))).distinct()
+    val idDf = spark.createDataFrame(nodes.as[String].rdd.zipWithIndex())
+      .toDF("node", "vid").persist(StorageLevel.MEMORY_AND_DISK)
+    idDf.count()
+    val eids = quantized
+      .join(idDf.select($"node".as("src"), $"vid".as("svid")), "src")
+      .join(idDf.select($"node".as("dst"), $"vid".as("dvid")), "dst")
+      .select($"svid", $"dvid", $"cost")
+    val gxEdges = eids.as[(Long, Long, Long)].rdd.flatMap { case (s, d, c) =>
+      if (directed) Iterator(GXEdge(s, d, c))
+      else Iterator(GXEdge(s, d, c), GXEdge(d, s, c))
+    }
+    val srcIdOf = idDf.as[(String, Long)].collect().toMap
+    val srcIds: Set[VertexId] = sources.flatMap(srcIdOf.get).toSet
+    require(srcIds.nonEmpty || sources.isEmpty, "no source found in graph")
+
+    val init: Map[VertexId, Long] = Map.empty
+    val graph = Graph.fromEdges(gxEdges, init,
+      edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
+      vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
+      .mapVertices((vid, _) =>
+        if (srcIds.contains(vid)) Map(vid -> 0L) else Map.empty[VertexId, Long])
+
+    def mergeMaps(a: Map[VertexId, Long], b: Map[VertexId, Long]): Map[VertexId, Long] =
+      (a.keySet ++ b.keySet).iterator.map { k =>
+        k -> math.min(a.getOrElse(k, Long.MaxValue), b.getOrElse(k, Long.MaxValue))
+      }.toMap
+
+    val result = Pregel(graph, init) (
+      vprog = (_, attr, msg) => mergeMaps(attr, msg),
+      sendMsg = (t: EdgeTriplet[Map[VertexId, Long], Long]) => {
+        val relaxed = t.srcAttr.map { case (s, d) => s -> (d + t.attr) }
+          .filter { case (s, d) => d < t.dstAttr.getOrElse(s, Long.MaxValue) }
+        if (relaxed.nonEmpty) Iterator((t.dstId, relaxed)) else Iterator.empty
+      },
+      mergeMsg = mergeMaps)
+
+    val distRows = result.vertices.flatMap { case (vid, m) =>
+      m.iterator.filter(_._1 != vid).map { case (s, c) => (s, vid, c) }
+    }
+    spark.createDataFrame(distRows).toDF("svid", "tvid", "cost")
+      .join(idDf.select($"vid".as("svid"), $"node".as("from")), "svid")
+      .join(idDf.select($"vid".as("tvid"), $"node".as("to")), "tvid")
+      .select($"from", $"to", ($"cost".cast("double") / 1000.0).as("distance"))
   }
 
   /** Integer-cost Dijkstra; dist(t) = -1 when unreachable. */

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 removed the public `new Column(Expression)` constructor; the
+  * supported bridge lives behind `private[sql]`. This shim (the standard
+  * pattern used by Spark-extension libraries, cf. GraphFrames) re-exports
+  * just the two conversions graft's native expressions need.
+  */
+object shims {
+  def columnOf(e: Expression): Column = ExpressionUtils.column(e)
+  def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+}

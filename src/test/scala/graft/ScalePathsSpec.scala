@@ -1,0 +1,97 @@
+package graft
+
+import graft.functions.{TokenFingerprintImpl, functions => gfn}
+import graft.ops.{Betweenness, ConnectedComponents, ShortestPaths, TextStats}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-checks of the scale-path variants against the exact baselines,
+  * plus the native Catalyst expression/aggregate.
+  */
+class ScalePathsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomEdges(n: Int, nodes: Int, seed: Int) = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(n)((s"n${rnd.nextInt(nodes)}", s"n${rnd.nextInt(nodes)}"))
+      .filter { case (a, b) => a != b }
+      .toDF("src", "dst")
+  }
+
+  test("union-find aggregate CC matches GraphX CC") {
+    val edges = randomEdges(400, 150, 7)
+    val viaAgg = ConnectedComponents.componentsViaAggregate(edges)
+      .as[(String, String)].collect().toSet
+    val viaGraphX = ConnectedComponents.components(edges)
+      .as[(String, String)].collect().toSet
+    assert(viaAgg == viaGraphX)
+    assert(viaAgg.nonEmpty)
+  }
+
+  test("Pregel multi-source SSSP matches broadcast Dijkstra") {
+    val edges = Seq(
+      ("A", "B", 1.0), ("A", "C", 2.0), ("B", "C", 1.0), ("C", "D", 1.5),
+      ("D", "E", 0.7), ("B", "E", 9.9))
+      .toDF("src", "dst", "weight")
+    val exact = ShortestPaths.allPairs(edges, directed = true)
+      .as[(String, String, Double)].collect()
+      .filter(r => Set("A", "C").contains(r._1)).toSet
+    val pregel = ShortestPaths.fromSourcesPregel(edges, Seq("A", "C"), directed = true)
+      .as[(String, String, Double)].collect().toSet
+    assert(pregel == exact)
+    assert(pregel.nonEmpty)
+  }
+
+  test("Pregel SSSP undirected matches Dijkstra distances") {
+    val edges = Seq(("A", "B", 1.0), ("B", "C", 2.5), ("C", "D", 0.5))
+      .toDF("src", "dst", "weight")
+    val pregel = ShortestPaths.fromSourcesPregel(edges, Seq("D"), directed = false)
+      .as[(String, String, Double)].collect()
+      .map { case (f, t, d) => (t, d) }.toMap
+    assert(pregel == Map("A" -> 4.0, "B" -> 3.0, "C" -> 0.5))
+  }
+
+  test("sampled betweenness with full sample equals exact betweenness") {
+    val edges = randomEdges(120, 40, 11)
+    val exact = Betweenness.betweennessCentrality(edges, "src", "dst")
+      .as[(String, Double)].collect().toMap
+    val sampled = Betweenness.betweennessCentralitySampled(edges, "src", "dst",
+        sampleSize = 10000)
+      .as[(String, Double)].collect().toMap
+    assert(exact.keySet == sampled.keySet)
+    exact.foreach { case (k, v) => assert(math.abs(sampled(k) - v) < 1e-9) }
+  }
+
+  test("sampled betweenness approximates exact (rank of top node)") {
+    val edges = randomEdges(400, 80, 13)
+    val exact = Betweenness.betweennessCentrality(edges, "src", "dst")
+      .as[(String, Double)].collect().toMap
+    val approx = Betweenness.betweennessCentralitySampled(edges, "src", "dst",
+        sampleSize = 40, seed = 5)
+      .as[(String, Double)].collect().toMap
+    val topExact = exact.maxBy(_._2)._1
+    // the true top node should land in the approximate top 5
+    val approxTop5 = approx.toSeq.sortBy(-_._2).take(5).map(_._1).toSet
+    assert(approxTop5.contains(topExact))
+  }
+
+  test("native token_fingerprint expression matches the column-algebra formula") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
+    val both = docs.select(
+        TextStats.fingerprint("text").as("expr_fp"),
+        gfn.token_fingerprint(col("text")).as("native_fp"))
+      .as[(Long, Long)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (e, n) => assert(e == n) }
+  }
+
+  test("native token_fingerprint registered for SQL") {
+    gfn.registerAll(spark)
+    val got = spark.sql("SELECT token_fingerprint('the quick brown fox')").as[Long].first()
+    val direct = TokenFingerprintImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("the quick brown fox"),
+      1000000007L)
+    assert(got == direct)
+  }
+}
