@@ -47,6 +47,12 @@ object SparkEntry {
         .groupBy("component").agg(count(lit(1)).as("n_nodes"))
         .orderBy("component")
     },
+    "q_components_agg" -> { (s, d) =>
+      // same semantics as q_components via the one-pass Catalyst
+      // union-find aggregate (canonical labels are identical)
+      ConnectedComponents.componentsViaAggregate(Tables.partSupplierEdges(s, d))
+        .orderBy("node")
+    },
     "q_assoc" -> { (s, d) =>
       // unweighted association mining over order→part transactions;
       // minConfidence=0 keeps the association graph symmetric so `pattern`
@@ -229,6 +235,7 @@ object SparkEntry {
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q_components" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
+    "q_components_agg" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_stats" -> ccOracle(
       """SELECT component, COUNT(*) AS n_nodes
         |FROM (SELECT node, min(lab) AS component FROM cc GROUP BY node)
