@@ -207,6 +207,15 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")
     },
+    "q_curate" -> { (s, d) =>
+      // full curation pipeline: exact dedup → ngram near-dedup → quality
+      // gate → language id; every stage is engine-portable so the whole
+      // pipeline has a composed DuckDB oracle
+      graft.ops.Curation.curate(Tables.documents(s, d), "doc_id", "text",
+          minQuality = 0.3, jaccardThreshold = 0.5, shingleSize = 3)
+        .select(col("doc_id"), col("quality"), col("lang_pred"))
+        .orderBy("doc_id")
+    },
     "q_multimodal" -> { (s, d) =>
       // binary-asset pipeline: pack → partition-wise (stubbed) decode →
       // feature extraction → per-kind/format rollup; hashes are
@@ -442,7 +451,45 @@ object SparkEntry {
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_curate" ->
+      """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
+        |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM d1),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |losers AS (SELECT DISTINCT id_b AS doc_id
+        |           FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |                      JOIN sizes sb ON sb.doc_id = id_b
+        |           WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |d2 AS (SELECT * FROM d1 WHERE doc_id NOT IN (SELECT doc_id FROM losers)),
+        |st AS (SELECT doc_id, string_split(text, ' ') AS w, text FROM d2),
+        |sc AS (SELECT doc_id,
+        |         len(w) AS n_tokens,
+        |         len(list_distinct(w)) AS n_distinct,
+        |         len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS en,
+        |         len(list_filter(w, x -> x IN ('der','die','das','und'))) AS de,
+        |         len(list_filter(w, x -> x IN ('el','los','y','es'))) AS es,
+        |         len(list_filter(w, x -> x IN ('le','les','et','est'))) AS fr
+        |       FROM st),
+        |q AS (SELECT doc_id,
+        |        CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |        + CAST(0.4 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |        + CAST(0.2 AS DOUBLE) * LEAST(CAST(en AS DOUBLE) * CAST(5.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE))
+        |        AS quality,
+        |        CASE WHEN en >= GREATEST(de, es, fr) AND en > 0 THEN 'en'
+        |             WHEN de >= GREATEST(es, fr) AND de > 0 THEN 'de'
+        |             WHEN es >= fr AND es > 0 THEN 'es'
+        |             WHEN fr > 0 THEN 'fr'
+        |             ELSE 'unknown' END AS lang_pred
+        |      FROM sc)
+        |SELECT doc_id, quality, lang_pred FROM q
+        |WHERE quality >= CAST(0.3 AS DOUBLE)
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** DuckDB min-label-propagation connected components over the same

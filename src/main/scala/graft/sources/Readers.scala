@@ -1,0 +1,42 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Schema-first source readers and sinks. The reference delegates all IO to
+  * host Polars (SURVEY.md §2.3 "Scans/sources: none implemented"); graft
+  * standardizes on explicit-schema reads — schema inference at 100 TB means
+  * an extra full pass over the data and nondeterministic typing.
+  */
+object Readers {
+
+  def parquet(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+
+  /** CSV with explicit schema (no inference pass); header expected. */
+  def csv(spark: SparkSession, path: String, schema: StructType,
+      delimiter: String = ","): DataFrame =
+    spark.read
+      .schema(schema)
+      .option("header", "true")
+      .option("delimiter", delimiter)
+      .option("mode", "PERMISSIVE")
+      .csv(path)
+
+  /** JSON-lines with explicit schema (no inference pass). */
+  def jsonLines(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").option("header", "true").csv(path)
+
+  def writeJsonLines(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").json(path)
+
+  /** Parquet sink partitioned by low-cardinality columns — the layout that
+    * makes partition pruning work on the read side.
+    */
+  def writePartitionedParquet(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+}

@@ -1,0 +1,55 @@
+package graft
+
+import graft.ops.Curation
+import graft.streaming.StreamDedup
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("curate: drops exact dups, near-dups, and low-quality docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and keeps running far away"),
+      (2L, "the quick brown fox jumps over the lazy dog and keeps running far away"), // exact dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog and keeps running very far"), // near dup of 1
+      (4L, "a a a a a a a a"), // low quality (no diversity)
+      (5L, "many of the different and unusual words in this sentence make a genuinely diverse document here"))
+      .toDF("doc_id", "text")
+    val out = Curation.curate(docs, "doc_id", "text",
+        minQuality = 0.35, jaccardThreshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L, 5L))
+  }
+
+  test("curate on testdata: survivors have quality >= gate and lang_pred column") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val out = Curation.curate(docs, "doc_id", "text",
+      minQuality = 0.3, jaccardThreshold = 0.5)
+    val n = out.count()
+    assert(n > 0 && n < 500) // something survives, something is dropped
+    assert(out.where(col("quality") < 0.3).count() == 0)
+    assert(out.columns.contains("lang_pred"))
+  }
+
+  test("streaming dedup keeps first occurrence per content within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDS().toDF("id", "text", "ts_us")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val out = StreamDedup.dedupByContent(df, "text", "ts", "1 minute")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    val base = 3600000000L
+    input.addData((1L, "alpha", base), (2L, "alpha", base + 1000000L),
+      (3L, "beta", base + 2000000L))
+    q.processAllAvailable()
+    input.addData((4L, "alpha", base + 3000000L)) // still within state → dropped
+    q.processAllAvailable()
+    q.stop()
+    val ids = spark.table("dedup_out").select("id").as[Long].collect().toSet
+    assert(ids == Set(1L, 3L))
+  }
+}
