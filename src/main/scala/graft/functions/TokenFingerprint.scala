@@ -31,14 +31,30 @@ object TokenFingerprintImpl {
     while (i <= bytes.length) {
       if (i == bytes.length || bytes(i) == ' ') {
         val len = i - start
-        val first = if (len == 0) 0 else bytes(start) & 0xff
-        // character length for ASCII == byte length; count non-continuation
-        // bytes so multi-byte text still gets the char count
+        // first CODEPOINT (matches ascii()/DuckDB ascii semantics, not just
+        // the leading byte), decoded from UTF-8
+        val first: Long =
+          if (len == 0) 0L
+          else {
+            val b0 = bytes(start) & 0xff
+            if (b0 < 0x80) b0.toLong
+            else if (b0 < 0xe0 && len >= 2)
+              (((b0 & 0x1f) << 6) | (bytes(start + 1) & 0x3f)).toLong
+            else if (b0 < 0xf0 && len >= 3)
+              (((b0 & 0x0f) << 12) | ((bytes(start + 1) & 0x3f) << 6) |
+                (bytes(start + 2) & 0x3f)).toLong
+            else if (len >= 4)
+              (((b0 & 0x07) << 18) | ((bytes(start + 1) & 0x3f) << 12) |
+                ((bytes(start + 2) & 0x3f) << 6) | (bytes(start + 3) & 0x3f)).toLong
+            else b0.toLong
+          }
         var chars = 0
         var j = start
         while (j < i) { if ((bytes(j) & 0xc0) != 0x80) chars += 1; j += 1 }
-        val code = first.toLong * 31L + chars
-        acc += code * pows(tokIdx & 7)
+        val code = first * 31L + chars
+        // per-term mod: keeps the running sum overflow-free for any
+        // realistic document length (matches TextStats.fingerprint)
+        acc += (code * pows(tokIdx & 7)) % mod
         tokIdx += 1
         start = i + 1
       }

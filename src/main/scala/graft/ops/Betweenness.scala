@@ -84,8 +84,11 @@ object Betweenness {
     val spark = df.sparkSession
     import spark.implicits._
     val e = Ingest.edges(df, from, to)
+    // guard BEFORE collecting — counting first is the whole point of the cap
+    val nEdges = e.count()
+    require(nEdges <= maxLocalEdges,
+      s"betweenness broadcast fast path supports <= $maxLocalEdges edges (got $nEdges)")
     val rows = e.as[(String, String)].collect().map { case (f, t) => (f, t, 1L) }
-    require(rows.length <= maxLocalEdges, "edge list exceeds broadcast fast path")
     val graph = LocalGraph.fromEdges(rows.toSeq, directed)
     val n = graph.numNodes
     if (n == 0) return spark.emptyDataset[(String, Double)].toDF("node", "centrality")

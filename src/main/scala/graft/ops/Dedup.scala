@@ -70,21 +70,16 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     // the shingle set feeds the inverted index twice (both join sides) and
-    // the size table — persist so it's tokenized once
+    // the size table — persist so it's tokenized once. (Internal persists
+    // are left to LRU eviction: the returned plan is lazy, so an eager
+    // unpersist would just force recomputation.)
     val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = sh.as("a")
       .join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .where(col("jaccard") >= lit(threshold))
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+    jaccardScore(sh, inter, threshold)
   }
 
   /** MinHash signature per document: the shingle string is hashed ONCE
@@ -140,11 +135,18 @@ object Dedup {
     * (possibly persisted) shingle set. */
   private def verifyJaccard(sh: DataFrame, threshold: Double,
       candidates: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     val inter = candidates
       .join(sh.select(col("id").as("id_a"), col("shingle")), "id_a")
       .join(sh.select(col("id").as("id_b"), col("shingle")), Seq("id_b", "shingle"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("n_inter"))
+    jaccardScore(sh, inter, threshold)
+  }
+
+  /** Shared scoring tail: join per-doc shingle counts onto intersection
+    * counts, compute jaccard, apply the threshold. */
+  private def jaccardScore(sh: DataFrame, inter: DataFrame,
+      threshold: Double): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     inter
       .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
       .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")

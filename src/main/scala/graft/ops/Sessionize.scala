@@ -58,6 +58,9 @@ object Sessionize {
     */
   def tumbling(df: DataFrame, tsCol: String, windowUs: Long): DataFrame = {
     val us = usOf(df, tsCol)
-    df.withColumn("window_start_us", us - (us % lit(windowUs)))
+    // pmod, not %: plain % follows the dividend's sign, so pre-epoch
+    // (negative) timestamps would round toward zero instead of flooring
+    // and diverge from date_trunc semantics
+    df.withColumn("window_start_us", us - pmod(us, lit(windowUs)))
   }
 }

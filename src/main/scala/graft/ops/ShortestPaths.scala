@@ -105,9 +105,13 @@ object ShortestPaths {
       if (directed) Iterator(GXEdge(s, d, c))
       else Iterator(GXEdge(s, d, c), GXEdge(d, s, c))
     }
-    val srcIdOf = idDf.as[(String, Long)].collect().toMap
-    val srcIds: Set[VertexId] = sources.flatMap(srcIdOf.get).toSet
-    require(srcIds.nonEmpty || sources.isEmpty, "no source found in graph")
+    // resolve only the requested sources (collecting the whole vertex
+    // dictionary would need O(V) driver memory — the case this path avoids)
+    val srcIdOf = idDf.where(col("node").isin(sources: _*))
+      .as[(String, Long)].collect().toMap
+    val missing = sources.toSet -- srcIdOf.keySet
+    require(missing.isEmpty, s"sources not present in graph: ${missing.mkString(", ")}")
+    val srcIds: Set[VertexId] = srcIdOf.values.toSet
 
     val init: Map[VertexId, Long] = Map.empty
     val graph = Graph.fromEdges(gxEdges, init,

@@ -47,6 +47,9 @@ object Similarity {
     */
   private[graft] def collectVectors(df: DataFrame, idCol: String, vecCol: String,
       maxVectors: Long): (Array[Long], Array[Array[Double]], Array[Double]) = {
+    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"broadcast vector paths require a numeric id column; '$idCol' is " +
+        s"${df.schema(idCol).dataType.simpleString} — map string ids to longs first")
     val n = df.count()
     require(n <= maxVectors,
       s"broadcast vector fast path supports <= $maxVectors vectors (got $n); " +
@@ -97,7 +100,10 @@ object Similarity {
           while (j < cIds.length) {
             if (cIds(j) != qid) {
               val c = dot(qv, cVecs(j)) / math.sqrt(qn * cNorms(j))
-              if (heap.size < k) heap.enqueue((cIds(j), c))
+              // zero-norm vectors yield NaN cosine; a NaN in the heap would
+              // pin the head (NaN is max) and freeze the top-k — skip them
+              if (c.isNaN) { /* unrankable */ }
+              else if (heap.size < k) heap.enqueue((cIds(j), c))
               else {
                 val (wid, wc) = heap.head
                 if (c > wc || (c == wc && cIds(j) < wid)) {
@@ -163,7 +169,7 @@ object Similarity {
       it.map { case (q, nb) =>
         val i = cIdx(q); val j = cIdx(nb)
         (q, nb, dot(cVecs(i), cVecs(j)) / math.sqrt(cNorms(i) * cNorms(j)))
-      }
+      }.filter(!_._3.isNaN) // zero-norm vectors would sort first under desc
     }.toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)

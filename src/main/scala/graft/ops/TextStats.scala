@@ -60,14 +60,17 @@ object TextStats {
 
   /** 31-ary position-weighted rolling token fingerprint, mod 1e9+7.
     * Token code = ascii(first char)·31 + length; weight cycles through
-    * 31^(i mod 8). All arithmetic stays below 2^63 → exact in any engine.
+    * 31^(i mod 8). The mod is applied PER TERM (each term < 2^60 even for
+    * max codepoints, and the running sum of modded terms stays < 2^63 up
+    * to ~9e9 tokens) so neither engine can overflow; mathematically equal
+    * to one final mod.
     */
   def fingerprint(textCol: String): Column = {
     val pows = Array(1L, 31L, 961L, 29791L, 923521L, 28629151L, 887503681L, 27512614111L)
     val w = split(col(textCol), " ")
     val terms = transform(w, (x, i) =>
-      (ascii(substring(x, 1, 1)) * lit(31) + length(x)).cast("long") *
-        element_at(array(pows.map(lit): _*), (i % lit(8)) + lit(1)))
+      ((ascii(substring(x, 1, 1)) * lit(31) + length(x)).cast("long") *
+        element_at(array(pows.map(lit): _*), (i % lit(8)) + lit(1))) % lit(1000000007L))
     aggregate(terms, lit(0L), (acc, v) => acc + v) % lit(1000000007L)
   }
 }

@@ -22,6 +22,14 @@ object StreamSessionize {
 
   /** events: a streaming Dataset[SessionEvent]. `delayThreshold` is the
     * watermark lateness bound (e.g. "10 minutes").
+    *
+    * State per user is the LIST of open sessions, not just the latest:
+    * a late (but within-watermark) event may start a separate earlier
+    * session, extend an existing one backwards, or bridge two open
+    * sessions into one — all handled by interval-merge on insert. A
+    * session is emitted only when the watermark passes its end + gap
+    * (at that point no admissible event can change it), so results match
+    * the batch sessionizer on the same data regardless of arrival order.
     */
   def sessions(events: Dataset[SessionEvent], gapUs: Long,
       delayThreshold: String): Dataset[SessionOut] = {
@@ -32,35 +40,34 @@ object StreamSessionize {
       .withWatermark("ts", delayThreshold)
       .as[SessionEvent]
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[List[SessionState], SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
-        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator(SessionOut(userId, s.startUs, s.lastUs, s.nEvents))
-          } else {
-            val sorted = batch.toSeq.sortBy(e => (e.ts_us, e.event_id))
-            var closed = List.empty[SessionOut]
-            var cur = state.getOption
-            sorted.foreach { e =>
-              cur = cur match {
-                case Some(s) if e.ts_us - s.lastUs <= gapUs =>
-                  Some(s.copy(lastUs = math.max(s.lastUs, e.ts_us), nEvents = s.nEvents + 1))
-                case Some(s) =>
-                  closed ::= SessionOut(userId, s.startUs, s.lastUs, s.nEvents)
-                  Some(SessionState(e.ts_us, e.ts_us, 1))
-                case None =>
-                  Some(SessionState(e.ts_us, e.ts_us, 1))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // close when watermark passes lastUs + gap
-              state.setTimeoutTimestamp(s.lastUs / 1000 + gapUs / 1000)
-            }
-            closed.reverse.iterator
+        (userId: Long, batch: Iterator[SessionEvent], state: GroupState[List[SessionState]]) =>
+          var sessions = state.getOption.getOrElse(Nil)
+          batch.toSeq.sortBy(e => (e.ts_us, e.event_id)).foreach { e =>
+            // merge with every open session whose [start-gap, last+gap]
+            // window covers the event (bridging collapses several)
+            val (mergeable, rest) = sessions.partition(s =>
+              e.ts_us >= s.startUs - gapUs && e.ts_us <= s.lastUs + gapUs)
+            val merged =
+              if (mergeable.isEmpty) SessionState(e.ts_us, e.ts_us, 1)
+              else SessionState(
+                math.min(e.ts_us, mergeable.map(_.startUs).min),
+                math.max(e.ts_us, mergeable.map(_.lastUs).max),
+                mergeable.map(_.nEvents).sum + 1)
+            sessions = merged :: rest
           }
+          val wmMs = state.getCurrentWatermarkMs()
+          val (closed, open) = sessions.partition(s =>
+            s.lastUs / 1000 + gapUs / 1000 < wmMs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(open)
+            val nextClose = open.map(s => s.lastUs / 1000 + gapUs / 1000).min
+            state.setTimeoutTimestamp(math.max(nextClose, wmMs + 1))
+          }
+          closed.sortBy(_.startUs)
+            .map(s => SessionOut(userId, s.startUs, s.lastUs, s.nEvents)).iterator
       }
   }
 

@@ -42,6 +42,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(sessions.exists(s => s.user_id == 2 && s.n_events == 1))
   }
 
+  test("late within-watermark events form separate earlier sessions, not merges") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val out = StreamSessionize.sessions(input.toDS(), gapUs = 60000000L, // 1 min gap
+      delayThreshold = "2 hours")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("late_out").start()
+    def us(min: Long) = (min + 600) * 60000000L
+    input.addData(SessionEvent(9L, us(60), 1))
+    q.processAllAvailable()
+    // late event 30 min EARLIER — within the 2h watermark delay; the real
+    // gap (30 min) exceeds the 1 min session gap → must NOT merge
+    input.addData(SessionEvent(9L, us(30), 2))
+    q.processAllAvailable()
+    // push event time far ahead so the watermark closes both sessions
+    input.addData(SessionEvent(8L, us(600), 3))
+    q.processAllAvailable()
+    input.addData(SessionEvent(8L, us(1200), 4))
+    q.processAllAvailable()
+    q.stop()
+    val sessions = spark.table("late_out").as[SessionOut].collect()
+      .filter(_.user_id == 9).sortBy(_.session_start_us)
+    assert(sessions.length == 2, s"got: ${sessions.mkString(";")}")
+    assert(sessions(0).session_start_us == us(30) && sessions(0).n_events == 1)
+    assert(sessions(1).session_start_us == us(60) && sessions(1).n_events == 1)
+  }
+
   test("streaming windowed stats over memory stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, Double)]
