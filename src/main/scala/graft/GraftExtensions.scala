@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: makes graft's native Catalyst
+  * functions available in any session via
+  * `--conf spark.sql.extensions=graft.GraftExtensions` (or
+  * `SparkSession.builder.withExtensions(new GraftExtensions)`), so plain
+  * SQL users get them without touching the Scala API.
+  *
+  * No custom Rule/Strategy is injected: graft introduces no new logical
+  * operators — every operator composes existing relational algebra
+  * (SURVEY.md §7.7) — so the extension surface is exactly the function
+  * registry.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("token_fingerprint"),
+      new ExpressionInfo(
+        classOf[graft.functions.TokenFingerprint].getName, "token_fingerprint"),
+      (exprs: Seq[Expression]) => graft.functions.TokenFingerprint(exprs.head)))
+  }
+}

@@ -150,6 +150,14 @@ object SparkEntry {
       Similarity.lshTopK(e, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
         .orderBy("query_id", "rank")
     },
+    "q_ann_ivf" -> { (s, d) =>
+      // IVF-cell ANN (seeded k-means centroids, nProbe cells per query);
+      // approximate → rows-only + recall assertion in ScalaTest
+      val e = Tables.embeddings(s, d)
+      Similarity.ivfTopK(e, "vec_id", "embedding", dim = 64, k = 5,
+          nCells = 16, nProbe = 4)
+        .orderBy("query_id", "rank")
+    },
     "q_text_stats" -> { (s, d) =>
       // integer token statistics rolled up per (lang, source); the one
       // ratio column is a single final division (deterministic)

@@ -120,6 +120,93 @@ object Similarity {
       .toDF("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** IVF (inverted-file) ANN: k-means-lite centroids → per-vector cell
+    * assignment → queries probe only the `nProbe` nearest cells and rerank
+    * exactly. The classic alternative to LSH bucketing: candidate cost is
+    * (corpus/k)·nProbe per query instead of all-pairs. Centroids come from
+    * a seeded Lloyd's iteration over a bounded sample — deterministic, no
+    * MLlib dependency, and the (small) centroid table broadcasts.
+    */
+  def ivfTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 5,
+      sampleSize: Int = 2000, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+
+    // centroids: Lloyd on a deterministic sample (smallest ids), driver-side
+    val sample = v.orderBy("id").limit(sampleSize)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.nonEmpty, "empty input")
+    val rnd = new scala.util.Random(seed)
+    var centroids = rnd.shuffle(sample.toVector).take(math.min(nCells, sample.length)).toArray
+    for (_ <- 0 until kmeansIters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = Array.fill(centroids.length)(0L)
+      sample.foreach { x =>
+        val c = nearestCentroid(x, centroids)
+        var i = 0; while (i < dim) { sums(c)(i) += x(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else { val m = new Array[Double](dim); var i = 0
+          while (i < dim) { m(i) = sums(c)(i) / counts(c); i += 1 }; m }
+      }.toArray
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    // assign every corpus vector to its cell (one narrow pass)
+    val vt = v.as[(Long, Array[Double])]
+    val assigned = vt.mapPartitions { it =>
+      val cs = bcCentroids.value
+      it.map { case (id, vec) => (id, vec, nearestCentroid(vec, cs)) }
+    }.toDF("id", "vec", "cell")
+
+    // queries probe nProbe nearest cells
+    val probes = vt.mapPartitions { it =>
+      val cs = bcCentroids.value
+      it.flatMap { case (id, vec) =>
+        cs.indices.map(c => (c, sqDist(vec, cs(c)))).sortBy(_._2)
+          .take(nProbe).map { case (c, _) => (id, vec, c) }
+      }
+    }.toDF("query_id", "qvec", "cell")
+
+    val pairs = probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions(_.map { case (q, qv, nb, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+      .dropDuplicates("query_id", "neighbor_id")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  private def nearestCentroid(x: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestD = Double.MaxValue; var c = 0
+    while (c < cs.length) {
+      val d = sqDist(x, cs(c))
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
   /** Random-hyperplane LSH bucket id per vector: `nBits` sign bits of
     * dot(vec, plane_i), planes drawn from a seeded RNG on the driver
     * (deterministic) and embedded as literals.

@@ -85,6 +85,23 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(got == Seq(4L, 2L)) // 4 is identical (cos 1.0), then 2
   }
 
+  test("ivfTopK recall vs brute force on sf0.001 embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(e, "vec_id", "embedding", 64, 5,
+        nCells = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall=$recall")
+    // deterministic across invocations (seeded centroids)
+    val again = Similarity.ivfTopK(e, "vec_id", "embedding", 64, 5,
+        nCells = 16, nProbe = 6)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivf == again)
+  }
+
   test("lshTopK recall vs brute force on sf0.001 embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",

@@ -86,6 +86,21 @@ class ScalePathsSpec extends AnyFunSuite {
     both.foreach { case (e, n) => assert(e == n) }
   }
 
+  test("GraftExtensions applies cleanly and functions resolve in a new session") {
+    // a second live session with its own extensions can't be built in a
+    // shared-test JVM (builder reuses the active context), so assert the
+    // two halves separately: the extensions object injects without error,
+    // and the same builder registered via registerAll resolves in SQL
+    val holder = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.GraftExtensions()(holder)
+    val s2 = spark.newSession()
+    graft.functions.functions.registerAll(s2)
+    import s2.implicits._
+    val got = s2.sql("SELECT token_fingerprint('a b c')").as[Long].first()
+    assert(got == TokenFingerprintImpl.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString("a b c"), 1000000007L))
+  }
+
   test("native token_fingerprint registered for SQL") {
     gfn.registerAll(spark)
     val got = spark.sql("SELECT token_fingerprint('the quick brown fox')").as[Long].first()
