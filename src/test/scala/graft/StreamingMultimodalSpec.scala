@@ -90,6 +90,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("streaming sessionization matches batch sessionizer on sf0.001 events") {
+    implicit val sqlCtx = spark.sqlContext
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+      .as[(Long, Long, Long)].collect()
+      .map { case (u, t, e) => SessionEvent(u, t, e) }
+      .sortBy(e => (e.ts_us, e.event_id))
+    val gap = 1800000000L // 30 min, same as q_sessionize
+
+    val input = MemoryStream[SessionEvent]
+    val out = StreamSessionize.sessions(input.toDS(), gap, "0 seconds")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("equiv_out").start()
+    // feed in two chunks, then a far-future sentinel to flush every session
+    val (a, b) = events.splitAt(events.length / 2)
+    input.addData(a.toIndexedSeq); q.processAllAvailable()
+    input.addData(b.toIndexedSeq); q.processAllAvailable()
+    val sentinel = SessionEvent(-1L, events.last.ts_us + 365L * 86400000000L, 0)
+    input.addData(sentinel); q.processAllAvailable()
+    input.addData(sentinel.copy(event_id = 1)); q.processAllAvailable()
+    q.stop()
+
+    val streamed = spark.table("equiv_out").as[SessionOut].collect()
+      .filter(_.user_id >= 0)
+      .groupBy(_.user_id).view.mapValues(_.length).toMap
+    val batch = graft.ops.Sessionize.sessionStats(
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id")),
+        "user_id", "ts_us", "event_id", gap)
+      .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (u, n) =>
+      assert(n.toLong == batch(u), s"user $u: streamed $n vs batch ${batch(u)}")
+    }
+  }
+
   test("multimodal: pack → decode → features pipeline, deterministic") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
     val assets = Multimodal.decodeAssets(Multimodal.packAssets(docs, "doc_id", "text"))
