@@ -55,23 +55,28 @@ object PageRank {
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
+      // explicit broadcast: a localCheckpoint'd plan reports default (huge)
+      // stats, so the planner would sort-merge this join every iteration
       val contrib = wEdges
-        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
         .groupBy($"dst").agg(sum($"score" * $"w").as("incoming"))
-      val newRanks = nodes
+      // ranks already holds every node — join it directly (no separate
+      // nodes join) and carry the old score so the L1 check reads the
+      // checkpointed result instead of running another join
+      val joined = ranks.withColumnRenamed("score", "old")
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
-          (lit(base) + lit(damping) * coalesce($"incoming", lit(0.0))).as("score"))
+          (lit(base) + lit(damping) * coalesce($"incoming", lit(0.0))).as("score"),
+          $"old")
         .localCheckpoint(true)
       if (tol > 0) {
         // L1 convergence action, same cadence as the reference (rs:105-114).
         // tol <= 0 = fixed-iteration mode: skip the extra job per iteration.
-        val l1 = newRanks.as("n").join(ranks.as("o"), "node")
-          .agg(sum(abs($"n.score" - $"o.score"))).first().getDouble(0)
+        val l1 = joined.agg(sum(abs($"score" - $"old"))).first().getDouble(0)
         converged = l1 < tol
       }
       ranks.unpersist()
-      ranks = newRanks
+      ranks = joined.drop("old")
       iter += 1
     }
     wEdges.unpersist()
