@@ -21,6 +21,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("token_fingerprint"),
       new ExpressionInfo(
         classOf[graft.functions.TokenFingerprint].getName, "token_fingerprint"),
-      (exprs: Seq[Expression]) => graft.functions.TokenFingerprint(exprs.head)))
+      (exprs: Seq[Expression]) => graft.functions.functions.buildTokenFingerprint(exprs)))
   }
 }

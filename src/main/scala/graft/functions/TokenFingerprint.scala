@@ -14,9 +14,8 @@ import org.apache.spark.unsafe.types.UTF8String
   *   fp = ( Σ_i (codepoint(token_i[0])·31 + len(token_i)) · 31^(i mod 8) ) mod 1e9+7
   *
   * over tokens split on single spaces (trailing empties kept, like Spark's
-  * `split(text, ' ')` with limit -1; empty token → code 0). ASCII-safe
-  * byte iteration; multi-byte leading characters use their first byte,
-  * matching `ascii()` only for ASCII inputs — documented limitation.
+  * `split(text, ' ')` with limit -1; empty token → code 0). The first
+  * codepoint is decoded from UTF-8, matching `ascii()` for all valid input.
   */
 object TokenFingerprintImpl {
   private val pows: Array[Long] =
@@ -72,6 +71,15 @@ object TokenFingerprintImpl {
 case class TokenFingerprint(child: Expression, mod: Long = 1000000007L)
     extends UnaryExpression {
 
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    if (child.dataType == org.apache.spark.sql.types.StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"token_fingerprint requires a string argument, got ${child.dataType.simpleString}")
+  }
+
   override def dataType: DataType = LongType
 
   override protected def nullSafeEval(input: Any): Any =
@@ -92,10 +100,16 @@ object functions {
   def token_fingerprint(c: Column): Column =
     shims.columnOf(TokenFingerprint(shims.expressionOf(c)))
 
+  private[graft] def buildTokenFingerprint(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"token_fingerprint expects exactly 1 argument, got ${exprs.length}")
+    TokenFingerprint(exprs.head)
+  }
+
   /** Register graft's native functions for SQL use
     * (`SELECT token_fingerprint(text) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_fingerprint", exprs => TokenFingerprint(exprs.head), "scala_udf")
+      "token_fingerprint", buildTokenFingerprint, "scala_udf")
   }
 }

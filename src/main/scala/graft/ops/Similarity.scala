@@ -47,18 +47,23 @@ object Similarity {
     */
   private[graft] def collectVectors(df: DataFrame, idCol: String, vecCol: String,
       maxVectors: Long): (Array[Long], Array[Array[Double]], Array[Double]) = {
-    require(df.schema(idCol).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      s"broadcast vector paths require a numeric id column; '$idCol' is " +
-        s"${df.schema(idCol).dataType.simpleString} — map string ids to longs first")
-    val n = df.count()
-    require(n <= maxVectors,
-      s"broadcast vector fast path supports <= $maxVectors vectors (got $n); " +
-        "use the LSH scale path")
+    import org.apache.spark.sql.types._
+    val idType = df.schema(idCol).dataType
+    // integral only: fractional ids would truncate on the long cast and
+    // silently collide
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"broadcast vector paths require an integral id column; '$idCol' is " +
+        s"${idType.simpleString} — map ids to longs first")
+    // single scan: limit(max+1) both enforces the cap and collects
     val rows = df.select(col(idCol).cast("long"),
         col(vecCol).cast("array<double>"))
+      .limit(if (maxVectors < Int.MaxValue - 1) maxVectors.toInt + 1 else Int.MaxValue)
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    require(rows.length <= maxVectors,
+      s"broadcast vector fast path supports <= $maxVectors vectors; " +
+        "use the LSH scale path")
     val ids = rows.map(_._1)
     val vecs = rows.map(_._2)
     val norms = vecs.map(v => { var s = 0.0; var i = 0; while (i < v.length) { s += v(i) * v(i); i += 1 }; s })
@@ -76,10 +81,16 @@ object Similarity {
     * (query_id, rank, neighbor_id, cosine). Corpus is broadcast; queries
     * stream distributed through mapPartitions with a per-query bounded
     * top-k heap — no shuffle at all.
+    *
+    * @param excludeSelfId skip the corpus vector whose id equals the query
+    *   id — correct for self-query (queries ⊆ corpus, the default use);
+    *   set false when corpus and queries are unrelated entities that merely
+    *   share an id space.
     */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
-      maxCorpusVectors: Long = 10000000L): DataFrame = {
+      maxCorpusVectors: Long = 10000000L,
+      excludeSelfId: Boolean = true): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val (ids, vecs, norms) = collectVectors(corpus, idCol, vecCol, maxCorpusVectors)
@@ -98,7 +109,7 @@ object Similarity {
           val heap = scala.collection.mutable.PriorityQueue.empty[(Long, Double)](ord)
           var j = 0
           while (j < cIds.length) {
-            if (cIds(j) != qid) {
+            if (!(excludeSelfId && cIds(j) == qid)) {
               val c = dot(qv, cVecs(j)) / math.sqrt(qn * cNorms(j))
               // zero-norm vectors yield NaN cosine; a NaN in the heap would
               // pin the head (NaN is max) and freeze the top-k — skip them
@@ -183,7 +194,8 @@ object Similarity {
         (q, nb, d / math.sqrt(qn * nn))
       }.filter(!_._3.isNaN))
       .toDF("query_id", "neighbor_id", "cosine")
-      .dropDuplicates("query_id", "neighbor_id")
+    // no dedup needed: each corpus vector lives in exactly one cell, so a
+    // (query, neighbor) pair can only arise once
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     pairs.withColumn("rank", row_number().over(w))
@@ -234,30 +246,36 @@ object Similarity {
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
-    val v = df.select(col(idCol).as("id"), col(vecCol).as("vec"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec"))
+    // persist: the bucket table feeds both sides of the self-join, and the
+    // hyperplane sign computation (interpreted higher-order exprs) is the
+    // most expensive stage of the operator
     val bucketed = (0 until tables).map { t =>
       hyperplaneLshBuckets(v, "id", "vec", dim, nBits, seed + t * 7919)
         .select(col("id"), col("bucket"), lit(t).as("table"))
     }.reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val candidates = bucketed.as("a").join(bucketed.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
       .distinct()
-    // rerank candidates with broadcast tight-loop cosine (higher-order
-    // array expressions are interpreted — see collectVectors scaladoc)
-    val spark = df.sparkSession
-    import spark.implicits._
-    val (ids, vecs, norms) = collectVectors(v, "id", "vec", 10000000L)
-    val idx = ids.zipWithIndex.toMap
-    val bc = spark.sparkContext.broadcast((idx, vecs, norms))
-    val scored = candidates.as[(Long, Long)].mapPartitions { it =>
-      val (cIdx, cVecs, cNorms) = bc.value
-      it.map { case (q, nb) =>
-        val i = cIdx(q); val j = cIdx(nb)
-        (q, nb, dot(cVecs(i), cVecs(j)) / math.sqrt(cNorms(i) * cNorms(j)))
-      }.filter(!_._3.isNaN) // zero-norm vectors would sort first under desc
-    }.toDF("query_id", "neighbor_id", "cosine")
+    // rerank stays fully distributed: join the vectors onto the candidate
+    // pairs and score in tight loops — no driver collect, so this path
+    // really is the both-sides-huge scale path its docs claim
+    val scored = candidates
+      .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (nb, q, qv, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN)) // zero-norm vectors would sort first under desc
+      .toDF("query_id", "neighbor_id", "cosine")
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

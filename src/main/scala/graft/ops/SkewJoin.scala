@@ -17,10 +17,13 @@ object SkewJoin {
   def saltedJoin(left: DataFrame, right: DataFrame, key: String,
       salts: Int = 8): DataFrame = {
     require(salts > 0)
-    // deterministic salt: spread by a hash of the full row rather than
-    // rand() so results are reproducible run-to-run
+    // the salt must vary even across IDENTICAL rows (a hot key often
+    // consists of duplicate rows), so mix in the per-row physical position;
+    // salt assignment is therefore not stable across runs — irrelevant to
+    // the output, which equals the unsalted join either way
     val saltedLeft = left.withColumn("__salt",
-      pmod(xxhash64(struct(left.columns.map(col): _*)), lit(salts)))
+      pmod(xxhash64(struct(left.columns.map(col): _*),
+        spark_partition_id(), monotonically_increasing_id()), lit(salts)))
     val replicatedRight = right.withColumn("__salt",
       explode(array((0 until salts).map(i => lit(i.toLong)): _*)))
     saltedLeft.join(replicatedRight, Seq(key, "__salt")).drop("__salt")

@@ -58,12 +58,14 @@ object StreamSessionize {
             sessions = merged :: rest
           }
           val wmMs = state.getCurrentWatermarkMs()
+          // single division: lastUs/1000 + gapUs/1000 truncates each term
+          // and could close ~1ms early, splitting a still-mergeable session
           val (closed, open) = sessions.partition(s =>
-            s.lastUs / 1000 + gapUs / 1000 < wmMs)
+            (s.lastUs + gapUs) / 1000 < wmMs)
           if (open.isEmpty) state.remove()
           else {
             state.update(open)
-            val nextClose = open.map(s => s.lastUs / 1000 + gapUs / 1000).min
+            val nextClose = open.map(s => (s.lastUs + gapUs) / 1000).min
             state.setTimeoutTimestamp(math.max(nextClose, wmMs + 1))
           }
           closed.sortBy(_.startUs)
