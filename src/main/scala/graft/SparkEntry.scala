@@ -58,7 +58,10 @@ object SparkEntry {
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
           sum(col("l_quantity").cast("long")).over(w).as("running_qty"))
-        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+        // (orderkey, linenumber) is NOT unique in the synthetic data;
+        // running_qty is strictly increasing within a supplier partition,
+        // so it makes the output order total
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     },
     "q_components" -> { (s, d) =>
       ConnectedComponents.components(Tables.partSupplierEdges(s, d))
@@ -288,7 +291,7 @@ object SparkEntry {
         |         ORDER BY l_shipdate, l_orderkey, l_linenumber
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
     "q_components" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_agg" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_stats" -> ccOracle(
