@@ -63,6 +63,15 @@ object SparkEntry {
         // so it makes the output order total
         .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "running_qty")
     },
+    "q_setops" -> { (s, d) =>
+      // set-operation coverage: parts shipped under both return flags,
+      // minus low-price ones
+      val li = Tables.lineitem(s, d)
+      val a = li.where(col("l_returnflag") === "A").select(col("l_partkey"))
+      val r = li.where(col("l_returnflag") === "R").select(col("l_partkey"))
+      val cheap = li.where(col("l_extendedprice") < 1000.0).select(col("l_partkey"))
+      a.intersect(r).except(cheap).orderBy("l_partkey")
+    },
     "q_components" -> { (s, d) =>
       ConnectedComponents.components(Tables.partSupplierEdges(s, d))
         .orderBy("node")
@@ -292,6 +301,13 @@ object SparkEntry {
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "q_setops" ->
+      """SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+        |INTERSECT
+        |SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+        |EXCEPT
+        |SELECT l_partkey FROM lineitem WHERE l_extendedprice < 1000.0
+        |ORDER BY l_partkey""".stripMargin,
     "q_components" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_agg" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_stats" -> ccOracle(
