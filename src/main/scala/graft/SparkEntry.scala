@@ -203,6 +203,7 @@ object SparkEntry {
           sum(col("n_chars")).as("tot_chars"),
           sum(col("n_distinct")).as("tot_distinct"),
           sum(col("n_stop")).as("tot_stop"),
+          sum(TextStats.bpeishTokenCount("text")).as("tot_bpe_tokens"),
           (sum(col("n_stop")).cast("double") / sum(col("n_tokens"))).as("stop_ratio"))
         .orderBy("lang", "source")
     },
@@ -449,11 +450,13 @@ object SparkEntry {
         |s AS (SELECT lang, source,
         |        len(w) AS n_tokens, length(text) AS n_chars,
         |        len(list_distinct(w)) AS n_distinct,
-        |        len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS n_stop
+        |        len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS n_stop,
+        |        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_bpe
         |      FROM t)
         |SELECT lang, source, COUNT(*) AS n_docs,
         |       SUM(n_tokens) AS tot_tokens, SUM(n_chars) AS tot_chars,
         |       SUM(n_distinct) AS tot_distinct, SUM(n_stop) AS tot_stop,
+        |       SUM(n_bpe) AS tot_bpe_tokens,
         |       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stop_ratio
         |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_lang_id" ->

@@ -43,6 +43,15 @@ object TextStats {
       lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens")) +
       lit(0.2) * least(col("n_stop").cast("double") * lit(5.0) / col("n_tokens"), lit(1.0))
 
+  /** BPE-ish subword token count: alphabetic runs and digit runs each
+    * count as one token (punctuation/whitespace excluded) — the standard
+    * cheap proxy for tokenizer cost when the real BPE vocab isn't on the
+    * cluster. The pattern uses only basic character classes so Spark's
+    * regexp_count and DuckDB's regexp_extract_all agree exactly.
+    */
+  def bpeishTokenCount(textCol: String): Column =
+    regexp_count(col(textCol), lit("[A-Za-z]+|[0-9]+"))
+
   /** Heuristic language id from marker-word counts, deterministic argmax
     * with fixed priority en > de > es > fr > unknown.
     */
@@ -51,6 +60,29 @@ object TextStats {
     val de = tokenCountIn(textCol, markersDe)
     val es = tokenCountIn(textCol, markersEs)
     val fr = tokenCountIn(textCol, markersFr)
+    when(en >= greatest(de, es, fr) && en > 0, lit("en"))
+      .when(de >= greatest(es, fr) && de > 0, lit("de"))
+      .when(es >= fr && es > 0, lit("es"))
+      .when(fr > 0, lit("fr"))
+      .otherwise(lit("unknown"))
+  }
+
+  /** Character-n-gram language id: scores each language by occurrences of
+    * its characteristic character bigrams/trigrams (substring counts via
+    * length-difference after replace — engine-portable, no regex), argmax
+    * with the same fixed priority as [[langId]]. Complements the
+    * marker-word heuristic for text without clean word boundaries.
+    */
+  def langIdCharNgram(textCol: String): Column = {
+    def occurrences(ngram: String): Column =
+      (length(col(textCol)) -
+        length(replace(col(textCol), lit(ngram), lit("")))) / lit(ngram.length)
+    def score(ngrams: Seq[String]): Column =
+      ngrams.map(occurrences).reduce(_ + _)
+    val en = score(Seq("th", "he ", "ing"))
+    val de = score(Seq("ch", "ei", "der"))
+    val es = score(Seq("ll", "ci", "que"))
+    val fr = score(Seq("ou", "au", "les"))
     when(en >= greatest(de, es, fr) && en > 0, lit("en"))
       .when(de >= greatest(es, fr) && de > 0, lit("de"))
       .when(es >= fr && es > 0, lit("es"))

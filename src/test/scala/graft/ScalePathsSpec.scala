@@ -76,6 +76,18 @@ class ScalePathsSpec extends AnyFunSuite {
     assert(approxTop5.contains(topExact))
   }
 
+  test("bpe-ish token count and char-ngram lang id behave sensibly") {
+    val df = Seq(
+      (1L, "hello world 123 foo-bar"), // runs: hello, world, 123, foo, bar = 5
+      (2L, "the weather there is soothing")) // en char-ngrams dominate
+      .toDF("id", "text")
+    val counts = df.select(TextStats.bpeishTokenCount("text")).as[Int].collect()
+    assert(counts(0) == 5)
+    val lang = df.where($"id" === 2)
+      .select(TextStats.langIdCharNgram("text")).as[String].first()
+    assert(lang == "en")
+  }
+
   test("native token_fingerprint expression matches the column-algebra formula") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(200)
     val both = docs.select(
