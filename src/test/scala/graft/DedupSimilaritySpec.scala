@@ -62,6 +62,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
   }
 
+  test("native array_dot matches interpreted zip_with/aggregate formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val both = e.select(
+        graft.functions.ArrayDot.array_dot(col("embedding"), col("embedding")).as("native"),
+        aggregate(zip_with(col("embedding").cast("array<double>"),
+            col("embedding").cast("array<double>"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("hof"))
+      .as[(Double, Double)].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) } // bit-identical
+  }
+
   test("cosine column: exact on known vectors") {
     val df = Seq(
       (1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
