@@ -22,5 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.TokenFingerprint].getName, "token_fingerprint"),
       (exprs: Seq[Expression]) => graft.functions.functions.buildTokenFingerprint(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "array_dot"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildArrayDot(exprs)))
   }
 }

@@ -106,10 +106,18 @@ object functions {
     TokenFingerprint(exprs.head)
   }
 
+  private[graft] def buildArrayDot(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"array_dot expects exactly 2 arguments, got ${exprs.length}")
+    ArrayDot(exprs.head, exprs(1))
+  }
+
   /** Register graft's native functions for SQL use
-    * (`SELECT token_fingerprint(text) ...`). */
+    * (`SELECT token_fingerprint(text), array_dot(a, b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_fingerprint", buildTokenFingerprint, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_dot", buildArrayDot, "scala_udf")
   }
 }
