@@ -52,8 +52,12 @@ object SparkEntry {
     "q_window_running" -> { (s, d) =>
       // analytic window frame coverage: per-supplier running quantity
       import org.apache.spark.sql.expressions.Window
+      // l_quantity tiebreak: (shipdate, orderkey, linenumber) is NOT
+      // unique at sf0.1; rows still tied after quantity are full
+      // duplicates, whose order cannot change any prefix sum
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.lineitem(s, d)
         .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
@@ -298,7 +302,7 @@ object SparkEntry {
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         |       SUM(CAST(l_quantity AS BIGINT)) OVER (
         |         PARTITION BY l_suppkey
-        |         ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,

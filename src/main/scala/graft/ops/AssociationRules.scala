@@ -89,6 +89,9 @@ object AssociationRules {
         .crossJoin(broadcast(totals))
         .withColumn("support_count",
           if (params.weighted) $"wsupp" else $"cnt".cast("double"))
+      // validItems/kept feed multiple downstream joins AND the returned
+      // lazy plan, so they stay persisted past this call (LRU-evicted);
+      // only `rows` — consumed entirely within this method — is unpersisted
       val validItems = supp
         .where($"support_count" / $"total_tx" >= lit(params.minSupport))
         .persist(StorageLevel.MEMORY_AND_DISK)

@@ -41,22 +41,31 @@ object ConnectedComponents {
     nodeCc.join(labels, "cc").select(col("node"), col("component"))
   }
 
+  /** Exact dense vertex ids via zipWithIndex (no hash-collision risk at
+    * any scale, one extra count job) — reference dictionary-encodes the
+    * same way, single-node (src/graph_utils.rs:66-76). Returned persisted
+    * and materialized (reused for endpoint joins + final map-back); left
+    * to LRU eviction since the caller's returned plan reads it lazily.
+    */
+  private def nodeIds(edges: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val nodes = edges.select($"src".as("node")).union(edges.select($"dst".as("node"))).distinct()
+    val idDf = spark
+      .createDataFrame(nodes.as[String].rdd.zipWithIndex())
+      .toDF("node", "vid")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    idDf.count()
+    idDf
+  }
+
   /** (node, cc) where cc is an arbitrary-but-consistent Long component id. */
   private[graft] def componentsById(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
     try {
-      // Exact dense vertex ids via zipWithIndex (no hash-collision risk at
-      // any scale, one extra count job) — reference dictionary-encodes the
-      // same way, single-node (src/graph_utils.rs:66-76).
-      val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node"))).distinct()
-      val idDf = spark
-        .createDataFrame(nodes.as[String].rdd.zipWithIndex())
-        .toDF("node", "vid")
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      idDf.count() // materialize once; reused for both endpoint joins + final map-back
-
+      val idDf = nodeIds(e)
       val srcIds = idDf.select($"node".as("src"), $"vid".as("svid"))
       val dstIds = idDf.select($"node".as("dst"), $"vid".as("dvid"))
       val edgeTuples = e
@@ -83,13 +92,7 @@ object ConnectedComponents {
   def componentsAlternatingStar(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val nodes = edges.select($"src".as("node")).union(edges.select($"dst".as("node"))).distinct()
-    val idDf = spark
-      .createDataFrame(nodes.as[String].rdd.zipWithIndex())
-      .toDF("node", "vid")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    idDf.count()
-
+    val idDf = nodeIds(edges)
     val srcIds = idDf.select($"node".as("src"), $"vid".as("u"))
     val dstIds = idDf.select($"node".as("dst"), $"vid".as("v"))
     // localCheckpoint (not persist) each round: truncates the logical plan,
@@ -141,12 +144,7 @@ object ConnectedComponents {
   def componentsViaAggregate(edges: DataFrame): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
-    val nodes = edges.select($"src".as("node")).union(edges.select($"dst".as("node"))).distinct()
-    val idDf = spark
-      .createDataFrame(nodes.as[String].rdd.zipWithIndex())
-      .toDF("node", "vid")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    idDf.count()
+    val idDf = nodeIds(edges)
     val eids = edges
       .join(idDf.select($"node".as("src"), $"vid".as("svid")), "src")
       .join(idDf.select($"node".as("dst"), $"vid".as("dvid")), "dst")
@@ -213,6 +211,11 @@ object ConnectedComponents {
   /** Scale-path variant of super_merger: canonical component labels
     * (smallest member name) instead of order-dependent numbering; safe on
     * arbitrarily partitioned input.
+    *
+    * Contract deviation from [[superMerger]]: rows whose `from` is null or
+    * never part of a complete edge get component NULL here, not the
+    * reference's sentinel 0 (a string-labeled column has no natural
+    * numeric sentinel) — filter or coalesce downstream as needed.
     */
   def superMergerCanonical(df: DataFrame, from: String, to: String): DataFrame = {
     val comp = components(Ingest.edges(df, from, to))

@@ -22,8 +22,10 @@ object Tables {
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
   /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses to
     * read as a timestamp; read it as a nanosecond long and derive `ts_us`
-    * (integer microseconds — floor division, matching DuckDB's ns→µs
-    * truncation on read). All downstream time arithmetic is integer µs.
+    * via truncating integer division — the same C-style ns→µs conversion
+    * DuckDB applies on read, so both engines see identical microsecond
+    * values (for post-epoch data, as here, truncation == floor). All
+    * downstream time arithmetic is integer µs.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
