@@ -290,20 +290,25 @@ object SparkEntry {
         |FROM lineitem
         |GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    // NOTE: DuckDB types SUM(BIGINT) as HUGEINT (int128), which pandas
+    // renders as float64 — the driver's strict value hash then sees
+    // `506627.0` vs Spark's `506627` and fails even though the numbers are
+    // equal (round-1 q_rollup/q_window_running/q_text_stats mismatches).
+    // Every integer SUM in oracle SQL must be wrapped in CAST(... AS BIGINT).
     "q_rollup" ->
       """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
         |       COALESCE(l_linestatus, 'ALL') AS status,
-        |       SUM(CAST(l_quantity AS BIGINT)) AS sum_qty,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
         |       COUNT(*) AS n
         |FROM lineitem
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin,
     "q_window_running" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
-        |       SUM(CAST(l_quantity AS BIGINT)) OVER (
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) OVER (
         |         PARTITION BY l_suppkey
         |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
-        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_qty
         |FROM lineitem
         |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
     "q_setops" ->
@@ -458,9 +463,11 @@ object SparkEntry {
         |        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_bpe
         |      FROM t)
         |SELECT lang, source, COUNT(*) AS n_docs,
-        |       SUM(n_tokens) AS tot_tokens, SUM(n_chars) AS tot_chars,
-        |       SUM(n_distinct) AS tot_distinct, SUM(n_stop) AS tot_stop,
-        |       SUM(n_bpe) AS tot_bpe_tokens,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS tot_tokens,
+        |       CAST(SUM(n_chars) AS BIGINT) AS tot_chars,
+        |       CAST(SUM(n_distinct) AS BIGINT) AS tot_distinct,
+        |       CAST(SUM(n_stop) AS BIGINT) AS tot_stop,
+        |       CAST(SUM(n_bpe) AS BIGINT) AS tot_bpe_tokens,
         |       CAST(SUM(n_stop) AS DOUBLE) / SUM(n_tokens) AS stop_ratio
         |FROM s GROUP BY lang, source ORDER BY lang, source""".stripMargin,
     "q_lang_id" ->

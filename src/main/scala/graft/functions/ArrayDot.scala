@@ -17,11 +17,21 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   * being avoided: callers use equal-length vectors.
   */
 object ArrayDotImpl {
-  def compute(a: ArrayData, b: ArrayData): Double = {
+  /** Returns null (boxed) when a participating slot is null — matching the
+    * zip_with/aggregate formulation, where `x * null → null` poisons the
+    * fold. Unsafe arrays would otherwise read a null slot as 0.0 and return
+    * a silently wrong product (ADVICE r1); array_dot is SQL-exposed, so
+    * arbitrary array<double> with containsNull=true can reach this.
+    */
+  def compute(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = math.min(a.numElements(), b.numElements())
     var s = 0.0
     var i = 0
-    while (i < n) { s += a.getDouble(i) * b.getDouble(i); i += 1 }
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      s += a.getDouble(i) * b.getDouble(i)
+      i += 1
+    }
     s
   }
 }
@@ -43,12 +53,21 @@ case class ArrayDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // null when either input is null OR either array has a null slot
+  override def nullable: Boolean = true
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     ArrayDotImpl.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, (a, b) =>
-      s"graft.functions.ArrayDotImpl.compute($a, $b)")
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+      |java.lang.Double ${ev.value}_r = graft.functions.ArrayDotImpl.compute($a, $b);
+      |if (${ev.value}_r == null) {
+      |  ${ev.isNull} = true;
+      |} else {
+      |  ${ev.value} = ${ev.value}_r.doubleValue();
+      |}
+      |""".stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): ArrayDot =

@@ -127,6 +127,12 @@ object ConnectedComponents {
       cur = small
       round += 1
     }
+    // star contraction halves component diameter per round, so 64 rounds
+    // cover any graph that fits on hardware (2^64 diameter); if the
+    // signature check somehow never fired, fail loudly rather than build
+    // labels from an uncontracted edge set (ADVICE r1)
+    require(converged,
+      s"componentsAlternatingStar did not converge after $round rounds")
     // cur: (child u -> root v). Roots/isolated nodes map to themselves.
     val assign = idDf.join(cur.select($"u".as("vid"), $"v".as("cc0")), Seq("vid"), "left")
       .select($"node", $"vid", coalesce($"cc0", $"vid").as("cc"))

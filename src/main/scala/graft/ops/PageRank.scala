@@ -26,9 +26,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object PageRank {
 
-  /** Per-node scores: (node string, score double). Input columns src/dst. */
+  /** Per-node scores: (node string, score double). Input columns src/dst.
+    *
+    * `maxBroadcastNodes` gates the per-iteration rank broadcast: up to that
+    * many vertices the (node, score) table is collected to the driver and
+    * broadcast (one narrow join per iteration, no shuffle of the big edge
+    * side); beyond it the join falls back to a shuffle join so the vertex
+    * set never materializes on one node — same guard pattern as
+    * `LocalGraph.maxLocalEdges`. 10M nodes ≈ 400 MB broadcast, a sane
+    * executor-memory default.
+    */
   def scores(edges: DataFrame, damping: Double = 0.85, maxIter: Int = 100,
-      tol: Double = 1e-6): DataFrame = {
+      tol: Double = 1e-6, maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -52,13 +61,22 @@ object PageRank {
       .persist(StorageLevel.MEMORY_AND_DISK)
     ranks.count()
 
+    // explicit broadcast below the gate: a localCheckpoint'd plan reports
+    // default (huge) stats, so the planner would sort-merge this join every
+    // iteration; above the gate, never driver-materialize O(V) state
+    val useBroadcast = n <= maxBroadcastNodes
+    // shuffle path: pre-partition edges by src once so every iteration's
+    // shuffle join reuses the edge-side exchange and only re-shuffles ranks
+    val wEdgesPart =
+      if (useBroadcast) wEdges
+      else wEdges.repartition($"src").persist(StorageLevel.MEMORY_AND_DISK)
+
     var iter = 0
     var converged = false
     while (iter < maxIter && !converged) {
-      // explicit broadcast: a localCheckpoint'd plan reports default (huge)
-      // stats, so the planner would sort-merge this join every iteration
-      val contrib = wEdges
-        .join(broadcast(ranks.withColumnRenamed("node", "src")), "src")
+      val rankSide = ranks.withColumnRenamed("node", "src")
+      val contrib = wEdgesPart
+        .join(if (useBroadcast) broadcast(rankSide) else rankSide, "src")
         .groupBy($"dst").agg(sum($"score" * $"w").as("incoming"))
       // ranks already holds every node — join it directly (no separate
       // nodes join) and carry the old score so the L1 check reads the
@@ -79,6 +97,7 @@ object PageRank {
       ranks = joined.drop("old")
       iter += 1
     }
+    if (!useBroadcast) wEdgesPart.unpersist()
     wEdges.unpersist()
     nodes.unpersist()
     ranks

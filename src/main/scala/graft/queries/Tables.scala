@@ -26,9 +26,16 @@ object Tables {
     * DuckDB applies on read, so both engines see identical microsecond
     * values (for post-epoch data, as here, truncation == floor). All
     * downstream time arithmetic is integer µs.
+    *
+    * The `nanosAsLong` flag must be set at SESSION CONSTRUCTION (it changes
+    * parquet schema conversion session-wide); silently setting it here as a
+    * read side effect leaked type behavior into the shared session
+    * (ADVICE r1). Verify/Bench/TestSpark all set it in their builders.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "events.parquet is TIMESTAMP(NANOS): build the session with " +
+        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
     table(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")

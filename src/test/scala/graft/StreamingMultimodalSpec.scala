@@ -92,7 +92,7 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("streaming sessionization matches batch sessionizer on sf0.001 events") {
     implicit val sqlCtx = spark.sqlContext
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set at session construction in TestSpark
     val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
       .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
       .as[(Long, Long, Long)].collect()

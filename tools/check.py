@@ -19,7 +19,9 @@ def main(out_dir, sf_dir):
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
     results = {}
     for name in sorted(oracle):
-        files = glob.glob(os.path.join(out_dir, name, "*.parquet"))
+        # sorted: multi-part Spark outputs must be read in part-number order
+        # or the ordered cell compare fails spuriously (ADVICE r1)
+        files = sorted(glob.glob(os.path.join(out_dir, name, "*.parquet")))
         if not files:
             results[name] = "MISSING_SPARK_OUTPUT"
             continue
@@ -37,6 +39,16 @@ def main(out_dir, sf_dir):
             continue
         if len(got) != len(want):
             results[name] = f"ROWS: spark={len(got)} oracle={len(want)}"
+            continue
+        # kind-strict: DuckDB SUM(BIGINT) comes back HUGEINT -> float64,
+        # which python equality (506627 == 506627.0) hides but the driver's
+        # value hash does not (stringifies as '506627.0' vs '506627').
+        # Same-kind width differences (int32 vs int64) stringify identically
+        # and are fine; int-vs-float is the driver-visible breakage.
+        dt = [(c, str(got[c].dtype), str(want[c].dtype)) for c in got.columns
+              if got[c].dtype.kind != want[c].dtype.kind]
+        if dt:
+            results[name] = f"DTYPE-KIND: {dt}"
             continue
         mismatch = None
         for c in got.columns:
