@@ -11,7 +11,9 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR: the driver captures this output; WARN-level WindowExec noise
+    // from intentionally tiny global windows (25-row nation dim) drowns it
+    spark.sparkContext.setLogLevel("ERROR")
     // warm-up: touch every table once so the first timed query doesn't
     // absorb session/codegen/footer-read startup costs
     Seq("region", "nation", "customer", "supplier", "part", "orders",

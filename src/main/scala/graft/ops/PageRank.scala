@@ -37,15 +37,44 @@ object PageRank {
     * executor-memory default.
     */
   def scores(edges: DataFrame, damping: Double = 0.85, maxIter: Int = 100,
-      tol: Double = 1e-6, maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+      tol: Double = 1e-6, maxBroadcastNodes: Long = 10_000_000L,
+      maxLocalEdges: Long = 5_000_000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
+    // Gated driver-local fast path: once multi-edges are collapsed the
+    // iteration state is O(V + collapsed E), and every node appears as a
+    // collapsed-edge endpoint (nodes come from the edge list), so V <= 2E.
+    // Below `maxLocalEdges` the whole computation is ONE map-side-combined
+    // aggregation + capped collect (limit stops early when over the cap),
+    // then local arithmetic: outdegrees fold out of the collapsed counts,
+    // and the power iteration costs microseconds per round vs ~3 scheduled
+    // jobs per round distributed. Same LocalGraph-style gate the per-source
+    // traversal operators use (the reference itself is always single-node
+    // here, rs:60-129). Above the gate: the distributed loop below.
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val capped = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("m"))
+        .limit(maxLocalEdges.toInt + 1)
+        .as[(String, String, Long)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, Double)].toDF("node", "score")
+        val outdeg = new scala.collection.mutable.HashMap[String, Long]()
+        capped.foreach { case (s, _, m) =>
+          outdeg.update(s, outdeg.getOrElse(s, 0L) + m)
+        }
+        val collapsed = capped.map { case (s, d, m) =>
+          (s, d, m.toDouble / outdeg(s))
+        }
+        val nodeNames = (collapsed.iterator.map(_._1) ++ collapsed.iterator.map(_._2))
+          .toArray.distinct
+        val result = localScores(nodeNames, collapsed, damping, maxIter, tol)
+        return spark.createDataFrame(result.toIndexedSeq).toDF("node", "score")
+      }
+      // over the cap: fall through to the distributed loop
+    }
+
     val e = edges.select($"src", $"dst").persist(StorageLevel.MEMORY_AND_DISK)
-    val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node")))
-      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
-    val n = nodes.count()
-    if (n == 0) { e.unpersist(); return nodes.withColumn("score", lit(0.0)) }
 
     // collapse multi-edges once: contribution weight = multiplicity/outdeg
     val outdeg = e.groupBy($"src").agg(count(lit(1)).as("outdeg"))
@@ -54,7 +83,12 @@ object PageRank {
       .select($"src", $"dst", ($"m" / $"outdeg").as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     wEdges.count()
+
+    val nodes = e.select($"src".as("node")).union(e.select($"dst".as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
     e.unpersist()
+    if (n == 0) { wEdges.unpersist(); return nodes.withColumn("score", lit(0.0)) }
 
     val base = (1.0 - damping) / n
     var ranks = nodes.withColumn("score", lit(1.0 / n))
@@ -101,6 +135,45 @@ object PageRank {
     wEdges.unpersist()
     nodes.unpersist()
     ranks
+  }
+
+  /** Driver-local power iteration over collapsed weighted edges — exactly
+    * the distributed recurrence ((1-d)/N base, no dangling redistribution,
+    * L1 convergence checked after each iteration). Summation runs in
+    * collapsed-edge order, so scores agree with the distributed path to
+    * double rounding (~1e-15), not bitwise — fine for the rows-only check
+    * and the tolerance-based goldens.
+    */
+  private[graft] def localScores(nodeNames: Array[String],
+      wEdges: Array[(String, String, Double)], damping: Double,
+      maxIter: Int, tol: Double): Array[(String, Double)] = {
+    val names = nodeNames.sorted // deterministic iteration order
+    val index = names.zipWithIndex.toMap
+    val n = names.length
+    val es = wEdges.map { case (s, d, w) => (index(s), index(d), w) }
+      .sortBy(t => (t._1, t._2)) // deterministic summation order
+    val base = (1.0 - damping) / n
+    var ranks = Array.fill(n)(1.0 / n)
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      val next = Array.fill(n)(base)
+      var i = 0
+      while (i < es.length) {
+        val (s, d, w) = es(i)
+        next(d) += damping * ranks(s) * w
+        i += 1
+      }
+      if (tol > 0) {
+        var l1 = 0.0
+        var j = 0
+        while (j < n) { l1 += math.abs(next(j) - ranks(j)); j += 1 }
+        converged = l1 < tol
+      }
+      ranks = next
+      iter += 1
+    }
+    names.zip(ranks)
   }
 
   /** Reference-parity row-aligned form: returns `df` plus a `page_rank`

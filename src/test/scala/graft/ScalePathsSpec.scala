@@ -23,10 +23,32 @@ class ScalePathsSpec extends AnyFunSuite {
     val edges = randomEdges(400, 150, 7)
     val viaAgg = ConnectedComponents.componentsViaAggregate(edges)
       .as[(String, String)].collect().toSet
-    val viaGraphX = ConnectedComponents.components(edges)
+    val viaGraphX = ConnectedComponents.componentsGraphX(edges)
       .as[(String, String)].collect().toSet
     assert(viaAgg == viaGraphX)
     assert(viaAgg.nonEmpty)
+  }
+
+  test("components() strategy gate: both sides of the vertex gate agree") {
+    val edges = randomEdges(300, 80, 11)
+    val small = ConnectedComponents.components(edges) // agg path (n <= gate)
+      .as[(String, String)].collect().toSet
+    val large = ConnectedComponents.components(edges, maxAggVertices = 0) // GraphX path
+      .as[(String, String)].collect().toSet
+    assert(small == large)
+    assert(small.nonEmpty)
+  }
+
+  test("PageRank local fast path matches distributed loop") {
+    val edges = randomEdges(500, 60, 13)
+    val local = graft.ops.PageRank.scores(edges)
+      .as[(String, Double)].collect().toMap
+    val dist = graft.ops.PageRank.scores(edges, maxLocalEdges = 0)
+      .as[(String, Double)].collect().toMap
+    assert(local.keySet == dist.keySet)
+    local.foreach { case (k, v) =>
+      assert(math.abs(v - dist(k)) < 1e-12, s"node $k: local=$v dist=${dist(k)}")
+    }
   }
 
   test("Pregel multi-source SSSP matches broadcast Dijkstra") {
