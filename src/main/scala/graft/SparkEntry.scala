@@ -136,6 +136,16 @@ object SparkEntry {
           damping = 0.85, maxIter = 12, tol = 1e-6)
         .orderBy("node")
     },
+    "q_pagerank_fp" -> { (s, d) =>
+      // fixed-point integer PageRank (damping 17/20, ×1e12 grid, 10 fixed
+      // iterations): every step is integer arithmetic, so the scores are
+      // bit-identical in any engine / summation order → full DuckDB oracle
+      // (unrolled per-iteration CTEs), unlike the double-precision
+      // q_pagerank which is rows-only
+      PageRank.scoresFixedPoint(Tables.partSupplierDirectedEdges(s, d),
+          iters = 10)
+        .orderBy("node")
+    },
     "q_betweenness" -> { (s, d) =>
       // exact Brandes over the undirected nation graph, normalized;
       // no SQL oracle → rows-only + ScalaTest goldens
@@ -154,14 +164,18 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     },
     "q_dedup_minhash" -> { (s, d) =>
-      // MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified;
-      // engine-specific hashing → rows-only check + recall test in ScalaTest
-      Dedup.minHashLshPairs(Tables.documents(s, d), "doc_id", "text",
+      // MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified.
+      // Portable md5 hashing → full DuckDB oracle (the xxhash64 variant
+      // stays as the throughput path, recall-tested in ScalaTest)
+      Dedup.minHashLshPairsPortable(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
     "q_dedup_simhash" -> { (s, d) =>
-      Dedup.simHashPairs(Tables.documents(s, d), "doc_id", "text", maxBits = 3)
+      // 64-bit SimHash from md5 halves, 4×16-bit bands (exact ≤ 3 bits by
+      // pigeonhole) → full DuckDB oracle
+      Dedup.simHashPairsPortable(Tables.documents(s, d), "doc_id", "text",
+          maxBits = 3)
         .orderBy("id_a", "id_b")
     },
     "q_dedup_embed" -> { (s, d) =>
@@ -409,6 +423,7 @@ object SparkEntry {
         |       CAST(MIN(cost) AS DOUBLE) / 1000.0 AS distance
         |FROM d GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
@@ -423,6 +438,51 @@ object SparkEntry {
         |SELECT id_a, id_b, CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) AS jaccard
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_minhash" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |${graft.ops.Dedup.minHashPortableOracleCtes(numHashes = 64, bands = 16)},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.id_a
+         |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |          GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b,
+         |       CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) AS jaccard
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+        |        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+        |      FROM toks),
+        |bits AS (SELECT doc_id, j,
+        |           CAST(SUM(CASE WHEN (h1 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v1,
+        |           CAST(SUM(CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v2
+        |         FROM h CROSS JOIN (SELECT UNNEST(range(0, 32)) AS j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v1 > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS fp1,
+        |         CAST(SUM(CASE WHEN v2 > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS fp2
+        |       FROM bits GROUP BY doc_id),
+        |bnd AS (SELECT doc_id, UNNEST([0, 1, 2, 3]) AS band,
+        |               UNNEST([fp1 & 65535, (fp1 >> 16) & 65535,
+        |                       fp2 & 65535, (fp2 >> 16) & 65535]) AS bucket
+        |        FROM fp),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bnd a JOIN bnd b
+        |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |       CAST(bit_count(xor(fa.fp1, fb.fp1)) + bit_count(xor(fa.fp2, fb.fp2)) AS INT) AS hamming
+        |FROM cand c JOIN fp fa ON fa.doc_id = c.id_a JOIN fp fb ON fb.doc_id = c.id_b
+        |WHERE bit_count(xor(fa.fp1, fb.fp1)) + bit_count(xor(fa.fp2, fb.fp2)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_embed" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
@@ -570,6 +630,38 @@ object SparkEntry {
         |WHERE quality >= CAST(0.3 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Unrolled fixed-point PageRank oracle: one CTE per iteration mirrors
+    * PageRank.scoresFixedPoint exactly — integer division (`//` ≡ Spark
+    * `div` for the all-positive values here), damping 17/20, base
+    * (3·scale)//(20·n). Unrolled rather than recursive because the
+    * recursive term would need to reference the working table twice
+    * (contributions + zero-indegree nodes). All sums cast back to BIGINT
+    * (DuckDB SUM(BIGINT) is HUGEINT → float64 in pandas → hash mismatch).
+    */
+  private def pagerankFpOracle(iters: Int): String = {
+    val S = "1000000000000"
+    val head =
+      s"""WITH
+         |e0 AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+         |              'S' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+         |em AS (SELECT src, dst, COUNT(*) AS m FROM e0 GROUP BY src, dst),
+         |od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+         |e AS (SELECT em.src, em.dst, em.m, od.outdeg FROM em JOIN od ON em.src = od.src),
+         |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes),
+         |pr0 AS (SELECT node, $S // (SELECT n FROM nn) AS r FROM nodes),""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""pr$i AS (
+         |  SELECT nd.node,
+         |         (3 * $S) // (20 * (SELECT n FROM nn)) + COALESCE(inc.s, 0) AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT e.dst, CAST(SUM((17 * e.m * p.r) // (20 * e.outdeg)) AS BIGINT) AS s
+         |    FROM e JOIN pr${i - 1} p ON p.node = e.src
+         |    GROUP BY e.dst) inc ON inc.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
+  }
 
   /** DuckDB min-label-propagation connected components over the same
     * part↔supplier edges as Tables.partSupplierEdges; `finalSelect` runs

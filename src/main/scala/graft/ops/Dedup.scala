@@ -131,6 +131,133 @@ object Dedup {
     verifyJaccard(sh, threshold, candidates)
   }
 
+  /** Deterministic per-seed multipliers for the portable MinHash family,
+    * shared verbatim by the Spark expressions and the generated DuckDB
+    * oracle SQL ([[minHashPortableOracleCtes]]). Seeded so both sides are
+    * built from the same literals. */
+  private[graft] def portableMinHashCoeffs(numHashes: Int): Array[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Array.fill(numHashes)((rnd.nextInt(65534).toLong + 1, rnd.nextInt(65534).toLong + 1))
+  }
+  private[graft] val PortableMinHashP = 2147483647L // 2^31 - 1, Mersenne prime
+  private[graft] val PortableBucketM = 1099511627776L // 2^40: fold modulus
+  private[graft] val PortableBucketMul = 1000003L
+
+  /** Cross-engine-portable MinHash+LSH: each shingle is md5-hashed ONCE;
+    * the first 16 hex chars split into two 32-bit ints (h1, h2), and the
+    * i-th hash function is `(K_i·h1 + L_i·h2) mod (2^31-1)` with 16-bit
+    * constants from [[portableMinHashCoeffs]] — all < 2^50, no overflow,
+    * and every step has an exact DuckDB mirror (which upgrades the driver
+    * check from rows-only to hash-exact). Band buckets fold the band's
+    * minhashes with a Horner hash mod 2^40. Same candidate/verify
+    * structure as [[minHashLshPairs]] (the xxhash64 throughput variant):
+    * only band-bucket collisions are joined, candidates verified with
+    * exact Jaccard — a spurious bucket collision cannot change the output.
+    */
+  def minHashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64, bands: Int = 16,
+      threshold: Double = 0.8): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val coeffs = portableMinHashCoeffs(numHashes)
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val hashed = sh
+      .withColumn("__md5", md5(col("shingle")))
+      .withColumn("h1", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+    val mins = coeffs.zipWithIndex.map { case ((k, l), i) =>
+      min((col("h1") * lit(k) + col("h2") * lit(l)) % lit(PortableMinHashP)).as(s"mh_$i")
+    }
+    val sig = hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val bucket = slice.reduce((acc, mh) =>
+        (acc * lit(PortableBucketMul) + mh) % lit(PortableBucketM))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val candidates = buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, threshold, candidates)
+  }
+
+  /** DuckDB mirror of [[minHashLshPairsPortable]]'s signature/banding
+    * stages: CTEs `mh` (per-doc per-seed minhash) and `bnd` (per-doc
+    * per-band bucket), built over a CTE `sh(doc_id, shingle)`. The caller
+    * wraps these with shingle generation and the candidate/verify tail.
+    */
+  private[graft] def minHashPortableOracleCtes(numHashes: Int, bands: Int): String = {
+    val rowsPerBand = numHashes / bands
+    val coeffs = portableMinHashCoeffs(numHashes)
+    val seedRows = coeffs.zipWithIndex
+      .map { case ((k, l), i) => s"($i, $k, $l)" }.mkString(", ")
+    // Horner fold of the band's minhashes in seed order, as nested SQL
+    val bucketExpr = (0 until rowsPerBand)
+      .map(r => s"MAX(CASE WHEN i % $rowsPerBand = $r THEN mh END)")
+      .reduce((acc, mh) => s"(($acc) * $PortableBucketMul + $mh) % $PortableBucketM")
+    s"""seeds AS (SELECT * FROM (VALUES $seedRows) s(i, k, l)),
+       |hx AS (SELECT doc_id, shingle,
+       |         ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS h1,
+       |         ('0x' || substr(md5(shingle), 9, 8))::BIGINT AS h2
+       |       FROM sh),
+       |mh AS (SELECT doc_id, i,
+       |         CAST(MIN((k * h1 + l * h2) % $PortableMinHashP) AS BIGINT) AS mh
+       |       FROM hx CROSS JOIN seeds GROUP BY doc_id, i),
+       |bnd AS (SELECT doc_id, i // $rowsPerBand AS band,
+       |               CAST($bucketExpr AS BIGINT) AS bucket
+       |        FROM mh GROUP BY doc_id, i // $rowsPerBand)""".stripMargin
+  }
+
+  /** Cross-engine-portable SimHash: the 64 fingerprint bits come from the
+    * first 16 hex chars of md5(token), read as two 32-bit halves (fp1 from
+    * chars 1-8, fp2 from 9-16) — every operation (hex-to-int, shift, vote
+    * sum, bit_count) has an exact DuckDB mirror. Same 4×16-bit banding as
+    * [[simHashPairs]] (exact for maxBits <= 3 by pigeonhole). Returns
+    * (id_a, id_b, hamming).
+    */
+  def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
+      maxBits: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .withColumn("h1", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+    val votes =
+      (0 until 32).map(j =>
+        sum(when(expr(s"(h1 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v1_$j")) ++
+      (0 until 32).map(j =>
+        sum(when(expr(s"(h2 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v2_$j"))
+    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    def fpOf(prefix: String) = (0 until 32)
+      .map(j => when(col(s"${prefix}_$j") > 0,
+        expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_))
+    val fp = agg.select(col("id"), fpOf("v1").as("fp1"), fpOf("v2").as("fp2"))
+    val bandCols = Seq(
+      struct(lit(0).as("band"), expr("fp1 & 65535").as("bucket")),
+      struct(lit(1).as("band"), expr("(fp1 >> 16) & 65535").as("bucket")),
+      struct(lit(2).as("band"), expr("fp2 & 65535").as("bucket")),
+      struct(lit(3).as("band"), expr("(fp2 >> 16) & 65535").as("bucket")))
+    val buckets = fp.select(col("id"), col("fp1"), col("fp2"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("fp1"), col("fp2"), col("bb.band"), col("bb.bucket"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (expr("bit_count(a.fp1 ^ b.fp1)") + expr("bit_count(a.fp2 ^ b.fp2)"))
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxBits)
+  }
+
   /** Exact-Jaccard verification of candidate pairs (id_a, id_b) against a
     * (possibly persisted) shingle set. */
   private def verifyJaccard(sh: DataFrame, threshold: Double,

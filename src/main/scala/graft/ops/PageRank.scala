@@ -137,6 +137,97 @@ object PageRank {
     ranks
   }
 
+  /** Fixed-point integer PageRank: the same recurrence as [[scores]] but on
+    * a ×`scale` integer grid with damping 0.85 = 17/20 exact, so every
+    * operation is integer arithmetic and the result is IDENTICAL in any
+    * engine and any summation order — this is what makes PageRank
+    * DuckDB-oracle-checkable (the double-precision variant diverges in the
+    * last bits with summation order). Fixed `iters` iterations, no
+    * convergence check (a data-dependent stop isn't SQL-mirrorable).
+    *
+    *   r_0[v]  = scale div N
+    *   r_t+1[v] = (3·scale) div (20·N)
+    *              + Σ_{u→v} (17 · m_uv · r_t[u]) div (20 · outdeg_u)
+    *
+    * All quantities stay < 2^63 provided multiplicity · scale · 17 < 2^63
+    * (multiplicity < ~5·10^5 at the default scale; ANSI mode faults loudly
+    * beyond). Returns (node string, rank_q long). Same size gate as
+    * [[scores]]: local loop under `maxLocalEdges`, distributed join
+    * iteration above it.
+    */
+  def scoresFixedPoint(edges: DataFrame, iters: Int = 10,
+      scale: Long = 1000000000000L, maxLocalEdges: Long = 5_000_000L,
+      maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val capped = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("m"))
+        .limit(maxLocalEdges.toInt + 1)
+        .as[(String, String, Long)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, Long)].toDF("node", "rank_q")
+        val outdeg = new scala.collection.mutable.HashMap[String, Long]()
+        capped.foreach { case (s, _, m) =>
+          outdeg.update(s, outdeg.getOrElse(s, 0L) + m)
+        }
+        val names = (capped.iterator.map(_._1) ++ capped.iterator.map(_._2))
+          .toArray.distinct.sorted
+        val index = names.zipWithIndex.toMap
+        val es = capped.map { case (s, d, m) => (index(s), index(d), m, outdeg(s)) }
+        val n = names.length
+        var r = Array.fill(n)(scale / n)
+        val base = (3 * scale) / (20 * n)
+        var it = 0
+        while (it < iters) {
+          val next = Array.fill(n)(base)
+          var i = 0
+          while (i < es.length) {
+            val (s, d, m, od) = es(i)
+            next(d) += (17L * m * r(s)) / (20L * od)
+            i += 1
+          }
+          r = next
+          it += 1
+        }
+        return spark.createDataFrame(names.zip(r).toIndexedSeq).toDF("node", "rank_q")
+      }
+    }
+
+    // distributed: integer join-iteration, localCheckpoint per round
+    val wEdges = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("m"))
+      .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    wEdges.count()
+    val nodes = edges.select($"src".as("node")).union(edges.select($"dst".as("node")))
+      .distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) { wEdges.unpersist(); return nodes.withColumn("rank_q", lit(0L)) }
+    val base = (3 * scale) / (20 * n)
+    // same broadcast gate as scores(): never driver-materialize O(V) state
+    // beyond maxBroadcastNodes
+    val useBroadcast = n <= maxBroadcastNodes
+    var ranks = nodes.withColumn("rank_q", lit(scale / n)).localCheckpoint(true)
+    var it = 0
+    while (it < iters) {
+      val rankSide = ranks.withColumnRenamed("node", "src")
+      val contrib = wEdges
+        .join(if (useBroadcast) broadcast(rankSide) else rankSide, "src")
+        .select($"dst", expr("(17 * m * rank_q) div (20 * outdeg)").as("c"))
+        .groupBy($"dst").agg(sum($"c").as("incoming"))
+      ranks = ranks.select($"node")
+        .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+        .select($"node",
+          (lit(base) + coalesce($"incoming", lit(0L))).as("rank_q"))
+        .localCheckpoint(true)
+      it += 1
+    }
+    wEdges.unpersist()
+    nodes.unpersist()
+    ranks
+  }
+
   /** Driver-local power iteration over collapsed weighted edges — exactly
     * the distributed recurrence ((1-d)/N base, no dangling redistribution,
     * L1 convergence checked after each iteration). Summation runs in

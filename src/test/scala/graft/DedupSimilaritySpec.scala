@@ -50,6 +50,26 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(lsh == exact, s"missed: ${exact -- lsh}")
   }
 
+  test("portable (md5-derived) minhash variant keeps full recall too") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minHashLshPairsPortable(docs, "doc_id", "text", 3, 64, 16, 0.8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact)) // candidates are exact-verified
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+
+  test("portable simhash matches identical docs at hamming 0") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"),
+      (3L, "totally different words here now")).toDF("doc_id", "text")
+    val pairs = Dedup.simHashPairsPortable(df, "doc_id", "text", maxBits = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.contains((1L, 2L, 0)))
+    assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
+  }
+
   test("simHash hamming 0 for identical docs, small for near-identical") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),

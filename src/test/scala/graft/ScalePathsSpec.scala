@@ -39,6 +39,20 @@ class ScalePathsSpec extends AnyFunSuite {
     assert(small.nonEmpty)
   }
 
+  test("fixed-point PageRank: local and distributed paths are bit-identical") {
+    val edges = randomEdges(500, 60, 17)
+    val local = graft.ops.PageRank.scoresFixedPoint(edges)
+      .as[(String, Long)].collect().toMap
+    val dist = graft.ops.PageRank.scoresFixedPoint(edges, maxLocalEdges = 0)
+      .as[(String, Long)].collect().toMap
+    assert(local == dist) // integer arithmetic: exact equality, no tolerance
+    assert(local.nonEmpty)
+    // ranks are positive and sum below scale (sinks leak mass, parity with
+    // the double-precision recurrence)
+    assert(local.values.forall(_ > 0))
+    assert(local.values.sum <= 1000000000000L)
+  }
+
   test("PageRank local fast path matches distributed loop") {
     val edges = randomEdges(500, 60, 13)
     val local = graft.ops.PageRank.scores(edges)
