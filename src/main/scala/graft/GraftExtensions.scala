@@ -10,13 +10,14 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * `SparkSession.builder.withExtensions(new GraftExtensions)`), so plain
   * SQL users get them without touching the Scala API.
   *
-  * No custom Rule/Strategy is injected: graft introduces no new logical
-  * operators — every operator composes existing relational algebra
-  * (SURVEY.md §7.7) — so the extension surface is exactly the function
-  * registry.
+  * Also injects the [[graft.plans.AsOfJoinStrategy]] planner strategy so
+  * sessions built with the extensions plan graft's native as-of join
+  * ([[graft.plans.AsOfJoinPlan]] → [[graft.plans.AsOfJoinExec]]) without
+  * the API-level auto-registration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("token_fingerprint"),
       new ExpressionInfo(

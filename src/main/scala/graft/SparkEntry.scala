@@ -268,6 +268,25 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
         .orderBy("event_type")
     },
+    "q_asof" -> { (s, d) =>
+      // native as-of join (custom LogicalPlan + Strategy + sort-merge
+      // SparkPlan, plans/AsOfJoin.scala): every non-purchase event picks
+      // the user's latest prior-or-equal purchase. Right side pre-agged
+      // unique per (user, ts) so the as-of pick is engine-deterministic;
+      // DuckDB mirrors with its native ASOF LEFT JOIN.
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg((sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0))
+          .as("p_value"))
+      val others = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      graft.plans.AsOfJoin.asofBackward(others, purchases,
+          keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ts_us_r").as("purchase_ts_us"), col("p_value"))
+        .orderBy("event_id")
+    },
     "q_curate" -> { (s, d) =>
       // full curation pipeline: exact dedup → ngram near-dedup → quality
       // gate → language id; every stage is engine-portable so the whole
@@ -591,6 +610,18 @@ object SparkEntry {
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_asof" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |p AS (SELECT user_id, ts_us,
+        |        CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / 100.0 AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       p.ts_us AS purchase_ts_us, p.p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "q_curate" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
         |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),

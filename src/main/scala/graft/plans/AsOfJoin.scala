@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, RowOrdering, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types.LongType
+
+/** Native AS-OF JOIN — the canonical "operator Spark lacks".
+  *
+  * For every left row, find the single right row with the same key and the
+  * greatest time <= left time (backward as-of; strictlyBefore makes it <).
+  * Left-outer semantics: unmatched left rows keep nulls on the right.
+  *
+  * Spark's own pandas-API as-of (logical `AsOfJoin`) is REWRITTEN by the
+  * optimizer into join + aggregation over all time-matching pairs — at N
+  * right rows per key that intermediate is O(L·N) per key. This operator
+  * instead plans a dedicated sort-merge physical node:
+  *
+  *   - both sides hash-partition by key (`ClusteredDistribution`, the same
+  *     co-partitioning contract as SortMergeJoin — EnsureRequirements
+  *     inserts the exchanges/sorts),
+  *   - each co-partition pair is merged in ONE streaming pass holding
+  *     exactly one candidate right row — O(L + R) time, O(1) state, no
+  *     pair blow-up, no per-key window sort.
+  *
+  * At 100 TB that difference is decisive: the merge never materializes
+  * more than a row per side, so skewed keys cost only their scan time.
+  *
+  * Registered via [[graft.GraftExtensions]] (injectPlannerStrategy) or
+  * auto-registered in `spark.experimental.extraStrategies` by the
+  * [[AsOfJoin.asofBackward]] API.
+  *
+  * Times must be integer (long) — callers pass epoch-µs (graft convention,
+  * see Tables.events). Right rows with null time never match; left rows
+  * with null time emit nulls.
+  */
+case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression,
+    strictlyBefore: Boolean) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict) =>
+      AsOfJoinExec(lk, rk, lt, rt, strict, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(
+    leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+    leftTime: Expression, rightTime: Expression, strictlyBefore: Boolean,
+    left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  // same co-partitioning contract as shuffled equi-joins
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  // merge needs both sides sorted by (key, time) inside each partition
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+    rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  // streamed-side-preserving, like a left-outer sort-merge join
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val keyTypes = leftKeys.map(_.dataType)
+    require(leftTime.dataType == LongType && rightTime.dataType == LongType,
+      "as-of times must be long (epoch-µs)")
+    val strict = strictlyBefore
+    val nRight = right.output.size
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
+      val rKeyProj = UnsafeProjection.create(rightKeys, right.output)
+      val lTime = BindReferences.bindReference(leftTime, left.output)
+      val rTime = BindReferences.bindReference(rightTime, right.output)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(keyTypes)
+      val joined = new JoinedRow
+      val nullRight = new GenericInternalRow(nRight)
+      // parents (collect, shuffle) require UnsafeRow output
+      val resultProj = UnsafeProjection.create(output, output)
+
+      new Iterator[InternalRow] {
+        // one-row lookahead on the right, plus the current best candidate
+        private var rNext: InternalRow = advanceRight()
+        private var rNextKey: InternalRow = if (rNext == null) null else rKeyProj(rNext).copy()
+        private var held: InternalRow = _
+        private var heldKey: InternalRow = _
+
+        private def advanceRight(): InternalRow = {
+          while (rIter.hasNext) {
+            val r = rIter.next()
+            val t = rTime.eval(r)
+            if (t != null) return r.copy() // held across calls — must copy
+          }
+          null
+        }
+        private def stepRight(): Unit = {
+          rNext = advanceRight()
+          rNextKey = if (rNext == null) null else rKeyProj(rNext).copy()
+        }
+
+        override def hasNext: Boolean = lIter.hasNext
+
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lk = lKeyProj(l)
+          val lt = lTime.eval(l)
+          if (lt == null) return resultProj(joined(l, nullRight))
+          val ltv = lt.asInstanceOf[Long]
+          // pull right rows that are still candidates for (lk, ltv)
+          var done = false
+          while (!done && rNext != null) {
+            val c = keyOrd.compare(rNextKey, lk)
+            if (c < 0) stepRight() // right key behind every future left row's
+            else if (c == 0) {
+              val rtv = rTime.eval(rNext).asInstanceOf[Long]
+              val ok = if (strict) rtv < ltv else rtv <= ltv
+              if (ok) { // newer valid candidate supersedes the held one
+                held = rNext; heldKey = rNextKey
+                stepRight()
+              } else done = true // right too new for this left row — keep for later
+            } else done = true // right key ahead — no candidates for lk
+          }
+          if (held != null && keyOrd.compare(heldKey, lk) == 0)
+            resultProj(joined(l, held))
+          else resultProj(joined(l, nullRight))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** DataFrame-level API. */
+object AsOfJoin {
+
+  /** Ensure the planner knows the strategy even in sessions built without
+    * [[graft.GraftExtensions]]. Idempotent. */
+  private[graft] def ensureRegistered(spark: org.apache.spark.sql.SparkSession): Unit =
+    synchronized {
+      val em = spark.experimental
+      if (!em.extraStrategies.contains(AsOfJoinStrategy))
+        em.extraStrategies = em.extraStrategies :+ AsOfJoinStrategy
+    }
+
+  /** Backward as-of join: each left row picks the right row with equal
+    * `keys` and the greatest `rightTime` <= `leftTime` (< when
+    * `strictlyBefore`); unmatched left rows keep null right columns.
+    * Time columns must be long epoch-µs. Right columns that clash with a
+    * left column name are suffixed `_r`; all right outputs get fresh
+    * attribute ids, so self-as-of-joins (df against a filtered view of
+    * itself) work.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      strictlyBefore: Boolean = false): DataFrame = {
+    val spark = left.sparkSession
+    ensureRegistered(spark)
+    val lNames = left.columns.toSet
+    // fresh exprIds via aliases (self-join safe) + clash-free names
+    val rSafe = right.select(right.columns.map { c =>
+      val name = if (lNames.contains(c)) c + "_r" else c
+      right(c).as(name)
+    }.toIndexedSeq: _*)
+    val rTimeName = if (lNames.contains(rightTime)) rightTime + "_r" else rightTime
+    val lPlan = planOf(left)
+    val rPlan = planOf(rSafe)
+    def attrs(plan: LogicalPlan, names: Seq[String]): Seq[Expression] =
+      names.map(n => plan.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"column $n not found")))
+    val node = AsOfJoinPlan(lPlan, rPlan,
+      attrs(lPlan, keys), attrs(rPlan, keys.map(k => if (lNames.contains(k)) k + "_r" else k)),
+      attrs(lPlan, Seq(leftTime)).head, attrs(rPlan, Seq(rTimeName)).head,
+      strictlyBefore)
+    shims.dataFrameOf(spark, node)
+  }
+
+  private def planOf(df: DataFrame): LogicalPlan = df.queryExecution.analyzed
+}

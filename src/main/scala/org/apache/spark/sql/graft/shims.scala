@@ -12,4 +12,13 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object shims {
   def columnOf(e: Expression): Column = ExpressionUtils.column(e)
   def expressionOf(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `Dataset.ofRows` is `private[sql]` in Spark 4; graft's custom logical
+    * plan (AsOfJoinPlan) needs it to wrap a hand-built plan back into the
+    * public DataFrame API. */
+  def dataFrameOf(spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
