@@ -154,6 +154,15 @@ object SparkEntry {
           normalized = true, directed = false)
         .orderBy("node")
     },
+    "q_betweenness_pairs" -> { (s, d) =>
+      // betweenness via the pairwise σ identity with per-triple ×1e9
+      // quantization — exact integer sums in any engine → full DuckDB
+      // oracle (path-enumeration σ + the same FLOOR expression), unlike
+      // the order-sensitive double accumulation of q_betweenness
+      Betweenness.betweennessPairwiseQuantized(
+          Tables.nationGraphEdges(s, d), "src", "dst", directed = false)
+        .orderBy("node")
+    },
     "q_dedup_exact" -> { (s, d) =>
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
         .orderBy("text_sha")
@@ -443,6 +452,34 @@ object SparkEntry {
         |FROM d GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
     "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
+    "q_betweenness_pairs" ->
+      """WITH RECURSIVE
+        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
+        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |p AS (
+        |  SELECT src, src AS node, 0 AS d, [src] AS path
+        |  FROM (SELECT DISTINCT src FROM sym)
+        |  UNION ALL
+        |  SELECT p.src, s.dst AS node, p.d + 1, list_append(p.path, s.dst)
+        |  FROM p JOIN sym s ON p.node = s.src
+        |  WHERE NOT list_contains(p.path, s.dst)),
+        |dm AS (SELECT src, node AS dst, MIN(d) AS d FROM p WHERE node <> src GROUP BY src, node),
+        |sg AS (SELECT p.src AS s, p.node AS t, p.d, CAST(COUNT(*) AS BIGINT) AS sigma
+        |       FROM p JOIN dm ON dm.src = p.src AND dm.dst = p.node AND dm.d = p.d
+        |       GROUP BY p.src, p.node, p.d),
+        |tri AS (SELECT a.t AS v,
+        |          CAST(FLOOR(1000000000.0 * a.sigma * b.sigma / st.sigma) AS BIGINT) AS qc
+        |        FROM sg st
+        |        JOIN sg a ON a.s = st.s
+        |        JOIN sg b ON b.s = a.t AND b.t = st.t
+        |        WHERE a.t <> st.t AND a.d + b.d = st.d),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym)
+        |SELECT n.node, CAST(COALESCE(SUM(t.qc), 0) AS BIGINT) AS qbc
+        |FROM nodes n LEFT JOIN tri t ON t.v = n.node
+        |GROUP BY n.node ORDER BY n.node""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,

@@ -121,6 +121,99 @@ object Betweenness {
         (coalesce($"raw", lit(0.0)) * lit(scale) * lit(halve) * lit(norm)).as("centrality"))
   }
 
+  /** All-pairs BFS distances and shortest-path counts over the broadcast
+    * adjacency: one row per ordered reachable pair, (s, t, dist, sigma)
+    * with sigma = number of distinct shortest s→t paths (multi-edges count
+    * with multiplicity). The forward half of Brandes, parallelized over
+    * sources like [[betweennessCentrality]].
+    */
+  def allPairsSigma(df: DataFrame, from: String, to: String,
+      directed: Boolean = false, maxLocalEdges: Long = 50000000L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val e = Ingest.edges(df, from, to)
+    val nEdges = e.count()
+    require(nEdges <= maxLocalEdges,
+      s"betweenness broadcast fast path supports <= $maxLocalEdges edges (got $nEdges)")
+    val rows = e.as[(String, String)].collect().map { case (f, t) => (f, t, 1L) }
+    val graph = LocalGraph.fromEdges(rows.toSeq, directed)
+    val n = graph.numNodes
+    if (n == 0) return spark.emptyDataset[(String, String, Int, Long)]
+      .toDF("s", "t", "dist", "sigma")
+    val bc = spark.sparkContext.broadcast(graph)
+    val parallelism = math.max(1, math.min(n, spark.sparkContext.defaultParallelism * 4))
+    spark.range(n).repartition(parallelism).as[Long]
+      .mapPartitions { sources =>
+        val g = bc.value
+        sources.flatMap { srcL =>
+          val src = srcL.toInt
+          val (distances, paths) = bfsSigma(g, src)
+          (0 until g.numNodes).iterator
+            .filter(t => t != src && distances(t) >= 0)
+            .map(t => (g.names(src), g.names(t), distances(t), paths(t)))
+        }
+      }
+      .toDF("s", "t", "dist", "sigma")
+  }
+
+  /** Betweenness via the pairwise identity δ(v) = Σ_{s≠v≠t}
+    * σ_sv·σ_vt/σ_st [d_sv+d_vt = d_st], with each triple's contribution
+    * quantized to floor(1e9·σσ/σ) BEFORE summation — integer sums are
+    * exact in any order and any engine, which gives this operator a
+    * hash-exact DuckDB oracle (the double-precision accumulation of
+    * [[betweennessCentrality]] is order-sensitive in the last bits).
+    * Returns (node, qbc long) where qbc sums over ORDERED pairs — for an
+    * undirected graph that is 2×(unordered betweenness)×1e9, unnormalized.
+    */
+  def betweennessPairwiseQuantized(df: DataFrame, from: String, to: String,
+      directed: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val sp = allPairsSigma(df, from, to, directed)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val st = sp.select(col("s"), col("t"), col("dist").as("d"), col("sigma").as("sig"))
+    val sv = sp.select(col("s"), col("t").as("v"), col("dist").as("d1"),
+      col("sigma").as("sig1"))
+    val vt = sp.select(col("s").as("v"), col("t"), col("dist").as("d2"),
+      col("sigma").as("sig2"))
+    val tri = st
+      .join(sv, "s")
+      .join(vt, Seq("v", "t"))
+      .where(col("v") =!= col("t") && col("d1") + col("d2") === col("d"))
+      .select(col("v"),
+        floor(lit(1.0e9) * col("sig1") * col("sig2") / col("sig"))
+          .cast("long").as("qc"))
+    val nodes = sp.select(col("s").as("node")).distinct()
+    nodes.join(tri.groupBy(col("v").as("node")).agg(sum(col("qc")).as("qbc")),
+        Seq("node"), "left")
+      .select(col("node"), coalesce(col("qbc"), lit(0L)).as("qbc"))
+  }
+
+  /** One BFS forward pass: (distances, path counts) from `source`. */
+  private def bfsSigma(g: LocalGraph, source: Int): (Array[Int], Array[Long]) = {
+    val n = g.numNodes
+    val paths = Array.fill(n)(0L)
+    val distances = Array.fill(n)(-1)
+    val queue = mutable.Queue.empty[Int]
+    paths(source) = 1L
+    distances(source) = 0
+    queue.enqueue(source)
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      val nbrs = g.adj(v)
+      var i = 0
+      while (i < nbrs.length) {
+        val w = nbrs(i)._1
+        if (distances(w) < 0) {
+          queue.enqueue(w)
+          distances(w) = distances(v) + 1
+        }
+        if (distances(w) == distances(v) + 1) paths(w) += paths(v)
+        i += 1
+      }
+    }
+    (distances, paths)
+  }
+
   /** One Brandes source pass (rs:64-106), adding deltas into `acc`. */
   private def accumulate(g: LocalGraph, source: Int, acc: Array[Double]): Unit = {
     val n = g.numNodes

@@ -88,6 +88,25 @@ class ScalePathsSpec extends AnyFunSuite {
     assert(pregel == Map("A" -> 4.0, "B" -> 3.0, "C" -> 0.5))
   }
 
+  test("pairwise-quantized betweenness agrees with exact Brandes") {
+    val edges = Seq(
+      ("A", "B"), ("B", "C"), ("C", "D"), ("D", "E"), ("B", "D"), ("E", "F"))
+      .toDF("src", "dst")
+    val exact = Betweenness.betweennessCentrality(edges, "src", "dst",
+        normalized = false, directed = false)
+      .as[(String, Double)].collect().toMap
+    val quant = Betweenness.betweennessPairwiseQuantized(edges, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(quant.keySet == exact.keySet)
+    quant.foreach { case (node, qbc) =>
+      // qbc sums ordered pairs (2× unordered) on a 1e9 grid with per-triple
+      // floors: within #triples ulps of 2e9 × exact
+      val approx = qbc.toDouble / 2e9
+      assert(math.abs(approx - exact(node)) < 1e-6,
+        s"$node: quantized $approx vs exact ${exact(node)}")
+    }
+  }
+
   test("sampled betweenness with full sample equals exact betweenness") {
     val edges = randomEdges(120, 40, 11)
     val exact = Betweenness.betweennessCentrality(edges, "src", "dst")
