@@ -90,6 +90,37 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("incremental streaming CC equals batch CC after every micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scc").toString
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamComponents.run(
+      input.toDF().toDF("src", "dst"), s"$dir/state", s"$dir/ckpt")
+    // three batches that first build separate components, then merge them
+    val batches = Seq(
+      Seq(("a", "b"), ("c", "d")),
+      Seq(("e", "f"), ("b", "a")),          // duplicate edge, reversed
+      Seq(("d", "e"), ("x", "y")))          // merges c-d with e-f
+    var seen = Seq.empty[(String, String)]
+    batches.foreach { b =>
+      input.addData(b: _*)
+      q.processAllAvailable()
+      seen ++= b
+      val streamed = graft.streaming.StreamComponents
+        .currentState(spark, s"$dir/state").get
+        .as[(String, String)].collect().toSet
+      val batchCc = graft.ops.ConnectedComponents
+        .components(seen.toDF("src", "dst"))
+        .as[(String, String)].collect().toSet
+      assert(streamed == batchCc, s"after batch $b")
+    }
+    q.stop()
+    // final state: {a,b}, {c,d,e,f}, {x,y}
+    val fin = graft.streaming.StreamComponents.currentState(spark, s"$dir/state")
+      .get.as[(String, String)].collect().toMap
+    assert(fin("f") == "c" && fin("d") == "c" && fin("b") == "a" && fin("y") == "x")
+  }
+
   test("streaming sessionization matches batch sessionizer on sf0.001 events") {
     implicit val sqlCtx = spark.sqlContext
     // nanosAsLong is set at session construction in TestSpark
