@@ -284,7 +284,12 @@ object SparkEntry {
       // unique per (user, ts) so the as-of pick is engine-deterministic;
       // DuckDB mirrors with its native ASOF LEFT JOIN.
       val ev = Tables.events(s, d)
+      // repartition by the join key BEFORE the (user_id, ts_us) groupBy:
+      // hash(user_id) satisfies the aggregation's ClusteredDistribution
+      // (user_id ⊂ keys) AND the as-of join's requirement, so the plan
+      // carries ONE exchange on this side instead of agg-shuffle + re-shuffle
       val purchases = ev.where(col("event_type") === "purchase")
+        .repartition(col("user_id"))
         .groupBy(col("user_id"), col("ts_us"))
         .agg((sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0))
           .as("p_value"))

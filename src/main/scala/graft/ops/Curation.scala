@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** End-to-end training-data curation: the composite pipeline the
   * individual operators exist for. One declarative plan — Catalyst fuses
@@ -21,7 +22,11 @@ object Curation {
     // 1. exact: keep the smallest id per content hash
     val keep = Dedup.exactDuplicates(docs, idCol, textCol)
       .select(col("keep_id").as(idCol))
+    // feeds the near-dup pair generation AND the survivor anti-join AND the
+    // stat pass — persist or the scan+hash+semi-join subtree runs 3×
+    // (left to LRU eviction; the returned plan reads it lazily)
     val exactDeduped = docs.join(keep, Seq(idCol), "left_semi")
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 2. near-dup pairs: drop the larger id of every surviving pair
     val nearDupLosers = Dedup.ngramJaccardPairs(
