@@ -312,8 +312,9 @@ object SparkEntry {
     },
     "q_multimodal" -> { (s, d) =>
       // binary-asset pipeline: pack → partition-wise (stubbed) decode →
-      // feature extraction → per-kind/format rollup; hashes are
-      // engine-specific → rows-only check + determinism asserted in ScalaTest
+      // feature extraction → per-kind/format rollup. The decode stub
+      // derives metadata from md5(payload) (byte-defined), so the rollup
+      // hash-matches a DuckDB oracle mirroring the same formulas
       val assets = Multimodal.decodeAssets(
         Multimodal.packAssets(Tables.documents(s, d), "doc_id", "text"))
       Multimodal.extractFeatures(assets, dim = 8)
@@ -664,6 +665,22 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         |ORDER BY c.event_id""".stripMargin,
+    "q_multimodal" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |             text,
+        |             ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |           FROM documents),
+        |d AS (SELECT asset_id, kind,
+        |        64 + h % 1024 AS width,
+        |        CASE WHEN kind = 'image' THEN (CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+        |             WHEN kind = 'audio' THEN 'wav' ELSE 'mp4' END AS format,
+        |        strlen(text) AS nbytes
+        |      FROM a)
+        |SELECT kind, format, COUNT(*) AS n_assets,
+        |       CAST(SUM(width) AS BIGINT) AS tot_width,
+        |       CAST(SUM(nbytes) AS BIGINT) AS tot_bytes
+        |FROM d GROUP BY kind, format ORDER BY kind, format""".stripMargin,
     "q_curate" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
         |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),

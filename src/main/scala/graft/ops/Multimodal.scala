@@ -43,14 +43,19 @@ object Multimodal {
   /** STUB — deterministic fake media decode. A real implementation would
     * parse the container header here; this derives plausible metadata from
     * the payload bytes so the full pipeline is exercisable and testable.
+    * The stand-in reads the first 32 bits of md5(payload) — byte-defined
+    * (unlike JVM Arrays.hashCode), so the derived metadata is reproducible
+    * in ANY engine and q_multimodal gets a hash-exact DuckDB oracle.
     */
   private[graft] def fakeDecode(payload: Array[Byte], kind: String): (Int, Int, String) = {
     // ??? real decoder goes here; deterministic stand-in below
-    val h = java.util.Arrays.hashCode(payload)
-    val width = 64 + math.floorMod(h, 1024)
-    val height = 64 + math.floorMod(h >> 10, 1024)
+    val md5 = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val h = ((md5(0) & 0xffL) << 24) | ((md5(1) & 0xffL) << 16) |
+      ((md5(2) & 0xffL) << 8) | (md5(3) & 0xffL) // first 8 hex chars as uint
+    val width = (64 + h % 1024).toInt
+    val height = (64 + (h >> 10) % 1024).toInt
     val format = kind match {
-      case "image" => if (math.floorMod(h, 2) == 0) "png" else "jpeg"
+      case "image" => if (h % 2 == 0) "png" else "jpeg"
       case "audio" => "wav"
       case _ => "mp4"
     }
