@@ -205,10 +205,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
     "q_ann_lsh" -> { (s, d) =>
-      // hyperplane-LSH bucketed ANN (the sub-quadratic scale path);
-      // approximate by design → rows-only + recall assertion in ScalaTest
+      // hyperplane-LSH bucketed ANN (the sub-quadratic scale path).
+      // Approximate vs brute force, but DETERMINISTIC given the seeded
+      // integer-quantized hyperplanes — the portable variant's buckets,
+      // candidates and cosines are exact integer math reproducible in
+      // DuckDB → hash-exact oracle (recall vs brute force in ScalaTest)
       val e = Tables.embeddings(s, d)
-      Similarity.lshTopK(e, "vec_id", "embedding", dim = 64, k = 5, nBits = 6)
+      Similarity.lshTopKPortable(e, "vec_id", "embedding", dim = 64, k = 5,
+          nBits = 6, tables = 4, seed = 42L)
         .orderBy("query_id", "rank")
     },
     "q_ann_ivf" -> { (s, d) =>
@@ -576,6 +580,8 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
+      dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L),
     "q_text_stats" ->
       """WITH t AS (SELECT lang, source, text, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT lang, source,

@@ -204,6 +204,104 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
+  /** Integer-quantized hyperplanes for the portable LSH variant: seeded
+    * gaussians floored onto a ×1000 grid. The SAME array feeds the Spark
+    * expressions and the literal lists in the generated DuckDB oracle, so
+    * both engines compute identical sign bits (integer dots are exact).
+    */
+  private[graft] def quantizedPlanes(dim: Int, nBits: Int,
+      seed: Long): Array[Array[Long]] = {
+    val rnd = new scala.util.Random(seed)
+    Array.fill(nBits, dim)(math.floor(rnd.nextGaussian() * 1000.0).toLong)
+  }
+
+  /** Cross-engine-portable multi-table hyperplane LSH top-k: vectors are
+    * ×10000-quantized ([[quantize]]), hyperplanes integer-quantized
+    * ([[quantizedPlanes]]), so every sign bit, bucket id, and cosine is an
+    * exact integer computation reproducible in DuckDB SQL
+    * ([[lshPortableOracle]]) — upgrading the driver check from rows-only
+    * to hash-exact. Same structure as [[lshTopK]]: candidates share a
+    * bucket in any table, exact rerank, rank ties broken by neighbor id.
+    */
+  def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("vec"))
+    val bucketed = (0 until tables).map { t =>
+      val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
+      val bucket = (0 until nBits).map { i =>
+        val plane = array(planes(i).map(p => lit(p.toDouble)): _*)
+        val dot = graft.functions.ArrayDot.array_dot(col("vec"), plane)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _) // disjoint powers of two: sum == bitwise or
+      v.select(col("id"), bucket.as("bucket"), lit(t).as("tbl"))
+    }.reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bucketed.as("a").join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
+      .distinct()
+    val scored = candidates
+      .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (nb, q, qv, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** DuckDB mirror of [[lshTopKPortable]] on the `embeddings` table: the
+    * per-table bucket CTE embeds the same quantized-plane literals. */
+  private[graft] def lshPortableOracle(dim: Int, k: Int, nBits: Int,
+      tables: Int, seed: Long): String = {
+    def planeList(p: Array[Long]) = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until tables).map { t =>
+      val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
+      val bits = (0 until nBits).map { i =>
+        s"""(CASE WHEN (SELECT SUM(v[j] * (${planeList(planes(i))})[j])
+           |            FROM UNNEST(range(1, ${dim + 1})) u(j)) >= 0
+           |      THEN ${1L << i} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"SELECT id, $t AS tbl, ($bits) AS bucket FROM q"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+       |           FROM embeddings),
+       |n AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(v) t(x)) AS nrm FROM q),
+       |b AS (
+       |$tableSelects),
+       |cand AS (SELECT DISTINCT a.id AS query_id, bb.id AS neighbor_id
+       |         FROM b a JOIN b bb
+       |           ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id <> bb.id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |             (SELECT SUM(qq.v[i] * nv.v[i])
+       |              FROM UNNEST(range(1, ${dim + 1})) t(i)) /
+       |               SQRT(nq.nrm * nn.nrm) AS cosine
+       |           FROM cand c
+       |           JOIN q qq ON qq.id = c.query_id
+       |           JOIN q nv ON nv.id = c.neighbor_id
+       |           JOIN n nq ON nq.id = c.query_id
+       |           JOIN n nn ON nn.id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def nearestCentroid(x: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {

@@ -70,6 +70,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(!pairs.exists(p => p._2 == 3L || p._1 == 3L))
   }
 
+  test("portable LSH topK keeps useful recall vs brute force") {
+    // recall-tuned params (wide buckets × many tables), same as the
+    // xxhash-variant recall test; the q_ann_lsh query uses scale-tuned
+    // narrower buckets and is correctness-gated by its oracle instead
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val lsh = graft.ops.Similarity.lshTopKPortable(emb, "vec_id", "embedding",
+        dim = 64, k = 5, nBits = 4, tables = 8)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect lsh).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
   test("simHash hamming 0 for identical docs, small for near-identical") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
