@@ -216,11 +216,14 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     },
     "q_ann_ivf" -> { (s, d) =>
-      // IVF-cell ANN (seeded k-means centroids, nProbe cells per query);
-      // approximate → rows-only + recall assertion in ScalaTest
+      // IVF-cell ANN. The portable variant quantizes vectors AND the Lloyd
+      // iteration itself (floor-of-mean centroids, integer distances,
+      // (dist, cell) tiebreaks, literal seeded init) so the whole inverted
+      // file reproduces in DuckDB → hash-exact oracle; approximate only
+      // relative to brute force (recall in ScalaTest)
       val e = Tables.embeddings(s, d)
-      Similarity.ivfTopK(e, "vec_id", "embedding", dim = 64, k = 5,
-          nCells = 16, nProbe = 4)
+      Similarity.ivfTopKPortable(e, "vec_id", "embedding", dim = 64, k = 5,
+          nCells = 16, nProbe = 4, kmeansIters = 3, sampleN = 200, seed = 42L)
         .orderBy("query_id", "rank")
     },
     "q_text_stats" -> { (s, d) =>
@@ -580,6 +583,9 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_ivf" -> graft.ops.Similarity.ivfPortableOracle(
+      dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
+      sampleN = 200, seed = 42L),
     "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
       dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L),
     "q_text_stats" ->

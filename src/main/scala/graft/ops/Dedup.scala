@@ -225,8 +225,9 @@ object Dedup {
       maxBits: Int = 3): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
-      .withColumn("h1", conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(md5(col("tok")), 9, 8), 16, 10).cast("long"))
+      .withColumn("__md5", md5(col("tok"))) // hash once, split twice
+      .withColumn("h1", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
+      .withColumn("h2", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
     val votes =
       (0 until 32).map(j =>
         sum(when(expr(s"(h1 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v1_$j")) ++

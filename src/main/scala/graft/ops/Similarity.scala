@@ -302,6 +302,151 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** Seeded init-pick for the portable IVF: which of the `sampleN`
+    * id-ranked sample vectors seed each cell. Pure function of the seed —
+    * shared by the Spark path and the literal list in the oracle SQL. */
+  private[graft] def ivfInitIndices(sampleN: Int, nCells: Int,
+      seed: Long): Vector[Int] =
+    new scala.util.Random(seed).shuffle((0 until sampleN).toVector).take(nCells)
+
+  /** Cross-engine-portable IVF ANN: every quantity — ×10000-quantized
+    * vectors, integer squared distances, floor-of-mean centroid updates,
+    * (dist, cell) argmin tiebreaks — is either exact integer math or a
+    * single deterministic IEEE op, and the seeded Lloyd initialization is
+    * embedded as literals, so the whole computation (3 Lloyd iterations on
+    * the 200 smallest-id sample, cell assignment, nProbe probing, cosine
+    * rerank) reproduces exactly in DuckDB SQL ([[ivfPortableOracle]]).
+    * Approximate relative to brute force, deterministic in itself.
+    */
+  def ivfTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
+      sampleN: Int = 200, seed: Long = 42L): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+      quantize(col(vecCol)).as("vec"))
+
+    val sample = v.orderBy("id").limit(sampleN)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.length == sampleN,
+      s"portable IVF needs exactly $sampleN sample vectors (got ${sample.length})")
+    var centroids = ivfInitIndices(sampleN, nCells, seed).map(sample).toArray
+    for (_ <- 0 until kmeansIters) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = Array.fill(centroids.length)(0L)
+      sample.foreach { x =>
+        val c = nearestCentroid(x, centroids) // strict < : smallest cell wins ties
+        var i = 0; while (i < dim) { sums(c)(i) += x(i); i += 1 }
+        counts(c) += 1
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else {
+          val m = new Array[Double](dim); var i = 0
+          // floor-of-mean: SQL FLOOR(SUM/COUNT) — floors negatives too,
+          // unlike integer `/` truncation
+          while (i < dim) { m(i) = math.floor(sums(c)(i) / counts(c)); i += 1 }
+          m
+        }
+      }.toArray
+    }
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    val vt = v.as[(Long, Array[Double])]
+    val assigned = vt.mapPartitions { it =>
+      val cs = bcCentroids.value
+      it.map { case (id, vec) => (id, vec, nearestCentroid(vec, cs)) }
+    }.toDF("id", "vec", "cell")
+    val probes = vt.mapPartitions { it =>
+      val cs = bcCentroids.value
+      it.flatMap { case (id, vec) =>
+        cs.indices.map(c => (c, sqDist(vec, cs(c)))).sortBy { case (c, d) => (d, c) }
+          .take(nProbe).map { case (c, _) => (id, vec, c) }
+      }
+    }.toDF("query_id", "qvec", "cell")
+
+    val pairs = probes.join(assigned, "cell")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions(_.map { case (q, qv, nb, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("neighbor_id").asc)
+    pairs.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+  }
+
+  /** DuckDB mirror of [[ivfTopKPortable]] on the `embeddings` table:
+    * unrolled Lloyd iterations over long-format (cell, j, cv) centroid
+    * CTEs, argmin assignment with (dist, cell) tiebreak, nProbe probing,
+    * quantized-cosine rerank. */
+  private[graft] def ivfPortableOracle(dim: Int, k: Int, nCells: Int,
+      nProbe: Int, kmeansIters: Int, sampleN: Int, seed: Long): String = {
+    val init = ivfInitIndices(sampleN, nCells, seed)
+    val initRows = init.zipWithIndex
+      .map { case (rnIdx, cell) => s"($cell, ${rnIdx + 1})" }.mkString(", ")
+    val iters = (1 to kmeansIters).map { i =>
+      s"""d$i AS (SELECT s.rn, c.cell,
+         |          SUM((s.x - c.cv) * (s.x - c.cv)) AS dist
+         |        FROM sampu s JOIN c${i - 1} c ON c.j = s.j
+         |        GROUP BY s.rn, c.cell),
+         |a$i AS (SELECT rn, cell FROM (
+         |          SELECT rn, cell,
+         |                 ROW_NUMBER() OVER (PARTITION BY rn ORDER BY dist, cell) AS r
+         |          FROM d$i) WHERE r = 1),
+         |c$i AS (SELECT p.cell, p.j, COALESCE(u.val, p.cv) AS cv
+         |        FROM c${i - 1} p LEFT JOIN (
+         |          SELECT a.cell, s.j, FLOOR(SUM(s.x) / COUNT(*)) AS val
+         |          FROM a$i a JOIN sampu s ON s.rn = a.rn
+         |          GROUP BY a.cell, s.j) u
+         |        ON u.cell = p.cell AND u.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+       |           FROM embeddings),
+       |samp AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |         FROM (SELECT id, v FROM q ORDER BY id LIMIT $sampleN)),
+       |sampu AS (SELECT rn, j, v[j] AS x
+       |          FROM samp, UNNEST(range(1, ${dim + 1})) t(j)),
+       |c0 AS (SELECT m.cell, s.j, s.x AS cv
+       |       FROM (VALUES $initRows) m(cell, rn) JOIN sampu s ON s.rn = m.rn),
+       |$iters,
+       |qu AS (SELECT id, j, v[j] AS x FROM q, UNNEST(range(1, ${dim + 1})) t(j)),
+       |dall AS (SELECT u.id, c.cell, SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+       |         FROM qu u JOIN c$kmeansIters c ON c.j = u.j
+       |         GROUP BY u.id, c.cell),
+       |rankedcells AS (SELECT id, cell,
+       |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
+       |                FROM dall),
+       |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe),
+       |n AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(v) t(x)) AS nrm FROM q),
+       |cand AS (SELECT p.id AS query_id, a.id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.id <> p.id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |             (SELECT SUM(qq.v[i] * nv.v[i])
+       |              FROM UNNEST(range(1, ${dim + 1})) t(i)) /
+       |               SQRT(nq.nrm * nn.nrm) AS cosine
+       |           FROM cand c
+       |           JOIN q qq ON qq.id = c.query_id
+       |           JOIN q nv ON nv.id = c.neighbor_id
+       |           JOIN n nq ON nq.id = c.query_id
+       |           JOIN n nn ON nn.id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def nearestCentroid(x: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {

@@ -150,6 +150,18 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(ivf == again)
   }
 
+  test("portable IVF topK keeps useful recall vs brute force") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
+        e, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopKPortable(e, "vec_id", "embedding", 64, 5,
+        nCells = 16, nProbe = 6, kmeansIters = 3, sampleN = 200)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall > 0.5, s"recall=$recall")
+  }
+
   test("lshTopK recall vs brute force on sf0.001 embeddings") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val brute = Similarity.bruteForceTopK(e, "vec_id", "embedding",
