@@ -110,7 +110,9 @@ case class AsOfJoinExec(
           while (rIter.hasNext) {
             val r = rIter.next()
             val t = rTime.eval(r)
-            if (t != null) return r.copy() // held across calls — must copy
+            // SQL join semantics: null never equals null — rows with a null
+            // key (or time) can't match anything, drop them here
+            if (t != null && !rKeyProj(r).anyNull) return r.copy() // held across calls — must copy
           }
           null
         }
@@ -125,7 +127,8 @@ case class AsOfJoinExec(
           val l = lIter.next()
           val lk = lKeyProj(l)
           val lt = lTime.eval(l)
-          if (lt == null) return resultProj(joined(l, nullRight))
+          // null key or time on the left matches nothing (null ≠ null)
+          if (lt == null || lk.anyNull) return resultProj(joined(l, nullRight))
           val ltv = lt.asInstanceOf[Long]
           // pull right rows that are still candidates for (lk, ltv)
           var done = false

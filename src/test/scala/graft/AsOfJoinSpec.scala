@@ -54,6 +54,20 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("t1") == None)
   }
 
+  test("null keys and times never match (SQL null semantics)") {
+    val l = Seq((Some(1L), Some(100L), "a"), (None, Some(100L), "b"),
+        (Some(1L), None, "c"))
+      .toDF("k", "ts", "tag")
+    val r = Seq((Some(1L), Some(50L), 1.0), (None, Some(40L), 2.0),
+        (Some(1L), None, 3.0))
+      .toDF("k", "ts", "px")
+    val got = AsOfJoin.asofBackward(l, r, Seq("k"), "ts", "ts")
+      .select($"tag", $"px").as[(String, Option[Double])].collect().toMap
+    assert(got("a") == Some(1.0)) // real match unaffected
+    assert(got("b") == None)      // null left key matches nothing
+    assert(got("c") == None)      // null left time matches nothing
+  }
+
   test("matches window-based reference formulation on random data") {
     val rnd = new scala.util.Random(99)
     val l = Seq.fill(400)((rnd.nextInt(20).toLong, rnd.nextInt(1000).toLong))
