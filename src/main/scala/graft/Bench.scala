@@ -4,6 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt
+    // optional args: subset of query names (local iteration); default all
+    val wanted = if (args.nonEmpty) args.toSet else SparkEntry.queries.keySet
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -21,10 +24,21 @@ object Bench {
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
       catch { case _: Throwable => }
     }
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    // Each query runs `reps` times; report the min (single timed runs made
+    // r2's q_shortest_path/q_betweenness deltas unfalsifiable — VERDICT r2
+    // item 5). The cache is cleared before EVERY timed run: operators
+    // persist internal tables (dedup shingles, quantized vectors, LSH
+    // buckets) whose plans match across repeats, and a warm repeat would
+    // time the cache, not the operator.
+    val results = SparkEntry.queries.filter(q => wanted(q._1)).map {
+      case (name, fn) =>
+        val times = (0 until reps).map { _ =>
+          spark.catalog.clearCache()
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -27,5 +27,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[graft.functions.ArrayDot].getName, "array_dot"),
       (exprs: Seq[Expression]) => graft.functions.functions.buildArrayDot(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("array_quantize"),
+      new ExpressionInfo(
+        classOf[graft.functions.ArrayQuantize].getName, "array_quantize"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildArrayQuantize(exprs)))
   }
 }

@@ -112,6 +112,12 @@ object functions {
     ArrayDot(exprs.head, exprs(1))
   }
 
+  private[graft] def buildArrayQuantize(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"array_quantize expects exactly 2 arguments, got ${exprs.length}")
+    ArrayQuantize(exprs.head, exprs(1))
+  }
+
   /** Register graft's native functions for SQL use
     * (`SELECT token_fingerprint(text), array_dot(a, b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
@@ -119,5 +125,7 @@ object functions {
       "token_fingerprint", buildTokenFingerprint, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "array_dot", buildArrayDot, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "array_quantize", buildArrayQuantize, "scala_udf")
   }
 }

@@ -34,9 +34,15 @@ object Similarity {
   }
 
   /** Quantize a float/double array to integer-valued doubles:
-    * floor(x * scale). Deterministic in any engine from identical input. */
+    * floor(x * scale). Deterministic in any engine from identical input.
+    * Backed by the codegen'd [[graft.functions.ArrayQuantize]] — the
+    * `transform(vec, x -> floor(x * scale))` formulation it replaces is a
+    * CodegenFallback higher-order function, interpreted per row, and was
+    * the dominant cost of every quantized ANN query (r2 bench: q_ann_ivf
+    * 25.7s, q_dedup_embed 5.1s — both from re-evaluating the HOF on each
+    * downstream scan). */
   def quantize(vec: Column, scale: Double = 10000.0): Column =
-    transform(vec, x => floor(x.cast("double") * lit(scale)))
+    graft.functions.ArrayQuantize.array_quantize(vec, scale)
 
   /** Collected (id, vector, squared-norm) corpus for the broadcast fast
     * paths. Spark's higher-order array functions (aggregate/zip_with) are
@@ -144,8 +150,10 @@ object Similarity {
       sampleSize: Int = 2000, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: scanned by the centroid sample, assignment and probe passes
     val v = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
+        col(vecCol).cast("array<double>").as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // centroids: Lloyd on a deterministic sample (smallest ids), driver-side
     val sample = v.orderBy("id").limit(sampleSize)
@@ -185,7 +193,20 @@ object Similarity {
       }
     }.toDF("query_id", "qvec", "cell")
 
-    val pairs = probes.join(assigned, "cell")
+    // Salted cell join: the raw key has only nCells distinct values, so a
+    // plain shuffle join caps parallelism at nCells and serializes hot
+    // cells. Each corpus row takes a deterministic sub-bucket
+    // hash(id) % salt; each probe is replicated across all salt
+    // sub-buckets (replicate the probe side — queries × nProbe — never
+    // the corpus, which at scale is the big side). Join keys become
+    // nCells × salt.
+    val salt = math.max(1,
+      (spark.sparkContext.defaultParallelism * 2 + nCells - 1) / nCells)
+    val saltedAssigned = assigned.withColumn("__salt",
+      pmod(xxhash64(col("id")), lit(salt.toLong)).cast("int"))
+    val saltedProbes = probes.withColumn("__salt",
+      explode(array((0 until salt).map(lit): _*)))
+    val pairs = saltedProbes.join(saltedAssigned, Seq("cell", "__salt"))
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
       .as[(Long, Array[Double], Long, Array[Double])]
@@ -227,8 +248,11 @@ object Similarity {
       k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: the quantized table feeds all `tables` bucket passes and
+    // both rerank joins — six parquet scans otherwise
     val v = df.select(col(idCol).cast("long").as("id"),
-      quantize(col(vecCol)).as("vec"))
+        quantize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bucketed = (0 until tables).map { t =>
       val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
       val bucket = (0 until nBits).map { i =>
@@ -323,8 +347,12 @@ object Similarity {
       sampleN: Int = 200, seed: Long = 42L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // persisted: the quantized table feeds the centroid sample, the cell
+    // assignment pass AND the probe pass — without it each scan re-reads
+    // parquet and re-quantizes (r2's 4.4× regression)
     val v = df.select(col(idCol).cast("long").as("id"),
-      quantize(col(vecCol)).as("vec"))
+        quantize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val sample = v.orderBy("id").limit(sampleN)
       .as[(Long, Array[Double])].collect().map(_._2)
@@ -365,7 +393,12 @@ object Similarity {
       }
     }.toDF("query_id", "qvec", "cell")
 
-    val pairs = probes.join(assigned, "cell")
+    // broadcast the assigned side: a shuffle join keyed on `cell` has only
+    // nCells (16) distinct keys — at 32 cores half the cluster idles and
+    // any hot cell serializes (r2 What's-wrong #2). The portable variant
+    // caps the corpus at oracle scale, so the build side always fits; the
+    // scale variant [[ivfTopK]] uses the salted join instead.
+    val pairs = probes.join(broadcast(assigned), "cell")
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
       .as[(Long, Array[Double], Long, Array[Double])]

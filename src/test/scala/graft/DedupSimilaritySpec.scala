@@ -110,6 +110,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     both.foreach { case (n, h) => assert(n == h) } // bit-identical
   }
 
+  test("native array_quantize matches interpreted transform/floor formulation") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
+    val both = e.select(
+        Similarity.quantize(col("embedding")).as("native"),
+        transform(col("embedding"), x => floor(x.cast("double") * lit(10000.0))
+          .cast("double")).as("hof"))
+      .as[(Seq[Double], Seq[Double])].collect()
+    assert(both.nonEmpty)
+    both.foreach { case (n, h) => assert(n == h) } // element-wise identical
+  }
+
+  test("array_quantize preserves null slots and null arrays") {
+    val df = Seq(
+      (1L, Some(Seq(Some(1.25), None, Some(-0.37)))),
+      (2L, None: Option[Seq[Option[Double]]]))
+      .toDF("id", "v")
+    val got = df.select(col("id"), Similarity.quantize(col("v"), 10.0).as("q"))
+      .orderBy("id").collect()
+    assert(got(0).getSeq[Any](1) == Seq(12.0, null, -4.0)) // floor rounds toward -inf
+    assert(got(1).isNullAt(1))
+  }
+
   test("cosine column: exact on known vectors") {
     val df = Seq(
       (1L, Seq(1.0, 0.0), Seq(0.0, 1.0)),
