@@ -26,7 +26,34 @@ import org.apache.spark.storage.StorageLevel
   * Hashes use Spark's xxhash64 with literal seed columns — deterministic
   * across runs and cluster layouts.
   */
-object Dedup {
+object Dedup extends org.apache.spark.internal.Logging {
+
+  /** Drop LSH buckets holding more than `maxBucketSize` rows before a
+    * candidate self-join. A single degenerate bucket (empty strings, zero
+    * vectors, boilerplate templates — guaranteed in real crawl data) makes
+    * the self-join O(bucket²); AQE's skew handling splits partitions but
+    * cannot reduce that quadratic pair count, so the standard practice is
+    * to cap and log. `maxBucketSize <= 0` disables the cap. The hot-key
+    * set is tiny by construction (each key names > maxBucketSize rows), so
+    * the exclusion is a broadcast anti-join — no extra shuffle of the
+    * bucket table, which callers keep persisted.
+    */
+  private[graft] def capHotBuckets(buckets: DataFrame, keyCols: Seq[String],
+      maxBucketSize: Int, what: String): DataFrame = {
+    if (maxBucketSize <= 0) return buckets
+    val keys = keyCols.map(col)
+    val hot = buckets.groupBy(keys: _*).agg(count(lit(1)).as("__bsz"))
+      .where(col("__bsz") > maxBucketSize)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nHot = hot.count() // eager: the drop must be observable in logs
+    if (nHot > 0) {
+      val dropped = hot.agg(sum(col("__bsz"))).collect()(0).getLong(0)
+      logWarning(s"[$what] dropping $nHot hot buckets " +
+        s"(> $maxBucketSize rows each, $dropped bucket rows total) " +
+        "from candidate generation")
+      buckets.join(broadcast(hot.select(keys: _*)), keyCols, "left_anti")
+    } else { hot.unpersist(); buckets }
+  }
 
   /** Word n-gram shingle set, one row per (id, distinct shingle).
     * Built with posexplode + window lead (whole-stage codegen) rather than
@@ -107,7 +134,7 @@ object Dedup {
     */
   def minHashLshPairs(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     // one persisted shingle set feeds signatures AND exact verification
@@ -119,9 +146,11 @@ object Dedup {
     }
     // the band-bucket table feeds both sides of the candidate self-join;
     // persist it so the 64-aggregate signature pass runs once, not twice
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val rawBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = capHotBuckets(rawBuckets, Seq("band", "bucket"),
+      maxBucketSize, "minHashLshPairs")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -156,7 +185,7 @@ object Dedup {
     */
   def minHashLshPairsPortable(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3, numHashes: Int = 64, bands: Int = 16,
-      threshold: Double = 0.8): DataFrame = {
+      threshold: Double = 0.8, maxBucketSize: Int = 1000): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rowsPerBand = numHashes / bands
     val coeffs = portableMinHashCoeffs(numHashes)
@@ -175,9 +204,11 @@ object Dedup {
         (acc * lit(PortableBucketMul) + mh) % lit(PortableBucketM))
       struct(lit(b).as("band"), bucket.as("bucket"))
     }
-    val buckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+    val rawBuckets = sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("bb.band"), col("bb.bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = capHotBuckets(rawBuckets, Seq("band", "bucket"),
+      maxBucketSize, "minHashLshPairsPortable")
     val candidates = buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -222,32 +253,29 @@ object Dedup {
     * (id_a, id_b, hamming).
     */
   def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
-      maxBits: Int = 3): DataFrame = {
+      maxBits: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    import graft.functions.BitVoteAgg.bit_votes
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
       .withColumn("__md5", md5(col("tok"))) // hash once, split twice
       .withColumn("h1", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
       .withColumn("h2", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
-    val votes =
-      (0 until 32).map(j =>
-        sum(when(expr(s"(h1 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v1_$j")) ++
-      (0 until 32).map(j =>
-        sum(when(expr(s"(h2 >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v2_$j"))
-    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    def fpOf(prefix: String) = (0 until 32)
-      .map(j => when(col(s"${prefix}_$j") > 0,
-        expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    val fp = agg.select(col("id"), fpOf("v1").as("fp1"), fpOf("v2").as("fp2"))
+    // single-pass array-valued vote aggregate — semantically identical to
+    // the 64 separate sum(when((h >> j) & 1 = 1, 1).otherwise(-1)) columns
+    // it replaces (the oracle SQL still spells the votes out per bit)
+    val fp = toks.groupBy(col("id"))
+      .agg(bit_votes(col("h1"), 32).as("fp1"), bit_votes(col("h2"), 32).as("fp2"))
     val bandCols = Seq(
       struct(lit(0).as("band"), expr("fp1 & 65535").as("bucket")),
       struct(lit(1).as("band"), expr("(fp1 >> 16) & 65535").as("bucket")),
       struct(lit(2).as("band"), expr("fp2 & 65535").as("bucket")),
       struct(lit(3).as("band"), expr("(fp2 >> 16) & 65535").as("bucket")))
-    val buckets = fp.select(col("id"), col("fp1"), col("fp2"),
+    val rawBuckets = fp.select(col("id"), col("fp1"), col("fp2"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("fp1"), col("fp2"), col("bb.band"), col("bb.bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = capHotBuckets(rawBuckets, Seq("band", "bucket"),
+      maxBucketSize, "simHashPairsPortable")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -289,16 +317,12 @@ object Dedup {
     * xxhash64(token)) > 0.
     */
   def simHashFingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.functions.BitVoteAgg.bit_votes
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
       .withColumn("h", xxhash64(col("tok")))
-    val votes = (0 until 64).map(j =>
-      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v_$j"))
-    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
-    val fp = (0 until 64).map(j =>
-      when(col(s"v_$j") > 0, expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L)))
-      .reduce(_.bitwiseOR(_))
-    agg.select(col("id"), fp.as("simhash"))
+    // one array-buffered vote aggregate instead of 64 scalar sum columns
+    toks.groupBy(col("id")).agg(bit_votes(col("h"), 64).as("simhash"))
   }
 
   /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <= maxBits.
@@ -306,16 +330,18 @@ object Dedup {
     * pigeonhole), then exact hamming verification.
     */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
-      maxBits: Int = 3): DataFrame = {
+      maxBits: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
     val fp = simHashFingerprints(df, idCol, textCol)
     val bandCols = (0 until 4).map(b =>
       struct(lit(b).as("band"), expr(s"(simhash >> ${b * 16}) & 65535").as("bucket")))
     // the banded table feeds both sides of the self-join — compute the
     // 64-vote fingerprint pass once
-    val buckets = fp.select(col("id"), col("simhash"),
+    val rawBuckets = fp.select(col("id"), col("simhash"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("simhash"), col("bb.band"), col("bb.bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = capHotBuckets(rawBuckets, Seq("band", "bucket"),
+      maxBucketSize, "simHashPairs")
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

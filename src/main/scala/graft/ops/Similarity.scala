@@ -245,7 +245,8 @@ object Similarity {
     * bucket in any table, exact rerank, rank ties broken by neighbor id.
     */
   def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L): DataFrame = {
+      k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the quantized table feeds all `tables` bucket passes and
@@ -263,7 +264,9 @@ object Similarity {
       v.select(col("id"), bucket.as("bucket"), lit(t).as("tbl"))
     }.reduce(_ union _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = bucketed.as("a").join(bucketed.as("b"),
+    val capped = Dedup.capHotBuckets(bucketed, Seq("tbl", "bucket"),
+      maxBucketSize, "lshTopKPortable")
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
@@ -521,7 +524,8 @@ object Similarity {
     * sparse buckets everywhere may return fewer than k neighbors.
     */
   def lshTopK(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, nBits: Int = 8, tables: Int = 4, seed: Long = 42L): DataFrame = {
+      k: Int, nBits: Int = 8, tables: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(idCol).cast("long").as("id"),
@@ -534,7 +538,9 @@ object Similarity {
         .select(col("id"), col("bucket"), lit(t).as("table"))
     }.reduce(_ union _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val candidates = bucketed.as("a").join(bucketed.as("b"),
+    val capped = Dedup.capHotBuckets(bucketed, Seq("table", "bucket"),
+      maxBucketSize, "lshTopK")
+    val candidates = capped.as("a").join(capped.as("b"),
         col("a.table") === col("b.table") &&
           col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))

@@ -53,9 +53,12 @@ object StreamComponents {
     val cur = currentState(spark, stateDir)
     val forestEdges = cur match {
       case Some(st) =>
-        // forest edge per non-representative node, unioned with the batch
-        st.where(col("node") =!= col("component"))
-          .select(col("node").as("src"), col("component").as("dst"))
+        // EVERY state row becomes an edge (node → component), including
+        // representatives' self-edges: filtering to node =!= component
+        // silently dropped singleton components (a node whose component is
+        // itself, e.g. from a self-loop edge) from the recompute, breaking
+        // the invariant that state equals batch CC over all edges seen
+        st.select(col("node").as("src"), col("component").as("dst"))
           .union(batch.select(col("src"), col("dst")))
       case None => batch.select(col("src"), col("dst"))
     }
@@ -64,27 +67,47 @@ object StreamComponents {
     writeState(next, stateDir)
   }
 
-  /** (node, component) labels equal to batch CC over every edge seen. */
+  /** (node, component) labels equal to batch CC over every edge seen.
+    * Falls back to `prev` when `current` is missing — the crash window
+    * between rotating current→prev and promoting next→current leaves only
+    * prev on disk, and restarting from prev is safe: the sink checkpoint
+    * replays the interrupted batch, and CC is idempotent to re-merged
+    * edges. */
   def currentState(spark: SparkSession, stateDir: String): Option[DataFrame] = {
-    val p = new java.io.File(s"$stateDir/current")
-    if (p.exists()) Some(spark.read.parquet(p.toString)) else None
+    val (fs, base) = fsOf(spark, stateDir)
+    val cur = new org.apache.hadoop.fs.Path(base, "current")
+    val prev = new org.apache.hadoop.fs.Path(base, "prev")
+    if (fs.exists(cur)) Some(spark.read.parquet(cur.toString))
+    else if (fs.exists(prev)) Some(spark.read.parquet(prev.toString))
+    else None
   }
 
+  /** State rotation via the Hadoop FileSystem API (works on HDFS/object
+    * stores, not just the local FS), ordered so that a complete state dir
+    * exists on disk at every instant:
+    * write next → drop stale prev → rename current→prev → rename
+    * next→current. `prev` is retained until the NEXT successful batch, so
+    * a crash at any point leaves either `current` or `prev` readable and
+    * [[currentState]] recovers. */
   private def writeState(df: DataFrame, stateDir: String): Unit = {
-    val tmp = s"$stateDir/next"
-    df.write.mode("overwrite").parquet(tmp)
-    val cur = new java.io.File(s"$stateDir/current")
-    val old = new java.io.File(s"$stateDir/prev")
-    if (old.exists()) delete(old)
-    if (cur.exists() && !cur.renameTo(old))
+    val spark = df.sparkSession
+    val (fs, base) = fsOf(spark, stateDir)
+    import org.apache.hadoop.fs.Path
+    val next = new Path(base, "next")
+    val cur = new Path(base, "current")
+    val prev = new Path(base, "prev")
+    df.write.mode("overwrite").parquet(next.toString)
+    if (fs.exists(prev) && !fs.delete(prev, true))
+      throw new java.io.IOException(s"cannot drop stale $prev")
+    if (fs.exists(cur) && !fs.rename(cur, prev))
       throw new java.io.IOException(s"cannot rotate $cur")
-    if (!new java.io.File(tmp).renameTo(cur))
-      throw new java.io.IOException(s"cannot promote $tmp")
-    delete(old)
+    if (!fs.rename(next, cur))
+      throw new java.io.IOException(s"cannot promote $next")
   }
 
-  private def delete(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(delete)
-    f.delete()
+  private def fsOf(spark: SparkSession, dir: String)
+      : (org.apache.hadoop.fs.FileSystem, org.apache.hadoop.fs.Path) = {
+    val base = new org.apache.hadoop.fs.Path(dir)
+    (base.getFileSystem(spark.sparkContext.hadoopConfiguration), base)
   }
 }

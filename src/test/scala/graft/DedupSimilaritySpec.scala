@@ -98,6 +98,66 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(java.lang.Long.bitCount(fp(1L) ^ fp(3L)) <= 16)
   }
 
+  test("single-pass bit_votes fingerprint equals the 64-sum column formulation") {
+    val toks = docs.select(col("doc_id").as("id"),
+        explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    val votes = (0 until 64).map(j =>
+      sum(when(expr(s"(h >> $j) & 1") === 1, 1).otherwise(-1)).as(s"v_$j"))
+    val agg = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+    val wide = agg.select(col("id"), (0 until 64).map(j =>
+        when(col(s"v_$j") > 0, expr(s"CAST(1 AS BIGINT) << $j")).otherwise(lit(0L)))
+      .reduce(_.bitwiseOR(_)).as("simhash"))
+      .as[(Long, Long)].collect().toMap
+    val single = Dedup.simHashFingerprints(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(single == wide)
+  }
+
+  test("hot-bucket cap keeps degenerate buckets from exploding candidates") {
+    // 600 byte-identical docs — every LSH bucket they land in is hot; a
+    // real crawl corpus always contains such degenerate masses (empty
+    // pages, boilerplate). Uncapped, candidate generation is O(600²) pairs
+    // from one bucket; capped, those buckets are dropped and the normal
+    // near-dup pair is still found (its buckets stay small).
+    val degenerate = (100L until 700L).map(i => (i, "lorem ipsum dolor sit amet"))
+    val normal = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again ok"),
+      (2L, "the quick brown fox jumps over the lazy dog tonight again yes"),
+      (3L, "completely unrelated text about graph analytics at scale here"))
+    val df = (normal ++ degenerate).toDF("doc_id", "text")
+
+    val capped = Dedup.minHashLshPairsPortable(df, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 100)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // recall on normal pairs unchanged; degenerate mass contributes nothing
+    assert(capped == Set((1L, 2L)), s"got $capped")
+
+    // disabled cap: the same degenerate mass produces all O(n²) pairs —
+    // proof the cap (not banding luck) is what bounded the work above
+    val uncapped = Dedup.minHashLshPairsPortable(df, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5, maxBucketSize = 0)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(uncapped.contains((1L, 2L)))
+    assert(uncapped.size == 1 + 600 * 599 / 2, s"got ${uncapped.size}")
+  }
+
+  test("hot-bucket cap in lshTopKPortable drops zero-information buckets") {
+    // identical vectors all collide in every table; cap removes them while
+    // distinct vectors keep their neighbors
+    val base = (0 until 64).map(i => math.sin(i * 0.7))
+    val distinct = (0L until 8L).map(i =>
+      (i, (0 until 64).map(j => math.cos((j + 1) * (i + 1) * 0.31)).toArray))
+    val clones = (100L until 400L).map(i => (i, base.toArray))
+    val df = (distinct ++ clones).toDF("vec_id", "embedding")
+    val out = graft.ops.Similarity.lshTopKPortable(df, "vec_id", "embedding",
+        dim = 64, k = 3, nBits = 2, tables = 2, maxBucketSize = 50)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    // no clone pair survives; at 300 clones × anything the uncapped join
+    // would dwarf this. Distinct ids may still rank each other.
+    assert(out.forall { case (q, n) => q < 100 && n < 100 }, "clone pair leaked")
+  }
+
   test("native array_dot matches interpreted zip_with/aggregate formulation") {
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(100)
     val both = e.select(

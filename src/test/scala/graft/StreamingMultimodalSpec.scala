@@ -121,6 +121,42 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(fin("f") == "c" && fin("d") == "c" && fin("b") == "a" && fin("y") == "x")
   }
 
+  test("streaming CC keeps singleton components across merges") {
+    // a self-loop node is its own component; a later unrelated batch must
+    // not evict it from state (ADVICE r2: only node=!=component forest
+    // edges were carried forward, so self-rooted singletons vanished)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scc-single").toString
+    val sc = graft.streaming.StreamComponents
+    sc.mergeBatch(Seq(("s", "s"), ("a", "b")).toDF("src", "dst"), s"$dir/state")
+    sc.mergeBatch(Seq(("p", "q")).toDF("src", "dst"), s"$dir/state")
+    val st = sc.currentState(spark, s"$dir/state").get
+      .as[(String, String)].collect().toMap
+    assert(st("s") == "s", s"singleton lost: $st")
+    assert(st("b") == "a" && st("q") == "p")
+  }
+
+  test("streaming CC state survives a crash between rotate and promote") {
+    // simulate the worst crash window: current is gone, only prev remains.
+    // currentState must fall back to prev, and re-merging the interrupted
+    // batch (what checkpoint replay does) must converge to the same state.
+    val dir = java.nio.file.Files.createTempDirectory("graft-scc-crash").toString
+    val sc = graft.streaming.StreamComponents
+    sc.mergeBatch(Seq(("a", "b")).toDF("src", "dst"), s"$dir/state")
+    sc.mergeBatch(Seq(("b", "c")).toDF("src", "dst"), s"$dir/state") // leaves prev + current
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/state")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // crash: promote never happened — current lost, prev (batch-1 state) intact
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/state/current"), true))
+    val recovered = sc.currentState(spark, s"$dir/state").get
+      .as[(String, String)].collect().toMap
+    assert(recovered == Map("a" -> "a", "b" -> "a")) // batch-1 state
+    // checkpoint replays batch 2
+    sc.mergeBatch(Seq(("b", "c")).toDF("src", "dst"), s"$dir/state")
+    val st = sc.currentState(spark, s"$dir/state").get
+      .as[(String, String)].collect().toMap
+    assert(st == Map("a" -> "a", "b" -> "a", "c" -> "a"))
+  }
+
   test("streaming sessionization matches batch sessionizer on sf0.001 events") {
     implicit val sqlCtx = spark.sqlContext
     // nanosAsLong is set at session construction in TestSpark
