@@ -190,10 +190,13 @@ object SparkEntry {
     "q_dedup_embed" -> { (s, d) =>
       // cosine near-dup over ×10000-quantized embeddings: integer dot
       // products are exact in any summation order → bit-identical to the
-      // DuckDB oracle
+      // DuckDB oracle. Runs the distributed block-pair plan — no driver
+      // vector collect anywhere in the plan (the broadcast variant is
+      // bit-identical and auto-selected by embeddingCosinePairs below the
+      // gate; this query showcases the 100 TB shape).
       val q = Tables.embeddings(s, d)
         .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
-      Dedup.embeddingCosinePairs(q, "vec_id", "qv", threshold = 0.3)
+      Dedup.embeddingCosinePairsBlocked(q, "vec_id", "qv", threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
     "q_ann_topk" -> { (s, d) =>

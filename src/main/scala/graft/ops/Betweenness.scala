@@ -182,7 +182,12 @@ object Betweenness {
       .select(col("v"),
         floor(lit(1.0e9) * col("sig1") * col("sig2") / col("sig"))
           .cast("long").as("qc"))
-    val nodes = sp.select(col("s").as("node")).distinct()
+    // Node universe from the edge endpoints, not from observed BFS sources:
+    // with directed=true a pure sink reaches no targets and never appears as
+    // an `s` in allPairsSigma, but it is still a vertex and must get qbc=0.
+    val ein = Ingest.edges(df, from, to)
+    val nodes = ein.select(col("src").as("node"))
+      .union(ein.select(col("dst").as("node"))).distinct()
     nodes.join(tri.groupBy(col("v").as("node")).agg(sum(col("qc")).as("qbc")),
         Seq("node"), "left")
       .select(col("node"), coalesce(col("qbc"), lit(0L)).as("qbc"))

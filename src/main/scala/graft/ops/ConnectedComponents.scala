@@ -46,17 +46,19 @@ object ConnectedComponents {
     * every structure distributed — the 100 TB path.
     */
   def components(edges: DataFrame, maxAggVertices: Long = 4_000_000L): DataFrame = {
+    // Persisted for the id-assignment count + endpoint joins; left to LRU
+    // eviction because the returned plan is lazy — an eager unpersist here
+    // would force the edge subtree to recompute 2-3× at execution time
+    // (same policy as Dedup.ngramJaccardPairs).
     val e = edges.select(col("src"), col("dst")).persist(StorageLevel.MEMORY_AND_DISK)
-    try {
-      val idDf = nodeIds(e)
-      val n = idDf.count() // cached — already materialized by nodeIds
-      val nodeCc =
-        if (n <= maxAggVertices) componentsByIdViaAggregate(e, idDf)
-        else componentsById(e, idDf)
-      // component label = min node name per cc id: order-insensitive, exact.
-      val labels = nodeCc.groupBy(col("cc")).agg(min(col("node")).as("component"))
-      nodeCc.join(labels, "cc").select(col("node"), col("component"))
-    } finally e.unpersist()
+    val idDf = nodeIds(e)
+    val n = idDf.count() // cached — already materialized by nodeIds
+    val nodeCc =
+      if (n <= maxAggVertices) componentsByIdViaAggregate(e, idDf)
+      else componentsById(e, idDf)
+    // component label = min node name per cc id: order-insensitive, exact.
+    val labels = nodeCc.groupBy(col("cc")).agg(min(col("node")).as("component"))
+    nodeCc.join(labels, "cc").select(col("node"), col("component"))
   }
 
   /** GraphX-only variant (the unconditional scale path), kept callable for

@@ -93,20 +93,46 @@ object Dedup extends org.apache.spark.internal.Logging {
   /** Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b,
     * jaccard >= threshold). Inverted-index join: only documents sharing at
     * least one shingle are ever paired.
+    *
+    * A shingle appearing in m documents contributes O(m²) index-join rows,
+    * so a boilerplate shingle (repeated headers, license blocks —
+    * guaranteed in real crawl data) is a quadratic blowup AQE cannot fix.
+    * Shingles with document frequency > `maxPostings` are therefore dropped
+    * from CANDIDATE GENERATION (logged, like the LSH bucket caps);
+    * intersection counts for surviving candidates are then recomputed over
+    * the FULL shingle set, so the jaccard of every emitted pair is exact.
+    * The only semantic change under the cap: a pair whose shared shingles
+    * are ALL hot is no longer discovered — the standard recall/cost trade
+    * every inverted-index dedup makes. `maxPostings <= 0` disables the cap.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+      n: Int = 3, threshold: Double = 0.8, maxPostings: Int = 1000): DataFrame = {
     // the shingle set feeds the inverted index twice (both join sides) and
     // the size table — persist so it's tokenized once. (Internal persists
     // are left to LRU eviction: the returned plan is lazy, so an eager
     // unpersist would just force recomputation.)
     val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    val inter = sh.as("a")
-      .join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
-    jaccardScore(sh, inter, threshold)
+    val postings = capHotBuckets(sh, Seq("shingle"), maxPostings,
+      "ngramJaccardPairs shingle postings")
+    if (postings eq sh) {
+      // no hot shingles: count intersections directly off the index join
+      // (one groupBy, no candidate re-join)
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      jaccardScore(sh, inter, threshold)
+    } else {
+      // cap fired: candidates from the capped index, exact verification
+      // against the uncapped shingle set
+      val candidates = postings.as("a")
+        .join(postings.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      verifyJaccard(sh, threshold, candidates)
+    }
   }
 
   /** MinHash signature per document: the shingle string is hashed ONCE
@@ -353,17 +379,41 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /** Embedding cosine near-duplicate pairs (id_a < id_b,
-    * cosine >= threshold), exact brute force over all pairs. Vectors may be
-    * pre-quantized to integer-valued doubles for cross-engine determinism.
+    * cosine >= threshold), exact over all pairs. Two physical strategies,
+    * both bit-identical (dot products accumulate in index order either
+    * way):
     *
-    * Vector table is broadcast and each task scores a slice of row indices
-    * against all later rows in tight loops — Spark's higher-order array
-    * functions are CodegenFallback (interpreted), ~30× slower here. For
-    * sub-quadratic candidate generation when the vector table itself is too
-    * big to broadcast, use [[Similarity.hyperplaneLshBuckets]].
+    *   - corpus fits the broadcast gate: vector table broadcast, each task
+    *     scores a slice of row indices against all later rows in tight
+    *     loops — Spark's higher-order array functions are CodegenFallback
+    *     (interpreted), ~30× slower than this.
+    *   - above the gate: the fully distributed block-pair plan
+    *     [[embeddingCosinePairsBlocked]] — no driver collect at any size.
+    *
+    * Exact all-pairs is inherently O(n²) COMPUTE; what the fallback fixes
+    * is the O(n) driver memory and the single-node scoring. For
+    * sub-quadratic candidate generation (approximate), use the
+    * [[Similarity]] LSH/IVF family — at high thresholds its banded
+    * candidates + exact verification is the cheaper shape, but at the low
+    * thresholds this operator is typically run with (e.g. 0.3), hyperplane
+    * collision probabilities degrade toward coin flips and exact blocking
+    * is the honest plan.
     */
   def embeddingCosinePairs(df: DataFrame, idCol: String, vecCol: String,
       threshold: Double, maxLocalVectors: Long = 10000000L): DataFrame = {
+    val n = df.count()
+    if (n > maxLocalVectors) {
+      logWarning(s"embeddingCosinePairs: $n vectors exceed the broadcast " +
+        s"gate ($maxLocalVectors); switching to the distributed block-pair plan")
+      return embeddingCosinePairsBlocked(df, idCol, vecCol, threshold)
+    }
+    embeddingCosinePairsBroadcast(df, idCol, vecCol, threshold, maxLocalVectors)
+  }
+
+  /** The broadcast strategy of [[embeddingCosinePairs]], callable directly
+    * when the corpus is known small. */
+  private[graft] def embeddingCosinePairsBroadcast(df: DataFrame, idCol: String,
+      vecCol: String, threshold: Double, maxLocalVectors: Long): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val (ids, vecs, norms) = Similarity.collectVectors(df, idCol, vecCol, maxLocalVectors)
@@ -385,6 +435,87 @@ object Dedup extends org.apache.spark.internal.Logging {
             } else Iterator.empty
           }
         }
+      }
+      .toDF("id_a", "id_b", "cosine")
+  }
+
+  /** Fully distributed exact cosine all-pairs: the classic block-matrix
+    * (triangle) join. Vectors are hashed into B blocks; each block is
+    * packed into ONE row; the B(B+1)/2 block pairs (bi <= bj) are joined
+    * and each task scores one block pair in tight loops. Properties:
+    *
+    *   - exact: every pair is scored exactly once (recall 1.0, same
+    *     cosines as the broadcast path bit-for-bit — index-order dots)
+    *   - no driver state: blocks live in executors; the join has B²-ish
+    *     keys so parallelism scales with B
+    *   - shuffle volume O(n·B/2) vector copies; pick B so a block
+    *     (~n/B vectors) fits comfortably in a task (default
+    *     ~2·√parallelism, e.g. B=8 → 36 tasks at local[32])
+    *
+    * O(n²) scoring work is inherent to EXACT all-pairs — this distributes
+    * it instead of melting the driver.
+    */
+  def embeddingCosinePairsBlocked(df: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, blocks: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val b =
+      if (blocks > 0) blocks
+      else math.max(2, math.ceil(
+        math.sqrt(spark.sparkContext.defaultParallelism * 2.0)).toInt)
+    // one row per block: (blk, [(id, vec), ...]); persisted — it feeds
+    // both sides of the block-pair join (LRU-evicted like the other
+    // internal persists)
+    val packed = df
+      .select(col(idCol).cast("long").as("id"),
+        col(vecCol).cast("array<double>").as("vec"),
+        pmod(xxhash64(col(idCol).cast("long")), lit(b.toLong)).cast("int").as("blk"))
+      .groupBy(col("blk"))
+      .agg(collect_list(struct(col("id"), col("vec"))).as("rows"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val bp = spark.range(b.toLong).select(col("id").cast("int").as("bi"))
+      .crossJoin(spark.range(b.toLong).select(col("id").cast("int").as("bj")))
+      .where(col("bi") <= col("bj"))
+    bp.join(packed.select(col("blk").as("bi"), col("rows").as("ra")), "bi")
+      .join(packed.select(col("blk").as("bj"), col("rows").as("rb")), "bj")
+      .select(col("bi"), col("bj"), col("ra"), col("rb"))
+      .as[(Int, Int, Seq[(Long, Seq[Double])], Seq[(Long, Seq[Double])])]
+      .flatMap { case (bi, bj, ra, rb) =>
+        def unpack(rs: Seq[(Long, Seq[Double])]) = {
+          val ids = rs.map(_._1).toArray
+          val vecs = rs.map(_._2.toArray).toArray
+          val norms = vecs.map(v => Similarity.dot(v, v))
+          (ids, vecs, norms)
+        }
+        val (aIds, aVecs, aNorms) = unpack(ra)
+        val out = Seq.newBuilder[(Long, Long, Double)]
+        def score(i: Int, j: Int, bIds: Array[Long], bVecs: Array[Array[Double]],
+            bNorms: Array[Double]): Unit = {
+          val c = Similarity.dot(aVecs(i), bVecs(j)) /
+            math.sqrt(aNorms(i) * bNorms(j))
+          if (c >= threshold) { // NaN (zero-norm) compares false, as in the
+            // broadcast path
+            if (aIds(i) < bIds(j)) out += ((aIds(i), bIds(j), c))
+            else out += ((bIds(j), aIds(i), c))
+          }
+        }
+        if (bi == bj) {
+          var i = 0
+          while (i < aIds.length) {
+            var j = i + 1
+            while (j < aIds.length) { score(i, j, aIds, aVecs, aNorms); j += 1 }
+            i += 1
+          }
+        } else {
+          val (bIds, bVecs, bNorms) = unpack(rb)
+          var i = 0
+          while (i < aIds.length) {
+            var j = 0
+            while (j < bIds.length) { score(i, j, bIds, bVecs, bNorms); j += 1 }
+            i += 1
+          }
+        }
+        out.result()
       }
       .toDF("id_a", "id_b", "cosine")
   }

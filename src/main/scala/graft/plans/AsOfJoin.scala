@@ -183,19 +183,27 @@ object AsOfJoin {
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lNames = left.columns.toSet
+    // Clash-suffix that is guaranteed fresh: "_r" alone can itself collide
+    // (left has x, right has x and x_r → two x_r columns and attrs() binds
+    // the wrong one), so extend until no renamed column lands on an
+    // existing name on either side.
+    val allNames = lNames ++ right.columns
+    val suffix = Iterator.iterate("_r")(_ + "_r")
+      .find(s => right.columns.forall(c =>
+        !lNames.contains(c) || !allNames.contains(c + s))).get
     // fresh exprIds via aliases (self-join safe) + clash-free names
     val rSafe = right.select(right.columns.map { c =>
-      val name = if (lNames.contains(c)) c + "_r" else c
+      val name = if (lNames.contains(c)) c + suffix else c
       right(c).as(name)
     }.toIndexedSeq: _*)
-    val rTimeName = if (lNames.contains(rightTime)) rightTime + "_r" else rightTime
+    val rTimeName = if (lNames.contains(rightTime)) rightTime + suffix else rightTime
     val lPlan = planOf(left)
     val rPlan = planOf(rSafe)
     def attrs(plan: LogicalPlan, names: Seq[String]): Seq[Expression] =
       names.map(n => plan.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"column $n not found")))
     val node = AsOfJoinPlan(lPlan, rPlan,
-      attrs(lPlan, keys), attrs(rPlan, keys.map(k => if (lNames.contains(k)) k + "_r" else k)),
+      attrs(lPlan, keys), attrs(rPlan, keys.map(k => if (lNames.contains(k)) k + suffix else k)),
       attrs(lPlan, Seq(leftTime)).head, attrs(rPlan, Seq(rTimeName)).head,
       strictlyBefore)
     shims.dataFrameOf(spark, node)

@@ -142,6 +142,61 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(uncapped.size == 1 + 600 * 599 / 2, s"got ${uncapped.size}")
   }
 
+  test("hot-shingle df cap bounds the n-gram inverted index on boilerplate") {
+    // 500 byte-identical boilerplate docs: every shingle they carry has
+    // document frequency 500+ — uncapped, the inverted-index self-join
+    // materializes all O(500²) clone pairs. Docs 1/2 additionally START
+    // with the boilerplate prefix, so they share a hot shingle with the
+    // clone mass AND with each other.
+    val clones = (100L until 600L).map(i =>
+      (i, "lorem ipsum dolor sit amet consectetur adipiscing elit sed do"))
+    val normal = Seq(
+      (1L, "lorem ipsum dolor the quick brown fox jumps over the lazy dog tonight"),
+      (2L, "lorem ipsum dolor the quick brown fox jumps over the lazy dog today"),
+      (3L, "completely unrelated text about graph analytics at scale right here"))
+    val df = (clones ++ normal).toDF("doc_id", "text")
+
+    val capped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5,
+        maxPostings = 100)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    // clone mass contributes zero candidates; the real near-dup survives
+    assert(capped.keySet == Set((1L, 2L)), s"got ${capped.keySet}")
+
+    val uncapped = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, 0.5,
+        maxPostings = 0)
+      .as[(Long, Long, Double)].collect()
+      .map { case (a, b, j) => ((a, b), j) }.toMap
+    assert(uncapped.size == 1 + 500 * 499 / 2, s"got ${uncapped.size}")
+    // the surviving pair's jaccard is EXACT under the cap: intersection is
+    // recounted over the full shingle set, hot shingle included
+    assert(capped((1L, 2L)) == uncapped((1L, 2L)))
+  }
+
+  test("blocked embedding cosine pairs == broadcast pairs, bit-identical") {
+    // the distributed block-pair plan must find EVERY pair the broadcast
+    // brute force finds, with the same cosine bits (index-order dots in
+    // both) — recall 1.0 by construction, verified here
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+    val broad = Dedup.embeddingCosinePairsBroadcast(e, "vec_id", "qv",
+        threshold = 0.3, maxLocalVectors = 1000000L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(broad.nonEmpty)
+    // small block count forces both diagonal and off-diagonal block logic
+    val blocked = Dedup.embeddingCosinePairsBlocked(e, "vec_id", "qv",
+        threshold = 0.3, blocks = 3)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(blocked == broad,
+      s"missed: ${(broad -- blocked).take(3)} extra: ${(blocked -- broad).take(3)}")
+    // and the auto-gated front door picks the blocked plan above the gate
+    val gated = Dedup.embeddingCosinePairs(e, "vec_id", "qv",
+        threshold = 0.3, maxLocalVectors = 10L)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gated == broad)
+  }
+
   test("hot-bucket cap in lshTopKPortable drops zero-information buckets") {
     // identical vectors all collide in every table; cap removes them while
     // distinct vectors keep their neighbors
