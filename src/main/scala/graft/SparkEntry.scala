@@ -120,10 +120,39 @@ object SparkEntry {
           coalesce(element_at(col("confidence_scores"), 1), lit(0.0)).as("top_confidence"))
         .orderBy("item")
     },
+    "q_assoc_lists" -> { (s, d) =>
+      // the top-5 consequent/confidence lists themselves — the reference's
+      // own tests exercise their contents
+      // (reference: tests/test_graph_solver.py:249-293). Exploded to
+      // (item, rank, consequent, confidence) rows so the DuckDB oracle
+      // cell-compares list CONTENT and ORDER, not just a scalar digest.
+      val tx = Tables.lineitem(s, d).select(
+        col("l_orderkey").as("tid"),
+        concat(lit("P"), col("l_partkey")).as("item"),
+        col("l_quantity").as("freq"))
+      AssociationRules.graphAssociationRules(tx, "tid", "item", Some("freq"),
+          AssociationRules.Params(minSupport = 0.04, minConfidence = 0.5,
+            maxItemsetSize = 8, weighted = true, firstAppearanceOrder = false))
+        .select(col("item"),
+          posexplode(arrays_zip(col("consequents"), col("confidence_scores"))))
+        .select(col("item"), (col("pos") + 1).cast("int").as("rank"),
+          col("col.consequents").as("consequent"),
+          col("col.confidence_scores").as("confidence"))
+        .orderBy("item", "rank")
+    },
     "q_shortest_path" -> { (s, d) =>
       // all-pairs fixed-point Dijkstra over the 25-node nation graph;
       // multiple competing paths + truncating weight quantization
       ShortestPaths.allPairs(Tables.nationGraphEdges(s, d), directed = false)
+        .orderBy("from", "to")
+    },
+    "q_shortest_path_pregel" -> { (s, d) =>
+      // the 100 TB SSSP path under the driver gate: GraphX Pregel
+      // multi-source relaxation — same fixed-point quantization as
+      // q_shortest_path's broadcast Dijkstra, proven identical by the
+      // shared recursive-CTE oracle restricted to these sources
+      ShortestPaths.fromSourcesPregel(Tables.nationGraphEdges(s, d),
+          sources = Seq("NATION_0", "NATION_12", "NATION_7"), directed = false)
         .orderBy("from", "to")
     },
     "q_pagerank" -> { (s, d) =>
@@ -311,6 +340,25 @@ object SparkEntry {
           col("ts_us_r").as("purchase_ts_us"), col("p_value"))
         .orderBy("event_id")
     },
+    "q_asof_fwd" -> { (s, d) =>
+      // forward direction of the same as-of plan: every non-purchase event
+      // picks the user's EARLIEST at-or-after purchase (e.g. "which
+      // purchase did this browse lead to"); DuckDB mirrors with
+      // ASOF ... ON c.ts_us <= p.ts_us
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg((sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0))
+          .as("p_value"))
+      val others = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      graft.plans.AsOfJoin.asofForward(others, purchases,
+          keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ts_us_r").as("purchase_ts_us"), col("p_value"))
+        .orderBy("event_id")
+    },
     "q_curate" -> { (s, d) =>
       // full curation pipeline: exact dedup → ngram near-dedup → quality
       // gate → language id; every stage is engine-portable so the whole
@@ -333,6 +381,19 @@ object SparkEntry {
           sum(col("meta.width").cast("long")).as("tot_width"),
           sum(length(col("payload")).cast("long")).as("tot_bytes"))
         .orderBy("kind", "format")
+    },
+    "q_multimodal_ann" -> { (s, d) =>
+      // the full multimodal story in ONE plan: binary payloads →
+      // partition-wise decode → portable md5-lane features → bucketed
+      // hyperplane-LSH ANN top-3. Every stage is byte-defined, so the
+      // whole pipeline hash-matches a DuckDB oracle.
+      val assets = Multimodal.decodeAssets(
+        Multimodal.packAssets(Tables.documents(s, d), "doc_id", "text"))
+      val feats = Multimodal.extractFeaturesPortable(assets, dim = 8)
+        .select(col("asset_id"), col("features"))
+      Similarity.lshTopKPortable(feats, "asset_id", "features", dim = 8,
+          k = 3, nBits = 4, tables = 2, seed = 42L)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -443,6 +504,26 @@ object SparkEntry {
         |LEFT JOIN lift l ON v.item = l.ant
         |LEFT JOIN digest d ON v.item = d.ant
         |ORDER BY v.item""".stripMargin,
+    "q_assoc_lists" ->
+      """WITH
+        |rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item,
+        |                 l_quantity AS q FROM lineitem),
+        |tot AS (SELECT COUNT(DISTINCT tid) AS t FROM rows0),
+        |supp AS (SELECT item, SUM(q) AS ws FROM rows0 GROUP BY item),
+        |valid AS (SELECT item, ws FROM supp, tot WHERE ws / t >= 0.04),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |vrows AS (SELECT r.tid, r.item, r.q FROM rows0 r JOIN valid USING (item) JOIN txok USING (tid)),
+        |kept AS (SELECT a.item AS ant, c.item AS cons, a.q * c.q / v.ws AS conf
+        |         FROM vrows a
+        |         JOIN vrows c ON a.tid = c.tid AND a.item <> c.item
+        |         JOIN valid v ON v.item = a.item
+        |         WHERE a.q * c.q / v.ws >= 0.5),
+        |ranked AS (SELECT ant, cons, conf,
+        |                  ROW_NUMBER() OVER (PARTITION BY ant ORDER BY conf DESC, cons ASC) AS rn
+        |           FROM kept)
+        |SELECT ant AS item, CAST(rn AS INT) AS rank, cons AS consequent, conf AS confidence
+        |FROM ranked WHERE rn <= 5
+        |ORDER BY item, rank""".stripMargin,
     "q_shortest_path" ->
       """WITH RECURSIVE
         |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
@@ -466,6 +547,28 @@ object SparkEntry {
         |       CASE WHEN src < dst THEN dst ELSE src END AS "to",
         |       CAST(MIN(cost) AS DOUBLE) / 1000.0 AS distance
         |FROM d GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_shortest_path_pregel" ->
+      """WITH RECURSIVE
+        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst,
+        |            CAST(TRUNC((CAST(0.1 AS DOUBLE) + (b.n_nationkey % 7) * CAST(0.35 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
+        |          FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst,
+        |           CAST(TRUNC((CAST(1.0 AS DOUBLE) + (b.n_nationkey % 5) * CAST(0.21 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
+        |         FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
+        |sym AS (SELECT src, dst, cost FROM edges UNION ALL SELECT dst AS src, src AS dst, cost FROM edges),
+        |p AS (
+        |  SELECT src, src AS node, CAST(0 AS BIGINT) AS cost, [src] AS path
+        |  FROM (SELECT DISTINCT src FROM sym WHERE src IN ('NATION_0', 'NATION_12', 'NATION_7'))
+        |  UNION ALL
+        |  SELECT p.src, s.dst AS node, p.cost + s.cost, list_append(p.path, s.dst)
+        |  FROM p JOIN sym s ON p.node = s.src
+        |  WHERE NOT list_contains(p.path, s.dst)),
+        |d AS (SELECT src, node AS dst, MIN(cost) AS cost FROM p WHERE node <> src GROUP BY src, node)
+        |SELECT src AS "from", dst AS "to", CAST(cost AS DOUBLE) / 1000.0 AS distance
+        |FROM d
         |ORDER BY 1, 2""".stripMargin,
     "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
     "q_betweenness_pairs" ->
@@ -680,6 +783,18 @@ object SparkEntry {
         |FROM c ASOF LEFT JOIN p
         |  ON c.user_id = p.user_id AND c.ts_us >= p.ts_us
         |ORDER BY c.event_id""".stripMargin,
+    "q_asof_fwd" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |p AS (SELECT user_id, ts_us,
+        |        CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / 100.0 AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'purchase')
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       p.ts_us AS purchase_ts_us, p.p_value
+        |FROM c ASOF LEFT JOIN p
+        |  ON c.user_id = p.user_id AND c.ts_us <= p.ts_us
+        |ORDER BY c.event_id""".stripMargin,
     "q_multimodal" ->
       """WITH a AS (SELECT doc_id AS asset_id,
         |             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
@@ -696,6 +811,18 @@ object SparkEntry {
         |       CAST(SUM(width) AS BIGINT) AS tot_width,
         |       CAST(SUM(nbytes) AS BIGINT) AS tot_bytes
         |FROM d GROUP BY kind, format ORDER BY kind, format""".stripMargin,
+    "q_multimodal_ann" -> graft.ops.Similarity.lshPortableOracle(
+      dim = 8, k = 3, nBits = 4, tables = 2, seed = 42L,
+      qSelect = {
+        // md5(text) == md5(utf-8 payload bytes); 16-bit lanes % 1000,
+        // pre-quantized ×10000 exactly as the Spark plan does
+        val lanes = (0 until 8).map(i =>
+          s"FLOOR(CAST(('0x' || substr(md5(text), ${4 * i + 1}, 4))::BIGINT % 1000 AS DOUBLE) * CAST(10000.0 AS DOUBLE))")
+          .mkString(",\n           ")
+        s"""SELECT doc_id AS id,
+           |         [$lanes] AS v
+           |       FROM documents""".stripMargin
+      }),
     "q_curate" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
         |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),

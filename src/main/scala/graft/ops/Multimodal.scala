@@ -90,6 +90,22 @@ object Multimodal {
     assets.withColumn("features", array(lanes: _*))
   }
 
+  /** Cross-engine-portable variant of [[extractFeatures]]: `dim` (<= 8)
+    * integer-valued lanes from consecutive 16-bit slices of md5(payload) —
+    * byte-defined like [[fakeDecode]], so a binary→features→ANN pipeline
+    * reproduces exactly in DuckDB SQL and gets a hash-exact oracle. A real
+    * embedding model would replace this the same way a real codec replaces
+    * the decode stub; the plumbing (binary in, array<double> out,
+    * partition-parallel) is the production shape.
+    */
+  def extractFeaturesPortable(assets: DataFrame, dim: Int): DataFrame = {
+    require(dim <= 8, "md5 yields 128 bits = 8 16-bit lanes")
+    val hx = md5(col("payload"))
+    val lanes = (0 until dim).map(i =>
+      (conv(substring(hx, 4 * i + 1, 4), 16, 10).cast("long") % 1000).cast("double"))
+    assets.withColumn("features", array(lanes: _*))
+  }
+
   /** Frame sampling plumbing for video assets: emit `n` (asset_id,
     * frame_idx, frame_offset_bytes) rows per video — the decode of each
     * frame is the same stubbed step.

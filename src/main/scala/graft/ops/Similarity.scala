@@ -288,10 +288,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
   }
 
-  /** DuckDB mirror of [[lshTopKPortable]] on the `embeddings` table: the
-    * per-table bucket CTE embeds the same quantized-plane literals. */
+  /** DuckDB mirror of [[lshTopKPortable]]: the per-table bucket CTE embeds
+    * the same quantized-plane literals. `qSelect` must yield `(id, v)` with
+    * `v` the ALREADY-QUANTIZED (integer-valued) vector — defaults to the
+    * ×10000-quantized `embeddings` table; q_multimodal_ann passes the
+    * md5-lane feature pipeline instead. */
   private[graft] def lshPortableOracle(dim: Int, k: Int, nBits: Int,
-      tables: Int, seed: Long): String = {
+      tables: Int, seed: Long,
+      qSelect: String = """SELECT vec_id AS id, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings""".stripMargin): String = {
     def planeList(p: Array[Long]) = p.mkString("[", ", ", "]")
     val tableSelects = (0 until tables).map { t =>
       val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
@@ -302,9 +308,7 @@ object Similarity {
       }.mkString(" + ")
       s"SELECT id, $t AS tbl, ($bits) AS bucket FROM q"
     }.mkString("\nUNION ALL\n")
-    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
-       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
-       |           FROM embeddings),
+    s"""WITH q AS ($qSelect),
        |n AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(v) t(x)) AS nrm FROM q),
        |b AS (
        |$tableSelects),

@@ -15,7 +15,9 @@ import org.apache.spark.sql.types.LongType
 /** Native AS-OF JOIN — the canonical "operator Spark lacks".
   *
   * For every left row, find the single right row with the same key and the
-  * greatest time <= left time (backward as-of; strictlyBefore makes it <).
+  * greatest time <= left time (backward as-of; strictlyBefore makes it <),
+  * or with `forward` the smallest time >= left time. An optional
+  * `tolerance` bounds how far the matched time may be from the left time.
   * Left-outer semantics: unmatched left rows keep nulls on the right.
   *
   * Spark's own pandas-API as-of (logical `AsOfJoin`) is REWRITTEN by the
@@ -45,7 +47,8 @@ case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
-    strictlyBefore: Boolean) extends BinaryNode {
+    strictlyBefore: Boolean,
+    forward: Boolean = false, tolerance: Long = -1L) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -55,8 +58,9 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict) =>
-      AsOfJoinExec(lk, rk, lt, rt, strict, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, strict, fwd, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -64,6 +68,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, strictlyBefore: Boolean,
+    forward: Boolean, tolerance: Long,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -87,6 +92,8 @@ case class AsOfJoinExec(
     require(leftTime.dataType == LongType && rightTime.dataType == LongType,
       "as-of times must be long (epoch-µs)")
     val strict = strictlyBefore
+    val fwd = forward
+    val tol = tolerance
     val nRight = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -100,11 +107,13 @@ case class AsOfJoinExec(
       val resultProj = UnsafeProjection.create(output, output)
 
       new Iterator[InternalRow] {
-        // one-row lookahead on the right, plus the current best candidate
+        // one-row lookahead on the right, plus (backward only) the current
+        // best candidate
         private var rNext: InternalRow = advanceRight()
         private var rNextKey: InternalRow = if (rNext == null) null else rKeyProj(rNext).copy()
         private var held: InternalRow = _
         private var heldKey: InternalRow = _
+        private var heldTime: Long = _
 
         private def advanceRight(): InternalRow = {
           while (rIter.hasNext) {
@@ -130,7 +139,13 @@ case class AsOfJoinExec(
           // null key or time on the left matches nothing (null ≠ null)
           if (lt == null || lk.anyNull) return resultProj(joined(l, nullRight))
           val ltv = lt.asInstanceOf[Long]
-          // pull right rows that are still candidates for (lk, ltv)
+          if (fwd) nextForward(l, lk, ltv) else nextBackward(l, lk, ltv)
+        }
+
+        /** Backward: the held row is the greatest right time <= (or <) left
+          * time for the current key; new valid candidates supersede it. */
+        private def nextBackward(l: InternalRow, lk: InternalRow,
+            ltv: Long): InternalRow = {
           var done = false
           while (!done && rNext != null) {
             val c = keyOrd.compare(rNextKey, lk)
@@ -139,14 +154,41 @@ case class AsOfJoinExec(
               val rtv = rTime.eval(rNext).asInstanceOf[Long]
               val ok = if (strict) rtv < ltv else rtv <= ltv
               if (ok) { // newer valid candidate supersedes the held one
-                held = rNext; heldKey = rNextKey
+                held = rNext; heldKey = rNextKey; heldTime = rtv
                 stepRight()
               } else done = true // right too new for this left row — keep for later
             } else done = true // right key ahead — no candidates for lk
           }
-          if (held != null && keyOrd.compare(heldKey, lk) == 0)
+          if (held != null && keyOrd.compare(heldKey, lk) == 0 &&
+              (tol < 0L || ltv - heldTime <= tol))
             resultProj(joined(l, held))
           else resultProj(joined(l, nullRight))
+        }
+
+        /** Forward: the match is the FIRST right row at this key with time
+          * >= (or >) left time — exactly the lookahead row once everything
+          * older is consumed. It is NOT consumed on match: later left rows
+          * (larger times, same sort) may match the same right row. No held
+          * state at all — older rights can never match a later left. */
+        private def nextForward(l: InternalRow, lk: InternalRow,
+            ltv: Long): InternalRow = {
+          var done = false
+          while (!done && rNext != null) {
+            val c = keyOrd.compare(rNextKey, lk)
+            if (c < 0) stepRight() // right key exhausted for all future lefts
+            else if (c == 0) {
+              val rtv = rTime.eval(rNext).asInstanceOf[Long]
+              val tooOld = if (strict) rtv <= ltv else rtv < ltv
+              if (tooOld) stepRight() // can't match this or any later left
+              else done = true // first candidate at/after ltv — the match
+            } else done = true // right key ahead — no candidates for lk
+          }
+          if (rNext != null && keyOrd.compare(rNextKey, lk) == 0) {
+            val rtv = rTime.eval(rNext).asInstanceOf[Long]
+            if (tol < 0L || rtv - ltv <= tol)
+              return resultProj(joined(l, rNext))
+          }
+          resultProj(joined(l, nullRight))
         }
       }
     }
@@ -179,7 +221,37 @@ object AsOfJoin {
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String,
-      strictlyBefore: Boolean = false): DataFrame = {
+      strictlyBefore: Boolean = false): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, direction = "backward",
+      strict = strictlyBefore)
+
+  /** Forward as-of join: each left row picks the right row with equal
+    * `keys` and the SMALLEST `rightTime` >= `leftTime` (> when `strict`). */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, strict: Boolean = false,
+      tolerance: Long = -1L): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, direction = "forward",
+      strict = strict, tolerance = tolerance)
+
+  /** General as-of join.
+    *
+    * @param direction "backward" (greatest right time <= left time) or
+    *   "forward" (smallest right time >= left time)
+    * @param strict exclude time-equal rows (strictly before / after)
+    * @param tolerance when >= 0, a match additionally requires
+    *   |leftTime - rightTime| <= tolerance (in the time column's own unit,
+    *   epoch-µs by graft convention); rows whose nearest candidate is
+    *   further away emit nulls. Negative = unbounded (default).
+    */
+  def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String, direction: String = "backward",
+      strict: Boolean = false, tolerance: Long = -1L): DataFrame = {
+    val forward = direction match {
+      case "backward" => false
+      case "forward" => true
+      case other => throw new IllegalArgumentException(
+        s"as-of direction must be backward|forward, got '$other'")
+    }
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lNames = left.columns.toSet
@@ -205,7 +277,7 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lPlan, rPlan,
       attrs(lPlan, keys), attrs(rPlan, keys.map(k => if (lNames.contains(k)) k + suffix else k)),
       attrs(lPlan, Seq(leftTime)).head, attrs(rPlan, Seq(rTimeName)).head,
-      strictlyBefore)
+      strict, forward, tolerance)
     shims.dataFrameOf(spark, node)
   }
 

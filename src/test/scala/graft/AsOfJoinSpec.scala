@@ -54,6 +54,47 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("t1") == None)
   }
 
+  test("forward as-of: smallest right ts >= left ts, not consumed on match") {
+    val got = AsOfJoin.asofForward(trades, quotes, Seq("k"), "ts", "ts")
+      .select($"trade", $"ts_r", $"px")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      ("t1", Some(200L), Some(2.0)),  // next quote at/after 100; ALSO t2's
+      ("t2", Some(200L), Some(2.0)),  // equal ts matches (non-strict)
+      ("t3", None, None),             // nothing at/after 300
+      ("t4", Some(151L), Some(4.0)),
+      ("t5", None, None)))            // key 3 has no quotes
+  }
+
+  test("forward strict skips the time-equal row") {
+    val got = AsOfJoin.asofForward(trades, quotes, Seq("k"), "ts", "ts",
+        strict = true)
+      .select($"trade", $"ts_r")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("t2") == Some(250L)) // 200 == 200 excluded, next is 250
+    assert(got("t1") == Some(200L)) // 200 > 100 still fine
+  }
+
+  test("forward tolerance nulls out matches further than the bound") {
+    val got = AsOfJoin.asofForward(trades, quotes, Seq("k"), "ts", "ts",
+        tolerance = 50L)
+      .select($"trade", $"ts_r")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("t1") == None)        // nearest is 200, 100 away > 50
+    assert(got("t2") == Some(200L))  // 0 away
+    assert(got("t4") == Some(151L))  // 1 away
+  }
+
+  test("backward tolerance nulls out matches further than the bound") {
+    val got = AsOfJoin.asof(trades, quotes, Seq("k"), "ts", "ts",
+        direction = "backward", tolerance = 20L)
+      .select($"trade", $"ts_r")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("t1") == Some(90L))   // 10 away <= 20
+    assert(got("t2") == Some(200L))  // 0 away
+    assert(got("t3") == None)        // best is 250, 50 away > 20
+  }
+
   test("null keys and times never match (SQL null semantics)") {
     val l = Seq((Some(1L), Some(100L), "a"), (None, Some(100L), "b"),
         (Some(1L), None, "c"))
