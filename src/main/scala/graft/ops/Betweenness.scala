@@ -121,6 +121,120 @@ object Betweenness {
         (coalesce($"raw", lit(0.0)) * lit(scale) * lit(halve) * lit(norm)).as("centrality"))
   }
 
+  /** Fully distributed Brandes — the 100 TB path. No broadcast adjacency,
+    * no driver graph: the edge list stays a DataFrame, the forward stage is
+    * level-synchronous multi-source BFS (one shuffle join per BFS level,
+    * sigma summed by groupBy — multi-edge multiplicity preserved because
+    * the join runs over raw edge rows), and the backward stage accumulates
+    * Brandes dependencies level by level:
+    *
+    *   δ(v) = Σ_{(v,w) ∈ E, dist(w)=dist(v)+1} σ_v/σ_w · (1 + δ_w)
+    *
+    * State is O(|sources|·V) rows, lineage truncated per round with
+    * localCheckpoint (the iterative-loop gotcha). Exact Brandes needs all
+    * V sources — O(V·E) total work at any scale — so beyond small graphs
+    * the practical form is a sampled source set: `sampleSize` > 0 picks a
+    * seeded hash-ordered sample WITHOUT collecting the vertex set and
+    * scales contributions by n/k (the unbiased Brandes–Pich estimator,
+    * same as [[betweennessCentralitySampled]] but with every structure
+    * distributed). sampleSize <= 0 or >= n runs all sources: exact, equal
+    * to [[betweennessCentrality]] (spec-verified).
+    *
+    * Same reference quirks as the broadcast path: undirected halving,
+    * global-n normalization.
+    */
+  def betweennessCentralityDistributed(df: DataFrame, from: String, to: String,
+      normalized: Boolean = true, directed: Boolean = false,
+      sampleSize: Int = 0, seed: Long = 42L): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val e0 = Ingest.edges(df, from, to)
+    // symmetrize for undirected; KEEP duplicate edges (multiplicity is part
+    // of the reference semantics — parallel edges multiply path counts)
+    val e = (if (directed) e0
+             else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      .select(col("src").as("u"), col("dst").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("w").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    if (n == 0) {
+      import spark.implicits._
+      return spark.emptyDataset[(String, Double)].toDF("node", "centrality")
+    }
+    val (srcDf, scale) =
+      if (sampleSize <= 0 || sampleSize >= n)
+        (nodes.select(col("node").as("s")), 1.0)
+      else
+        // deterministic pseudo-random k-sample as a TakeOrdered (partial
+        // per-partition top-k) — no full vertex collect
+        (nodes.orderBy(xxhash64(col("node"), lit(seed))).limit(sampleSize)
+          .select(col("node").as("s")), n.toDouble / sampleSize)
+
+    // ---- forward: level-synchronous multi-source BFS ----
+    val levels = mutable.ArrayBuffer.empty[DataFrame] // (s, v, sigma) per dist
+    var frontier = srcDf
+      .select(col("s"), col("s").as("v"), lit(1L).cast("double").as("sigma"))
+      .localCheckpoint(true)
+    var visited = frontier.select(col("s"), col("v")).localCheckpoint(true)
+    levels += frontier
+    var growing = true
+    while (growing) {
+      val nxt = frontier.join(e, frontier("v") === e("u"))
+        .select(col("s"), col("w").as("v"), col("sigma"))
+        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      if (nxt.isEmpty) growing = false
+      else {
+        levels += nxt
+        visited = visited.union(nxt.select(col("s"), col("v"))).localCheckpoint(true)
+        frontier = nxt
+      }
+    }
+
+    // ---- backward: dependency accumulation, deepest level first ----
+    // `delta` always holds the COMPLETE level (every (s,v) of that BFS
+    // level): a node with no successors still has δ=0 and still feeds
+    // (1+0)/σ_w to its predecessors.
+    var delta = levels.last.withColumn("delta", lit(0.0)) // deepest: no successors
+    val perLevel = mutable.ArrayBuffer.empty[DataFrame]   // nonzero (v, delta)
+    for (lev <- levels.size - 1 to 1 by -1) {
+      val prev = levels(lev - 1).select(col("s"), col("v"), col("sigma").as("sigma_v"))
+      val contrib = delta.join(e, delta("v") === e("w"))
+        .select(col("s"), col("u").as("v"),
+          ((lit(1.0) + col("delta")) / col("sigma")).as("part"))
+        .join(prev, Seq("s", "v"))
+        .groupBy(col("s"), col("v"))
+        .agg(sum(col("sigma_v") * col("part")).as("delta"))
+        .localCheckpoint(true)
+      if (lev - 1 >= 1) perLevel += contrib.select(col("v"), col("delta"))
+      // complete next-level table: contributions where present, δ=0 elsewhere
+      delta = levels(lev - 1)
+        .join(contrib.select(col("s"), col("v"), col("delta")), Seq("s", "v"), "left")
+        .na.fill(0.0, Seq("delta"))
+        .localCheckpoint(true)
+    }
+    // level-0 rows are the sources themselves (v == s): excluded, as in
+    // Brandes; deepest level contributes zero by construction
+    val halve = if (directed) 1.0 else 0.5
+    val norm =
+      if (!normalized) 1.0
+      else if (directed) 1.0 / ((n - 1.0) * (n - 2.0))
+      else 2.0 / ((n - 1.0) * (n - 2.0))
+    val raw =
+      if (perLevel.isEmpty) null
+      else perLevel.reduce(_ union _).groupBy(col("v").as("node"))
+        .agg(sum(col("delta")).as("raw"))
+    val joined =
+      if (raw == null) nodes.withColumn("raw", lit(0.0))
+      else nodes.join(raw, Seq("node"), "left")
+    joined.select(col("node"),
+      (coalesce(col("raw"), lit(0.0)) * lit(scale) * lit(halve) * lit(norm))
+        .as("centrality"))
+  }
+
   /** All-pairs BFS distances and shortest-path counts over the broadcast
     * adjacency: one row per ordered reachable pair, (s, t, dist, sigma)
     * with sigma = number of distinct shortest s→t paths (multi-edges count

@@ -57,4 +57,71 @@ class BetweennessSpec extends AnyFunSuite {
     val c = centrality(Seq("A" -> "B", "B" -> "C", "D" -> "E"))
     assert(math.abs(c("B") - 1.0 / 6.0) < 1e-9)
   }
+
+  /** 40-node fixture: a chain 0-1-…-19 with skip links i→i+7, a parallel
+    * (multi-)edge, and a disconnected 20-39 ring — exercises branching
+    * sigma counts, multi-edge multiplicity, and multiple components. */
+  private def fixtureEdges: Seq[(String, String)] = {
+    val chain = (0 until 19).map(i => (f"N$i%02d", f"N${i + 1}%02d"))
+    val skips = (0 until 13).map(i => (f"N$i%02d", f"N${i + 7}%02d"))
+    val ring = (20 until 40).map(i => (f"N$i%02d", f"N${20 + (i - 19) % 20}%02d"))
+    chain ++ skips ++ ring :+ ("N03", "N04") // parallel edge
+  }
+
+  test("distributed Brandes == broadcast Brandes, undirected and directed") {
+    val df = fixtureEdges.toDF("from", "to")
+    for (directed <- Seq(false, true); normalized <- Seq(true, false)) {
+      val exact = Betweenness.betweennessCentrality(df, "from", "to",
+          normalized, directed)
+        .as[(String, Double)].collect().toMap
+      val dist = Betweenness.betweennessCentralityDistributed(df, "from", "to",
+          normalized, directed)
+        .as[(String, Double)].collect().toMap
+      assert(dist.keySet == exact.keySet)
+      exact.foreach { case (node, v) =>
+        assert(math.abs(dist(node) - v) <= 1e-9 * math.max(1.0, math.abs(v)),
+          s"directed=$directed normalized=$normalized node=$node: " +
+            s"dist=${dist(node)} exact=$v")
+      }
+    }
+  }
+
+  test("sampled estimators stay within the Brandes-Pich bound at several k") {
+    // Unbiased source-sampling estimator (Brandes & Pich 2007): with k
+    // uniform sources, bc_hat(v) = (n/k)·Σ_{s∈S} contrib_s(v). Each scaled
+    // per-sample term lies in [0, n·Δmax] where Δmax bounds one source's
+    // dependency — Hoeffding gives |bc_hat - bc| <= n·Δmax·sqrt(ln(2/α)/(2k))
+    // w.p. 1-α per node. With fixed seeds this is a deterministic check
+    // that the implementation's error actually sits inside the 1% bound
+    // (a correctness guard for the scaling factor, not a probabilistic
+    // flake: seeds are pinned).
+    val df = fixtureEdges.toDF("from", "to")
+    val exact = Betweenness.betweennessCentrality(df, "from", "to",
+        normalized = false, directed = false)
+      .as[(String, Double)].collect().toMap
+    val n = exact.size
+    // max one-source dependency on this fixture (conservative: n/2 hops)
+    val deltaMax = exact.values.max * 2 + n // loose but finite and stated
+    for (k <- Seq(10, 20, 40)) {
+      val approx = Betweenness.betweennessCentralitySampled(df, "from", "to",
+          sampleSize = k, normalized = false, directed = false, seed = 7L)
+        .as[(String, Double)].collect().toMap
+      val bound = n * deltaMax * math.sqrt(math.log(2.0 / 0.01) / (2.0 * k))
+      exact.foreach { case (node, v) =>
+        assert(math.abs(approx(node) - v) <= bound,
+          s"k=$k node=$node err=${math.abs(approx(node) - v)} bound=$bound")
+      }
+      // k >= n degenerates to exact
+      if (k >= n) exact.foreach { case (node, v) =>
+        assert(math.abs(approx(node) - v) < 1e-9)
+      }
+    }
+    // the distributed sampled path scales identically
+    val distSampled = Betweenness.betweennessCentralityDistributed(df, "from",
+        "to", normalized = false, directed = false, sampleSize = 40, seed = 7L)
+      .as[(String, Double)].collect().toMap
+    exact.foreach { case (node, v) =>
+      assert(math.abs(distSampled(node) - v) < 1e-9) // 40 = n → exact
+    }
+  }
 }

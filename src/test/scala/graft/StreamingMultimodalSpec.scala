@@ -121,6 +121,43 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(fin("f") == "c" && fin("d") == "c" && fin("b") == "a" && fin("y") == "x")
   }
 
+  test("streaming CC at depth: 24 batches, state stays O(V), labels exact") {
+    // guards the spanning-forest invariant over a LONG stream: state row
+    // count must equal the number of distinct nodes ever seen (one forest
+    // edge per node — never O(edges)), and labels must equal batch CC
+    // after every one of 24 batches with interleaved cross-component merges
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft-scc-deep").toString
+    val input = MemoryStream[(String, String)]
+    val q = graft.streaming.StreamComponents.run(
+      input.toDF().toDF("src", "dst"), s"$dir/state", s"$dir/ckpt")
+    def batchEdges(i: Int): Seq[(String, String)] = {
+      val grow = Seq((f"v${2 * i}%02d", f"v${2 * i + 1}%02d"))
+      val link = if (i % 2 == 1) Seq((f"v${2 * (i - 1)}%02d", f"v${2 * i}%02d")) else Nil
+      val far = if (i % 5 == 4) Seq((f"v${2 * (i - 4)}%02d", f"v${2 * i + 1}%02d")) else Nil
+      val dup = if (i % 3 == 2) Seq((f"v${2 * i + 1}%02d", f"v${2 * i}%02d")) else Nil
+      grow ++ link ++ far ++ dup
+    }
+    var seen = Seq.empty[(String, String)]
+    (0 until 24).foreach { i =>
+      val b = batchEdges(i)
+      input.addData(b: _*)
+      q.processAllAvailable()
+      seen ++= b
+      val state = graft.streaming.StreamComponents
+        .currentState(spark, s"$dir/state").get
+        .as[(String, String)].collect()
+      val nodesSeen = seen.flatMap(e => Seq(e._1, e._2)).toSet
+      assert(state.length == nodesSeen.size,
+        s"batch $i: state ${state.length} rows != |V| ${nodesSeen.size}")
+      val batchCc = graft.ops.ConnectedComponents
+        .components(seen.toDF("src", "dst"))
+        .as[(String, String)].collect().toSet
+      assert(state.toSet == batchCc, s"labels diverged at batch $i")
+    }
+    q.stop()
+  }
+
   test("streaming CC keeps singleton components across merges") {
     // a self-loop node is its own component; a later unrelated batch must
     // not evict it from state (ADVICE r2: only node=!=component forest
