@@ -359,6 +359,99 @@ object SparkEntry {
           col("ts_us_r").as("purchase_ts_us"), col("p_value"))
         .orderBy("event_id")
     },
+    "q_quantiles" -> { (s, d) =>
+      // one-pass histogram quantiles per order priority (ops/Quantiles):
+      // integer per-mille rank thresholds → hash-exact across engines,
+      // no global sort anywhere in the plan
+      graft.ops.Quantiles.histogramQuantiles(
+          Tables.orders(s, d).select(col("o_orderpriority"), col("o_totalprice")),
+          "o_totalprice", bucketWidth = 1000.0,
+          qsPerMille = Seq(500, 900, 990), keyCols = Seq("o_orderpriority"))
+        .orderBy("o_orderpriority", "q_permille")
+    },
+    "q_sample" -> { (s, d) =>
+      // deterministic md5 train/test split: partitioning-independent,
+      // engine-portable row-identity sampling (ops/Sampling), aggregated
+      // per lang to keep the check compact while covering every kept row
+      graft.ops.Sampling.hashSample(Tables.documents(s, d), "doc_id",
+          ratePerMille = 200)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+        .orderBy("lang")
+    },
+    "q_triangles" -> { (s, d) =>
+      // per-part triangle participation in the co-order graph (parts
+      // co-occurring in an order are linked; low-quantity lineitems only
+      // and orders capped at 8 items so clique blowup is bounded — same
+      // guardrail as association mining; the unfiltered graph is ~1M edges
+      // / 1.45M triangles at sf0.1, ~20s of wedge join for no extra
+      // coverage). Degree-ordered orientation emits each triangle once
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") <= 15)
+        .select(
+          col("l_orderkey").as("tid"),
+          concat(lit("P"), col("l_partkey")).as("item"))
+      val ok = li.groupBy("tid").agg(count(lit(1)).as("n"))
+        .where(col("n") <= 8).select("tid")
+      val r = li.join(ok, "tid")
+      val pairs = r.as("a").join(r.as("b"),
+          col("a.tid") === col("b.tid") && col("a.item") < col("b.item"))
+        .select(col("a.item").as("src"), col("b.item").as("dst"))
+      graft.ops.Triangles.perNodeCounts(pairs, "src", "dst")
+        .orderBy("node")
+    },
+    "q_hll_distinct" -> { (s, d) =>
+      // distinct tokens per language via the mergeable HLL register
+      // aggregate (functions/HllSketch.scala) — the one-pass 100 TB
+      // alternative to COUNT(DISTINCT). The md5-lane hash and the
+      // trailing-zero rank are pure integer math, so the REGISTERS
+      // themselves reproduce in DuckDB → hash-exact oracle (estimate
+      // accuracy is covered by HllSpec against exact distinct counts)
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+      toks.groupBy(col("lang"))
+        .agg(graft.functions.Hll.hll_registers(col("h"), p = 6).as("regs"))
+        .select(col("lang"), posexplode(col("regs")))
+        .select(col("lang"), col("pos").cast("int").as("reg_idx"),
+          col("col").cast("int").as("reg_val"))
+        .orderBy("lang", "reg_idx")
+    },
+    "q_range_join" -> { (s, d) =>
+      // banded range join (ops/RangeJoin.scala): orders priced into 100
+      // overlapping price bands via a band-id equi-join + residual — the
+      // shape that survives when both sides are too big to broadcast (the
+      // naive BETWEEN plan is a nested-loop/cartesian product)
+      val bands = s.range(0, 100).select(
+        col("id").cast("int").as("band_id"),
+        (col("id") * 5000).cast("double").as("lo"),
+        (col("id") * 5000 + 9999).cast("double").as("hi"))
+      val points = Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice"))
+      graft.ops.RangeJoin.pointInInterval(points, "o_totalprice",
+          bands, "lo", "hi", bandWidth = 5000.0)
+        .groupBy("band_id")
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(floor(col("o_totalprice") * lit(100.0))).cast("double") / lit(100.0))
+            .as("sum_price"))
+        .orderBy("band_id")
+    },
+    "q_interval_overlap" -> { (s, d) =>
+      // interval×interval banded overlap join: user sessions (gap-based
+      // intervals) against the wall-clock hours they span. Exactly-once by
+      // the first-band-of-intersection rule; hour-wide bands
+      val ev = Tables.events(s, d)
+      val sess = Sessionize.sessionize(ev, "user_id", "ts_us", "event_id",
+          gapUs = 1800000000L)
+        .groupBy(col("user_id"), col("session_no"))
+        .agg(min(col("ts_us")).as("s_start"), max(col("ts_us")).as("s_end"))
+      val hours = Sessionize.tumbling(ev, "ts_us", 3600000000L)
+        .select(col("window_start_us")).distinct()
+        .withColumn("h_end", col("window_start_us") + lit(3599999999L))
+      graft.ops.RangeJoin.intervalOverlap(sess, "s_start", "s_end",
+          hours, "window_start_us", "h_end", bandWidth = 3600000000.0)
+        .select(col("user_id"), col("session_no"), col("window_start_us"))
+        .orderBy("user_id", "session_no", "window_start_us")
+    },
     "q_curate" -> { (s, d) =>
       // full curation pipeline: exact dedup → ngram near-dedup → quality
       // gate → language id; every stage is engine-portable so the whole
@@ -823,6 +916,88 @@ object SparkEntry {
            |         [$lanes] AS v
            |       FROM documents""".stripMargin
       }),
+    "q_quantiles" ->
+      """WITH b AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bucket,
+        |                  COUNT(*) AS cnt
+        |           FROM orders WHERE o_totalprice IS NOT NULL
+        |           GROUP BY o_orderpriority, bucket),
+        |c AS (SELECT o_orderpriority, bucket, cnt,
+        |        SUM(cnt) OVER (PARTITION BY o_orderpriority ORDER BY bucket
+        |          ROWS UNBOUNDED PRECEDING) AS cum,
+        |        SUM(cnt) OVER (PARTITION BY o_orderpriority) AS n
+        |      FROM b),
+        |q AS (SELECT UNNEST([500, 900, 990]) AS q_permille),
+        |hit AS (SELECT o_orderpriority, q_permille, MIN(bucket) AS qb
+        |        FROM c CROSS JOIN q
+        |        WHERE cum >= (n * q_permille + 999) // 1000
+        |        GROUP BY o_orderpriority, q_permille)
+        |SELECT o_orderpriority, CAST(q_permille AS INT) AS q_permille,
+        |       CAST(qb AS DOUBLE) * 1000.0 AS quantile_lo
+        |FROM hit ORDER BY o_orderpriority, q_permille""".stripMargin,
+    "q_sample" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(doc_id) AS BIGINT) AS sum_ids
+        |FROM documents
+        |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_triangles" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |        FROM e e1
+        |        JOIN e e2 ON e2.x = e1.y
+        |        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |corners AS (SELECT a AS node FROM tri
+        |            UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri)
+        |SELECT node, COUNT(*) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+    "q_hll_distinct" ->
+      """WITH toks AS (SELECT lang, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT lang, ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |r AS (SELECT lang, CAST(h % 64 AS INT) AS idx,
+        |             CASE WHEN h >> 6 = 0 THEN 55
+        |                  ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+        |      FROM h),
+        |regs AS (SELECT lang, idx, MAX(rho) AS reg FROM r GROUP BY lang, idx),
+        |langs AS (SELECT DISTINCT lang FROM documents)
+        |SELECT l.lang, CAST(t.i AS INT) AS reg_idx,
+        |       CAST(COALESCE(regs.reg, 0) AS INT) AS reg_val
+        |FROM langs l CROSS JOIN range(0, 64) t(i)
+        |LEFT JOIN regs ON regs.lang = l.lang AND regs.idx = t.i
+        |ORDER BY l.lang, reg_idx""".stripMargin,
+    "q_range_join" ->
+      """WITH b AS (SELECT CAST(i AS INT) AS band_id,
+        |                  CAST(i * 5000 AS DOUBLE) AS lo,
+        |                  CAST(i * 5000 + 9999 AS DOUBLE) AS hi
+        |           FROM range(0, 100) t(i))
+        |SELECT b.band_id, COUNT(*) AS n_orders,
+        |       CAST(SUM(FLOOR(o.o_totalprice * CAST(100.0 AS DOUBLE))) AS DOUBLE) / 100.0 AS sum_price
+        |FROM b JOIN orders o ON o.o_totalprice >= b.lo AND o.o_totalprice <= b.hi
+        |GROUP BY b.band_id ORDER BY b.band_id""".stripMargin,
+    "q_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |g AS (SELECT user_id, us,
+        |        CASE WHEN LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |             OR us - LAG(us) OVER (PARTITION BY user_id ORDER BY us, event_id) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_session,
+        |        event_id
+        |      FROM e),
+        |sn AS (SELECT user_id, us,
+        |         SUM(new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |           ROWS UNBOUNDED PRECEDING) AS session_no
+        |       FROM g),
+        |s AS (SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+        |             MIN(us) AS s_start, MAX(us) AS s_end
+        |      FROM sn GROUP BY user_id, session_no),
+        |h AS (SELECT DISTINCT epoch_us(date_trunc('hour', ts)) AS window_start_us FROM events)
+        |SELECT s.user_id, s.session_no, h.window_start_us
+        |FROM s JOIN h ON s.s_start <= h.window_start_us + 3599999999
+        |              AND h.window_start_us <= s.s_end
+        |ORDER BY s.user_id, s.session_no, h.window_start_us""".stripMargin,
     "q_curate" ->
       """WITH keep AS (SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY sha256(text)),
         |d1 AS (SELECT d.doc_id, d.text FROM documents d JOIN keep USING (doc_id)),

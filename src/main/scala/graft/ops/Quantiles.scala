@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-pass histogram quantiles.
+  *
+  * An exact quantile is a global sort — at 100 TB that is the single most
+  * expensive shuffle there is, and `percentile_approx`'s sketch is
+  * engine-private (not reproducible elsewhere). This operator takes the
+  * classic fixed-width-histogram route: one aggregation pass builds
+  * (key, bucket) counts, a window cumsum over the (tiny, ≤ range/width)
+  * bucket table finds the first bucket whose cumulative count reaches the
+  * rank threshold, and the answer is that bucket's lower bound — error
+  * bounded by `bucketWidth`, data passes = 1, no sort of the data itself.
+  *
+  * Everything after the first aggregation is integer math: quantile ranks
+  * are requested in PER-MILLE (q = 500 → median) and the threshold is
+  * ceil(n·q/1000) computed with integer `div` — no float rounding to
+  * diverge between engines, which is what makes the result hash-exact in
+  * the q_quantiles DuckDB oracle (ceil(0.9·n) in doubles is NOT exactly
+  * reproducible: 0.9 has no binary representation).
+  *
+  * With empty `keyCols` the cumsum window is a single partition — fine,
+  * because it runs over bucket-count rows, not data rows; choose
+  * `bucketWidth` so the bucket count stays ≤ ~1e6.
+  */
+object Quantiles {
+
+  def histogramQuantiles(df: DataFrame, valueCol: String, bucketWidth: Double,
+      qsPerMille: Seq[Int], keyCols: Seq[String] = Nil): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles are per-mille ranks in [1, 1000], got $qsPerMille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = keyCols.map(col)
+    val buckets = df.where(col(valueCol).isNotNull)
+      .groupBy(keys :+
+        floor(col(valueCol).cast("double") / lit(bucketWidth)).cast("long")
+          .as("__bucket"): _*)
+      .agg(count(lit(1)).as("__cnt"))
+    val cumW = Window.partitionBy(keys: _*).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(keys: _*)
+    val cum = buckets
+      .withColumn("__cum", sum(col("__cnt")).over(cumW))
+      .withColumn("__n", sum(col("__cnt")).over(totW))
+    val qdf = qsPerMille.toDF("q_permille")
+    cum.crossJoin(qdf)
+      .where(col("__cum") >= expr("(__n * q_permille + 999) div 1000"))
+      .groupBy(keys :+ col("q_permille"): _*)
+      .agg(min(col("__bucket")).as("__qb"))
+      .select(keys ++ Seq(col("q_permille"),
+        (col("__qb").cast("double") * lit(bucketWidth)).as("quantile_lo")): _*)
+  }
+}
+
+/** Deterministic hash sampling: the portable alternative to
+  * `df.sample()` (whose RNG is seed- AND partitioning-dependent, so
+  * results change under repartition and never reproduce in another
+  * engine). `md5(id) mod 1000 < ratePerMille` keeps a stable pseudo-random
+  * subset decided per ROW IDENTITY — reproducible across engines, runs,
+  * cluster sizes, and (key property for train/test splits at 100 TB)
+  * consistent across tables sharing the id. The salt decorrelates
+  * independent samples of the same ids.
+  */
+object Sampling {
+  def hashSample(df: DataFrame, idCol: String, ratePerMille: Int,
+      salt: String = ""): DataFrame = {
+    require(ratePerMille >= 0 && ratePerMille <= 1000,
+      s"rate is per-mille in [0, 1000], got $ratePerMille")
+    df.where(
+      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
+        16, 10).cast("long") % 1000 < ratePerMille)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed triangle counting via degree-ordered edge orientation
+  * (Cohen 2009 "Graph Twiddling in a MapReduce World" / the standard
+  * compact-forward scheme).
+  *
+  * The naive 3-way self-join enumerates every wedge at its center: a node
+  * of degree d contributes d·(d-1)/2 join rows, so one celebrity hub in
+  * crawl-scale data produces billions of wedges. Orienting each edge from
+  * its lower-(degree, id) endpoint to the higher one caps every node's
+  * OUT-degree at O(sqrt(|E|)) (a node of out-degree k has k neighbors of
+  * degree >= its own, which costs k^2 <= 2|E| edge endpoints), so the
+  * wedge join does O(|E|^1.5) work in the worst case and far less on
+  * real skewed graphs — per-node work is bounded by arboricity, not by
+  * raw degree. Every triangle has exactly one source under a total order,
+  * so each is emitted exactly once, no distinct needed.
+  *
+  * All stages are plain equi-joins/aggregations — Catalyst shuffles on the
+  * join keys and AQE handles residual skew. Input edges may be directed,
+  * duplicated, or contain self-loops; the operator canonicalizes to the
+  * simple undirected graph first (reference has no triangle operator; this
+  * is a beyond-reference graph op in the [[ConnectedComponents]] family).
+  */
+object Triangles {
+
+  /** Canonical simple undirected edges (x < y), self-loops/dups/nulls
+    * dropped. */
+  private def canonical(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .distinct()
+
+  /** All triangles of the undirected simple graph, one row each, corners
+    * sorted: (a < b < c). */
+  def triangleList(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // persisted: e feeds the degree agg AND the orientation join, and
+    // oriented feeds both wedge sides AND the closing semi-join — without
+    // a persist the upstream edge derivation (often an expensive
+    // self-join + distinct) re-executes 3-5x. Left to LRU eviction: an
+    // eager unpersist under the returned lazy plan would just force the
+    // recomputation back in (same policy as Dedup/ConnectedComponents)
+    val e = canonical(edges, srcCol, dstCol).persist()
+    val deg = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val ex = e
+      .join(deg.select(col("node").as("x"), col("deg").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("deg").as("dy")), "y")
+    // orient low (deg, id) → high; carry the target's rank for the wedge
+    // ordering below
+    val lowFirst = struct(col("dx"), col("x")) < struct(col("dy"), col("y"))
+    val oriented = ex.select(
+      when(lowFirst, col("x")).otherwise(col("y")).as("u"),
+      when(lowFirst, col("y")).otherwise(col("x")).as("v"),
+      when(lowFirst, col("dy")).otherwise(col("dx")).as("dv"))
+      .persist()
+    // wedges v1 ← u → v2 with ord(v1) < ord(v2); the closing edge, if
+    // present, is oriented exactly v1 → v2 under the same total order
+    val w1 = oriented.select(col("u"), col("v").as("v1"), col("dv").as("dv1"))
+    val w2 = oriented.select(col("u"), col("v").as("v2"), col("dv").as("dv2"))
+    val wedges = w1.join(w2, Seq("u"))
+      .where(struct(col("dv1"), col("v1")) < struct(col("dv2"), col("v2")))
+    val closing = oriented.select(col("u").as("v1"), col("v").as("v2"))
+    val tri = wedges.join(closing, Seq("v1", "v2"), "left_semi")
+    tri.select(array_sort(array(col("u"), col("v1"), col("v2"))).as("t"))
+      .select(element_at(col("t"), 1).as("a"),
+        element_at(col("t"), 2).as("b"),
+        element_at(col("t"), 3).as("c"))
+  }
+
+  /** Per-node triangle participation counts (nodes in >= 1 triangle). */
+  def perNodeCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleList(edges, srcCol, dstCol)
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+
+  /** Global triangle count (single row). */
+  def globalCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
+    triangleList(edges, srcCol, dstCol).agg(count(lit(1)).as("n_triangles"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import graft.ops.{Quantiles, Sampling}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class QuantilesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("histogram quantile equals exact quantile rounded down to its bucket") {
+    // values 1..1000 uniformly: exact q-th per-mille rank is q; with
+    // width 10 the answer is floor(q/10)*10
+    val df = spark.range(1, 1001).select($"id".cast("double").as("v"))
+    val out = Quantiles.histogramQuantiles(df, "v", bucketWidth = 10.0,
+        qsPerMille = Seq(100, 500, 900, 1000))
+      .as[(Int, Double)].collect().toMap
+    assert(out == Map(100 -> 100.0, 500 -> 500.0, 900 -> 900.0, 1000 -> 1000.0))
+  }
+
+  test("keyed quantiles partition independently and ignore nulls") {
+    val df = Seq(("a", Some(1.0)), ("a", Some(2.0)), ("a", Some(3.0)),
+      ("a", None), ("b", Some(100.0))).toDF("k", "v")
+    val out = Quantiles.histogramQuantiles(df, "v", 1.0, Seq(500, 1000), Seq("k"))
+      .as[(String, Int, Double)].collect().toSet
+    // "a": n=3 (null dropped), median threshold ceil(1.5)=2 → value 2.0
+    assert(out == Set(("a", 500, 2.0), ("a", 1000, 3.0),
+      ("b", 500, 100.0), ("b", 1000, 100.0)))
+  }
+
+  test("error is bounded by one bucket width on skewed data") {
+    val df = spark.range(0, 10000).select(
+      (pow($"id".cast("double") / 10000.0, 3.0) * 1000.0).as("v"))
+    val exact = df.stat.approxQuantile("v", Array(0.5, 0.9), 0.0)
+    val got = Quantiles.histogramQuantiles(df, "v", 5.0, Seq(500, 900))
+      .as[(Int, Double)].collect().toMap
+    assert(math.abs(got(500) - exact(0)) <= 5.0)
+    assert(math.abs(got(900) - exact(1)) <= 5.0)
+  }
+
+  test("hash sample is deterministic, rate-accurate, and id-consistent") {
+    val df = spark.range(0, 20000).select($"id")
+    val s1 = Sampling.hashSample(df, "id", 100)
+    val s2 = Sampling.hashSample(df.repartition(13), "id", 100)
+    val ids1 = s1.as[Long].collect().toSet
+    assert(ids1 == s2.as[Long].collect().toSet) // partitioning-independent
+    assert(math.abs(ids1.size - 2000) < 300) // ~10% ± noise
+    // monotone rates: a 5% sample is a subset of the 10% sample
+    val ids05 = Sampling.hashSample(df, "id", 50).as[Long].collect().toSet
+    assert(ids05.subsetOf(ids1))
+    // a different salt decorrelates
+    val salted = Sampling.hashSample(df, "id", 100, salt = "x").as[Long].collect().toSet
+    val overlap = ids1.intersect(salted).size.toDouble / ids1.size
+    assert(overlap < 0.25, s"overlap $overlap")
+  }
+}
