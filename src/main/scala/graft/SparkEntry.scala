@@ -359,6 +359,21 @@ object SparkEntry {
           col("ts_us_r").as("purchase_ts_us"), col("p_value"))
         .orderBy("event_id")
     },
+    "q_heavy_hitters" -> { (s, d) =>
+      // Count-Min frequency estimates (ops/FrequencySketch): one pass over
+      // lineitem part keys into a 4×4096 counter grid, then d lookups per
+      // queried part. Counters are order-insensitive integer COUNTs and
+      // the md5-lane hashing is byte-defined → sketch AND estimates are
+      // hash-exact in DuckDB. Estimates never undercount (CMS guarantee,
+      // proven in FrequencySketchSpec); threshold picks the heavy parts
+      val events = Tables.lineitem(s, d)
+        .select(concat(lit("P"), col("l_partkey")).as("item"))
+      val parts = Tables.part(s, d)
+        .select(concat(lit("P"), col("p_partkey")).as("item"))
+      graft.ops.FrequencySketch.heavyHitters(events, parts, "item",
+          depth = 4, width = 4096, threshold = 40L)
+        .orderBy("item")
+    },
     "q_quantiles" -> { (s, d) =>
       // one-pass histogram quantiles per order priority (ops/Quantiles):
       // integer per-mille rank thresholds → hash-exact across engines,
@@ -409,7 +424,7 @@ object SparkEntry {
       // accuracy is covered by HllSpec against exact distinct counts)
       val toks = Tables.documents(s, d)
         .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long"))
+        .withColumn("h", graft.functions.functions.hex_to_long(substring(md5(col("tok")), 1, 15)))
       toks.groupBy(col("lang"))
         .agg(graft.functions.Hll.hll_registers(col("h"), p = 6).as("regs"))
         .select(col("lang"), posexplode(col("regs")))
@@ -916,6 +931,22 @@ object SparkEntry {
            |         [$lanes] AS v
            |       FROM documents""".stripMargin
       }),
+    "q_heavy_hitters" ->
+      """WITH js AS (SELECT CAST(UNNEST(range(0, 4)) AS INT) AS j),
+        |ev AS (SELECT md5('P' || CAST(l_partkey AS VARCHAR)) AS m FROM lineitem),
+        |h AS (SELECT js.j,
+        |             ('0x' || substr(ev.m, js.j * 8 + 1, 8))::BIGINT % 4096 AS idx
+        |      FROM ev CROSS JOIN js),
+        |sk AS (SELECT j, idx, COUNT(*) AS cnt FROM h GROUP BY j, idx),
+        |q AS (SELECT DISTINCT 'P' || CAST(p_partkey AS VARCHAR) AS item FROM part),
+        |qh AS (SELECT q.item, js.j,
+        |              ('0x' || substr(md5(q.item), js.j * 8 + 1, 8))::BIGINT % 4096 AS idx
+        |       FROM q CROSS JOIN js),
+        |est AS (SELECT qh.item, MIN(COALESCE(sk.cnt, 0)) AS est
+        |        FROM qh LEFT JOIN sk ON sk.j = qh.j AND sk.idx = qh.idx
+        |        GROUP BY qh.item)
+        |SELECT item, CAST(est AS BIGINT) AS est
+        |FROM est WHERE est >= 40 ORDER BY item""".stripMargin,
     "q_quantiles" ->
       """WITH b AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bucket,
         |                  COUNT(*) AS cnt

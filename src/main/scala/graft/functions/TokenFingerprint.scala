@@ -100,6 +100,11 @@ object functions {
   def token_fingerprint(c: Column): Column =
     shims.columnOf(TokenFingerprint(shims.expressionOf(c)))
 
+  /** Column API for the native hex→long parse (≤ 15 hex chars; the fast
+    * replacement for `conv(s, 16, 10).cast("long")` on md5 lanes). */
+  def hex_to_long(c: Column): Column =
+    shims.columnOf(HexToLong(shims.expressionOf(c)))
+
   private[graft] def buildTokenFingerprint(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 1,
       s"token_fingerprint expects exactly 1 argument, got ${exprs.length}")
@@ -118,9 +123,17 @@ object functions {
     ArrayQuantize(exprs.head, exprs(1))
   }
 
+  private[graft] def buildHexToLong(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"hex_to_long expects exactly 1 argument, got ${exprs.length}")
+    HexToLong(exprs.head)
+  }
+
   /** Register graft's native functions for SQL use
     * (`SELECT token_fingerprint(text), array_dot(a, b) ...`). */
   def registerAll(spark: SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "hex_to_long", buildHexToLong, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "token_fingerprint", buildTokenFingerprint, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(

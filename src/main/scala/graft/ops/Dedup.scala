@@ -218,8 +218,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
     val hashed = sh
       .withColumn("__md5", md5(col("shingle")))
-      .withColumn("h1", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+      .withColumn("h1", graft.functions.functions.hex_to_long(substring(col("__md5"), 1, 8)))
+      .withColumn("h2", graft.functions.functions.hex_to_long(substring(col("__md5"), 9, 8)))
     val mins = coeffs.zipWithIndex.map { case ((k, l), i) =>
       min((col("h1") * lit(k) + col("h2") * lit(l)) % lit(PortableMinHashP)).as(s"mh_$i")
     }
@@ -284,8 +284,8 @@ object Dedup extends org.apache.spark.internal.Logging {
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
       .withColumn("__md5", md5(col("tok"))) // hash once, split twice
-      .withColumn("h1", conv(substring(col("__md5"), 1, 8), 16, 10).cast("long"))
-      .withColumn("h2", conv(substring(col("__md5"), 9, 8), 16, 10).cast("long"))
+      .withColumn("h1", graft.functions.functions.hex_to_long(substring(col("__md5"), 1, 8)))
+      .withColumn("h2", graft.functions.functions.hex_to_long(substring(col("__md5"), 9, 8)))
     // single-pass array-valued vote aggregate — semantically identical to
     // the 64 separate sum(when((h >> j) & 1 = 1, 1).otherwise(-1)) columns
     // it replaces (the oracle SQL still spells the votes out per bit)

@@ -102,7 +102,7 @@ object Multimodal {
     require(dim <= 8, "md5 yields 128 bits = 8 16-bit lanes")
     val hx = md5(col("payload"))
     val lanes = (0 until dim).map(i =>
-      (conv(substring(hx, 4 * i + 1, 4), 16, 10).cast("long") % 1000).cast("double"))
+      (graft.functions.functions.hex_to_long(substring(hx, 4 * i + 1, 4)) % 1000).cast("double"))
     assets.withColumn("features", array(lanes: _*))
   }
 

@@ -72,7 +72,7 @@ object Sampling {
     require(ratePerMille >= 0 && ratePerMille <= 1000,
       s"rate is per-mille in [0, 1000], got $ratePerMille")
     df.where(
-      conv(substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15),
-        16, 10).cast("long") % 1000 < ratePerMille)
+      graft.functions.functions.hex_to_long(
+        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)) % 1000 < ratePerMille)
   }
 }
