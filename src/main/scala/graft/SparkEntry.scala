@@ -359,6 +359,32 @@ object SparkEntry {
           col("ts_us_r").as("purchase_ts_us"), col("p_value"))
         .orderBy("event_id")
     },
+    "q_chunks" -> { (s, d) =>
+      // document chunking (ops/Chunker): 64-token windows, 16-token
+      // overlap — pure per-row collection algebra, zero shuffles before
+      // the final orderBy. Chunk text digested to md5 so the oracle
+      // cell-compares every chunk's exact content
+      graft.ops.Chunker.chunkByTokens(Tables.documents(s, d), "doc_id",
+          "text", chunkTokens = 64, overlapTokens = 16)
+        .select(col("doc_id"), col("chunk_idx"), col("n_chunk_tokens"),
+          md5(col("chunk_text")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    "q_pack" -> { (s, d) =>
+      // contiguous sequence packing into ~512-token bins, per 8-way
+      // doc-id shard (packing is windowed per shard — the global-pack
+      // would serialize; per-shard is the 100 TB layout anyway)
+      val chunks = graft.ops.Chunker.chunkByTokens(Tables.documents(s, d),
+          "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .withColumn("shard", pmod(col("doc_id"), lit(8)).cast("int"))
+      graft.ops.Chunker.packContiguous(chunks, "n_chunk_tokens",
+          capacity = 512, keyCols = Seq("shard"),
+          orderCols = Seq("doc_id", "chunk_idx"))
+        .groupBy(col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(col("n_chunk_tokens")).as("tot_tokens"))
+        .orderBy("shard", "bin")
+    },
     "q_heavy_hitters" -> { (s, d) =>
       // Count-Min frequency estimates (ops/FrequencySketch): one pass over
       // lineitem part keys into a 4×4096 counter grid, then d lookups per
@@ -931,6 +957,34 @@ object SparkEntry {
            |         [$lanes] AS v
            |       FROM documents""".stripMargin
       }),
+    "q_chunks" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM t),
+        |idx AS (SELECT doc_id, w, CAST(u.i AS INT) AS chunk_idx
+        |        FROM c, UNNEST(range(0, 1 + CAST(CEIL(GREATEST(n - 64, 0) / 48.0) AS BIGINT))) AS u(i)),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |              w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64] AS cw
+        |       FROM idx)
+        |SELECT doc_id, chunk_idx, CAST(len(cw) AS INT) AS n_chunk_tokens,
+        |       md5(array_to_string(cw, ' ')) AS chunk_md5
+        |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q_pack" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM t),
+        |idx AS (SELECT doc_id, w, CAST(u.i AS INT) AS chunk_idx
+        |        FROM c, UNNEST(range(0, 1 + CAST(CEIL(GREATEST(n - 64, 0) / 48.0) AS BIGINT))) AS u(i)),
+        |ch AS (SELECT doc_id, chunk_idx,
+        |              CAST(doc_id % 8 AS INT) AS shard,
+        |              CAST(len(w[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT) AS n_tok
+        |       FROM idx),
+        |r AS (SELECT shard, n_tok,
+        |        SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id, chunk_idx
+        |          ROWS UNBOUNDED PRECEDING) AS run
+        |      FROM ch),
+        |b AS (SELECT shard, n_tok, CAST((run - n_tok) // 512 AS BIGINT) AS bin FROM r)
+        |SELECT shard, bin, COUNT(*) AS n_chunks,
+        |       CAST(SUM(n_tok) AS BIGINT) AS tot_tokens
+        |FROM b GROUP BY shard, bin ORDER BY shard, bin""".stripMargin,
     "q_heavy_hitters" ->
       """WITH js AS (SELECT CAST(UNNEST(range(0, 4)) AS INT) AS j),
         |ev AS (SELECT md5('P' || CAST(l_partkey AS VARCHAR)) AS m FROM lineitem),
