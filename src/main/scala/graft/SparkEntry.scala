@@ -91,6 +91,14 @@ object SparkEntry {
       ConnectedComponents.componentsViaAggregate(Tables.partSupplierEdges(s, d))
         .orderBy("node")
     },
+    "q_components_star" -> { (s, d) =>
+      // the pure-shuffle 100 TB CC path (alternating large-star/small-star
+      // contraction, O(log n) rounds, no task-local vertex state) under
+      // the SAME oracle as q_components — proving the scale path computes
+      // identical canonical labels, as q_shortest_path_pregel does for SSSP
+      ConnectedComponents.componentsAlternatingStar(Tables.partSupplierEdges(s, d))
+        .orderBy("node")
+    },
     "q_assoc" -> { (s, d) =>
       // unweighted association mining over order→part transactions;
       // minConfidence=0 keeps the association graph symmetric so `pattern`
@@ -573,6 +581,7 @@ object SparkEntry {
         |ORDER BY l_partkey""".stripMargin,
     "q_components" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_agg" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
+    "q_components_star" -> ccOracle("SELECT node, min(lab) AS component FROM cc GROUP BY node ORDER BY node"),
     "q_components_stats" -> ccOracle(
       """SELECT component, COUNT(*) AS n_nodes
         |FROM (SELECT node, min(lab) AS component FROM cc GROUP BY node)

@@ -149,14 +149,24 @@ object ConnectedComponents {
       .select($"u", $"v").where($"u" =!= $"v")
       .localCheckpoint(true)
 
+    def sigOf(df: DataFrame) =
+      df.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).first()
+    // order-insensitive edge-set signature (bit_xor: no ANSI overflow),
+    // carried across rounds — this round's `cur` IS last round's `small`,
+    // so recomputing its signature would double the per-round job count
+    var prevSig = sigOf(cur)
     var converged = false
     var round = 0
     while (!converged && round < 64) {
       // large-star: for each u, m = min(N(u) ∪ {u}); emit (v, m) for v ∈ N(u), v > u
       val sym = cur.union(cur.select($"v".as("u"), $"u".as("v")))
       val mins = sym.groupBy($"u").agg(least(min($"v"), first($"u")).as("m"))
+      // no distinct here: duplicate (u,v) rows ride through the small-star
+      // groupBy/join unchanged and collapse in the round-end distinct —
+      // one fewer shuffle per round, and multiplicity stays bounded by the
+      // input's own duplication within a single round
       val large = sym.join(mins, "u").where($"v" > $"u")
-        .select($"v".as("u"), $"m".as("v")).where($"u" =!= $"v").distinct()
+        .select($"v".as("u"), $"m".as("v")).where($"u" =!= $"v")
       // small-star: key each edge by its larger endpoint; m = min(N ∪ {u});
       // emit (x, m) for x ∈ N ∪ {u}, x ≠ m
       val byLarger = large.select(greatest($"u", $"v").as("u"), least($"u", $"v").as("v"))
@@ -167,10 +177,9 @@ object ConnectedComponents {
         .select($"x".as("u"), $"m".as("v")).distinct()
         .localCheckpoint(true)
 
-      // order-insensitive edge-set signature (bit_xor: no ANSI overflow)
-      val prevSig = cur.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).first()
-      val curSig = small.agg(count(lit(1)), coalesce(bit_xor(xxhash64($"u", $"v")), lit(0L))).first()
+      val curSig = sigOf(small)
       converged = prevSig == curSig
+      prevSig = curSig
       cur = small
       round += 1
     }

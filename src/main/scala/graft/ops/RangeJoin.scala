@@ -28,6 +28,12 @@ import org.apache.spark.sql.functions._
   * Null semantics: a null value or bound never matches (inner-join
   * comparisons with null are false), matching SQL.
   *
+  * A single interval spanning far more than `maxBandsPerInterval` bands
+  * (a mis-chosen width, or a corrupt [0, MAX_LONG] interval in the data)
+  * would silently replicate into millions of rows; the explode is guarded
+  * by a per-row `raise_error` instead — fail loudly, like the hot-bucket
+  * caps in the LSH operators, rather than melt the shuffle.
+  *
   * The reference has no range or interval operator (its only non-equi
   * residual is the `antecedent != consequent` theta in association mining,
   * reference: src/association_rule_graph_mining.rs:70-91); this is a
@@ -39,22 +45,33 @@ object RangeJoin {
   private def bandOf(c: Column, w: Double): Column =
     floor(c.cast("double") / lit(w)).cast("long")
 
+  /** Band ids covered by [lo, hi], guarded against runaway replication. */
+  private def bandsOf(lo: String, hi: String, w: Double, maxBands: Int): Column = {
+    val first = bandOf(col(lo), w)
+    val last = bandOf(col(hi), w)
+    explode(when(last - first < maxBands, sequence(first, last))
+      .otherwise(raise_error(concat(
+        lit(s"range join interval spans >= $maxBands bands of width $w: ["),
+        col(lo), lit(", "), col(hi),
+        lit("] — raise bandWidth or maxBandsPerInterval")))))
+  }
+
   /** All (point, interval) pairs with `lo <= v <= hi`, as an equi-join on
     * the band id plus a residual filter. Column names of the two inputs
     * must be disjoint.
     */
   def pointInInterval(points: DataFrame, valueCol: String,
       intervals: DataFrame, loCol: String, hiCol: String,
-      bandWidth: Double): DataFrame = {
+      bandWidth: Double, maxBandsPerInterval: Int = 4096): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    require(maxBandsPerInterval >= 2, "maxBandsPerInterval must be >= 2")
     val clash = points.columns.toSet.intersect(intervals.columns.toSet)
     require(clash.isEmpty, s"column name clash: $clash")
     val p = points.withColumn("__band", bandOf(col(valueCol), bandWidth))
     val iv = intervals
       .where(col(loCol) <= col(hiCol))
       .withColumn("__band",
-        explode(sequence(bandOf(col(loCol), bandWidth),
-          bandOf(col(hiCol), bandWidth))))
+        bandsOf(loCol, hiCol, bandWidth, maxBandsPerInterval))
     p.join(iv, Seq("__band"))
       .where(col(valueCol) >= col(loCol) && col(valueCol) <= col(hiCol))
       .drop("__band")
@@ -66,15 +83,15 @@ object RangeJoin {
     */
   def intervalOverlap(left: DataFrame, lLo: String, lHi: String,
       right: DataFrame, rLo: String, rHi: String,
-      bandWidth: Double): DataFrame = {
+      bandWidth: Double, maxBandsPerInterval: Int = 4096): DataFrame = {
     require(bandWidth > 0, "bandWidth must be positive")
+    require(maxBandsPerInterval >= 2, "maxBandsPerInterval must be >= 2")
     val clash = left.columns.toSet.intersect(right.columns.toSet)
     require(clash.isEmpty, s"column name clash: $clash")
     def banded(df: DataFrame, lo: String, hi: String): DataFrame =
       df.where(col(lo) <= col(hi))
         .withColumn("__band",
-          explode(sequence(bandOf(col(lo), bandWidth),
-            bandOf(col(hi), bandWidth))))
+          bandsOf(lo, hi, bandWidth, maxBandsPerInterval))
     banded(left, lLo, lHi).join(banded(right, rLo, rHi), Seq("__band"))
       .where(col(lLo) <= col(rHi) && col(rLo) <= col(lHi) &&
         // the intersection's first band is within both intervals' band

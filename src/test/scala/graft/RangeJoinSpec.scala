@@ -55,6 +55,21 @@ class RangeJoinSpec extends AnyFunSuite {
       Set((2L, 12L)))
   }
 
+  test("a runaway interval fails loudly instead of replicating millions of rows") {
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val ivs = Seq((10L, 0.0, 1e12)).toDF("iid", "lo", "hi") // corrupt bound
+    val e = intercept[Exception] {
+      RangeJoin.pointInInterval(points, "v", ivs, "lo", "hi",
+        bandWidth = 1.0, maxBandsPerInterval = 1000).count()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("spans >= 1000 bands")), e.getMessage)
+    // the same interval is fine with a sane width
+    assert(RangeJoin.pointInInterval(points, "v", ivs, "lo", "hi",
+      bandWidth = 1e10).count() == 1)
+  }
+
   test("banded plan is an equi-join, not a nested-loop/cartesian product") {
     // even with broadcast disabled (the at-scale shape: both sides large),
     // banding must produce a shuffle equi-join — the naive plan degrades
