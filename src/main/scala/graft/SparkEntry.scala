@@ -367,6 +367,26 @@ object SparkEntry {
           col("ts_us_r").as("purchase_ts_us"), col("p_value"))
         .orderBy("event_id")
     },
+    "q_asof_near" -> { (s, d) =>
+      // nearest as-of: every non-purchase event picks the user's CLOSEST
+      // purchase in time, either direction, ties to the earlier one —
+      // same single-pass O(1)-state merge as backward/forward. DuckDB has
+      // no nearest ASOF; the oracle composes its backward and forward
+      // ASOF joins and replays the tie rule
+      val ev = Tables.events(s, d)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .repartition(col("user_id"))
+        .groupBy(col("user_id"), col("ts_us"))
+        .agg((sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0))
+          .as("p_value"))
+      val others = ev.where(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      graft.plans.AsOfJoin.asofNearest(others, purchases,
+          keys = Seq("user_id"), leftTime = "ts_us", rightTime = "ts_us")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("ts_us_r").as("purchase_ts_us"), col("p_value"))
+        .orderBy("event_id")
+    },
     "q_chunks" -> { (s, d) =>
       // document chunking (ops/Chunker): 64-token windows, 16-token
       // overlap — pure per-row collection algebra, zero shuffles before
@@ -966,6 +986,28 @@ object SparkEntry {
            |         [$lanes] AS v
            |       FROM documents""".stripMargin
       }),
+    "q_asof_near" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us, event_type, value
+        |           FROM events),
+        |p AS (SELECT user_id, ts_us,
+        |        CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / 100.0 AS p_value
+        |      FROM e WHERE event_type = 'purchase' GROUP BY user_id, ts_us),
+        |c AS (SELECT event_id, user_id, ts_us FROM e WHERE event_type <> 'purchase'),
+        |b AS (SELECT c.event_id, p.ts_us AS m_ts, p.p_value AS m_val
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts_us >= p.ts_us),
+        |f AS (SELECT c.event_id, p.ts_us AS m_ts, p.p_value AS m_val
+        |      FROM c ASOF LEFT JOIN p
+        |        ON c.user_id = p.user_id AND c.ts_us <= p.ts_us)
+        |SELECT c.event_id, c.user_id, c.ts_us,
+        |       CASE WHEN b.m_ts IS NOT NULL AND
+        |                 (f.m_ts IS NULL OR c.ts_us - b.m_ts <= f.m_ts - c.ts_us)
+        |            THEN b.m_ts ELSE f.m_ts END AS purchase_ts_us,
+        |       CASE WHEN b.m_ts IS NOT NULL AND
+        |                 (f.m_ts IS NULL OR c.ts_us - b.m_ts <= f.m_ts - c.ts_us)
+        |            THEN b.m_val ELSE f.m_val END AS p_value
+        |FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+        |ORDER BY c.event_id""".stripMargin,
     "q_chunks" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w, len(w) AS n FROM t),

@@ -16,8 +16,9 @@ import org.apache.spark.sql.types.LongType
   *
   * For every left row, find the single right row with the same key and the
   * greatest time <= left time (backward as-of; strictlyBefore makes it <),
-  * or with `forward` the smallest time >= left time. An optional
-  * `tolerance` bounds how far the matched time may be from the left time.
+  * with `forward` the smallest time >= left time, or with `nearest` the
+  * minimum |Δt| (ties to the earlier row). An optional `tolerance` bounds
+  * how far the matched time may be from the left time.
   * Left-outer semantics: unmatched left rows keep nulls on the right.
   *
   * Spark's own pandas-API as-of (logical `AsOfJoin`) is REWRITTEN by the
@@ -48,7 +49,8 @@ case class AsOfJoinPlan(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression,
     strictlyBefore: Boolean,
-    forward: Boolean = false, tolerance: Long = -1L) extends BinaryNode {
+    forward: Boolean = false, tolerance: Long = -1L,
+    nearest: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -58,8 +60,8 @@ case class AsOfJoinPlan(
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, strict, fwd, tol,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, strict, fwd, tol, near) =>
+      AsOfJoinExec(lk, rk, lt, rt, strict, fwd, tol, near,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -68,7 +70,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(
     leftKeys: Seq[Expression], rightKeys: Seq[Expression],
     leftTime: Expression, rightTime: Expression, strictlyBefore: Boolean,
-    forward: Boolean, tolerance: Long,
+    forward: Boolean, tolerance: Long, nearest: Boolean,
     left: SparkPlan, right: SparkPlan) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -94,6 +96,8 @@ case class AsOfJoinExec(
     val strict = strictlyBefore
     val fwd = forward
     val tol = tolerance
+    val near = nearest
+    require(!(near && strict), "nearest as-of does not support strict mode")
     val nRight = right.output.size
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKeyProj = UnsafeProjection.create(leftKeys, left.output)
@@ -139,7 +143,43 @@ case class AsOfJoinExec(
           // null key or time on the left matches nothing (null ≠ null)
           if (lt == null || lk.anyNull) return resultProj(joined(l, nullRight))
           val ltv = lt.asInstanceOf[Long]
-          if (fwd) nextForward(l, lk, ltv) else nextBackward(l, lk, ltv)
+          if (near) nextNearest(l, lk, ltv)
+          else if (fwd) nextForward(l, lk, ltv)
+          else nextBackward(l, lk, ltv)
+        }
+
+        /** Nearest: both candidates at once — the held row (greatest right
+          * time <= left time, maintained exactly as in backward mode) and
+          * the lookahead row (smallest right time > left time, exactly as
+          * in forward mode). Whichever is closer in time wins; a tie goes
+          * to the backward row (the earlier event). Still one pass, still
+          * O(1) state. */
+        private def nextNearest(l: InternalRow, lk: InternalRow,
+            ltv: Long): InternalRow = {
+          var done = false
+          while (!done && rNext != null) {
+            val c = keyOrd.compare(rNextKey, lk)
+            if (c < 0) stepRight()
+            else if (c == 0) {
+              val rtv = rTime.eval(rNext).asInstanceOf[Long]
+              if (rtv <= ltv) {
+                held = rNext; heldKey = rNextKey; heldTime = rtv
+                stepRight()
+              } else done = true
+            } else done = true
+          }
+          val bOk = held != null && keyOrd.compare(heldKey, lk) == 0 &&
+            (tol < 0L || ltv - heldTime <= tol)
+          var fOk = false
+          var fDelta = 0L
+          if (rNext != null && keyOrd.compare(rNextKey, lk) == 0) {
+            fDelta = rTime.eval(rNext).asInstanceOf[Long] - ltv
+            fOk = tol < 0L || fDelta <= tol
+          }
+          if (bOk && (!fOk || ltv - heldTime <= fDelta))
+            resultProj(joined(l, held))
+          else if (fOk) resultProj(joined(l, rNext))
+          else resultProj(joined(l, nullRight))
         }
 
         /** Backward: the held row is the greatest right time <= (or <) left
@@ -233,10 +273,20 @@ object AsOfJoin {
     asof(left, right, keys, leftTime, rightTime, direction = "forward",
       strict = strict, tolerance = tolerance)
 
+  /** Nearest as-of join: each left row picks the right row with equal
+    * `keys` minimizing |rightTime - leftTime|; ties go to the earlier
+    * (backward) row. Strict mode is not supported for nearest. */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTime: String, rightTime: String,
+      tolerance: Long = -1L): DataFrame =
+    asof(left, right, keys, leftTime, rightTime, direction = "nearest",
+      tolerance = tolerance)
+
   /** General as-of join.
     *
-    * @param direction "backward" (greatest right time <= left time) or
-    *   "forward" (smallest right time >= left time)
+    * @param direction "backward" (greatest right time <= left time),
+    *   "forward" (smallest right time >= left time), or "nearest"
+    *   (min |Δt|, ties backward; strict unsupported)
     * @param strict exclude time-equal rows (strictly before / after)
     * @param tolerance when >= 0, a match additionally requires
     *   |leftTime - rightTime| <= tolerance (in the time column's own unit,
@@ -246,12 +296,14 @@ object AsOfJoin {
   def asof(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTime: String, rightTime: String, direction: String = "backward",
       strict: Boolean = false, tolerance: Long = -1L): DataFrame = {
-    val forward = direction match {
-      case "backward" => false
-      case "forward" => true
+    val (forward, nearest) = direction match {
+      case "backward" => (false, false)
+      case "forward" => (true, false)
+      case "nearest" => (false, true)
       case other => throw new IllegalArgumentException(
-        s"as-of direction must be backward|forward, got '$other'")
+        s"as-of direction must be backward|forward|nearest, got '$other'")
     }
+    require(!(nearest && strict), "nearest as-of does not support strict mode")
     val spark = left.sparkSession
     ensureRegistered(spark)
     val lNames = left.columns.toSet
@@ -277,7 +329,7 @@ object AsOfJoin {
     val node = AsOfJoinPlan(lPlan, rPlan,
       attrs(lPlan, keys), attrs(rPlan, keys.map(k => if (lNames.contains(k)) k + suffix else k)),
       attrs(lPlan, Seq(leftTime)).head, attrs(rPlan, Seq(rTimeName)).head,
-      strict, forward, tolerance)
+      strict, forward, tolerance, nearest)
     shims.dataFrameOf(spark, node)
   }
 

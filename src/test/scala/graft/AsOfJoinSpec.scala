@@ -54,6 +54,42 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got("t1") == None)
   }
 
+  test("nearest as-of: min |Δt|, ties to the earlier row") {
+    val got = AsOfJoin.asofNearest(trades, quotes, Seq("k"), "ts", "ts")
+      .select($"trade", $"ts_r", $"px")
+      .as[(String, Option[Long], Option[Double])].collect().toSet
+    assert(got == Set(
+      ("t1", Some(90L), Some(1.0)),   // |100-90|=10 < |200-100|=100
+      ("t2", Some(200L), Some(2.0)),  // exact hit
+      ("t3", Some(250L), Some(3.0)),  // |300-250|=50, no later quote
+      ("t4", Some(151L), Some(4.0)),  // forward-only candidate
+      ("t5", None, None)))
+    // tie: left at 150 between quotes at 100 and 200 → earlier (100) wins
+    val ties = AsOfJoin.asofNearest(
+        Seq((1L, 150L)).toDF("k", "ts"),
+        Seq((1L, 100L, "early"), (1L, 200L, "late")).toDF("k", "ts", "tag"),
+        Seq("k"), "ts", "ts")
+      .select($"tag").as[String].collect().toSeq
+    assert(ties == Seq("early"))
+  }
+
+  test("nearest as-of respects tolerance on the chosen side") {
+    val got = AsOfJoin.asofNearest(trades, quotes, Seq("k"), "ts", "ts",
+        tolerance = 5L)
+      .select($"trade", $"ts_r")
+      .as[(String, Option[Long])].collect().toMap
+    assert(got("t1") == None)        // nearest is 10 away > 5
+    assert(got("t2") == Some(200L))  // exact
+    assert(got("t4") == Some(151L))  // 1 away
+    // tolerance kills the nearer side but the other side qualifies
+    val mixed = AsOfJoin.asofNearest(
+        Seq((1L, 100L)).toDF("k", "ts"),
+        Seq((1L, 94L, "b"), (1L, 104L, "f")).toDF("k", "ts", "tag"),
+        Seq("k"), "ts", "ts", tolerance = 4L)
+      .select($"tag").as[Option[String]].collect().toSeq
+    assert(mixed == Seq(Some("f"))) // backward at 6 > tol, forward at 4 ok
+  }
+
   test("forward as-of: smallest right ts >= left ts, not consumed on match") {
     val got = AsOfJoin.asofForward(trades, quotes, Seq("k"), "ts", "ts")
       .select($"trade", $"ts_r", $"px")
