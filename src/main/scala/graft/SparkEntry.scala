@@ -448,6 +448,26 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")
     },
+    "q_kcore" -> { (s, d) =>
+      // k-core of the co-order part graph: exactly 8 synchronized peeling
+      // rounds (ops/KCore) — fixed rounds so the unrolled-CTE oracle
+      // computes the identical partial fixpoint (the q_pagerank_fp parity
+      // trick); KCoreSpec proves fixed-rounds == true fixpoint when the
+      // round count covers the peel depth
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") <= 15)
+        .select(
+          col("l_orderkey").as("tid"),
+          concat(lit("P"), col("l_partkey")).as("item"))
+      val ok = li.groupBy("tid").agg(count(lit(1)).as("n"))
+        .where(col("n") <= 8).select("tid")
+      val r = li.join(ok, "tid")
+      val pairs = r.as("a").join(r.as("b"),
+          col("a.tid") === col("b.tid") && col("a.item") < col("b.item"))
+        .select(col("a.item").as("src"), col("b.item").as("dst"))
+      graft.ops.KCore.kCore(pairs, "src", "dst", k = 3, iters = 8)
+        .orderBy("node")
+    },
     "q_triangles" -> { (s, d) =>
       // per-part triangle participation in the co-order graph (parts
       // co-occurring in an order are linked; low-quantity lineitems only
@@ -1075,6 +1095,7 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_kcore" -> kcoreOracle(k = 3, iters = 8),
     "q_triangles" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -1173,6 +1194,40 @@ object SparkEntry {
         |WHERE quality >= CAST(0.3 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Unrolled k-core peeling oracle over the same co-order part graph as
+    * q_triangles: one (degree, keep, edges) CTE triple per round mirrors
+    * KCore.kCore's synchronized peel exactly — both engines compute the
+    * identical `iters`-round partial fixpoint (fixed rounds, the same
+    * parity trick as [[pagerankFpOracle]]). */
+  private def kcoreOracle(k: Int, iters: Int): String = {
+    // MATERIALIZED is load-bearing: each round references the previous
+    // round's edge set three times, so DuckDB's default CTE inlining would
+    // re-expand round 8 into ~3^8 copies of the lineitem scan (observed as
+    // fd exhaustion). Materialization changes execution only, not values.
+    val head =
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+        |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT node, COUNT(*) AS deg
+         |        FROM (SELECT x AS node FROM e${i - 1}
+         |              UNION ALL SELECT y FROM e${i - 1})
+         |        GROUP BY node),
+         |k$i AS MATERIALIZED (SELECT node FROM d$i WHERE deg >= $k),
+         |e$i AS MATERIALIZED (SELECT e.x, e.y FROM e${i - 1} e
+         |        JOIN k$i kx ON e.x = kx.node
+         |        JOIN k$i ky ON e.y = ky.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
+       |FROM (SELECT x AS node FROM e$iters UNION ALL SELECT y FROM e$iters)
+       |GROUP BY node ORDER BY node""".stripMargin
+  }
 
   /** Unrolled fixed-point PageRank oracle: one CTE per iteration mirrors
     * PageRank.scoresFixedPoint exactly — integer division (`//` ≡ Spark
