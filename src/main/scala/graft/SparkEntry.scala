@@ -448,6 +448,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")
     },
+    "q_link_pred" -> { (s, d) =>
+      // Resource-Allocation link prediction over the co-order part graph:
+      // which part pairs are never co-ordered but share >= 2 co-order
+      // neighbors. 1/deg weights quantized by integer div (×1e9) — exact
+      // in any engine, unlike Adamic-Adar's libm ln(). Hot centers capped
+      // at degree 64 (mirrored in the oracle), the LSH hot-bucket pattern
+      val li = Tables.lineitem(s, d)
+        .where(col("l_quantity") <= 15)
+        .select(
+          col("l_orderkey").as("tid"),
+          concat(lit("P"), col("l_partkey")).as("item"))
+      val ok = li.groupBy("tid").agg(count(lit(1)).as("n"))
+        .where(col("n") <= 8).select("tid")
+      val r = li.join(ok, "tid")
+      val pairs = r.as("a").join(r.as("b"),
+          col("a.tid") === col("b.tid") && col("a.item") < col("b.item"))
+        .select(col("a.item").as("src"), col("b.item").as("dst"))
+      graft.ops.LinkPrediction.resourceAllocation(pairs, "src", "dst",
+          maxCenterDegree = 64, minCommon = 2)
+        .orderBy("a", "b")
+    },
     "q_kcore" -> { (s, d) =>
       // k-core of the co-order part graph: exactly 8 synchronized peeling
       // rounds (ops/KCore) — fixed rounds so the unrolled-CTE oracle
@@ -1095,6 +1116,28 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_link_pred" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |adj AS (SELECT x AS w, y AS n FROM e UNION ALL SELECT y AS w, x AS n FROM e),
+        |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |okc AS (SELECT w, d FROM deg WHERE d <= 64),
+        |wed AS (SELECT a1.n AS a, a2.n AS b, okc.d
+        |        FROM adj a1
+        |        JOIN okc ON okc.w = a1.w
+        |        JOIN adj a2 ON a2.w = a1.w AND a1.n < a2.n),
+        |cand AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS n_common,
+        |                CAST(SUM(1000000000 // d) AS BIGINT) AS ra_q
+        |         FROM wed GROUP BY a, b
+        |         HAVING COUNT(*) >= 2)
+        |SELECT c.a, c.b, c.n_common, c.ra_q
+        |FROM cand c LEFT JOIN e ON e.x = c.a AND e.y = c.b
+        |WHERE e.x IS NULL
+        |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
     "q_triangles" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
