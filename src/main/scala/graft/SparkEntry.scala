@@ -454,18 +454,8 @@ object SparkEntry {
       // neighbors. 1/deg weights quantized by integer div (×1e9) — exact
       // in any engine, unlike Adamic-Adar's libm ln(). Hot centers capped
       // at degree 64 (mirrored in the oracle), the LSH hot-bucket pattern
-      val li = Tables.lineitem(s, d)
-        .where(col("l_quantity") <= 15)
-        .select(
-          col("l_orderkey").as("tid"),
-          concat(lit("P"), col("l_partkey")).as("item"))
-      val ok = li.groupBy("tid").agg(count(lit(1)).as("n"))
-        .where(col("n") <= 8).select("tid")
-      val r = li.join(ok, "tid")
-      val pairs = r.as("a").join(r.as("b"),
-          col("a.tid") === col("b.tid") && col("a.item") < col("b.item"))
-        .select(col("a.item").as("src"), col("b.item").as("dst"))
-      graft.ops.LinkPrediction.resourceAllocation(pairs, "src", "dst",
+      graft.ops.LinkPrediction.resourceAllocation(
+          Tables.coOrderPairEdges(s, d), "src", "dst",
           maxCenterDegree = 64, minCommon = 2)
         .orderBy("a", "b")
     },
@@ -475,18 +465,8 @@ object SparkEntry {
       // computes the identical partial fixpoint (the q_pagerank_fp parity
       // trick); KCoreSpec proves fixed-rounds == true fixpoint when the
       // round count covers the peel depth
-      val li = Tables.lineitem(s, d)
-        .where(col("l_quantity") <= 15)
-        .select(
-          col("l_orderkey").as("tid"),
-          concat(lit("P"), col("l_partkey")).as("item"))
-      val ok = li.groupBy("tid").agg(count(lit(1)).as("n"))
-        .where(col("n") <= 8).select("tid")
-      val r = li.join(ok, "tid")
-      val pairs = r.as("a").join(r.as("b"),
-          col("a.tid") === col("b.tid") && col("a.item") < col("b.item"))
-        .select(col("a.item").as("src"), col("b.item").as("dst"))
-      graft.ops.KCore.kCore(pairs, "src", "dst", k = 3, iters = 8)
+      graft.ops.KCore.kCore(Tables.coOrderPairEdges(s, d), "src", "dst",
+          k = 3, iters = 8)
         .orderBy("node")
     },
     "q_triangles" -> { (s, d) =>
@@ -496,18 +476,8 @@ object SparkEntry {
       // guardrail as association mining; the unfiltered graph is ~1M edges
       // / 1.45M triangles at sf0.1, ~20s of wedge join for no extra
       // coverage). Degree-ordered orientation emits each triangle once
-      val li = Tables.lineitem(s, d)
-        .where(col("l_quantity") <= 15)
-        .select(
-          col("l_orderkey").as("tid"),
-          concat(lit("P"), col("l_partkey")).as("item"))
-      val ok = li.groupBy("tid").agg(count(lit(1)).as("n"))
-        .where(col("n") <= 8).select("tid")
-      val r = li.join(ok, "tid")
-      val pairs = r.as("a").join(r.as("b"),
-          col("a.tid") === col("b.tid") && col("a.item") < col("b.item"))
-        .select(col("a.item").as("src"), col("b.item").as("dst"))
-      graft.ops.Triangles.perNodeCounts(pairs, "src", "dst")
+      graft.ops.Triangles.perNodeCounts(Tables.coOrderPairEdges(s, d),
+          "src", "dst")
         .orderBy("node")
     },
     "q_hll_distinct" -> { (s, d) =>

@@ -79,4 +79,27 @@ object Tables {
     lineitem(s, d).select(
       concat(lit("P"), col("l_partkey")).as("src"),
       concat(lit("S"), col("l_suppkey")).as("dst"))
+
+  /** Co-order part pair edges (src < dst, duplicates kept) from
+    * low-quantity lineitems of orders with <= `maxItems` items — the
+    * shared input of q_triangles / q_kcore / q_link_pred. One groupBy +
+    * double explode instead of the equivalent self-join on l_orderkey:
+    * one shuffle instead of two-sides-plus-join, measured ~2x faster at
+    * sf0.1. The oracle SQL mirrors the SELF-JOIN formulation — identical
+    * row multiset: collect_list size == COUNT(*) per order (duplicates
+    * kept), and `src < dst` excludes self-pairs exactly like
+    * `a.item < b.item`.
+    */
+  def coOrderPairEdges(s: SparkSession, d: String, maxQty: Int = 15,
+      maxItems: Int = 8): DataFrame = {
+    val li = lineitem(s, d)
+      .where(col("l_quantity") <= maxQty)
+      .select(col("l_orderkey").as("tid"),
+        concat(lit("P"), col("l_partkey")).as("item"))
+    li.groupBy("tid").agg(collect_list(col("item")).as("items"))
+      .where(size(col("items")) <= maxItems)
+      .select(explode(col("items")).as("src"), col("items"))
+      .select(col("src"), explode(col("items")).as("dst"))
+      .where(col("src") < col("dst"))
+  }
 }
