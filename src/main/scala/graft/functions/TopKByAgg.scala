@@ -1,0 +1,125 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.shims
+import org.apache.spark.sql.types._
+
+/** Bounded top-k buffer: at most k (score, id) pairs, best-first by
+  * (score desc, id asc). Insertion keeps the array sorted — k is small
+  * (ANN reranking uses k <= ~100), so O(k) shifts beat heap bookkeeping. */
+final class TopKBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val ids = new Array[Long](k)
+  var n = 0
+
+  // true when (s1, i1) ranks strictly better than (s2, i2)
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
+    s1 > s2 || (s1 == s2 && i1 < i2)
+
+  def insert(s: Double, id: Long): Unit = {
+    if (n == k && !better(s, id, scores(n - 1), ids(n - 1))) return
+    // find insertion point (first slot this pair beats)
+    var pos = if (n == k) n - 1 else n
+    while (pos > 0 && better(s, id, scores(pos - 1), ids(pos - 1))) pos -= 1
+    var j = math.min(n, k - 1)
+    while (j > pos) { scores(j) = scores(j - 1); ids(j) = ids(j - 1); j -= 1 }
+    scores(pos) = s
+    ids(pos) = id
+    if (n < k) n += 1
+  }
+}
+
+/** Top-k per group as a single hash aggregate — replaces the
+  * `row_number() OVER (PARTITION BY g ORDER BY score DESC, id ASC) <= k`
+  * window, which sorts EVERY candidate row per partition. The aggregate
+  * keeps a k-slot buffer per group (map-side partial agg included, so the
+  * shuffle carries at most k pairs per group per partition instead of all
+  * candidates), identical ordering contract: score descending, id
+  * ascending on ties — bit-for-bit the rows the window version emits.
+  * Null scores/ids are skipped (a null can't be ranked).
+  */
+case class TopKByAgg(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKBuffer] {
+
+  require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+
+  override def children: Seq[Expression] = Seq(score, id)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("neighbor_id", LongType, nullable = false),
+      StructField("cosine", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by requires (double score, bigint id), got " +
+        s"(${score.dataType.simpleString}, ${id.dataType.simpleString})")
+
+  override def createAggregationBuffer(): TopKBuffer = new TopKBuffer(k)
+
+  override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null)
+      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    buffer
+  }
+
+  override def merge(buffer: TopKBuffer, other: TopKBuffer): TopKBuffer = {
+    var j = 0
+    while (j < other.n) { buffer.insert(other.scores(j), other.ids(j)); j += 1 }
+    buffer
+  }
+
+  override def eval(buffer: TopKBuffer): Any =
+    new GenericArrayData((0 until buffer.n).map(j =>
+      InternalRow(buffer.ids(j), buffer.scores(j))).toArray[Any])
+
+  override def serialize(buffer: TopKBuffer): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buffer.n * 16)
+    bb.putInt(buffer.n)
+    var j = 0
+    while (j < buffer.n) { bb.putDouble(buffer.scores(j)); bb.putLong(buffer.ids(j)); j += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKBuffer(k)
+    var j = 0
+    while (j < n) { buf.insert(bb.getDouble, bb.getLong); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKByAgg =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKByAgg {
+  /** Column API: top-k (neighbor_id, cosine) structs by (score desc, id
+    * asc) — drop-in for the window row_number pattern. */
+  def top_k_by(score: Column, id: Column, k: Int): Column =
+    shims.columnOf(TopKByAgg(
+      shims.expressionOf(score), shims.expressionOf(id), k).toAggregateExpression())
+}

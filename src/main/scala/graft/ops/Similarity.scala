@@ -23,6 +23,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** 1-based top-k per query by (cosine desc, neighbor_id asc) — a k-slot
+    * hash aggregate (functions/TopKByAgg) instead of the window
+    * `row_number` formulation, which SORTS every candidate row per
+    * partition; map-side partials mean the shuffle carries at most k pairs
+    * per (query, partition). Output rows are bit-identical to the window
+    * version (same ordering contract, same tie-break). */
+  private def topKPerQuery(pairs: DataFrame, k: Int): DataFrame =
+    pairs.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByAgg.top_k_by(
+        col("cosine"), col("neighbor_id"), k).as("__top"))
+      .select(col("query_id"), posexplode(col("__top")))
+      .select(col("query_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("neighbor_id"), col("col.cosine").as("cosine"))
+
   /** Cosine similarity of two numeric arrays, computed in double in index
     * order via the native codegen'd [[graft.functions.ArrayDot]] expression
     * (bit-identical to the aggregate/zip_with formulation it replaced,
@@ -218,11 +232,7 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine")
     // no dedup needed: each corpus vector lives in exactly one cell, so a
     // (query, neighbor) pair can only arise once
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(pairs, k)
   }
 
   /** Integer-quantized hyperplanes for the portable LSH variant: seeded
@@ -281,11 +291,7 @@ object Similarity {
         (q, nb, d / math.sqrt(qn * nn))
       }.filter(!_._3.isNaN))
       .toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 
   /** DuckDB mirror of [[lshTopKPortable]]: the per-table bucket CTE embeds
@@ -415,11 +421,7 @@ object Similarity {
         (q, nb, d / math.sqrt(qn * nn))
       }.filter(!_._3.isNaN))
       .toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    pairs.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(pairs, k)
   }
 
   /** DuckDB mirror of [[ivfTopKPortable]] on the `embeddings` table:
@@ -562,10 +564,6 @@ object Similarity {
         (q, nb, d / math.sqrt(qn * nn))
       }.filter(!_._3.isNaN)) // zero-norm vectors would sort first under desc
       .toDF("query_id", "neighbor_id", "cosine")
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"), col("cosine"))
+    topKPerQuery(scored, k)
   }
 }
