@@ -122,4 +122,131 @@ object TopKByAgg {
   def top_k_by(score: Column, id: Column, k: Int): Column =
     shims.columnOf(TopKByAgg(
       shims.expressionOf(score), shims.expressionOf(id), k).toAggregateExpression())
+
+  /** Column API: string-payload variant (score desc, payload asc). */
+  def top_k_by_str(score: Column, payload: Column, k: Int): Column =
+    shims.columnOf(TopKStrAgg(
+      shims.expressionOf(score), shims.expressionOf(payload), k).toAggregateExpression())
+}
+
+/** String-payload top-k buffer: (score desc, payload asc), duplicates
+  * retained in separate slots — identical to how `row_number` ranks
+  * duplicate rows. */
+final class TopKStrBuffer(val k: Int) {
+  val scores = new Array[Double](k)
+  val payloads = new Array[org.apache.spark.unsafe.types.UTF8String](k)
+  var n = 0
+
+  @inline private def better(s1: Double, p1: org.apache.spark.unsafe.types.UTF8String,
+      s2: Double, p2: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    s1 > s2 || (s1 == s2 && p1.compareTo(p2) < 0)
+
+  /** Whether an insert of (s, p) would enter the buffer — lets the caller
+    * skip the defensive UTF8String copy for the (vast majority of) rows
+    * that never qualify. */
+  def wouldAccept(s: Double, p: org.apache.spark.unsafe.types.UTF8String): Boolean =
+    n < k || better(s, p, scores(n - 1), payloads(n - 1))
+
+  def insert(s: Double, p: org.apache.spark.unsafe.types.UTF8String): Unit = {
+    if (!wouldAccept(s, p)) return
+    var pos = if (n == k) n - 1 else n
+    while (pos > 0 && better(s, p, scores(pos - 1), payloads(pos - 1))) pos -= 1
+    var j = math.min(n, k - 1)
+    while (j > pos) { scores(j) = scores(j - 1); payloads(j) = payloads(j - 1); j -= 1 }
+    scores(pos) = s
+    payloads(pos) = p
+    if (n < k) n += 1
+  }
+}
+
+/** [[TopKByAgg]] with a string payload — used for the reference's top-5
+  * consequent lists in association mining (confidence desc, consequent
+  * asc, duplicate pairs keep their multiplicity). */
+case class TopKStrAgg(
+    score: Expression,
+    payload: Expression,
+    k: Int,
+    override val mutableAggBufferOffset: Int = 0,
+    override val inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[TopKStrBuffer] {
+
+  require(k >= 1 && k <= 4096, s"k must be in [1, 4096], got $k")
+
+  override def children: Seq[Expression] = Seq(score, payload)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("payload", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false))),
+    containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == DoubleType && payload.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"top_k_by_str requires (double score, string payload), got " +
+        s"(${score.dataType.simpleString}, ${payload.dataType.simpleString})")
+
+  override def createAggregationBuffer(): TopKStrBuffer = new TopKStrBuffer(k)
+
+  override def update(buffer: TopKStrBuffer, input: InternalRow): TopKStrBuffer = {
+    val s = score.eval(input)
+    val p = payload.eval(input)
+    if (s != null && p != null) {
+      val sv = s.asInstanceOf[Double]
+      val pv = p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+      // the input row's UTF8String is backed by a reused buffer — copy,
+      // but only for rows that actually enter the top-k
+      if (buffer.wouldAccept(sv, pv)) buffer.insert(sv, pv.clone())
+    }
+    buffer
+  }
+
+  override def merge(buffer: TopKStrBuffer, other: TopKStrBuffer): TopKStrBuffer = {
+    var j = 0
+    while (j < other.n) { buffer.insert(other.scores(j), other.payloads(j)); j += 1 }
+    buffer
+  }
+
+  override def eval(buffer: TopKStrBuffer): Any =
+    new GenericArrayData((0 until buffer.n).map(j =>
+      InternalRow(buffer.payloads(j), buffer.scores(j))).toArray[Any])
+
+  override def serialize(buffer: TopKStrBuffer): Array[Byte] = {
+    val payloadBytes = (0 until buffer.n).map(j => buffer.payloads(j).getBytes)
+    val bb = ByteBuffer.allocate(4 + buffer.n * 12 + payloadBytes.map(_.length).sum)
+    bb.putInt(buffer.n)
+    var j = 0
+    while (j < buffer.n) {
+      bb.putDouble(buffer.scores(j))
+      bb.putInt(payloadBytes(j).length)
+      bb.put(payloadBytes(j))
+      j += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrBuffer = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = new TopKStrBuffer(k)
+    var j = 0
+    while (j < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val arr = new Array[Byte](len)
+      bb.get(arr)
+      buf.insert(s, org.apache.spark.unsafe.types.UTF8String.fromBytes(arr))
+      j += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKStrAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): TopKStrAgg =
+    copy(score = newChildren(0), payload = newChildren(1))
 }

@@ -127,15 +127,18 @@ object AssociationRules {
             .agg((count(lit(1)) * first($"supp_a") / first($"total_tx")).as("lift_score"))
       )
 
-      val topW = Window.partitionBy($"antecedent")
-        .orderBy($"confidence".desc, $"consequent".asc)
+      // top-5 consequents per antecedent (confidence desc, consequent asc,
+      // duplicate pairs keep their multiplicity — reference semantics,
+      // src/association_rule_graph_mining.rs:259-266) via the 5-slot hash
+      // aggregate: no window sort of the full kept-pair table, and the
+      // buffer's duplicate handling matches row_number's ranking exactly
       val top5 = kept
-        .withColumn("rn", row_number().over(topW)).where($"rn" <= 5)
         .groupBy($"antecedent")
-        .agg(sort_array(collect_list(struct($"rn", $"consequent", $"confidence"))).as("arr"))
+        .agg(graft.functions.TopKByAgg.top_k_by_str(
+          $"confidence", $"consequent", 5).as("arr"))
         .select($"antecedent",
-          expr("transform(arr, x -> x.consequent)").as("consequents"),
-          expr("transform(arr, x -> x.confidence)").as("confidence_scores"))
+          expr("transform(arr, x -> x.payload)").as("consequents"),
+          expr("transform(arr, x -> x.score)").as("confidence_scores"))
 
       val pattern = patternIds(spark, validItems, kept)
 
