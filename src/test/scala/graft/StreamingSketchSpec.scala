@@ -48,4 +48,32 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(math.abs(est0 - 60) / 60.0 < 0.3, s"window0 est $est0")
     assert(math.abs(est1 - 7) / 7.0 < 0.3, s"window1 est $est1")
   }
+
+  test("streaming Count-Min counters equal the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    // the CMS grid cell is just a COUNT per (j, idx) — the streaming
+    // aggregation state is the counter itself, one long per touched cell
+    def grid(df: org.apache.spark.sql.DataFrame) = df
+      .select(md5(col("item")).as("__md5"))
+      .select(explode(array((0 until 4).map(j => lit(j)): _*)).as("j"), col("__md5"))
+      .select(col("j"),
+        (graft.functions.functions.hex_to_long(
+          expr("substring(__md5, j * 8 + 1, 8)")) % 64).as("idx"))
+      .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))
+    val q = grid(input.toDF().toDF("item"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    val b1 = (0 until 50).map(i => s"x${i % 13}")
+    val b2 = (0 until 70).map(i => s"x${i % 29}")
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("cms_stream").as[(Int, Long, Long)]
+      .collect().toSet
+    val batch = graft.ops.FrequencySketch
+      .cmsTable((b1 ++ b2).toDF("item"), "item", depth = 4, width = 64)
+      .as[(Int, Long, Long)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+  }
 }
