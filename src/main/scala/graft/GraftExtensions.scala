@@ -32,5 +32,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.ArrayQuantize].getName, "array_quantize"),
       (exprs: Seq[Expression]) => graft.functions.functions.buildArrayQuantize(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("hex_to_long"),
+      new ExpressionInfo(classOf[graft.functions.HexToLong].getName, "hex_to_long"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildHexToLong(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("hll_registers"),
+      new ExpressionInfo(
+        classOf[graft.functions.HllRegistersAgg].getName, "hll_registers"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildHllRegisters(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("bit_votes"),
+      new ExpressionInfo(classOf[graft.functions.BitVoteAgg].getName, "bit_votes"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildBitVotes(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by"),
+      new ExpressionInfo(classOf[graft.functions.TopKByAgg].getName, "top_k_by"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildTopKBy(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("top_k_by_str"),
+      new ExpressionInfo(classOf[graft.functions.TopKStrAgg].getName, "top_k_by_str"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildTopKByStr(exprs)))
   }
 }

@@ -129,16 +129,56 @@ object functions {
     HexToLong(exprs.head)
   }
 
+  /** Extract a compile-time integer argument (p, k, nBits …) from a SQL
+    * literal — these parameterize buffer SIZES, so they cannot be
+    * data-dependent. */
+  private def intLiteral(e: Expression, name: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Short, _) => v.toInt
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Byte, _) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$name must be an integer literal, got $other")
+  }
+
+  private[graft] def buildHllRegisters(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"hll_registers expects (hash, p), got ${exprs.length} arguments")
+    HllRegistersAgg(exprs.head, intLiteral(exprs(1), "p"))
+  }
+
+  private[graft] def buildBitVotes(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"bit_votes expects (hash, nBits), got ${exprs.length} arguments")
+    BitVoteAgg(exprs.head, intLiteral(exprs(1), "nBits"))
+  }
+
+  private[graft] def buildTopKBy(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"top_k_by expects (score, id, k), got ${exprs.length} arguments")
+    TopKByAgg(exprs.head, exprs(1), intLiteral(exprs(2), "k"))
+  }
+
+  private[graft] def buildTopKByStr(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"top_k_by_str expects (score, payload, k), got ${exprs.length} arguments")
+    TopKStrAgg(exprs.head, exprs(1), intLiteral(exprs(2), "k"))
+  }
+
   /** Register graft's native functions for SQL use
-    * (`SELECT token_fingerprint(text), array_dot(a, b) ...`). */
+    * (`SELECT token_fingerprint(text), array_dot(a, b),
+    * hll_registers(h, 6), top_k_by(score, id, 5) ...`). Aggregate
+    * builders return the raw AggregateFunction — the analyzer wraps it in
+    * an AggregateExpression exactly as for built-in aggregates. */
   def registerAll(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "hex_to_long", buildHexToLong, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "token_fingerprint", buildTokenFingerprint, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_dot", buildArrayDot, "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "array_quantize", buildArrayQuantize, "scala_udf")
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hex_to_long", buildHexToLong, "scala_udf")
+    reg.createOrReplaceTempFunction("token_fingerprint", buildTokenFingerprint, "scala_udf")
+    reg.createOrReplaceTempFunction("array_dot", buildArrayDot, "scala_udf")
+    reg.createOrReplaceTempFunction("array_quantize", buildArrayQuantize, "scala_udf")
+    reg.createOrReplaceTempFunction("hll_registers", buildHllRegisters, "scala_udf")
+    reg.createOrReplaceTempFunction("bit_votes", buildBitVotes, "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_by", buildTopKBy, "scala_udf")
+    reg.createOrReplaceTempFunction("top_k_by_str", buildTopKByStr, "scala_udf")
   }
 }
