@@ -448,6 +448,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")
     },
+    "q_profile" -> { (s, d) =>
+      // one-pass column profiling (ops/Profiler): nulls, min/max, HLL
+      // distinct sketch for four orders columns from a single wide
+      // aggregation. The register dot-product digest is integer math →
+      // hash-exact oracle; the float HLL estimate is dropped here and
+      // accuracy-tested in ProfilerSpec instead
+      graft.ops.Profiler.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"))
+        .withColumnRenamed("column", "col_name")
+        .drop("distinct_est")
+        .orderBy("col_name")
+    },
     "q_link_pred" -> { (s, d) =>
       // Resource-Allocation link prediction over the co-order part graph:
       // which part pairs are never co-ordered but share >= 2 co-order
@@ -1086,6 +1098,8 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_profile" -> profileOracle(
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "q_link_pred" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -1207,6 +1221,32 @@ object SparkEntry {
         |WHERE quality >= CAST(0.3 AS DOUBLE)
         |ORDER BY doc_id""".stripMargin
   )
+
+  /** Per-column profiling oracle over `orders`: one UNION ALL block per
+    * column mirroring Profiler.profile — null counts, string min/max, and
+    * the HLL register dot-product digest (same md5-lane + trailing-zero
+    * rho SQL as q_hll_distinct, p=6; empty registers contribute 0 so
+    * summing only materialized registers equals the full-array sum). */
+  private def profileOracle(cols: Seq[String]): String = {
+    val blocks = cols.map { c =>
+      s"""SELECT '$c' AS col_name,
+         |       COUNT(*) AS n_rows,
+         |       CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+         |       MIN(CAST($c AS VARCHAR)) AS min_str,
+         |       MAX(CAST($c AS VARCHAR)) AS max_str,
+         |       (WITH h AS (SELECT ('0x' || substr(md5(CAST($c AS VARCHAR)), 1, 15))::BIGINT AS h
+         |                   FROM orders WHERE $c IS NOT NULL),
+         |        r AS (SELECT CAST(h % 64 AS INT) AS idx,
+         |                     CASE WHEN h >> 6 = 0 THEN 55
+         |                          ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+         |              FROM h),
+         |        regs AS (SELECT idx, MAX(rho) AS reg FROM r GROUP BY idx)
+         |        SELECT CAST(COALESCE(SUM(reg * (idx + 1)), 0) AS BIGINT) FROM regs)
+         |         AS distinct_digest
+         |FROM orders""".stripMargin
+    }
+    blocks.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+  }
 
   /** Unrolled k-core peeling oracle over the same co-order part graph as
     * q_triangles: one (degree, keep, edges) CTE triple per round mirrors
