@@ -67,12 +67,38 @@ object Quantiles {
   * independent samples of the same ids.
   */
 object Sampling {
+  private def bucketOf(idCol: String, salt: String) =
+    graft.functions.functions.hex_to_long(
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)) % 1000
+
   def hashSample(df: DataFrame, idCol: String, ratePerMille: Int,
       salt: String = ""): DataFrame = {
     require(ratePerMille >= 0 && ratePerMille <= 1000,
       s"rate is per-mille in [0, 1000], got $ratePerMille")
-    df.where(
-      graft.functions.functions.hex_to_long(
-        substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)) % 1000 < ratePerMille)
+    df.where(bucketOf(idCol, salt) < ratePerMille)
+  }
+
+  /** Deterministic multi-way split (train/val/test …): appends a `split`
+    * column chosen by the row's md5 bucket against cumulative per-mille
+    * boundaries — e.g. `Seq("train" -> 800, "val" -> 900, "test" -> 1000)`
+    * is an 80/10/10 split. Same identity hashing as [[hashSample]], so
+    * splits are reproducible across engines/runs/partitionings, consistent
+    * across tables sharing the id, and STABLE UNDER GROWTH of the split
+    * spec's earlier entries (widening train from 800 to 850 only moves
+    * rows out of val, never reshuffles existing train rows — the property
+    * that keeps eval sets from leaking into training data over time). */
+  def hashSplit(df: DataFrame, idCol: String,
+      boundaries: Seq[(String, Int)], salt: String = ""): DataFrame = {
+    require(boundaries.nonEmpty && boundaries.last._2 == 1000,
+      s"boundaries must end at 1000 per-mille, got $boundaries")
+    require(boundaries.map(_._2) == boundaries.map(_._2).sorted &&
+      boundaries.map(_._2).distinct == boundaries.map(_._2),
+      s"boundaries must be strictly increasing, got $boundaries")
+    val b = bucketOf(idCol, salt)
+    val labeled = boundaries.init.foldRight(
+      lit(boundaries.last._1)) { case ((name, hi), rest) =>
+      when(b < hi, lit(name)).otherwise(rest)
+    }
+    df.withColumn("split", labeled)
   }
 }

@@ -38,6 +38,26 @@ class QuantilesSpec extends AnyFunSuite {
     assert(math.abs(got(900) - exact(1)) <= 5.0)
   }
 
+  test("hash split is exhaustive, proportional, growth-stable, and sample-consistent") {
+    val df = spark.range(0, 20000).select($"id")
+    val split = Sampling.hashSplit(df, "id",
+        Seq("train" -> 800, "val" -> 900, "test" -> 1000))
+      .as[(Long, String)].collect()
+    val byLabel = split.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byLabel.keySet == Set("train", "val", "test"))
+    assert(byLabel.values.map(_.size).sum == 20000) // exhaustive & disjoint
+    assert(math.abs(byLabel("train").size - 16000) < 400)
+    assert(math.abs(byLabel("val").size - 2000) < 300)
+    // widening train only absorbs val rows — existing assignments stable
+    val wide = Sampling.hashSplit(df, "id", Seq("train" -> 850, "test" -> 1000))
+      .as[(Long, String)].collect().groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    assert(byLabel("train").subsetOf(wide("train")))
+    assert(byLabel("test").subsetOf(wide("test")))
+    // the train split IS the 80% hashSample (same identity hash)
+    val sample = Sampling.hashSample(df, "id", 800).as[Long].collect().toSet
+    assert(byLabel("train") == sample)
+  }
+
   test("hash sample is deterministic, rate-accurate, and id-consistent") {
     val df = spark.range(0, 20000).select($"id")
     val s1 = Sampling.hashSample(df, "id", 100)
