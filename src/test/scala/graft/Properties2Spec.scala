@@ -84,6 +84,18 @@ class Properties2Spec extends AnyFunSuite {
     }, 20)
   }
 
+  test("two events exactly one gap apart merge, in ours and in native") {
+    val gapUs = 300000000L
+    val ev = Seq((1L, 0L, 1L), (1L, gapUs, 2L))
+      .toDF("user_id", "ts_us", "event_id")
+    val ours = Sessionize.sessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
+      .select("n_sessions").as[Long].head()
+    val native = ev.withColumn("ts", timestamp_micros(col("ts_us")))
+      .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+      .count().count()
+    assert(ours == 1L && native == 1L)
+  }
+
   test("gap sessionizer agrees with Spark's native session_window counts") {
     // same gap, same events → identical (n_sessions, n_events) per user
     val gen = Gen.listOfN(60, for {
@@ -95,11 +107,11 @@ class Properties2Spec extends AnyFunSuite {
         val ev = raw.zipWithIndex
           .map { case ((u, us), i) => (u, us, i.toLong) }
           .toDF("user_id", "ts_us", "event_id")
-        // boundary semantics differ by one µs: our sessionizer merges at
-        // diff == gap (new session iff diff > gap), Spark's session_window
-        // closes at diff == gap (merge iff next < prev + gap). gap-1 on
-        // our side makes the two predicates identical
-        val gapUs = 300000000L - 1 // native "5 minutes" equivalent
+        // boundary semantics AGREE: Spark's session_window merges an event
+        // at exactly prev + gap (touching windows merge — found by the
+        // ScalaCheck shrinker on a diff == gap counterexample), which is
+        // our `new session iff diff > gap` predicate verbatim
+        val gapUs = 300000000L // native "5 minutes" equivalent
         val ours = Sessionize.sessionStats(ev, "user_id", "ts_us", "event_id", gapUs)
           .select("user_id", "n_sessions", "n_events")
           .as[(Long, Long, Long)].collect().toSet
