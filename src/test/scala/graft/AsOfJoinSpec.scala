@@ -160,6 +160,24 @@ class AsOfJoinSpec extends AnyFunSuite {
       .as[(Long, Option[Long])].collect().toMap
     assert(got == ref)
     assert(got.values.exists(_.isDefined))
+
+    // forward: min rts >= ts
+    val gotF = AsOfJoin.asofForward(l, r, Seq("k"), "ts", "rts")
+      .select($"lid", $"rts").as[(Long, Option[Long])].collect().toMap
+    val refF = l.join(r, l("k") === r("k") && $"rts" >= $"ts", "left")
+      .groupBy($"lid").agg(min($"rts").as("rts"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotF == refF)
+
+    // nearest: argmin |rts - ts|, ties to the smaller rts (backward)
+    val gotN = AsOfJoin.asofNearest(l, r, Seq("k"), "ts", "rts")
+      .select($"lid", $"rts").as[(Long, Option[Long])].collect().toMap
+    val refN = l.join(r, Seq("k"), "left")
+      .groupBy($"lid", $"ts")
+      .agg(min(struct(abs($"rts" - $"ts").as("d"), $"rts")).as("best"))
+      .select($"lid", $"best.rts".as("rts"))
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotN == refN)
   }
 
   test("plan shape: AsOfJoinExec node, one exchange per side, merge not blow-up") {
