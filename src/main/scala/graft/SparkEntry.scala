@@ -236,6 +236,17 @@ object SparkEntry {
       Dedup.embeddingCosinePairsBlocked(q, "vec_id", "qv", threshold = 0.3)
         .orderBy("id_a", "id_b")
     },
+    "q_dedup_clusters" -> { (s, d) =>
+      // the step after pair mining: near-dup pairs (portable MinHash+LSH)
+      // collapsed into dedup clusters via connected components — keeper is
+      // the component's min doc id; per-cluster sizes out
+      val pairs = Dedup.minHashLshPairsPortable(Tables.documents(s, d),
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.nearDupClusters(pairs, "id_a", "id_b")
+        .groupBy(col("component").as("keeper"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("keeper")
+    },
     "q_ann_topk" -> { (s, d) =>
       // exact brute-force cosine top-5 for the first 20 vectors
       val q = Tables.embeddings(s, d)
@@ -800,6 +811,34 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |${graft.ops.Dedup.minHashPortableOracleCtes(numHashes = 64, bands = 16)},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.id_a
+         |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |          GROUP BY c.id_a, c.id_b),
+         |p AS (SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b
+         |      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |                 JOIN sizes sb ON sb.doc_id = id_b
+         |      WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+         |sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |cc AS (SELECT node, node AS lab FROM nodes
+         |       UNION
+         |       SELECT s.b AS node, c.lab FROM cc c JOIN sym s ON c.node = s.a
+         |       WHERE c.lab < s.b),
+         |comp AS (SELECT node, MIN(lab) AS component FROM cc GROUP BY node)
+         |SELECT component AS keeper, COUNT(*) AS n_docs
+         |FROM comp GROUP BY component ORDER BY keeper""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle

@@ -90,6 +90,20 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy("text_sha")
       .agg(count(lit(1)).as("n_copies"), min(col("id")).as("keep_id"))
 
+  /** Collapse near-duplicate PAIRS (from any of the pair operators) into
+    * dedup CLUSTERS — the step a pipeline actually acts on: near-dup is
+    * transitive in practice (A≈B, B≈C → keep one of {A,B,C}), so the
+    * clusters are the connected components of the pair graph, and the
+    * canonical keeper is the component's lexicographic-min id (ids travel
+    * as strings). Returns (node, component)
+    * with ids as strings ([[graft.ops.ConnectedComponents]] semantics);
+    * docs in no pair are absent — they keep themselves.
+    */
+  def nearDupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame =
+    graft.ops.ConnectedComponents.components(
+      pairs.select(col(idACol).cast("string").as("src"),
+        col(idBCol).cast("string").as("dst")))
+
   /** Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b,
     * jaccard >= threshold). Inverted-index join: only documents sharing at
     * least one shingle are ever paired.
