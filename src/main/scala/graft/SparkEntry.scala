@@ -299,6 +299,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"))
         .orderBy("lang", "predicted")
     },
+    "q_rare_tokens" -> { (s, d) =>
+      // corpus-frequency rarity per document (ops/TextStats
+      // .rareTokenScore): tokens with document-frequency <= 2 are "rare";
+      // integer counts + integer division → hash-exact oracle
+      TextStats.rareTokenScore(Tables.documents(s, d), "doc_id", "text",
+          rareDf = 2L)
+        .orderBy("doc_id")
+    },
     "q_fingerprint" -> { (s, d) =>
       // native codegen'd Catalyst expression (ScalaTest proves it equals
       // the column-algebra formula the oracle mirrors)
@@ -952,6 +960,18 @@ object SparkEntry {
         |      FROM sc)
         |SELECT lang, predicted, COUNT(*) AS n
         |FROM p GROUP BY lang, predicted ORDER BY lang, predicted""".stripMargin,
+    "q_rare_tokens" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |dfreq AS (SELECT tok, COUNT(*) AS df
+        |          FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY tok),
+        |j AS (SELECT toks.doc_id, dfreq.df FROM toks JOIN dfreq USING (tok)),
+        |agg AS (SELECT doc_id,
+        |          COUNT(*) AS n_token_rows,
+        |          CAST(SUM(CASE WHEN df <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare
+        |        FROM j GROUP BY doc_id)
+        |SELECT doc_id, n_token_rows, n_rare,
+        |       CAST((n_rare * 1000) // n_token_rows AS BIGINT) AS rare_permille
+        |FROM agg ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

@@ -105,4 +105,32 @@ object TextStats {
         element_at(array(pows.map(lit): _*), (i % lit(8)) + lit(1))) % lit(1000000007L))
     aggregate(terms, lit(0L), (acc, v) => acc + v) % lit(1000000007L)
   }
+
+  /** Corpus-frequency rarity score — the statistical gibberish signal the
+    * per-document heuristics above can't see: a document whose tokens are
+    * mostly corpus-rare (OCR noise, mojibake, random ids) scores high even
+    * when its lengths and ratios look normal. Two aggregation passes over
+    * TOKEN rows: corpus document-frequencies (vocabulary-sized result),
+    * then a token-keyed join back and a per-doc rollup —
+    *
+    *   rare_permille = (n_rare · 1000) div n_token_rows
+    *
+    * where a token is rare when its corpus df <= `rareDf`. Pure integer
+    * counts and integer division end-to-end (q_rare_tokens oracle). At
+    * 100 TB both shuffles are token/doc-keyed and the df table is
+    * vocabulary-sized — no per-document state anywhere.
+    */
+  def rareTokenScore(df: DataFrame, idCol: String, textCol: String,
+      rareDf: Long = 2L): DataFrame = {
+    val toks = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+    // document frequency: in how many documents does the token appear
+    val dfreq = toks.select(col(idCol), col("tok")).distinct()
+      .groupBy("tok").agg(count(lit(1)).as("df"))
+    toks.join(dfreq, "tok")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_token_rows"),
+        sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("rare_permille", expr("(n_rare * 1000) div n_token_rows"))
+  }
 }

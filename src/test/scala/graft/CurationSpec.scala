@@ -52,4 +52,20 @@ class CurationSpec extends AnyFunSuite {
     val ids = spark.table("dedup_out").select("id").as[Long].collect().toSet
     assert(ids == Set(1L, 3L))
   }
+
+  test("rareTokenScore flags corpus-rare gibberish, not normal prose") {
+    import graft.ops.TextStats
+    val docs = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, "the cat ran to the mat"),
+      (3L, "xq7zk vvprw q99ty zzxw1 kkjj9 the")) // 5 hapax tokens + 1 common
+      .toDF("doc_id", "text")
+    val out = TextStats.rareTokenScore(docs, "doc_id", "text", rareDf = 1L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // docs 1/2 share every token pairwise except sat/ran/on/to
+    assert(out(1L)._4 < 500 && out(2L)._4 < 500)
+    // doc 3: 5 of 6 tokens are hapax -> (5*1000) div 6 = 833
+    assert(out(3L) == ((3L, 6L, 5L, 833L)))
+  }
 }
