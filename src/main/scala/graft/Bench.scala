@@ -40,15 +40,24 @@ object Bench {
         }
         name -> times
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v.min }
+    def r3(x: Double): String = f"$x%.3f"
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + r3(v.min) }
       .mkString("{", ",", "}")
     // per-run spreads: lets a future regression be told apart from noise
     // without re-running (VERDICT r3 item 9)
     val runs = results.map { case (k, v) =>
-      s"\"" + k + "\":" + v.mkString("[", ",", "]")
+      s"\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"runs":$runs,"sf":"$sfDir"}""")
+    // Compact totals line FIRST and again LAST: the driver captures a
+    // bounded head/tail of stdout, and round 4's single giant totals-last
+    // line outgrew the captured tail (VERDICT r4 item 1). Whichever end
+    // survives, one complete parseable totals line is present.
+    val totalsLine =
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(totalsLine)
+    println(s"""{"metric":"runs","runs":$runs,"sf":"$sfDir"}""")
+    println(totalsLine)
     spark.stop()
   }
 }

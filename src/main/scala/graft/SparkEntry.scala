@@ -121,7 +121,8 @@ object SparkEntry {
         col("l_quantity").as("freq"))
       AssociationRules.graphAssociationRules(tx, "tid", "item", Some("freq"),
           AssociationRules.Params(minSupport = 0.04, minConfidence = 0.5,
-            maxItemsetSize = 8, weighted = true, firstAppearanceOrder = false))
+            maxItemsetSize = 8, weighted = true, firstAppearanceOrder = false,
+            includePattern = false))
         .select(col("item"), col("support"), col("lift_score"),
           size(col("consequents")).as("n_top"),
           coalesce(element_at(col("consequents"), 1), lit("")).as("top_consequent"),
@@ -140,7 +141,8 @@ object SparkEntry {
         col("l_quantity").as("freq"))
       AssociationRules.graphAssociationRules(tx, "tid", "item", Some("freq"),
           AssociationRules.Params(minSupport = 0.04, minConfidence = 0.5,
-            maxItemsetSize = 8, weighted = true, firstAppearanceOrder = false))
+            maxItemsetSize = 8, weighted = true, firstAppearanceOrder = false,
+            includePattern = false))
         .select(col("item"),
           posexplode(arrays_zip(col("consequents"), col("confidence_scores"))))
         .select(col("item"), (col("pos") + 1).cast("int").as("rank"),
@@ -730,80 +732,32 @@ object SparkEntry {
         |FROM ranked WHERE rn <= 5
         |ORDER BY item, rank""".stripMargin,
     "q_shortest_path" ->
-      """WITH RECURSIVE
-        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
-        |chain AS (SELECT a.n_name AS src, b.n_name AS dst,
-        |            CAST(TRUNC((CAST(0.1 AS DOUBLE) + (b.n_nationkey % 7) * CAST(0.35 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
-        |          FROM nk a JOIN nk b ON b.rn = a.rn + 1),
-        |skip AS (SELECT a.n_name AS src, b.n_name AS dst,
-        |           CAST(TRUNC((CAST(1.0 AS DOUBLE) + (b.n_nationkey % 5) * CAST(0.21 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
-        |         FROM nk a JOIN nk b ON b.rn = a.rn + 5),
-        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
-        |sym AS (SELECT src, dst, cost FROM edges UNION ALL SELECT dst AS src, src AS dst, cost FROM edges),
-        |p AS (
-        |  SELECT src, src AS node, CAST(0 AS BIGINT) AS cost, [src] AS path
-        |  FROM (SELECT DISTINCT src FROM sym)
-        |  UNION ALL
-        |  SELECT p.src, s.dst AS node, p.cost + s.cost, list_append(p.path, s.dst)
-        |  FROM p JOIN sym s ON p.node = s.src
-        |  WHERE NOT list_contains(p.path, s.dst)),
-        |d AS (SELECT src, node AS dst, MIN(cost) AS cost FROM p WHERE node <> src GROUP BY src, node)
-        |SELECT CASE WHEN src < dst THEN src ELSE dst END AS "from",
-        |       CASE WHEN src < dst THEN dst ELSE src END AS "to",
-        |       CAST(MIN(cost) AS DOUBLE) / 1000.0 AS distance
-        |FROM d GROUP BY 1, 2
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH
+         |${nationApspCtes(rounds = 5)}
+         |SELECT CASE WHEN src < dst THEN src ELSE dst END AS "from",
+         |       CASE WHEN src < dst THEN dst ELSE src END AS "to",
+         |       CAST(MIN(cost) AS DOUBLE) / 1000.0 AS distance
+         |FROM d5 WHERE src <> dst GROUP BY 1, 2
+         |ORDER BY 1, 2""".stripMargin,
     "q_shortest_path_pregel" ->
-      """WITH RECURSIVE
-        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
-        |chain AS (SELECT a.n_name AS src, b.n_name AS dst,
-        |            CAST(TRUNC((CAST(0.1 AS DOUBLE) + (b.n_nationkey % 7) * CAST(0.35 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
-        |          FROM nk a JOIN nk b ON b.rn = a.rn + 1),
-        |skip AS (SELECT a.n_name AS src, b.n_name AS dst,
-        |           CAST(TRUNC((CAST(1.0 AS DOUBLE) + (b.n_nationkey % 5) * CAST(0.21 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
-        |         FROM nk a JOIN nk b ON b.rn = a.rn + 5),
-        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
-        |sym AS (SELECT src, dst, cost FROM edges UNION ALL SELECT dst AS src, src AS dst, cost FROM edges),
-        |p AS (
-        |  SELECT src, src AS node, CAST(0 AS BIGINT) AS cost, [src] AS path
-        |  FROM (SELECT DISTINCT src FROM sym WHERE src IN ('NATION_0', 'NATION_12', 'NATION_7'))
-        |  UNION ALL
-        |  SELECT p.src, s.dst AS node, p.cost + s.cost, list_append(p.path, s.dst)
-        |  FROM p JOIN sym s ON p.node = s.src
-        |  WHERE NOT list_contains(p.path, s.dst)),
-        |d AS (SELECT src, node AS dst, MIN(cost) AS cost FROM p WHERE node <> src GROUP BY src, node)
-        |SELECT src AS "from", dst AS "to", CAST(cost AS DOUBLE) / 1000.0 AS distance
-        |FROM d
-        |ORDER BY 1, 2""".stripMargin,
+      s"""WITH
+         |${nationApspCtes(rounds = 5)}
+         |SELECT src AS "from", dst AS "to", CAST(cost AS DOUBLE) / 1000.0 AS distance
+         |FROM d5 WHERE src <> dst AND src IN ('NATION_0', 'NATION_12', 'NATION_7')
+         |ORDER BY 1, 2""".stripMargin,
     "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
     "q_betweenness_pairs" ->
-      """WITH RECURSIVE
-        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
-        |chain AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 1),
-        |skip AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 5),
-        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
-        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
-        |p AS (
-        |  SELECT src, src AS node, 0 AS d, [src] AS path
-        |  FROM (SELECT DISTINCT src FROM sym)
-        |  UNION ALL
-        |  SELECT p.src, s.dst AS node, p.d + 1, list_append(p.path, s.dst)
-        |  FROM p JOIN sym s ON p.node = s.src
-        |  WHERE NOT list_contains(p.path, s.dst)),
-        |dm AS (SELECT src, node AS dst, MIN(d) AS d FROM p WHERE node <> src GROUP BY src, node),
-        |sg AS (SELECT p.src AS s, p.node AS t, p.d, CAST(COUNT(*) AS BIGINT) AS sigma
-        |       FROM p JOIN dm ON dm.src = p.src AND dm.dst = p.node AND dm.d = p.d
-        |       GROUP BY p.src, p.node, p.d),
-        |tri AS (SELECT a.t AS v,
-        |          CAST(FLOOR(1000000000.0 * a.sigma * b.sigma / st.sigma) AS BIGINT) AS qc
-        |        FROM sg st
-        |        JOIN sg a ON a.s = st.s
-        |        JOIN sg b ON b.s = a.t AND b.t = st.t
-        |        WHERE a.t <> st.t AND a.d + b.d = st.d),
-        |nodes AS (SELECT DISTINCT src AS node FROM sym)
-        |SELECT n.node, CAST(COALESCE(SUM(t.qc), 0) AS BIGINT) AS qbc
-        |FROM nodes n LEFT JOIN tri t ON t.v = n.node
-        |GROUP BY n.node ORDER BY n.node""".stripMargin,
+      s"""WITH
+         |${nationBfsSigmaCtes(rounds = 10)},
+         |tri AS (SELECT a.t AS v,
+         |          CAST(FLOOR(1000000000.0 * a.sigma * b.sigma / st.sigma) AS BIGINT) AS qc
+         |        FROM sg st
+         |        JOIN sg a ON a.s = st.s
+         |        JOIN sg b ON b.s = a.t AND b.t = st.t
+         |        WHERE a.t <> st.t AND a.d + b.d = st.d)
+         |SELECT n.node, CAST(COALESCE(SUM(t.qc), 0) AS BIGINT) AS qbc
+         |FROM nodes n LEFT JOIN tri t ON t.v = n.node
+         |GROUP BY n.node ORDER BY n.node""".stripMargin,
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
@@ -1371,6 +1325,76 @@ object SparkEntry {
          |    GROUP BY e.dst) inc ON inc.dst = nd.node)""".stripMargin
     }.mkString(",\n")
     s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
+  }
+
+  /** Path-doubling all-pairs shortest-distance CTEs over the 25-node
+    * nation graph: with 0-cost self-loops folded into d0, each round
+    * subsumes the last, so d_k(a,c) = min cost over walks of <= 2^k
+    * edges. `rounds`=5 covers 32 >= 24 edges — the longest possible
+    * simple path on 25 nodes — and nonnegative costs make min-over-walks
+    * = min-over-simple-paths, so d5 is the exact all-pairs distance.
+    * Replaces the recursive simple-path enumeration whose fan-out
+    * dominated the t2 oracle wall time (VERDICT r4 item 1). MATERIALIZED
+    * is load-bearing: each round references the previous one twice.
+    */
+  private def nationApspCtes(rounds: Int): String = {
+    val head =
+      """nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst,
+        |            CAST(TRUNC((CAST(0.1 AS DOUBLE) + (b.n_nationkey % 7) * CAST(0.35 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
+        |          FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst,
+        |           CAST(TRUNC((CAST(1.0 AS DOUBLE) + (b.n_nationkey % 5) * CAST(0.21 AS DOUBLE)) * CAST(1000.0 AS DOUBLE)) AS BIGINT) AS cost
+        |         FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
+        |sym AS (SELECT src, dst, cost FROM edges UNION ALL SELECT dst AS src, src AS dst, cost FROM edges),
+        |d0 AS MATERIALIZED (
+        |  SELECT src, dst, MIN(cost) AS cost FROM (
+        |    SELECT src, dst, cost FROM sym
+        |    UNION ALL
+        |    SELECT src, src AS dst, CAST(0 AS BIGINT) AS cost FROM (SELECT DISTINCT src FROM sym))
+        |  GROUP BY src, dst)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (
+         |  SELECT a.src, b.dst, MIN(a.cost + b.cost) AS cost
+         |  FROM d${i - 1} a JOIN d${i - 1} b ON a.dst = b.src
+         |  GROUP BY a.src, b.dst)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps"
+  }
+
+  /** Unrolled level-synchronous BFS with shortest-path counts over the
+    * unweighted nation graph: frontier f_i holds (src, node, sigma) for
+    * nodes at distance exactly i, sigma summed over predecessor
+    * frontiers — the standard Brandes forward pass, which is what the
+    * repo's distributed Betweenness computes. `rounds` must be >= the
+    * graph's eccentricity (8 for the 25-node chain+skip graph; 10 leaves
+    * margin — extra rounds are empty frontiers). Replaces the recursive
+    * simple-path enumeration (VERDICT r4 item 1).
+    */
+  private def nationBfsSigmaCtes(rounds: Int): String = {
+    val head =
+      """nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |edges AS (SELECT * FROM chain UNION ALL SELECT * FROM skip),
+        |sym AS (SELECT src, dst FROM edges UNION ALL SELECT dst AS src, src AS dst FROM edges),
+        |nodes AS (SELECT DISTINCT src AS node FROM sym),
+        |f0 AS MATERIALIZED (SELECT node AS src, node, CAST(1 AS BIGINT) AS sigma FROM nodes),
+        |r0 AS MATERIALIZED (SELECT src, node FROM f0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""f$i AS MATERIALIZED (
+         |  SELECT f.src, s.dst AS node, CAST(SUM(f.sigma) AS BIGINT) AS sigma
+         |  FROM f${i - 1} f JOIN sym s ON f.node = s.src
+         |  LEFT JOIN r${i - 1} r ON r.src = f.src AND r.node = s.dst
+         |  WHERE r.node IS NULL
+         |  GROUP BY f.src, s.dst),
+         |r$i AS MATERIALIZED (SELECT src, node FROM r${i - 1} UNION ALL SELECT src, node FROM f$i)""".stripMargin
+    }.mkString(",\n")
+    val levels = (1 to rounds)
+      .map(i => s"SELECT src, node, $i AS d, sigma FROM f$i")
+      .mkString("\n  UNION ALL ")
+    s"$head,\n$steps,\nsg AS (SELECT src AS s, node AS t, d, sigma FROM (\n  $levels))"
   }
 
   /** DuckDB min-label-propagation connected components over the same

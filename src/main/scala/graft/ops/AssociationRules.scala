@@ -48,13 +48,27 @@ object AssociationRules {
     *   parity; row-order dependent, exact on single-partition input). When
     *   false, item ids are assigned lexicographically — order-insensitive,
     *   the mode every distributed query should use.
+    * @param includePattern compute the `pattern` column. Callers that never
+    *   read `pattern` (the weighted top-5 queries) should pass false: the
+    *   column is emitted as the 0 sentinel and NO pattern-graph work runs.
+    *   Spark plans are declared eagerly, so "lazy when consumed" is
+    *   expressed as this explicit opt-out rather than plan introspection.
+    * @param maxPatternEdges driver-memory gate for the reference-parity
+    *   pattern DFS (the one deliberately non-distributed step): the DFS
+    *   collects the distinct kept (antecedent, consequent) pairs, bounded
+    *   only by (valid items)² — at a low minSupport on cluster-scale data
+    *   that is a silent driver OOM without this cap. The symmetric
+    *   unweighted case (minConfidence <= minSupport) never hits the cap:
+    *   it routes through distributed [[ConnectedComponents]] instead.
     */
   case class Params(
       minSupport: Double = 0.01,
       minConfidence: Double = 0.1,
       maxItemsetSize: Int = 50,
       weighted: Boolean = false,
-      firstAppearanceOrder: Boolean = true)
+      firstAppearanceOrder: Boolean = true,
+      includePattern: Boolean = true,
+      maxPatternEdges: Int = 2_000_000)
 
   def graphAssociationRules(
       df: DataFrame,
@@ -140,13 +154,22 @@ object AssociationRules {
           expr("transform(arr, x -> x.payload)").as("consequents"),
           expr("transform(arr, x -> x.score)").as("confidence_scores"))
 
-      val pattern = patternIds(spark, validItems, kept)
+      // Pattern routing: symmetric unweighted case → distributed CC (no
+      // driver state at any scale); general directed case → reference-parity
+      // driver DFS behind the maxPatternEdges gate; opted-out → 0 sentinel,
+      // zero extra jobs.
+      val symmetric = !params.weighted && params.minConfidence <= params.minSupport
+      val patterned =
+        if (!params.includePattern)
+          validItems.select($"item", lit(0).as("pattern"))
+        else if (symmetric) patternIdsViaComponents(spark, validItems, kept)
+        else broadcast(patternIds(spark, validItems, kept, params.maxPatternEdges))
 
       val orderCol = if (params.firstAppearanceOrder) $"first_rid" else $"item"
       validItems
         .join(lift.withColumnRenamed("antecedent", "item"), Seq("item"), "left")
         .join(top5.withColumnRenamed("antecedent", "item"), Seq("item"), "left")
-        .join(broadcast(pattern), Seq("item"), "left")
+        .join(patterned, Seq("item"), "left")
         .select(
           $"item",
           $"support_count".as("support"),
@@ -160,20 +183,57 @@ object AssociationRules {
     } finally rows.unpersist()
   }
 
+  /** Fully distributed pattern numbering for the symmetric case
+    * (unweighted, minConfidence <= minSupport): every co-occurring valid
+    * pair is kept in BOTH directions, so directed flood-fill reachability
+    * collapses to undirected connected components. The reference's DFS
+    * numbers each component when its earliest item (by scan order) is
+    * first visited, so pattern = 1-based dense rank of the component's
+    * minimum (first_rid, item) key. The rank window runs over one row per
+    * valid item — the same cardinality the caller's final orderBy already
+    * sorts — with no driver collect anywhere.
+    */
+  private def patternIdsViaComponents(
+      spark: SparkSession, validItems: DataFrame, kept: DataFrame): DataFrame = {
+    import spark.implicits._
+    val comp = ConnectedComponents.components(
+      kept.select($"antecedent".as("src"), $"consequent".as("dst")))
+    val keyed = validItems.select($"item", $"first_rid")
+      .join(comp.withColumnRenamed("node", "item"), Seq("item"), "left")
+      // isolated valid items (no kept pair) are their own component
+      .withColumn("component", coalesce($"component", $"item"))
+    val compKey = keyed.groupBy($"component")
+      .agg(min(struct($"first_rid", $"item")).as("ck"))
+      .withColumn("pattern",
+        row_number().over(Window.orderBy($"ck")).cast("int"))
+    keyed.join(compKey, "component").select($"item", $"pattern")
+  }
+
   /** Exact replica of the reference's pattern DFS (rs:114-135): scan items
     * in id order; each unvisited valid item starts pattern n and floods its
     * directed reachability set. The item graph is min-support-bounded —
-    * collected to the driver (the one deliberately non-distributed step).
+    * collected to the driver (the one deliberately non-distributed step),
+    * behind a loud `maxPatternEdges` gate: the distinct kept-pair set is
+    * bounded only by (valid items)², and an ungated collect at a low
+    * minSupport on cluster-scale data is a silent driver OOM.
     */
   private def patternIds(
-      spark: SparkSession, validItems: DataFrame, kept: DataFrame): DataFrame = {
+      spark: SparkSession, validItems: DataFrame, kept: DataFrame,
+      maxPatternEdges: Int): DataFrame = {
     import spark.implicits._
     val items: Array[String] = validItems
       .select($"item", $"first_rid").orderBy($"first_rid", $"item")
       .select($"item").as[String].collect()
     val edges: Array[(String, String)] = kept
       .select($"antecedent", $"consequent").distinct()
+      .limit(maxPatternEdges + 1)
       .as[(String, String)].collect()
+    require(edges.length <= maxPatternEdges,
+      s"association pattern graph exceeds maxPatternEdges=$maxPatternEdges " +
+        "distinct kept pairs; raise Params.maxPatternEdges (driver memory " +
+        "permitting), raise minSupport/minConfidence, or use the symmetric " +
+        "unweighted mode (minConfidence <= minSupport) which computes " +
+        "patterns via distributed connected components")
     val adj = edges.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     val patternOf = mutable.LinkedHashMap.empty[String, Int]
     var next = 1

@@ -110,4 +110,42 @@ class AssociationRulesSpec extends AnyFunSuite {
     val confs = a.getSeq[Double](5)
     assert(confs.nonEmpty && confs.forall(_ == 1.0))
   }
+
+  test("maxPatternEdges gate fires loudly on the directed DFS route") {
+    // weighted mode forces the driver-DFS pattern route; 3 distinct kept
+    // pairs > cap of 2 must abort rather than silently OOM at scale
+    val df = Seq(
+      (1L, "A", 1.0), (1L, "B", 1.0), (1L, "C", 1.0), (2L, "A", 1.0))
+      .toDF("transaction_id", "item_id", "frequency")
+    val ex = intercept[IllegalArgumentException] {
+      run(df, Params(minSupport = 0.0, minConfidence = 0.0, weighted = true,
+        maxPatternEdges = 2)).collect()
+    }
+    assert(ex.getMessage.contains("maxPatternEdges"))
+  }
+
+  test("symmetric CC pattern route ≡ driver DFS route") {
+    // unweighted + minConfidence <= minSupport routes through distributed
+    // components; weighted with minConfidence=0 keeps every pair too, so
+    // the DFS route computes the same flood-fill on the same graph —
+    // pattern ids must agree exactly (two components + one isolated item)
+    val df = Seq(
+      (1L, "A", 1.0), (1L, "B", 1.0), (2L, "B", 1.0), (2L, "A", 1.0),
+      (3L, "C", 1.0), (3L, "D", 1.0), (4L, "E", 1.0), (5L, "E", 1.0))
+      .toDF("transaction_id", "item_id", "frequency")
+    def pats(p: Params) = run(df, p).select("item", "pattern")
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq.sorted
+    val viaCc = pats(Params(minSupport = 0.0, minConfidence = 0.0))
+    val viaDfs = pats(Params(minSupport = 0.0, minConfidence = 0.0, weighted = true))
+    assert(viaCc == viaDfs)
+    assert(viaCc == Seq(("A", 1), ("B", 1), ("C", 2), ("D", 2), ("E", 3)))
+  }
+
+  test("includePattern=false emits the 0 sentinel and skips pattern work") {
+    val df = Seq((1L, "A", 1.0), (1L, "B", 1.0))
+      .toDF("transaction_id", "item_id", "frequency")
+    val rows = run(df, Params(minSupport = 0.0, minConfidence = 0.0,
+      includePattern = false)).collect()
+    assert(rows.map(_.getInt(3)).toSeq == Seq(0, 0))
+  }
 }
