@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, Multimodal, PageRank, Sessionize, ShortestPaths, Similarity, TextStats}
+import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, Multimodal, PageRank, Sessionize, ShortestPaths, Similarity, TextStats, Tokenizer}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -278,6 +278,20 @@ object SparkEntry {
       Similarity.ivfTopKPortable(e, "vec_id", "embedding", dim = 64, k = 5,
           nCells = 16, nProbe = 4, kmeansIters = 3, sampleN = 200, seed = 42L)
         .orderBy("query_id", "rank")
+    },
+    "q_tokenize" -> { (s, d) =>
+      // real greedy longest-match subword tokenization against the
+      // explicit vocab; head_toks cell-compares the actual token SEQUENCE
+      // of the first 8 words, not just counts
+      Tokenizer.tokenStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")
+    },
+    "q_token_freq" -> { (s, d) =>
+      // corpus-wide token frequencies — the table a BPE trainer's merge
+      // step consumes; distinct-word tokenization joined back with word
+      // multiplicities
+      Tokenizer.tokenFrequencies(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("tok")
     },
     "q_text_stats" -> { (s, d) =>
       // integer token statistics rolled up per (lang, source); the one
@@ -881,6 +895,36 @@ object SparkEntry {
       sampleN = 200, seed = 42L),
     "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
       dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L),
+    "q_tokenize" ->
+      s"""WITH RECURSIVE
+         |${tokenizeCtes()}
+         |,
+         |wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
+         |                 CAST(SUM(CASE WHEN tok = '?' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+         |          FROM wt GROUP BY w),
+         |dstat AS (SELECT wo.doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+         |                 CAST(SUM(s.n_unk) AS BIGINT) AS n_unk
+         |          FROM words wo JOIN wstat s ON wo.w = s.w GROUP BY wo.doc_id),
+         |htok AS (SELECT wo.doc_id, wo.wi, t.step, t.tok,
+         |                ROW_NUMBER() OVER (PARTITION BY wo.doc_id ORDER BY wo.wi, t.step) AS rn
+         |         FROM words wo JOIN wt t ON wo.w = t.w WHERE wo.wi <= 8),
+         |head AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wi, step) AS head_toks
+         |         FROM htok WHERE rn <= 8 GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
+         |       COALESCE(ds.n_unk, 0) AS n_unk,
+         |       COALESCE(h.head_toks, '') AS head_toks
+         |FROM documents d
+         |LEFT JOIN dstat ds ON d.doc_id = ds.doc_id
+         |LEFT JOIN head h ON d.doc_id = h.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+    "q_token_freq" ->
+      s"""WITH RECURSIVE
+         |${tokenizeCtes()}
+         |,
+         |wn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w FROM words GROUP BY w)
+         |SELECT t.tok, CAST(SUM(wn.n_w) AS BIGINT) AS n_occurrences
+         |FROM wt t JOIN wn ON wn.w = t.w
+         |GROUP BY t.tok ORDER BY t.tok""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT lang, source, text, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT lang, source,
@@ -1326,6 +1370,40 @@ object SparkEntry {
     }.mkString(",\n")
     s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
   }
+
+  /** Greedy longest-match subword tokenization CTEs mirroring
+    * ops.Tokenizer exactly: explode docs to 1-based word positions,
+    * tokenize DISTINCT words. The greedy loop is sequential per word, so
+    * the recursion precomputes the TOTAL step function `ch(w, pos) →
+    * (token, advance)` non-recursively (longest vocab match per position,
+    * `?`/1 fallback) and then just iterates each word's trajectory with an
+    * inner join — aggregation/EXISTS inside the recursive term, which
+    * DuckDB rejects, is never needed. Ends with `words(doc_id, wi, w)` and
+    * `wt(w, step, tok)` for the caller's final SELECT.
+    */
+  private def tokenizeCtes(): String =
+    s"""vocab(tok) AS (VALUES ${graft.ops.Tokenizer.vocabValuesSql()}),
+       |docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+       |words AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INT) AS wi, unnest(ws) AS w FROM docs),
+       |dw AS (SELECT DISTINCT w FROM words),
+       |positions AS (SELECT w, unnest(range(1, len(w) + 1)) AS pos FROM dw),
+       |cand AS (SELECT p.w, p.pos, v.tok
+       |         FROM positions p JOIN vocab v ON substr(p.w, CAST(p.pos AS INT), len(v.tok)) = v.tok),
+       |pick AS (SELECT w, pos, tok,
+       |                ROW_NUMBER() OVER (PARTITION BY w, pos ORDER BY len(tok) DESC) AS rn
+       |         FROM cand),
+       |ch AS MATERIALIZED (
+       |  SELECT p.w, p.pos, COALESCE(k.tok, '?') AS tok,
+       |         COALESCE(len(k.tok), 1) AS adv
+       |  FROM positions p LEFT JOIN (SELECT w, pos, tok FROM pick WHERE rn = 1) k
+       |    ON k.w = p.w AND k.pos = p.pos),
+       |st AS (
+       |  SELECT w, CAST(1 AS BIGINT) AS pos, CAST(0 AS INT) AS step, CAST('' AS VARCHAR) AS tok FROM dw
+       |  UNION ALL
+       |  SELECT s.w, s.pos + c.adv, s.step + 1, c.tok
+       |  FROM st s JOIN ch c ON c.w = s.w AND c.pos = s.pos
+       |  WHERE s.pos <= len(s.w)),
+       |wt AS (SELECT w, step, tok FROM st WHERE step >= 1)""".stripMargin
 
   /** Path-doubling all-pairs shortest-distance CTEs over the 25-node
     * nation graph: with 0-cost self-loops folded into d0, each round
