@@ -463,6 +463,32 @@ object SparkEntry {
           depth = 4, width = 4096, threshold = 40L)
         .orderBy("item")
     },
+    "q_quantiles_sketch" -> { (s, d) =>
+      // FULL STATE of the mergeable bottom-k rank sketch per order
+      // priority, exploded to rows — the q_hll_distinct register-compare
+      // pattern: the oracle recomputes the k smallest (md5-lane, value)
+      // pairs and every cell must match
+      val vals = Tables.orders(s, d)
+        .where(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.Quantiles.sketch(vals, "cents", k = 64, keyCols = Seq("o_orderpriority"))
+        .select(col("o_orderpriority"), posexplode(col("__s")))
+        .select(col("o_orderpriority"), (col("pos") + 1).cast("int").as("rk"),
+          col("col.h").as("h"), col("col.v").as("v"))
+        .orderBy("o_orderpriority", "rk")
+    },
+    "q_quantiles_sample" -> { (s, d) =>
+      // user-facing quantiles derived from the same sketch — the
+      // self-tuning replacement for histogramQuantiles' bucketWidth knob
+      val vals = Tables.orders(s, d)
+        .where(col("o_totalprice").isNotNull)
+        .select(col("o_orderpriority"),
+          floor(col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.Quantiles.sampleQuantiles(vals, "cents", k = 64,
+          qsPerMille = Seq(500, 900, 990), keyCols = Seq("o_orderpriority"))
+        .orderBy("o_orderpriority", "q_permille")
+    },
     "q_quantiles" -> { (s, d) =>
       // one-pass histogram quantiles per order priority (ops/Quantiles):
       // integer per-mille rank thresholds → hash-exact across engines,
@@ -1132,6 +1158,23 @@ object SparkEntry {
         |        GROUP BY qh.item)
         |SELECT item, CAST(est AS BIGINT) AS est
         |FROM est WHERE est >= 40 ORDER BY item""".stripMargin,
+    "q_quantiles_sketch" ->
+      s"""WITH ${quantileSampleCtes(k = 64)}
+         |SELECT pri AS o_orderpriority, CAST(rk AS INT) AS rk, h, v
+         |FROM kept ORDER BY 1, 2""".stripMargin,
+    "q_quantiles_sample" ->
+      s"""WITH ${quantileSampleCtes(k = 64)},
+         |sq AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n FROM kept GROUP BY pri),
+         |q AS (SELECT UNNEST([500, 900, 990]) AS q_permille),
+         |idx AS (SELECT pri, q_permille,
+         |               GREATEST(1, LEAST(n, (n * q_permille + 999) // 1000)) AS ix
+         |        FROM sq CROSS JOIN q),
+         |ordered AS (SELECT pri, v, ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v) AS vr
+         |            FROM kept)
+         |SELECT i.pri AS o_orderpriority, CAST(i.q_permille AS INT) AS q_permille,
+         |       o.v AS quantile_v
+         |FROM idx i JOIN ordered o ON o.pri = i.pri AND o.vr = i.ix
+         |ORDER BY 1, 2""".stripMargin,
     "q_quantiles" ->
       """WITH b AS (SELECT o_orderpriority, CAST(FLOOR(o_totalprice / 1000.0) AS BIGINT) AS bucket,
         |                  COUNT(*) AS cnt
@@ -1370,6 +1413,23 @@ object SparkEntry {
     }.mkString(",\n")
     s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
   }
+
+  /** Bottom-k order-statistic sample CTEs mirroring
+    * functions.QuantileSampleAgg: per order priority, the k smallest
+    * (md5-lane hash, cents value) pairs with multiplicity. Ends with
+    * `kept(pri, v, h, rk)`.
+    */
+  private def quantileSampleCtes(k: Int): String =
+    s"""vals AS (SELECT o_orderpriority AS pri,
+       |                CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS v
+       |         FROM orders WHERE o_totalprice IS NOT NULL),
+       |hashed AS (SELECT pri, v,
+       |                  ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+       |           FROM vals),
+       |rk AS (SELECT pri, v, h,
+       |              ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h, v) AS rk
+       |       FROM hashed),
+       |kept AS (SELECT pri, v, h, rk FROM rk WHERE rk <= $k)""".stripMargin
 
   /** Greedy longest-match subword tokenization CTEs mirroring
     * ops.Tokenizer exactly: explode docs to 1-based word positions,

@@ -55,6 +55,48 @@ object Quantiles {
       .select(keys ++ Seq(col("q_permille"),
         (col("__qb").cast("double") * lit(bucketWidth)).as("quantile_lo")): _*)
   }
+
+  /** Self-tuning quantiles from the bottom-k order-statistic sketch
+    * ([[graft.functions.QuantileSampleAgg]]): no bucketWidth knob — `k`
+    * alone trades accuracy (rank error O(1/sqrt(k))) for sketch size.
+    * One aggregation pass; everything after is array algebra on the
+    * k-element sample. `valueCol` must be integer-valued (cents/micros —
+    * repo convention for cross-engine exactness); quantile positions use
+    * the same integer per-mille arithmetic as [[histogramQuantiles]].
+    */
+  def sampleQuantiles(df: DataFrame, valueCol: String, k: Int,
+      qsPerMille: Seq[Int], keyCols: Seq[String] = Nil): DataFrame = {
+    require(qsPerMille.nonEmpty && qsPerMille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles are per-mille ranks in [1, 1000], got $qsPerMille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keys = keyCols.map(col)
+    val sk = sketch(df, valueCol, k, keyCols)
+    val qdf = qsPerMille.toDF("q_permille")
+    sk.withColumn("__vs", array_sort(expr("transform(__s, x -> x.v)")))
+      .withColumn("__n", size($"__vs"))
+      .crossJoin(broadcast(qdf))
+      .withColumn("__ix",
+        greatest(lit(1), least($"__n", expr("(__n * q_permille + 999) div 1000")))
+          .cast("int"))
+      .select(keys ++ Seq(col("q_permille").cast("int").as("q_permille"),
+        element_at($"__vs", $"__ix").as("quantile_v")): _*)
+  }
+
+  /** The raw bottom-k sketch per key group: (keys..., __s) where __s is
+    * the sorted array<struct<h,v>> sample state. The hash is the portable
+    * md5 value-lane, so the state itself is reproducible in any engine
+    * with md5 (the q_quantiles_sketch oracle compares it cell-exactly).
+    */
+  def sketch(df: DataFrame, valueCol: String, k: Int,
+      keyCols: Seq[String] = Nil): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val h = graft.functions.functions.hex_to_long(
+      substring(md5(v.cast("string")), 1, 15))
+    df.where(v.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(graft.functions.QuantileSample.quantile_sample(h, v, k).as("__s"))
+  }
 }
 
 /** Deterministic hash sampling: the portable alternative to

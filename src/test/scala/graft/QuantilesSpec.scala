@@ -73,4 +73,36 @@ class QuantilesSpec extends AnyFunSuite {
     val overlap = ids1.intersect(salted).size.toDouble / ids1.size
     assert(overlap < 0.25, s"overlap $overlap")
   }
+
+  test("bottom-k sketch state is partition-invariant (merge = union-then-trim)") {
+    val df = spark.range(1, 5001).select($"id".as("v"))
+    def state(parts: Int) = Quantiles.sketch(df.repartition(parts), "v", k = 32)
+      .select(explode($"__s").as("e"))
+      .select($"e.h", $"e.v").as[(Long, Long)].collect().toSeq
+    val s1 = state(1)
+    assert(s1 == state(7) && s1 == state(32))
+    assert(s1.size == 32 && s1 == s1.sorted)
+  }
+
+  test("sample quantiles track exact quantiles within the sampling bound") {
+    // uniform 1..n: exact per-mille q rank value is ~ n*q/1000. With
+    // k=256 the rank error concentrates around n/sqrt(k) = n/16; assert
+    // a generous 3-sigma-ish 20% of n.
+    val n = 20000
+    val df = spark.range(1, n + 1).select($"id".as("v"))
+    val out = Quantiles.sampleQuantiles(df, "v", k = 256,
+        qsPerMille = Seq(100, 500, 900))
+      .as[(Int, Long)].collect().toMap
+    for ((q, got) <- out) {
+      val exact = n.toLong * q / 1000
+      assert(math.abs(got - exact) < n / 5, s"q=$q got=$got exact=$exact")
+    }
+  }
+
+  test("sketch keeps duplicate values with multiplicity") {
+    val df = Seq(7L, 7L, 7L, 9L).toDF("v")
+    val vals = Quantiles.sketch(df, "v", k = 10)
+      .select(expr("transform(__s, x -> x.v)")).as[Seq[Long]].head()
+    assert(vals.sorted == Seq(7L, 7L, 7L, 9L))
+  }
 }
