@@ -532,6 +532,15 @@ object SparkEntry {
           maxCenterDegree = 64, minCommon = 2)
         .orderBy("a", "b")
     },
+    "q_communities" -> { (s, d) =>
+      // deterministic synchronous label propagation on the co-order part
+      // graph: 4 fixed rounds, most-frequent neighbor label with min-label
+      // tie-break — the unrolled-CTE oracle replays the identical partial
+      // fixpoint (q_kcore parity trick)
+      graft.ops.Communities.labelPropagation(
+          Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 4)
+        .orderBy("node")
+    },
     "q_kcore" -> { (s, d) =>
       // k-core of the co-order part graph: exactly 8 synchronized peeling
       // rounds (ops/KCore) — fixed rounds so the unrolled-CTE oracle
@@ -1223,6 +1232,7 @@ object SparkEntry {
         |WHERE e.x IS NULL
         |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
+    "q_communities" -> lpaOracle(rounds = 4),
     "q_triangles" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -1380,6 +1390,37 @@ object SparkEntry {
        |SELECT node, CAST(COUNT(*) AS BIGINT) AS deg
        |FROM (SELECT x AS node FROM e$iters UNION ALL SELECT y FROM e$iters)
        |GROUP BY node ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled synchronous label-propagation oracle over the same co-order
+    * part graph as kcoreOracle: per round, neighbor-label counts then the
+    * (count DESC, label ASC) winner per node — exactly
+    * ops.Communities.labelPropagation's min-struct aggregate. MATERIALIZED
+    * per round for the usual CTE-inlining reason.
+    */
+  private def lpaOracle(rounds: Int): String = {
+    val head =
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+        |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |se AS MATERIALIZED (SELECT x AS a, y AS b FROM e0
+        |       UNION ALL SELECT y AS a, x AS b FROM e0),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM se)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT s.a, l.lab, COUNT(*) AS c
+         |        FROM se s JOIN l${i - 1} l ON l.node = s.b
+         |        GROUP BY s.a, l.lab),
+         |l$i AS MATERIALIZED (SELECT a AS node, lab FROM (
+         |        SELECT a, lab,
+         |               ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+         |        FROM c$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
   }
 
   /** Unrolled fixed-point PageRank oracle: one CTE per iteration mirrors

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Community detection by synchronous label propagation (Raghavan et al.
+  * 2007), made deterministic: every node simultaneously adopts the most
+  * frequent label among its neighbors, ties broken by the MINIMUM label —
+  * no RNG, no visit order. Run for a FIXED number of rounds: synchronous
+  * LPA can oscillate on bipartite-ish structures, and a fixed round count
+  * makes the result a well-defined partial fixpoint that an unrolled-CTE
+  * oracle reproduces exactly (the same parity trick as KCore and the
+  * fixed-point PageRank).
+  *
+  * Scale shape: each round is one join (edge × label) plus two
+  * aggregations — pure shuffle algebra keyed by node, no per-task vertex
+  * state, `localCheckpoint` every other round to stop plan nesting
+  * (KCore's fixpoint hygiene). At 1000 executors the per-round cost is
+  * the co-partitioned edge-label join; rounds are few (communities form
+  * in O(log n) rounds in practice).
+  */
+object Communities {
+
+  /** (node, community) after exactly `rounds` synchronous updates over
+    * the undirected graph of `edges` (symmetrized, deduplicated,
+    * self-loops dropped). Nodes keep their own id as initial label.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val half = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where($"a".isNotNull && $"b".isNotNull && $"a" =!= $"b")
+    // distinct AFTER symmetrizing collapses (u,v) and (v,u) duplicates of
+    // the input into one undirected edge each way
+    val sym = half.union(half.select($"b".as("a"), $"a".as("b")))
+      .distinct()
+      .localCheckpoint(true) // consumed once per round — cut, not re-derived
+    var lab = sym.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("lab"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val cnt = sym
+        .join(lab.select($"node".as("b"), $"lab".as("nlab")), "b")
+        .groupBy($"a", $"nlab").agg(count(lit(1)).as("c"))
+      // most frequent neighbor label, min label on ties: one min-struct
+      // aggregate — no window over the node table
+      val next = cnt.groupBy($"a")
+        .agg(min(struct((lit(0L) - $"c").as("nc"), $"nlab".as("lab"))).as("m"))
+        .select($"a".as("node"), $"m.lab".as("lab"))
+      lab = if (i % 2 == 0 || i == rounds) next.localCheckpoint(true) else next
+    }
+    lab.withColumnRenamed("lab", "community")
+  }
+
+  /** Convenience digest: per-community member count, for community-size
+    * distributions. */
+  def communitySizes(labeled: DataFrame): DataFrame =
+    labeled.groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+}

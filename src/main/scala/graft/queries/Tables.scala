@@ -96,8 +96,16 @@ object Tables {
       .where(col("l_quantity") <= maxQty)
       .select(col("l_orderkey").as("tid"),
         concat(lit("P"), col("l_partkey")).as("item"))
-    li.groupBy("tid").agg(collect_list(col("item")).as("items"))
-      .where(size(col("items")) <= maxItems)
+    // size filter BEFORE collect_list: the count aggregate partial-
+    // aggregates map-side (tiny shuffle), and the semi-join means no
+    // collect_list buffer ever holds more than maxItems items — without
+    // this, one pathologically large order would buffer its whole item
+    // list only to be discarded (ADVICE r4). Costs a second shuffle of
+    // the filtered rows; bounded buffers win at scale.
+    val okTids = li.groupBy("tid").agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxItems).select("tid")
+    li.join(okTids, Seq("tid"), "left_semi")
+      .groupBy("tid").agg(collect_list(col("item")).as("items"))
       .select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
       .where(col("src") < col("dst"))

@@ -1,0 +1,53 @@
+package graft
+
+import graft.ops.Communities
+import org.scalatest.funsuite.AnyFunSuite
+
+class CommunitiesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Pure single-node reference of the same deterministic LPA: synchronous
+    * update, most frequent neighbor label, min label on ties. */
+  private def lpaRef(edges: Seq[(String, String)], rounds: Int): Map[String, String] = {
+    val sym = (edges ++ edges.map(_.swap)).filter(e => e._1 != e._2).distinct
+    val adj = sym.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) }
+    var lab = adj.keys.map(n => n -> n).toMap
+    for (_ <- 1 to rounds) {
+      lab = adj.map { case (n, ns) =>
+        val counts = ns.groupBy(lab).map { case (l, xs) => (l, xs.size) }
+        n -> counts.toSeq.minBy { case (l, c) => (-c, l) }._1
+      }
+    }
+    lab
+  }
+
+  private def lpaSpark(edges: Seq[(String, String)], rounds: Int): Map[String, String] =
+    Communities.labelPropagation(edges.toDF("src", "dst"), "src", "dst", rounds)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+  private val clique1 = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d") if a < b) yield (a, b)
+  private val clique2 = for (a <- Seq("e", "f", "g", "h"); b <- Seq("e", "f", "g", "h") if a < b) yield (a, b)
+  private val bridged = clique1 ++ clique2 ++ Seq(("d", "e"))
+
+  test("two cliques with a bridge resolve to two communities") {
+    val out = lpaSpark(bridged, rounds = 4)
+    assert(out == lpaRef(bridged, rounds = 4))
+    val groups = out.groupBy(_._2).values.map(_.keys.toSet).toSet
+    assert(groups == Set(Set("a", "b", "c", "d"), Set("e", "f", "g", "h")))
+  }
+
+  test("spark ≡ reference round by round (partial fixpoints too)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("b", "a"), ("a", "a"))
+    for (r <- 1 to 4)
+      assert(lpaSpark(edges, r) == lpaRef(edges, r), s"rounds=$r")
+  }
+
+  test("result is partition-invariant") {
+    val df = bridged.toDF("src", "dst").repartition(13)
+    val out = Communities.labelPropagation(df, "src", "dst", rounds = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(out == lpaRef(bridged, rounds = 4))
+  }
+}
