@@ -185,6 +185,14 @@ object SparkEntry {
           iters = 10)
         .orderBy("node")
     },
+    "q_ppr" -> { (s, d) =>
+      // personalized PageRank: same integer recurrence, teleport onto the
+      // three source parts only — random-walk proximity scores used as a
+      // curation graph feature
+      PageRank.pprFixedPoint(Tables.partSupplierDirectedEdges(s, d),
+          sources = Seq("P1", "P2", "P3"), iters = 10)
+        .orderBy("node")
+    },
     "q_betweenness" -> { (s, d) =>
       // exact Brandes over the undirected nation graph, normalized;
       // no SQL oracle → rows-only + ScalaTest goldens
@@ -795,6 +803,7 @@ object SparkEntry {
          |FROM d5 WHERE src <> dst AND src IN ('NATION_0', 'NATION_12', 'NATION_7')
          |ORDER BY 1, 2""".stripMargin,
     "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
+    "q_ppr" -> pagerankFpOracle(iters = 10, sources = Seq("P1", "P2", "P3")),
     "q_betweenness_pairs" ->
       s"""WITH
          |${nationBfsSigmaCtes(rounds = 10)},
@@ -1431,8 +1440,20 @@ object SparkEntry {
     * (contributions + zero-indegree nodes). All sums cast back to BIGINT
     * (DuckDB SUM(BIGINT) is HUGEINT → float64 in pandas → hash mismatch).
     */
-  private def pagerankFpOracle(iters: Int): String = {
+  private def pagerankFpOracle(iters: Int, sources: Seq[String] = Nil): String = {
     val S = "1000000000000"
+    // personalized: teleport (initial mass + per-iteration base) lands on
+    // the source set only, divided by |S| — mirrors PageRank.pprFixedPoint
+    val (initExpr, baseExpr) =
+      if (sources.isEmpty)
+        (s"$S // (SELECT n FROM nn)",
+          s"(3 * $S) // (20 * (SELECT n FROM nn))")
+      else {
+        val list = sources.map(s => s"'$s'").mkString(", ")
+        val ns = sources.size
+        (s"CASE WHEN node IN ($list) THEN $S // $ns ELSE 0 END",
+          s"CASE WHEN nd.node IN ($list) THEN (3 * $S) // (20 * $ns) ELSE 0 END")
+      }
     val head =
       s"""WITH
          |e0 AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
@@ -1442,11 +1463,11 @@ object SparkEntry {
          |e AS (SELECT em.src, em.dst, em.m, od.outdeg FROM em JOIN od ON em.src = od.src),
          |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
          |nn AS (SELECT COUNT(*) AS n FROM nodes),
-         |pr0 AS (SELECT node, $S // (SELECT n FROM nn) AS r FROM nodes),""".stripMargin
+         |pr0 AS (SELECT node, $initExpr AS r FROM nodes),""".stripMargin
     val iterCtes = (1 to iters).map { i =>
       s"""pr$i AS (
          |  SELECT nd.node,
-         |         (3 * $S) // (20 * (SELECT n FROM nn)) + COALESCE(inc.s, 0) AS r
+         |         $baseExpr + COALESCE(inc.s, 0) AS r
          |  FROM nodes nd LEFT JOIN (
          |    SELECT e.dst, CAST(SUM((17 * e.m * p.r) // (20 * e.outdeg)) AS BIGINT) AS s
          |    FROM e JOIN pr${i - 1} p ON p.node = e.src

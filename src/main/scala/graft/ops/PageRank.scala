@@ -21,8 +21,9 @@ import org.apache.spark.storage.StorageLevel
   * Spark shape: the graph stays distributed; each iteration is one
   * broadcast-or-shuffle join (contributions) + one aggregation, with
   * `localCheckpoint` truncating lineage so 100 iterations don't blow up
-  * planning time. The L1 check is an `agg(sum(abs(...)))` action per
-  * iteration, same cadence as the reference.
+  * planning time. The L1 check rides the checkpoint job via an
+  * accumulator-instrumented map (same per-iteration cadence as the
+  * reference, but one scheduled job per round, not two).
   */
 object PageRank {
 
@@ -113,22 +114,31 @@ object PageRank {
         .join(if (useBroadcast) broadcast(rankSide) else rankSide, "src")
         .groupBy($"dst").agg(sum($"score" * $"w").as("incoming"))
       // ranks already holds every node — join it directly (no separate
-      // nodes join) and carry the old score so the L1 check reads the
-      // checkpointed result instead of running another join
+      // nodes join) and carry the old score for the L1 delta
       val joined = ranks.withColumnRenamed("score", "old")
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           (lit(base) + lit(damping) * coalesce($"incoming", lit(0.0))).as("score"),
           $"old")
-        .localCheckpoint(true)
-      if (tol > 0) {
-        // L1 convergence action, same cadence as the reference (rs:105-114).
-        // tol <= 0 = fixed-iteration mode: skip the extra job per iteration.
-        val l1 = joined.agg(sum(abs($"score" - $"old"))).first().getDouble(0)
-        converged = l1 < tol
-      }
+      // L1 convergence folded into the materialization job itself: the
+      // localCheckpoint job streams every row anyway, so an accumulator-
+      // instrumented map collects Σ|new−old| for free — one scheduled job
+      // per iteration instead of two (checkpoint + separate agg action).
+      // Result-stage accumulator updates are applied exactly once per
+      // successful task, so retries can't skew the threshold. tol <= 0 =
+      // fixed-iteration mode: skip the instrumentation entirely.
+      val checkpointed =
+        if (tol > 0) {
+          val acc = spark.sparkContext.doubleAccumulator("pagerank_l1")
+          val instrumented = joined.as[(String, Double, Double)]
+            .map { t => acc.add(math.abs(t._2 - t._3)); t }
+            .toDF("node", "score", "old")
+            .localCheckpoint(true)
+          converged = acc.value < tol
+          instrumented
+        } else joined.localCheckpoint(true)
       ranks.unpersist()
-      ranks = joined.drop("old")
+      ranks = checkpointed.drop("old")
       iter += 1
     }
     if (!useBroadcast) wEdgesPart.unpersist()
@@ -157,7 +167,30 @@ object PageRank {
     */
   def scoresFixedPoint(edges: DataFrame, iters: Int = 10,
       scale: Long = 1000000000000L, maxLocalEdges: Long = 5_000_000L,
+      maxBroadcastNodes: Long = 10_000_000L): DataFrame =
+    fixedPoint(edges, None, iters, scale, maxLocalEdges, maxBroadcastNodes)
+
+  /** Personalized PageRank: the same integer fixed-point recurrence with
+    * the uniform teleport replaced by a teleport onto `sources` only —
+    * initial mass `scale div |S|` on each source, per-iteration base
+    * `(3·scale) div (20·|S|)` on sources and 0 elsewhere. Random-walk
+    * proximity to the source set, as a graph feature for curation.
+    * Source nodes absent from the graph receive no row (their teleport
+    * mass leaks — consistent with the no-dangling-redistribution parity
+    * of the global variant). Oracle-checkable exactly like q_pagerank_fp.
+    */
+  def pprFixedPoint(edges: DataFrame, sources: Seq[String], iters: Int = 10,
+      scale: Long = 1000000000000L, maxLocalEdges: Long = 5_000_000L,
       maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+    require(sources.nonEmpty, "personalized PageRank needs at least one source")
+    require(sources.distinct.size == sources.size,
+      s"duplicate sources would double-count teleport mass: $sources")
+    fixedPoint(edges, Some(sources), iters, scale, maxLocalEdges, maxBroadcastNodes)
+  }
+
+  private def fixedPoint(edges: DataFrame, sources: Option[Seq[String]],
+      iters: Int, scale: Long, maxLocalEdges: Long,
+      maxBroadcastNodes: Long): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -177,11 +210,17 @@ object PageRank {
         val index = names.zipWithIndex.toMap
         val es = capped.map { case (s, d, m) => (index(s), index(d), m, outdeg(s)) }
         val n = names.length
-        var r = Array.fill(n)(scale / n)
-        val base = (3 * scale) / (20 * n)
+        val isSrc: Int => Boolean = sources match {
+          case Some(ss) => val set = ss.toSet; i => set(names(i))
+          case None => _ => true
+        }
+        val denom = sources.map(_.size.toLong).getOrElse(n.toLong)
+        var r = Array.tabulate(n)(i => if (isSrc(i)) scale / denom else 0L)
+        val base = Array.tabulate(n)(i =>
+          if (isSrc(i)) (3 * scale) / (20 * denom) else 0L)
         var it = 0
         while (it < iters) {
-          val next = Array.fill(n)(base)
+          val next = base.clone()
           var i = 0
           while (i < es.length) {
             val (s, d, m, od) = es(i)
@@ -204,11 +243,19 @@ object PageRank {
       .distinct().persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
     if (n == 0) { wEdges.unpersist(); return nodes.withColumn("rank_q", lit(0L)) }
-    val base = (3 * scale) / (20 * n)
+    val denom = sources.map(_.size.toLong).getOrElse(n)
+    // teleport indicator: uniform for global PageRank, source-only for PPR
+    val isSrcCol = sources match {
+      case Some(ss) => $"node".isin(ss: _*)
+      case None => lit(true)
+    }
+    val baseCol = when(isSrcCol, lit((3 * scale) / (20 * denom))).otherwise(lit(0L))
     // same broadcast gate as scores(): never driver-materialize O(V) state
     // beyond maxBroadcastNodes
     val useBroadcast = n <= maxBroadcastNodes
-    var ranks = nodes.withColumn("rank_q", lit(scale / n)).localCheckpoint(true)
+    var ranks = nodes
+      .withColumn("rank_q", when(isSrcCol, lit(scale / denom)).otherwise(lit(0L)))
+      .localCheckpoint(true)
     var it = 0
     while (it < iters) {
       val rankSide = ranks.withColumnRenamed("node", "src")
@@ -219,7 +266,7 @@ object PageRank {
       ranks = ranks.select($"node")
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
-          (lit(base) + coalesce($"incoming", lit(0L))).as("rank_q"))
+          (baseCol + coalesce($"incoming", lit(0L))).as("rank_q"))
         .localCheckpoint(true)
       it += 1
     }

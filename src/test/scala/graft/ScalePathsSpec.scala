@@ -53,6 +53,58 @@ class ScalePathsSpec extends AnyFunSuite {
     assert(local.values.sum <= 1000000000000L)
   }
 
+  test("personalized PageRank: local and distributed paths are bit-identical") {
+    val edges = randomEdges(500, 60, 23)
+    val srcs = Seq("n1", "n2", "n5")
+    val local = graft.ops.PageRank.pprFixedPoint(edges, srcs)
+      .as[(String, Long)].collect().toMap
+    val dist = graft.ops.PageRank.pprFixedPoint(edges, srcs, maxLocalEdges = 0)
+      .as[(String, Long)].collect().toMap
+    assert(local == dist)
+    assert(local.nonEmpty)
+    // teleport mass lands only on sources: every positive score is
+    // walk-reachable from the source set
+    val reached = local.filter(_._2 > 0).keySet
+    assert(srcs.toSet.subsetOf(reached))
+    assert(local.values.sum <= 1000000000000L)
+  }
+
+  test("distributed PageRank tol-mode runs ONE job per iteration (L1 folded in)") {
+    val edges = randomEdges(400, 50, 29)
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    def countJobs(tol: Double): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        jobs.set(0)
+        // tol tiny → never converges early → same 4 iterations as tol=0
+        graft.ops.PageRank.scores(edges, maxIter = 4, tol = tol,
+          maxLocalEdges = 0).count()
+        // listener events are async; brief settle before reading the count
+        Thread.sleep(1500)
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val fixed = countJobs(tol = 0) // no convergence check at all
+    val tolMode = countJobs(tol = 1e-300)
+    // the folded L1 must cost ZERO extra scheduled jobs vs fixed-iteration
+    // mode — the old separate agg action added one per iteration
+    assert(tolMode == fixed, s"fixed-iter jobs=$fixed, tol-mode jobs=$tolMode")
+  }
+
+  test("PageRank tol-mode scores unchanged by the folded L1 (vs fixed-iter run)") {
+    val edges = randomEdges(400, 50, 31)
+    // tol so large it converges after iteration 1 → equals a 1-iteration run
+    val tolRun = graft.ops.PageRank.scores(edges, maxIter = 50, tol = 1e9,
+      maxLocalEdges = 0).as[(String, Double)].collect().toMap
+    val oneIter = graft.ops.PageRank.scores(edges, maxIter = 1, tol = 0,
+      maxLocalEdges = 0).as[(String, Double)].collect().toMap
+    assert(tolRun == oneIter)
+  }
+
   test("PageRank local fast path matches distributed loop") {
     val edges = randomEdges(500, 60, 13)
     val local = graft.ops.PageRank.scores(edges)
