@@ -13,15 +13,24 @@ import org.apache.spark.sql.types._
 
 /** Bounded top-k buffer: at most k (score, id) pairs, best-first by
   * (score desc, id asc). Insertion keeps the array sorted — k is small
-  * (ANN reranking uses k <= ~100), so O(k) shifts beat heap bookkeeping. */
+  * (ANN reranking uses k <= ~100), so O(k) shifts beat heap bookkeeping.
+  *
+  * Score comparison is Spark-sort-exact: `Double.compare` ranks NaN above
+  * every number (so NaN rows come FIRST under the descending contract,
+  * exactly where `row_number ... ORDER BY score DESC` puts them — a
+  * naive `>` would instead rank NaN last, ADVICE r4), and callers
+  * normalize -0.0 to 0.0 on insert, mirroring Spark's
+  * NormalizeFloatingNumbers pass before sorts. */
 final class TopKBuffer(val k: Int) {
   val scores = new Array[Double](k)
   val ids = new Array[Long](k)
   var n = 0
 
   // true when (s1, i1) ranks strictly better than (s2, i2)
-  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean =
-    s1 > s2 || (s1 == s2 && i1 < i2)
+  @inline private def better(s1: Double, i1: Long, s2: Double, i2: Long): Boolean = {
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && i1 < i2)
+  }
 
   def insert(s: Double, id: Long): Unit = {
     if (n == k && !better(s, id, scores(n - 1), ids(n - 1))) return
@@ -75,8 +84,12 @@ case class TopKByAgg(
   override def update(buffer: TopKBuffer, input: InternalRow): TopKBuffer = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
-      buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
+    if (s != null && i != null) {
+      val sv = s.asInstanceOf[Double]
+      // -0.0 → 0.0 (NaN != 0.0, unaffected): Spark normalizes floats
+      // before sorts, so the window formulation never sees -0.0 either
+      buffer.insert(if (sv == 0.0d) 0.0d else sv, i.asInstanceOf[Long])
+    }
     buffer
   }
 
@@ -138,8 +151,12 @@ final class TopKStrBuffer(val k: Int) {
   var n = 0
 
   @inline private def better(s1: Double, p1: org.apache.spark.unsafe.types.UTF8String,
-      s2: Double, p2: org.apache.spark.unsafe.types.UTF8String): Boolean =
-    s1 > s2 || (s1 == s2 && p1.compareTo(p2) < 0)
+      s2: Double, p2: org.apache.spark.unsafe.types.UTF8String): Boolean = {
+    // Double.compare: NaN ranks largest → first under DESC, matching
+    // Spark's nan-safe window sort (see TopKBuffer)
+    val c = java.lang.Double.compare(s1, s2)
+    c > 0 || (c == 0 && p1.compareTo(p2) < 0)
+  }
 
   /** Whether an insert of (s, p) would enter the buffer — lets the caller
     * skip the defensive UTF8String copy for the (vast majority of) rows
@@ -193,7 +210,8 @@ case class TopKStrAgg(
     val s = score.eval(input)
     val p = payload.eval(input)
     if (s != null && p != null) {
-      val sv = s.asInstanceOf[Double]
+      val sv0 = s.asInstanceOf[Double]
+      val sv = if (sv0 == 0.0d) 0.0d else sv0 // -0.0 → 0.0, as in TopKByAgg
       val pv = p.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
       // the input row's UTF8String is backed by a reused buffer — copy,
       // but only for rows that actually enter the top-k

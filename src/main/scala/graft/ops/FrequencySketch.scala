@@ -36,9 +36,18 @@ object FrequencySketch {
   private def rowIds(depth: Int): Column =
     explode(array((0 until depth).map(j => lit(j)): _*))
 
+  // (j, idx, cnt) is the sketch's PUBLIC schema and (__md5, j) the working
+  // names — an itemCol with one of these names would silently alias into
+  // the lane expressions / the estimate join (ADVICE r4). Reject loudly.
+  private def checkItemCol(itemCol: String): Unit =
+    require(!Set("j", "idx", "cnt", "__md5").contains(itemCol),
+      s"itemCol '$itemCol' collides with the sketch's internal column " +
+        "names {j, idx, cnt, __md5}; alias the column before sketching")
+
   /** One pass over `df`: the sketch as (j, idx, cnt) rows, j < depth,
     * idx < width. Null items are skipped (they are not a value). */
   def cmsTable(df: DataFrame, itemCol: String, depth: Int, width: Int): DataFrame = {
+    checkItemCol(itemCol)
     require(depth >= 1 && depth <= 4,
       s"depth must be in [1, 4] (md5 yields four 32-bit lanes; e^-4 ≈ 2% " +
         s"failure probability is the standard operating point), got $depth")
@@ -55,6 +64,7 @@ object FrequencySketch {
     * row is absent — an empty bucket). Never underestimates. */
   def estimateCounts(sketch: DataFrame, items: DataFrame, itemCol: String,
       depth: Int, width: Int): DataFrame = {
+    checkItemCol(itemCol)
     require(Set("j", "idx", "cnt").subsetOf(sketch.columns.toSet),
       "sketch must be a cmsTable result with columns (j, idx, cnt)")
     items.select(col(itemCol)).where(col(itemCol).isNotNull).distinct()

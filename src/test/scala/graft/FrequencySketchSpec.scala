@@ -61,4 +61,18 @@ class FrequencySketchSpec extends AnyFunSuite {
     // ones; with 3 occupied cells in a 64-wide row, 4 rows, expect 0
     assert(est("zz_unseen") <= 3)
   }
+
+  test("itemCol colliding with internal names is rejected loudly") {
+    // a column literally named j/idx/cnt/__md5 would alias into the lane
+    // expressions / estimate join and fail (or mis-resolve) at analysis
+    val df = Seq("a", "b").toDF("j")
+    val ex = intercept[IllegalArgumentException] {
+      FrequencySketch.cmsTable(df, "j", depth = 4, width = 64)
+    }
+    assert(ex.getMessage.contains("collides"))
+    val sketch = FrequencySketch.cmsTable(df.toDF("item"), "item", 4, 64)
+    intercept[IllegalArgumentException] {
+      FrequencySketch.estimateCounts(sketch, df.toDF("cnt"), "cnt", 4, 64)
+    }
+  }
 }

@@ -59,4 +59,30 @@ class TopKAggSpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toSeq
     assert(rows == Seq((12L, 0.7), (10L, 0.5)))
   }
+
+  test("NaN scores rank FIRST, exactly like the window row_number under DESC") {
+    // Spark's nan-safe sort puts NaN largest; the buffer's Double.compare
+    // ordering must agree so the drop-in contract holds for NaN inputs
+    val df = Seq(
+      (1L, 0.5, 10L), (1L, Double.NaN, 11L), (1L, 0.9, 12L), (1L, Double.NaN, 13L),
+      (2L, -0.0, 20L), (2L, 0.0, 21L))
+      .toDF("g", "score", "id")
+    val agg = df.groupBy($"g")
+      .agg(TopKByAgg.top_k_by($"score", $"id", 3).as("t"))
+      .select($"g", explode($"t"))
+      .select($"g", $"col.neighbor_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    val win = df.withColumn("rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy($"g").orderBy($"score".desc, $"id".asc)))
+      .where($"rn" <= 3)
+      .select($"g", $"id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(agg == win)
+    // NaN rows really are first for group 1
+    val first = df.groupBy($"g").agg(TopKByAgg.top_k_by($"score", $"id", 3).as("t"))
+      .where($"g" === 1L)
+      .select(expr("transform(t, x -> x.neighbor_id)")).as[Seq[Long]].head()
+    assert(first == Seq(11L, 13L, 12L))
+  }
 }
