@@ -563,9 +563,10 @@ object SparkEntry {
       // per-part triangle participation in the co-order graph (parts
       // co-occurring in an order are linked; low-quantity lineitems only
       // and orders capped at 8 items so clique blowup is bounded — same
-      // guardrail as association mining; the unfiltered graph is ~1M edges
-      // / 1.45M triangles at sf0.1, ~20s of wedge join for no extra
-      // coverage). Degree-ordered orientation emits each triangle once
+      // guardrail as association mining; MEASURED on the unguarded graph
+      // by tools/TriFullBench: 1.20M edges, 5.65M participations, 21.1 s
+      // at sf0.1/local[32] — feasible, just no extra oracle coverage).
+      // Degree-ordered orientation emits each triangle once
       graft.ops.Triangles.perNodeCounts(Tables.coOrderPairEdges(s, d),
           "src", "dst")
         .orderBy("node")
