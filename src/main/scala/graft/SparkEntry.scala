@@ -214,6 +214,14 @@ object SparkEntry {
       Dedup.exactDuplicates(Tables.documents(s, d), "doc_id", "text")
         .orderBy("text_sha")
     },
+    "q_dedup_keep_best" -> { (s, d) =>
+      // survivor selection by quality, not id: keeper = longest copy
+      // (n_chars), ties → smallest doc_id — the curation-pipeline variant
+      // of exact dedup
+      Dedup.exactDedupKeepBest(Tables.documents(s, d), "doc_id", "text",
+          "n_chars")
+        .orderBy("text_sha")
+    },
     "q_dedup_ngram" -> { (s, d) =>
       Dedup.ngramJaccardPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, threshold = 0.5)
@@ -300,6 +308,13 @@ object SparkEntry {
       // multiplicities
       Tokenizer.tokenFrequencies(Tables.documents(s, d), "doc_id", "text")
         .orderBy("tok")
+    },
+    "q_tfidf" -> { (s, d) =>
+      // top-3 TF-IDF terms per doc over the real token stream; integer
+      // per-mille idf (no ln — not oracle-portable), k-slot aggregate
+      // instead of a window sort
+      Tokenizer.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
     },
     "q_text_stats" -> { (s, d) =>
       // integer token statistics rolled up per (lang, source); the one
@@ -820,6 +835,18 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT sha256(text) AS text_sha, COUNT(*) AS n_copies, MIN(doc_id) AS keep_id
         |FROM documents GROUP BY sha256(text) ORDER BY text_sha""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH g AS (SELECT sha256(text) AS text_sha, doc_id,
+        |                  CAST(n_chars AS BIGINT) AS score
+        |           FROM documents),
+        |agg AS (SELECT text_sha, COUNT(*) AS n_copies FROM g GROUP BY text_sha),
+        |best AS (SELECT text_sha, doc_id AS keep_id, score AS keep_score,
+        |                ROW_NUMBER() OVER (PARTITION BY text_sha
+        |                  ORDER BY score DESC, doc_id ASC) AS rn
+        |         FROM g)
+        |SELECT a.text_sha, a.n_copies, b.keep_id, b.keep_score
+        |FROM agg a JOIN best b ON a.text_sha = b.text_sha AND b.rn = 1
+        |ORDER BY a.text_sha""".stripMargin,
     "q_dedup_ngram" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
@@ -970,6 +997,23 @@ object SparkEntry {
          |SELECT t.tok, CAST(SUM(wn.n_w) AS BIGINT) AS n_occurrences
          |FROM wt t JOIN wn ON wn.w = t.w
          |GROUP BY t.tok ORDER BY t.tok""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH RECURSIVE
+         |${tokenizeCtes()}
+         |,
+         |dt AS (SELECT wo.doc_id, t.tok, CAST(COUNT(*) AS BIGINT) AS tf
+         |       FROM words wo JOIN wt t ON wo.w = t.w GROUP BY wo.doc_id, t.tok),
+         |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM dt GROUP BY tok),
+         |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |wq AS (SELECT dt.doc_id, dt.tok,
+         |              dt.tf * (((SELECT n_docs FROM nd) * 1000) // dfreq.df) AS weight
+         |       FROM dt JOIN dfreq ON dt.tok = dfreq.tok),
+         |r AS (SELECT doc_id, tok, weight,
+         |             ROW_NUMBER() OVER (PARTITION BY doc_id
+         |               ORDER BY weight DESC, tok ASC) AS rn
+         |      FROM wq)
+         |SELECT doc_id, CAST(rn AS INT) AS rank, tok, CAST(weight AS BIGINT) AS weight
+         |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_text_stats" ->
       """WITH t AS (SELECT lang, source, text, string_split(text, ' ') AS w FROM documents),
         |s AS (SELECT lang, source,

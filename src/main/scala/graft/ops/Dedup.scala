@@ -90,6 +90,24 @@ object Dedup extends org.apache.spark.internal.Logging {
       .groupBy("text_sha")
       .agg(count(lit(1)).as("n_copies"), min(col("id")).as("keep_id"))
 
+  /** Exact dedup with QUALITY-based survivor selection: within each
+    * duplicate group the keeper is the row with the highest `scoreCol`
+    * (ties → smallest id) — what a curation pipeline actually wants when
+    * copies differ in metadata quality. `scoreCol` must be integer-valued
+    * (repo convention for cross-engine exactness). One min-struct
+    * aggregate: (−score, id) ascending ≡ (score desc, id asc), no window
+    * over the duplicate rows.
+    */
+  def exactDedupKeepBest(df: DataFrame, idCol: String, textCol: String,
+      scoreCol: String): DataFrame =
+    df.select(sha2(col(textCol), 256).as("text_sha"), col(idCol).as("id"),
+        col(scoreCol).cast("long").as("score"))
+      .groupBy("text_sha")
+      .agg(count(lit(1)).as("n_copies"),
+        min(struct((lit(0L) - col("score")).as("ns"), col("id"))).as("m"))
+      .select(col("text_sha"), col("n_copies"),
+        col("m.id").as("keep_id"), (lit(0L) - col("m.ns")).as("keep_score"))
+
   /** Collapse near-duplicate PAIRS (from any of the pair operators) into
     * dedup CLUSTERS — the step a pipeline actually acts on: near-dup is
     * transitive in practice (A≈B, B≈C → keep one of {A,B,C}), so the

@@ -135,6 +135,37 @@ object Tokenizer {
       .groupBy($"tok").agg(sum($"n_w").as("n_occurrences"))
   }
 
+  /** TF-IDF top terms per document over REAL subword tokens,
+    * integer-quantized for cross-engine exactness: idf is the per-mille
+    * inverse document frequency `(N · 1000) div df(tok)` (no `ln` — libm
+    * differs across engines), weight = tf · idf. Top `k` tokens per doc
+    * by (weight desc, token asc) via the k-slot string aggregate — no
+    * window sort over the doc-token table. Returns
+    * (idCol, rank, tok, weight).
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      vocab: Seq[String] = defaultVocab): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val words = explodeWords(docs, idCol, textCol)
+    val docToks = words
+      .join(tokenizeDistinctWords(words, vocab), "w")
+      .select(col(idCol), explode($"toks").as("tok"))
+    val tf = docToks.groupBy(col(idCol), $"tok").agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy($"tok").agg(count(lit(1)).as("df"))
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(totals))
+      .withColumn("weight", expr("tf * ((n_docs * 1000) div df)"))
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKByAgg.top_k_by_str(
+        $"weight".cast("double"), $"tok", k).as("arr"))
+      .select(col(idCol), posexplode($"arr"))
+      .select(col(idCol), (col("pos") + 1).cast("int").as("rank"),
+        col("col.payload").as("tok"), col("col.score").cast("long").as("weight"))
+  }
+
   /** Column helper: used by callers that only need a count estimate and
     * already have the stats table. */
   def unknownRatio: Column =

@@ -76,4 +76,30 @@ class StreamingSketchSpec extends AnyFunSuite {
       .as[(Int, Long, Long)].collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+
+  test("streaming bottom-k quantile sample equals the batch sketch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)] // (key, value)
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("h", graft.functions.functions.hex_to_long(
+        substring(md5(col("v").cast("string")), 1, 15)))
+      .groupBy(col("k"))
+      .agg(graft.functions.QuantileSample.quantile_sample(
+        col("h"), col("v"), 16).as("s"))
+      .select(col("k"), expr("transform(s, x -> x.v)").as("vs"))
+    val q = agg(input.toDF().toDF("k", "v"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("qs_stream").start()
+    val b1 = (1 to 60).map(i => ("a", i.toLong)) ++ (1 to 30).map(i => ("b", i * 10L))
+    val b2 = (61 to 120).map(i => ("a", i.toLong))
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("qs_stream").as[(String, Seq[Long])].collect().toMap
+    val batch = agg((b1 ++ b2).toDF("k", "v")).as[(String, Seq[Long])].collect().toMap
+    // the state is a pure function of the input multiset — micro-batch
+    // splits must not perturb it at all
+    assert(streamed == batch)
+    assert(streamed("a").size == 16 && streamed("b").size == 16)
+  }
 }
