@@ -316,6 +316,23 @@ object SparkEntry {
       Tokenizer.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")
     },
+    "q_bpe_merges" -> { (s, d) =>
+      // distributed BPE vocabulary training, 3 merge rounds: the learned
+      // (left, right) merges with their weighted pair counts — greedy
+      // leftmost non-overlapping semantics replayed by the unrolled oracle
+      graft.ops.BpeTrain.train(
+          graft.ops.BpeTrain.corpusWords(Tables.documents(s, d), "text"),
+          rounds = 3)._1
+        .orderBy("round")
+    },
+    "q_bpe_segments" -> { (s, d) =>
+      // the corpus segmentation after those 3 merges — cell-comparing it
+      // implicitly verifies every per-round argmax and merge decision
+      graft.ops.BpeTrain.train(
+          graft.ops.BpeTrain.corpusWords(Tables.documents(s, d), "text"),
+          rounds = 3)._2
+        .orderBy("w", "pos")
+    },
     "q_text_stats" -> { (s, d) =>
       // integer token statistics rolled up per (lang, source); the one
       // ratio column is a single final division (deterministic)
@@ -997,6 +1014,15 @@ object SparkEntry {
          |SELECT t.tok, CAST(SUM(wn.n_w) AS BIGINT) AS n_occurrences
          |FROM wt t JOIN wn ON wn.w = t.w
          |GROUP BY t.tok ORDER BY t.tok""".stripMargin,
+    "q_bpe_merges" ->
+      s"""WITH ${bpeCtes(rounds = 3)}
+         |${(1 to 3).map(r =>
+              s"""SELECT $r AS round, ba AS "left", bb AS "right", cnt AS pair_count FROM best$r""")
+             .mkString("\nUNION ALL ")}
+         |ORDER BY round""".stripMargin,
+    "q_bpe_segments" ->
+      s"""WITH ${bpeCtes(rounds = 3)}
+         |SELECT w, pos, sym FROM rows3 ORDER BY w, pos""".stripMargin,
     "q_tfidf" ->
       s"""WITH RECURSIVE
          |${tokenizeCtes()}
@@ -1519,6 +1545,60 @@ object SparkEntry {
          |    GROUP BY e.dst) inc ON inc.dst = nd.node)""".stripMargin
     }.mkString(",\n")
     s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
+  }
+
+  /** Unrolled BPE-training CTEs mirroring ops.BpeTrain exactly: per round,
+    * LEAD-paired symbol counts weighted by word multiplicity, a
+    * deterministic argmax (count desc, left asc, right asc, LIMIT 1), the
+    * chained-candidate run trick for greedy leftmost non-overlapping
+    * merging (odd run members), then the rewrite/delete. Ends with
+    * `best1..bestR` and `rows$rounds(w, pos, sym)`.
+    */
+  private def bpeCtes(rounds: Int): String = {
+    val head =
+      """docs0 AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+        |wn AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_w
+        |       FROM (SELECT unnest(ws) AS w FROM docs0) GROUP BY w),
+        |rows0 AS MATERIALIZED (
+        |  SELECT w, CAST(i AS BIGINT) AS pos, substr(w, CAST(i AS INT), 1) AS sym
+        |  FROM wn, UNNEST(range(1, len(w) + 1)) t(i))""".stripMargin
+    val steps = (1 to rounds).map { r =>
+      s"""p$r AS MATERIALIZED (
+         |  SELECT w, pos, sym,
+         |         LEAD(sym) OVER (PARTITION BY w ORDER BY pos) AS nsym,
+         |         LEAD(pos) OVER (PARTITION BY w ORDER BY pos) AS npos
+         |  FROM rows${r - 1}),
+         |cnt$r AS MATERIALIZED (
+         |  SELECT p.sym, p.nsym, CAST(SUM(wn.n_w) AS BIGINT) AS cnt
+         |  FROM p$r p JOIN wn ON wn.w = p.w
+         |  WHERE p.nsym IS NOT NULL GROUP BY p.sym, p.nsym),
+         |best$r AS MATERIALIZED (
+         |  SELECT sym AS ba, nsym AS bb, cnt FROM cnt$r
+         |  ORDER BY cnt DESC, sym ASC, nsym ASC LIMIT 1),
+         |cand$r AS MATERIALIZED (
+         |  SELECT p.w, p.pos, p.npos,
+         |         CASE WHEN LAG(p.npos) OVER (PARTITION BY p.w ORDER BY p.pos) = p.pos
+         |              THEN 0 ELSE 1 END AS rs
+         |  FROM p$r p JOIN best$r b ON p.sym = b.ba AND p.nsym = b.bb),
+         |keptr$r AS MATERIALIZED (
+         |  SELECT w, pos, npos FROM (
+         |    SELECT w, pos, npos,
+         |           ROW_NUMBER() OVER (PARTITION BY w, run ORDER BY pos) AS k
+         |    FROM (SELECT w, pos, npos,
+         |                 SUM(rs) OVER (PARTITION BY w ORDER BY pos
+         |                   ROWS UNBOUNDED PRECEDING) AS run
+         |          FROM cand$r))
+         |  WHERE k % 2 = 1),
+         |rows$r AS MATERIALIZED (
+         |  SELECT r.w, r.pos,
+         |         CASE WHEN m.pos IS NOT NULL THEN (SELECT ba || bb FROM best$r)
+         |              ELSE r.sym END AS sym
+         |  FROM rows${r - 1} r
+         |  LEFT JOIN (SELECT w, pos FROM keptr$r) m ON m.w = r.w AND m.pos = r.pos
+         |  LEFT JOIN (SELECT w, npos FROM keptr$r) d ON d.w = r.w AND d.npos = r.pos
+         |  WHERE d.npos IS NULL)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps"
   }
 
   /** Bottom-k order-statistic sample CTEs mirroring
