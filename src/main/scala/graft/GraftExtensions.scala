@@ -53,5 +53,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("top_k_by_str"),
       new ExpressionInfo(classOf[graft.functions.TopKStrAgg].getName, "top_k_by_str"),
       (exprs: Seq[Expression]) => graft.functions.functions.buildTopKByStr(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("quantile_sample"),
+      new ExpressionInfo(
+        classOf[graft.functions.QuantileSampleAgg].getName, "quantile_sample"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildQuantileSample(exprs)))
   }
 }

@@ -316,6 +316,21 @@ object SparkEntry {
       Tokenizer.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")
     },
+    "q_tokenize_trained" -> { (s, d) =>
+      // end-to-end: train BPE merges on the corpus, then greedy-tokenize
+      // the same corpus against the LEARNED symbol inventory. The vocab
+      // collect is vocabulary-sized (distinct trained symbols), limit-
+      // capped — the same bounded-scalar class as the per-round argmax
+      val docs = Tables.documents(s, d)
+      val segs = graft.ops.BpeTrain.train(
+        graft.ops.BpeTrain.corpusWords(docs, "text"), rounds = 3)._2
+      val cap = 1 << 20
+      val vocab = segs.select(col("sym")).distinct().limit(cap + 1)
+        .collect().map(_.getString(0)).toSeq
+      require(vocab.size <= cap, s"trained vocab exceeds $cap symbols")
+      Tokenizer.tokenStats(docs, "doc_id", "text", vocab.sorted)
+        .orderBy("doc_id")
+    },
     "q_bpe_merges" -> { (s, d) =>
       // distributed BPE vocabulary training, 3 merge rounds: the learned
       // (left, right) merges with their weighted pair counts — greedy
@@ -988,24 +1003,13 @@ object SparkEntry {
       s"""WITH RECURSIVE
          |${tokenizeCtes()}
          |,
-         |wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
-         |                 CAST(SUM(CASE WHEN tok = '?' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
-         |          FROM wt GROUP BY w),
-         |dstat AS (SELECT wo.doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
-         |                 CAST(SUM(s.n_unk) AS BIGINT) AS n_unk
-         |          FROM words wo JOIN wstat s ON wo.w = s.w GROUP BY wo.doc_id),
-         |htok AS (SELECT wo.doc_id, wo.wi, t.step, t.tok,
-         |                ROW_NUMBER() OVER (PARTITION BY wo.doc_id ORDER BY wo.wi, t.step) AS rn
-         |         FROM words wo JOIN wt t ON wo.w = t.w WHERE wo.wi <= 8),
-         |head AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wi, step) AS head_toks
-         |         FROM htok WHERE rn <= 8 GROUP BY doc_id)
-         |SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
-         |       COALESCE(ds.n_unk, 0) AS n_unk,
-         |       COALESCE(h.head_toks, '') AS head_toks
-         |FROM documents d
-         |LEFT JOIN dstat ds ON d.doc_id = ds.doc_id
-         |LEFT JOIN head h ON d.doc_id = h.doc_id
-         |ORDER BY d.doc_id""".stripMargin,
+         |$tokenStatsTailSql""".stripMargin,
+    "q_tokenize_trained" ->
+      s"""WITH RECURSIVE
+         |${bpeCtes(rounds = 3)},
+         |${tokenizeCtes(vocabCte = "vocab AS (SELECT DISTINCT sym AS tok FROM rows3)")}
+         |,
+         |$tokenStatsTailSql""".stripMargin,
     "q_token_freq" ->
       s"""WITH RECURSIVE
          |${tokenizeCtes()}
@@ -1547,6 +1551,28 @@ object SparkEntry {
     s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
   }
 
+  /** Per-document token-stat tail over `words`/`wt` from [[tokenizeCtes]]:
+    * counts, unknown counts, and the first-8-token head string. */
+  private def tokenStatsTailSql: String =
+    """wstat AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS n_tok,
+      |                 CAST(SUM(CASE WHEN tok = '?' THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+      |          FROM wt GROUP BY w),
+      |dstat AS (SELECT wo.doc_id, CAST(SUM(s.n_tok) AS BIGINT) AS n_tokens,
+      |                 CAST(SUM(s.n_unk) AS BIGINT) AS n_unk
+      |          FROM words wo JOIN wstat s ON wo.w = s.w GROUP BY wo.doc_id),
+      |htok AS (SELECT wo.doc_id, wo.wi, t.step, t.tok,
+      |                ROW_NUMBER() OVER (PARTITION BY wo.doc_id ORDER BY wo.wi, t.step) AS rn
+      |         FROM words wo JOIN wt t ON wo.w = t.w WHERE wo.wi <= 8),
+      |head AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY wi, step) AS head_toks
+      |         FROM htok WHERE rn <= 8 GROUP BY doc_id)
+      |SELECT d.doc_id, COALESCE(ds.n_tokens, 0) AS n_tokens,
+      |       COALESCE(ds.n_unk, 0) AS n_unk,
+      |       COALESCE(h.head_toks, '') AS head_toks
+      |FROM documents d
+      |LEFT JOIN dstat ds ON d.doc_id = ds.doc_id
+      |LEFT JOIN head h ON d.doc_id = h.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
   /** Unrolled BPE-training CTEs mirroring ops.BpeTrain exactly: per round,
     * LEAD-paired symbol counts weighted by word multiplicity, a
     * deterministic argmax (count desc, left asc, right asc, LIMIT 1), the
@@ -1628,8 +1654,10 @@ object SparkEntry {
     * DuckDB rejects, is never needed. Ends with `words(doc_id, wi, w)` and
     * `wt(w, step, tok)` for the caller's final SELECT.
     */
-  private def tokenizeCtes(): String =
-    s"""vocab(tok) AS (VALUES ${graft.ops.Tokenizer.vocabValuesSql()}),
+  private def tokenizeCtes(
+      vocabCte: String =
+        s"vocab(tok) AS (VALUES ${graft.ops.Tokenizer.vocabValuesSql()})"): String =
+    s"""$vocabCte,
        |docs AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
        |words AS (SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INT) AS wi, unnest(ws) AS w FROM docs),
        |dw AS (SELECT DISTINCT w FROM words),

@@ -165,6 +165,12 @@ object functions {
     TopKStrAgg(exprs.head, exprs(1), intLiteral(exprs(2), "k"))
   }
 
+  private[graft] def buildQuantileSample(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 3,
+      s"quantile_sample expects (hash, value, k), got ${exprs.length} arguments")
+    QuantileSampleAgg(exprs.head, exprs(1), intLiteral(exprs(2), "k"))
+  }
+
   /** Register graft's native functions for SQL use
     * (`SELECT token_fingerprint(text), array_dot(a, b),
     * hll_registers(h, 6), top_k_by(score, id, 5) ...`). Aggregate
@@ -180,5 +186,6 @@ object functions {
     reg.createOrReplaceTempFunction("bit_votes", buildBitVotes, "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by", buildTopKBy, "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by_str", buildTopKByStr, "scala_udf")
+    reg.createOrReplaceTempFunction("quantile_sample", buildQuantileSample, "scala_udf")
   }
 }

@@ -64,35 +64,66 @@ object BpeTrain {
       else {
         val (ba, bb, cnt) = best(0)
         merges += ((r, ba, bb, cnt))
-        val cand = withNext
-          .where($"sym" === ba && $"nsym" === bb)
-          .select($"w", $"pos", $"npos")
-        // chained candidates (right element == next candidate's left
-        // element) form runs; keep odd positions within each run =
-        // greedy leftmost non-overlapping
-        val kept = cand
-          .withColumn("rs",
-            when(lag($"npos", 1).over(win).isNull ||
-              lag($"npos", 1).over(win) =!= $"pos", 1).otherwise(0))
-          .withColumn("run",
-            sum($"rs").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("k",
-            row_number().over(Window.partitionBy($"w", $"run").orderBy($"pos")))
-          .where($"k" % 2 === 1)
-          .select($"w", $"pos", $"npos")
-        rows = rows
-          .join(kept.select($"w", $"pos", lit(1).as("__m")), Seq("w", "pos"), "left")
-          .join(kept.select($"w", $"npos".as("pos"), lit(1).as("__d")),
-            Seq("w", "pos"), "left")
-          .where($"__d".isNull)
-          .select($"w", $"pos",
-            when($"__m".isNotNull, lit(ba + bb)).otherwise($"sym").as("sym"))
-          .localCheckpoint(true)
+        rows = mergeStep(rows, ba, bb).localCheckpoint(true)
       }
       r += 1
     }
     (spark.createDataset(merges.result())
       .toDF("round", "left", "right", "pair_count"), rows)
+  }
+
+  /** BPE ENCODING: apply an already-learned merge list, in order, to a
+    * fresh word set — the deployment-side half of BPE (training picks the
+    * merges; encoding replays them). On the training corpus itself this
+    * reproduces the training segmentation exactly (spec-asserted); on new
+    * words it applies the same greedy leftmost semantics per merge.
+    */
+  def encode(words: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val spark = words.sparkSession
+    import spark.implicits._
+    var rows = words.select($"w").distinct()
+      .select($"w", explode(expr("sequence(1, length(w))")).as("pos"))
+      .withColumn("sym", expr("substring(w, pos, 1)"))
+      .localCheckpoint(true)
+    for ((ba, bb) <- merges)
+      rows = mergeStep(rows, ba, bb).localCheckpoint(true)
+    rows
+  }
+
+  /** One merge round: rewrite greedy-leftmost non-overlapping (ba, bb)
+    * adjacencies to the merged symbol (see the run trick in the object
+    * doc). Shared by training (argmax-chosen pair) and encoding (given
+    * pair). */
+  private def mergeStep(rows: DataFrame, ba: String, bb: String): DataFrame = {
+    val spark = rows.sparkSession
+    import spark.implicits._
+    val win = Window.partitionBy($"w").orderBy($"pos")
+    val withNext = rows
+      .withColumn("nsym", lead($"sym", 1).over(win))
+      .withColumn("npos", lead($"pos", 1).over(win))
+    val cand = withNext
+      .where($"sym" === ba && $"nsym" === bb)
+      .select($"w", $"pos", $"npos")
+    // chained candidates (right element == next candidate's left element)
+    // form runs; keep odd positions within each run = greedy leftmost
+    // non-overlapping
+    val kept = cand
+      .withColumn("rs",
+        when(lag($"npos", 1).over(win).isNull ||
+          lag($"npos", 1).over(win) =!= $"pos", 1).otherwise(0))
+      .withColumn("run",
+        sum($"rs").over(win.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("k",
+        row_number().over(Window.partitionBy($"w", $"run").orderBy($"pos")))
+      .where($"k" % 2 === 1)
+      .select($"w", $"pos", $"npos")
+    rows
+      .join(kept.select($"w", $"pos", lit(1).as("__m")), Seq("w", "pos"), "left")
+      .join(kept.select($"w", $"npos".as("pos"), lit(1).as("__d")),
+        Seq("w", "pos"), "left")
+      .where($"__d".isNull)
+      .select($"w", $"pos",
+        when($"__m".isNotNull, lit(ba + bb)).otherwise($"sym").as("sym"))
   }
 
   /** Corpus words (w, n_w) in the tokenizer's word convention:

@@ -46,6 +46,21 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(segs == Seq(("a", 1, "a"), ("b", 1, "b")))
   }
 
+  test("encode replays learned merges: training corpus round-trips exactly") {
+    val words = Seq(("aaab", 2L), ("ab", 3L), ("baba", 1L)).toDF("w", "n_w")
+    val (m, trained) = BpeTrain.train(words, rounds = 3)
+    val merges = m.orderBy("round").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val encoded = BpeTrain.encode(words, merges)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("w", "pos").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSeq
+    assert(norm(encoded) == norm(trained))
+    // and encoding UNSEEN words applies the same merges deterministically
+    val novel = BpeTrain.encode(Seq(("aabb", 1L)).toDF("w", "n_w"), merges)
+    assert(norm(novel).map(_._3).mkString("") == "aabb")
+  }
+
   test("real corpus: merges are nonempty and segments reconstruct the words") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val (m, r) = BpeTrain.train(BpeTrain.corpusWords(docs, "text"), rounds = 3)

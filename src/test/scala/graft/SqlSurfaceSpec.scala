@@ -39,7 +39,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
       """SELECT hll_registers(hex_to_long(substring(md5(text), 1, 15)), 6) AS regs,
         |       bit_votes(hex_to_long(substring(md5(text), 1, 15)), 8) AS votes,
         |       top_k_by(CAST(id AS DOUBLE), id, 2) AS top,
-        |       top_k_by_str(CAST(id AS DOUBLE), text, 2) AS top_s
+        |       top_k_by_str(CAST(id AS DOUBLE), text, 2) AS top_s,
+        |       quantile_sample(hex_to_long(substring(md5(text), 1, 15)), id, 2) AS qs
         |FROM sql_docs""".stripMargin).collect().head
     val api = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha beta"))
       .toDF("id", "text")
@@ -49,7 +50,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
         graft.functions.Hll.hll_registers($"h", 6).as("regs"),
         graft.functions.BitVoteAgg.bit_votes($"h", 8).as("votes"),
         graft.functions.TopKByAgg.top_k_by($"id".cast("double"), $"id", 2).as("top"),
-        graft.functions.TopKByAgg.top_k_by_str($"id".cast("double"), $"text", 2).as("top_s"))
+        graft.functions.TopKByAgg.top_k_by_str($"id".cast("double"), $"text", 2).as("top_s"),
+        graft.functions.QuantileSample.quantile_sample($"h", $"id", 2).as("qs"))
       .collect().head
     assert(sql == api)
     // and grouped SQL aggregation works
