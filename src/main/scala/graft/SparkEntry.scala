@@ -284,6 +284,14 @@ object SparkEntry {
           nBits = 6, tables = 4, seed = 42L)
         .orderBy("query_id", "rank")
     },
+    "q_ann_pq" -> { (s, d) =>
+      // product-quantization ANN: per-subspace quantized-Lloyd codebooks,
+      // m-byte codes, asymmetric-distance ranking — the memory-compressed
+      // ANN form; all-integer distances → hash-exact oracle
+      Similarity.pqTopKPortable(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, k = 5)
+        .orderBy("query_id", "rank")
+    },
     "q_ann_ivf" -> { (s, d) =>
       // IVF-cell ANN. The portable variant quantizes vectors AND the Lloyd
       // iteration itself (floor-of-mean centroids, integer distances,
@@ -994,6 +1002,9 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
+    "q_ann_pq" -> graft.ops.Similarity.pqPortableOracle(
+      dim = 64, k = 5, m = 16, ksub = 16, candR = 50, kmeansIters = 2,
+      sampleN = 200, seed = 42L),
     "q_ann_ivf" -> graft.ops.Similarity.ivfPortableOracle(
       dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
       sampleN = 200, seed = 42L),

@@ -86,6 +86,27 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("PQ asymmetric-distance topK keeps useful recall vs brute force") {
+    // PQ compresses 64 floats to 4 codes; ADC ranking is approximate but
+    // must agree with exact cosine neighbors far above chance. The sample
+    // IS the corpus at sf0.001 (200 vectors), so codebooks are well-fit.
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = graft.ops.Similarity.pqTopKPortable(emb, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect pq).size.toDouble / brute.size
+    assert(recall > 0.7, s"recall=$recall")
+    // deterministic: a second run is identical
+    val pq2 = graft.ops.Similarity.pqTopKPortable(emb, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(pq == pq2)
+  }
+
   test("simHash hamming 0 for identical docs, small for near-identical") {
     val df = Seq(
       (1L, "the quick brown fox jumps over the lazy dog"),
