@@ -386,6 +386,19 @@ object SparkEntry {
           rareDf = 2L)
         .orderBy("doc_id")
     },
+    "q_repetition" -> { (s, d) =>
+      // Gopher-style repetition filters (ops/TextStats.repetitionStats):
+      // duplicate-bigram / top-bigram / duplicate-5-gram token fractions
+      // per document, integer per-mille — doc-keyed shuffles only
+      val docs = Tables.documents(s, d)
+      val r2 = TextStats.repetitionStats(docs, "doc_id", "text", 2)
+        .select(col("doc_id"), col("total_ngrams").as("total_bigrams"),
+          col("dup_permille").as("dup2_permille"),
+          col("top_permille").as("top2_permille"))
+      val r5 = TextStats.repetitionStats(docs, "doc_id", "text", 5)
+        .select(col("doc_id"), col("dup_permille").as("dup5_permille"))
+      r2.join(r5, Seq("doc_id")).orderBy("doc_id")
+    },
     "q_fingerprint" -> { (s, d) =>
       // native codegen'd Catalyst expression (ScalaTest proves it equals
       // the column-algebra formula the oracle mirrors)
@@ -1100,6 +1113,25 @@ object SparkEntry {
         |SELECT doc_id, n_token_rows, n_rare,
         |       CAST((n_rare * 1000) // n_token_rows AS BIGINT) AS rare_permille
         |FROM agg ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g2 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 1), ' ') AS ngram
+        |       FROM t, UNNEST(range(1, len(w))) AS u(i)),
+        |c2 AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g2 GROUP BY doc_id, ngram),
+        |a2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS total_bigrams,
+        |         CAST((CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) * 1000)
+        |              // SUM(c) AS BIGINT) AS dup2_permille,
+        |         CAST((MAX(c) * 1000) // SUM(c) AS BIGINT) AS top2_permille
+        |       FROM c2 GROUP BY doc_id),
+        |g5 AS (SELECT doc_id, array_to_string(list_slice(w, i, i + 4), ' ') AS ngram
+        |       FROM t, UNNEST(range(1, len(w) - 3)) AS u(i)),
+        |c5 AS (SELECT doc_id, ngram, COUNT(*) AS c FROM g5 GROUP BY doc_id, ngram),
+        |a5 AS (SELECT doc_id,
+        |         CAST((CAST(SUM(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) * 1000)
+        |              // SUM(c) AS BIGINT) AS dup5_permille
+        |       FROM c5 GROUP BY doc_id)
+        |SELECT a2.doc_id, total_bigrams, dup2_permille, top2_permille, dup5_permille
+        |FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id ORDER BY a2.doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

@@ -106,6 +106,51 @@ object TextStats {
     aggregate(terms, lit(0L), (acc, v) => acc + v) % lit(1000000007L)
   }
 
+  /** Gopher-style intra-document repetition statistics over token
+    * n-grams — the standard quality filter for machine-generated /
+    * template text that per-token ratios can't see (Rae et al. 2021,
+    * "Scaling Language Models", Table A1 — public paper; we use token
+    * counts rather than character counts so the arithmetic is exact
+    * integer and engine-portable).
+    *
+    * Per document, over its `n`-token shingles:
+    *   - `total_ngrams`   number of n-gram occurrences (n_tokens - n + 1)
+    *   - `dup_ngrams`     occurrences whose n-gram appears >= 2 times
+    *   - `top_ngram`      occurrences of the single most frequent n-gram
+    *   - `dup_permille`   (dup_ngrams · 1000) div total_ngrams
+    *   - `top_permille`   (top_ngram · 1000) div total_ngrams
+    *
+    * Built with posexplode + window lead (whole-stage codegen, same
+    * pattern as [[Dedup.shingles]]) — the window is partitioned by
+    * document, so at 100 TB the only shuffle is doc-keyed and state is
+    * one document's tokens per task. Documents with fewer than `n`
+    * tokens produce no row (they have no n-grams).
+    */
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"ngram size must be >= 1, got $n")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), posexplode(split(col(textCol), " ")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
+    // project the leads first (window exprs can't sit in a filter), then
+    // drop positions within n-1 of the document end: the LAST lead is null
+    // there, and concat_ws would otherwise silently shorten the n-gram
+    val leadCols = (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val withLeads = toks.select((col(idCol) +: col("tok") +: leadCols): _*)
+    val complete =
+      if (n == 1) withLeads else withLeads.where(col(s"t${n - 1}").isNotNull)
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    val grams = complete.select(col(idCol), concat_ws(" ", parts: _*).as("ngram"))
+    val counts = grams.groupBy(col(idCol), col("ngram")).agg(count(lit(1)).as("c"))
+    counts.groupBy(col(idCol))
+      .agg(
+        sum(col("c")).as("total_ngrams"),
+        sum(when(col("c") >= 2, col("c")).otherwise(0L)).as("dup_ngrams"),
+        max(col("c")).as("top_ngram"))
+      .withColumn("dup_permille", expr("(dup_ngrams * 1000) div total_ngrams"))
+      .withColumn("top_permille", expr("(top_ngram * 1000) div total_ngrams"))
+  }
+
   /** Corpus-frequency rarity score — the statistical gibberish signal the
     * per-document heuristics above can't see: a document whose tokens are
     * mostly corpus-rare (OCR noise, mojibake, random ids) scores high even

@@ -68,4 +68,27 @@ class CurationSpec extends AnyFunSuite {
     // doc 3: 5 of 6 tokens are hapax -> (5*1000) div 6 = 833
     assert(out(3L) == ((3L, 6L, 5L, 833L)))
   }
+
+  test("repetitionStats: hand-computed bigram/5-gram repetition fractions") {
+    import graft.ops.TextStats
+    val docs = Seq(
+      (1L, "a b a b a b"),          // bigrams: [ab,ba,ab,ba,ab] -> 5 total, all dup, top "a b"=3
+      (2L, "u v w x y z"),          // 5 distinct bigrams, no repetition
+      (3L, "s t"))                  // one bigram, below 5-gram length
+      .toDF("doc_id", "text")
+    val r2 = TextStats.repetitionStats(docs, "doc_id", "text", 2)
+      .select("doc_id", "total_ngrams", "dup_ngrams", "top_ngram",
+        "dup_permille", "top_permille")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(r2(1L) == ((1L, 5L, 5L, 3L, 1000L, 600L)))
+    assert(r2(2L) == ((2L, 5L, 0L, 1L, 0L, 200L)))
+    assert(r2(3L) == ((3L, 1L, 0L, 1L, 0L, 1000L)))
+    val r5 = TextStats.repetitionStats(docs, "doc_id", "text", 5)
+      .select("doc_id", "total_ngrams", "dup_ngrams").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    // doc 1: 5-grams [ababa, babab] distinct; doc 3 too short -> absent
+    assert(r5(1L) == ((1L, 2L, 0L)))
+    assert(!r5.contains(3L))
+  }
 }
