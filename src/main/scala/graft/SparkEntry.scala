@@ -399,6 +399,20 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_permille").as("dup5_permille"))
       r2.join(r5, Seq("doc_id")).orderBy("doc_id")
     },
+    "q_decontam" -> { (s, d) =>
+      // benchmark decontamination (ops/Decontaminate): deterministic
+      // md5-split carves an "eval corpus" out of documents, then each
+      // train doc is scored by the fraction of its 3-gram shingles that
+      // collide with ANY eval n-gram (broadcast eval-side probe)
+      val split = graft.ops.Sampling.hashSplit(Tables.documents(s, d),
+        "doc_id", Seq("eval" -> 100, "train" -> 1000), salt = "decontam")
+      val ev = split.where(col("split") === "eval")
+      val train = split.where(col("split") === "train")
+      graft.ops.Decontaminate.flagContaminated(train, ev, "doc_id", "text",
+          n = 3, thresholdPermille = 200)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    },
     "q_fingerprint" -> { (s, d) =>
       // native codegen'd Catalyst expression (ScalaTest proves it equals
       // the column-algebra formula the oracle mirrors)
@@ -1132,6 +1146,28 @@ object SparkEntry {
         |       FROM c5 GROUP BY doc_id)
         |SELECT a2.doc_id, total_bigrams, dup2_permille, top2_permille, dup5_permille
         |FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id ORDER BY a2.doc_id""".stripMargin,
+    "q_decontam" ->
+      """WITH b AS (SELECT doc_id, text,
+        |         ('0x' || substr(md5('decontam' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |           % 1000 AS bkt
+        |       FROM documents),
+        |train AS (SELECT doc_id, string_split(text, ' ') AS w FROM b WHERE bkt >= 100),
+        |ev AS (SELECT string_split(text, ' ') AS w FROM b WHERE bkt < 100),
+        |tsh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |        FROM train, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |esh AS (SELECT DISTINCT array_to_string(w[i:i+2], ' ') AS shingle
+        |        FROM ev, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_ngrams FROM tsh GROUP BY doc_id),
+        |hits AS (SELECT doc_id, COUNT(*) AS n_contam
+        |         FROM tsh JOIN esh USING (shingle) GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |       CAST(s.n_ngrams AS BIGINT) AS n_ngrams,
+        |       CAST(COALESCE(h.n_contam, 0) AS BIGINT) AS n_contam,
+        |       CAST((COALESCE(h.n_contam, 0) * 1000) // s.n_ngrams AS BIGINT) AS contam_permille,
+        |       CAST(CASE WHEN (COALESCE(h.n_contam, 0) * 1000) // s.n_ngrams >= 200
+        |            THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |ORDER BY s.doc_id""".stripMargin,
     "q_fingerprint" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
         |SELECT doc_id,

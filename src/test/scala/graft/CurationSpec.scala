@@ -69,6 +69,27 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 6L, 5L, 833L)))
   }
 
+  test("decontaminate: hand-computed n-gram overlap vs eval corpus") {
+    import graft.ops.Decontaminate
+    val train = Seq(
+      (1L, "the quick brown fox jumps high"), // 4 trigrams, 2 in eval
+      (2L, "completely novel words appear here"), // 3 trigrams, 0 in eval
+      (3L, "the quick brown fox"), // 2 trigrams, both in eval
+      (4L, "so short")) // whole-text shingle, not in eval
+      .toDF("doc_id", "text")
+    val ev = Seq((100L, "the quick brown fox strikes")).toDF("doc_id", "text")
+    val out = Decontaminate.flagContaminated(train, ev, "doc_id", "text",
+        n = 3, thresholdPermille = 500)
+      .select("id", "n_ngrams", "n_contam", "contam_permille", "contaminated")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // eval trigrams: {the quick brown, quick brown fox, brown fox strikes}
+    assert(out(1L) == ((1L, 4L, 2L, 500L, 1L)))
+    assert(out(2L) == ((2L, 3L, 0L, 0L, 0L)))
+    assert(out(3L) == ((3L, 2L, 2L, 1000L, 1L)))
+    assert(out(4L) == ((4L, 1L, 0L, 0L, 0L)))
+  }
+
   test("repetitionStats: hand-computed bigram/5-gram repetition fractions") {
     import graft.ops.TextStats
     val docs = Seq(
