@@ -631,6 +631,16 @@ object SparkEntry {
           Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 4)
         .orderBy("node")
     },
+    "q_harmonic" -> { (s, d) =>
+      // truncated harmonic centrality on the co-order part graph:
+      // radius-4 BFS from a 1% md5-sampled source set, lcm-scaled exact
+      // rational sums (ops/Harmonic) — fixed rounds so the unrolled
+      // MATERIALIZED-CTE oracle replays the identical partial fixpoint
+      graft.ops.Harmonic.harmonicCentrality(
+          Tables.coOrderPairEdges(s, d), "src", "dst",
+          rounds = 4, sourceRatePermille = 10, salt = "harmonic")
+        .orderBy("node")
+    },
     "q_kcore" -> { (s, d) =>
       // k-core of the co-order part graph: exactly 8 synchronized peeling
       // rounds (ops/KCore) — fixed rounds so the unrolled-CTE oracle
@@ -1396,6 +1406,8 @@ object SparkEntry {
         |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
     "q_communities" -> lpaOracle(rounds = 4),
+    "q_harmonic" -> harmonicOracle(rounds = 4, ratePermille = 10,
+      salt = "harmonic"),
     "q_triangles" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -1584,6 +1596,49 @@ object SparkEntry {
     s"""$head,
        |$steps
        |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+  }
+
+  /** Unrolled radius-R multi-source BFS oracle for truncated harmonic
+    * centrality over the same co-order part graph: per round, the
+    * frontier (rows at distance i-1) expands across the symmetric edge
+    * list and distances merge by MIN — exactly
+    * ops.Harmonic.harmonicCentrality's union+min aggregate. Sources are
+    * the md5 per-mille sample (q_sample identity-hash pattern); the
+    * harmonic sum uses lcm(1..rounds)/d integer terms. MATERIALIZED per
+    * round for the usual CTE-inlining reason.
+    */
+  private def harmonicOracle(rounds: Int, ratePermille: Int,
+      salt: String): String = {
+    val scale = (1 to rounds).map(BigInt(_)).foldLeft(BigInt(1)) {
+      (acc, d) => acc * d / acc.gcd(d)
+    }
+    val head =
+      s"""WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+         |               FROM lineitem WHERE l_quantity <= 15),
+         |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+         |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+         |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+         |se AS MATERIALIZED (SELECT x AS a, y AS b FROM e0
+         |       UNION ALL SELECT y AS a, x AS b FROM e0),
+         |src AS MATERIALIZED (SELECT DISTINCT a AS node FROM se
+         |       WHERE ('0x' || substr(md5('$salt' || a), 1, 15))::BIGINT
+         |             % 1000 < $ratePermille),
+         |d0 AS MATERIALIZED (SELECT node AS s, node AS v, 0 AS d FROM src)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""d$i AS MATERIALIZED (SELECT s, v, MIN(d) AS d FROM (
+         |        SELECT s, v, d FROM d${i - 1}
+         |        UNION ALL
+         |        SELECT p.s, se.b AS v, p.d + 1 AS d
+         |        FROM d${i - 1} p JOIN se ON p.v = se.a
+         |        WHERE p.d = ${i - 1}) GROUP BY s, v)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT v AS node, CAST(COUNT(*) AS BIGINT) AS n_reached,
+       |       CAST(SUM($scale // d) AS BIGINT) AS harmonic_num,
+       |       CAST($scale AS BIGINT) AS harmonic_den
+       |FROM d$rounds WHERE d > 0 GROUP BY v ORDER BY v""".stripMargin
   }
 
   /** Unrolled fixed-point PageRank oracle: one CTE per iteration mirrors
