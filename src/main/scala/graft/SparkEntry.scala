@@ -399,6 +399,14 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_permille").as("dup5_permille"))
       r2.join(r5, Seq("doc_id")).orderBy("doc_id")
     },
+    "q_doc_sim" -> { (s, d) =>
+      // inverted-index sparse TF-IDF cosine top-3 (ops/DocSimilarity):
+      // posting-list self-join (no cross join), df-capped vectors,
+      // decimal-exact squared-cosine per-mille, k-slot top-k aggregate
+      graft.ops.DocSimilarity.topKSimilarDocs(Tables.documents(s, d),
+          "doc_id", "text", k = 3, maxDf = 200)
+        .orderBy("doc_id", "rank")
+    },
     "q_decontam" -> { (s, d) =>
       // benchmark decontamination (ops/Decontaminate): deterministic
       // md5-split carves an "eval corpus" out of documents, then each
@@ -1156,6 +1164,31 @@ object SparkEntry {
         |       FROM c5 GROUP BY doc_id)
         |SELECT a2.doc_id, total_bigrams, dup2_permille, top2_permille, dup5_permille
         |FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id ORDER BY a2.doc_id""".stripMargin,
+    "q_doc_sim" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, u.tok FROM t, UNNEST(w) AS u(tok)),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 200),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.tok,
+        |        tf.tf * (((SELECT n FROM nd) * 1000) // dfq.df) AS wt
+        |      FROM tf JOIN dfq USING (tok)),
+        |norm AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM w GROUP BY doc_id),
+        |dot AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.wt * b.wt) AS num
+        |        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |        GROUP BY a.doc_id, b.doc_id),
+        |sim AS (SELECT ia, ib,
+        |          CAST((num * num * 1000) // (na.n2 * nb.n2) AS BIGINT) AS c2
+        |        FROM dot JOIN norm na ON na.doc_id = ia
+        |                 JOIN norm nb ON nb.doc_id = ib),
+        |sym AS (SELECT ia AS a, ib AS b, c2 FROM sim
+        |        UNION ALL SELECT ib AS a, ia AS b, c2 FROM sim),
+        |r AS (SELECT a, b, c2,
+        |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY c2 DESC, b ASC) AS rn
+        |      FROM sym)
+        |SELECT a AS doc_id, CAST(rn AS INT) AS rank, b AS nbr_id,
+        |       c2 AS cos2_permille
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_decontam" ->
       """WITH b AS (SELECT doc_id, text,
         |         ('0x' || substr(md5('decontam' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT

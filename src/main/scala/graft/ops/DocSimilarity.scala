@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Sparse TF-IDF document similarity via an inverted-index join — the
+  * text-side complement of the embedding ANN family ([[Similarity]]):
+  * finds each document's top-k most similar peers WITHOUT a cross join,
+  * by scattering the pairwise dot product over the token posting lists
+  * (pair (a,b) appears once per SHARED token; Σ_t df_t² candidate rows).
+  *
+  * Engine-portable semantics (no libm, no float summation):
+  *   - weights w(d,t) = tf(d,t) · ((n_docs · 1000) div df(t)) — the
+  *     log-free rational IDF of [[Tokenizer.tfidfTopTerms]];
+  *   - tokens with df > maxDf are excluded from the VECTORS (norms and
+  *     dots alike) — classic stopword pruning, and the knob that bounds
+  *     the posting-list self-join at 100 TB (cost ≤ vocab · maxDf²);
+  *   - similarity is the squared cosine in integer per-mille:
+  *     cos2 = (num² · 1000) div (‖a‖²·‖b‖²), computed in decimal(38,0)
+  *     so the squares stay exact far beyond Long (overflow past 1e38
+  *     raises loudly under ANSI mode rather than wrapping);
+  *   - top-k per doc by (cos2 DESC, neighbor id ASC) via the k-slot
+  *     [[graft.functions.TopKByAgg]] aggregate — no per-doc window sort.
+  *
+  * Returns (doc_id, rank, nbr_id, cos2_permille); docs sharing no
+  * sub-maxDf token with anyone are absent (no neighbors).
+  */
+object DocSimilarity {
+
+  def topKSimilarDocs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDf: Long): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    require(maxDf >= 2, s"maxDf must be >= 2 (df-1 tokens pair with nobody), got $maxDf")
+    val tf = docs
+      .select(col(idCol).as("id"), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col("id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .where(col("df") <= maxDf)
+    val totals = docs.agg(count(lit(1)).as("n_docs"))
+    val w = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(totals))
+      .select(col("id"), col("tok"),
+        expr("CAST(tf * ((n_docs * 1000) div df) AS DECIMAL(38,0))").as("wt"))
+      .persist(StorageLevel.MEMORY_AND_DISK) // norms + both join sides
+    val norms = w.groupBy(col("id"))
+      .agg(sum(expr("wt * wt")).as("n2"))
+    val dots = w.select(col("id").as("ia"), col("tok"), col("wt").as("wa"))
+      .join(w.select(col("id").as("ib"), col("tok"), col("wt").as("wb")), "tok")
+      .where(col("ia") < col("ib"))
+      .groupBy(col("ia"), col("ib"))
+      .agg(sum(expr("wa * wb")).as("num"))
+    val sim = dots
+      .join(norms.select(col("id").as("ia"), col("n2").as("na2")), "ia")
+      .join(norms.select(col("id").as("ib"), col("n2").as("nb2")), "ib")
+      .select(col("ia"), col("ib"),
+        expr("CAST((num * num * 1000) div (na2 * nb2) AS BIGINT)")
+          .as("cos2_permille"))
+    val sym = sim.select(col("ia").as("a"), col("ib").as("b"), col("cos2_permille"))
+      .union(sim.select(col("ib").as("a"), col("ia").as("b"), col("cos2_permille")))
+    sym.groupBy(col("a"))
+      .agg(graft.functions.TopKByAgg.top_k_by(
+        col("cos2_permille").cast("double"), col("b"), k).as("arr"))
+      .select(col("a").as("doc_id"), posexplode(col("arr")))
+      .select(col("doc_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as("nbr_id"),
+        col("col.cosine").cast("long").as("cos2_permille"))
+  }
+}
