@@ -399,6 +399,13 @@ object SparkEntry {
         .select(col("doc_id"), col("dup_permille").as("dup5_permille"))
       r2.join(r5, Seq("doc_id")).orderBy("doc_id")
     },
+    "q_source_cap" -> { (s, d) =>
+      // per-source diversity cap (Sampling.capPerStratum): ≤ 10 docs per
+      // source by deterministic 52-bit md5 priority, k-slot aggregate
+      graft.ops.Sampling.capPerStratum(Tables.documents(s, d),
+          Seq("source"), "doc_id", cap = 10, salt = "cap")
+        .orderBy("source", "rank")
+    },
     "q_doc_sim" -> { (s, d) =>
       // inverted-index sparse TF-IDF cosine top-3 (ops/DocSimilarity):
       // posting-list self-join (no cross join), df-capped vectors,
@@ -1164,6 +1171,16 @@ object SparkEntry {
         |       FROM c5 GROUP BY doc_id)
         |SELECT a2.doc_id, total_bigrams, dup2_permille, top2_permille, dup5_permille
         |FROM a2 JOIN a5 ON a2.doc_id = a5.doc_id ORDER BY a2.doc_id""".stripMargin,
+    "q_source_cap" ->
+      """WITH p AS (SELECT source, doc_id,
+        |        ('0x' || substr(md5('cap' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT AS prio
+        |      FROM documents),
+        |r AS (SELECT source, doc_id, prio,
+        |        ROW_NUMBER() OVER (PARTITION BY source
+        |          ORDER BY prio DESC, doc_id ASC) AS rn
+        |      FROM p)
+        |SELECT source, CAST(rn AS INT) AS rank, doc_id, prio AS priority
+        |FROM r WHERE rn <= 10 ORDER BY source, rank""".stripMargin,
     "q_doc_sim" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |tok AS (SELECT doc_id, u.tok FROM t, UNNEST(w) AS u(tok)),

@@ -143,4 +143,40 @@ object Sampling {
     }
     df.withColumn("split", labeled)
   }
+
+  /** Diversity cap: keep at most `cap` rows per stratum, chosen by a
+    * deterministic md5 priority — the curation step that stops one
+    * domain/source from dominating a training mix, with the kept subset a
+    * uniform pseudo-random choice that reproduces across engines, runs,
+    * and partitionings (same identity-hash contract as [[hashSample]]).
+    *
+    * One k-slot [[graft.functions.TopKByAgg]] aggregate per stratum — no
+    * per-stratum window sort, and map-side partials mean the shuffle
+    * carries ≤ cap rows per stratum per partition: the 100 TB shape for a
+    * skewed stratum column. The priority is the TOP 13 hex chars (52
+    * bits) of the salted md5: exactly representable in the aggregate's
+    * double scores, so ranking is bit-identical to an engine ordering the
+    * integer directly. `idCol` must be integral (repo Long-id
+    * convention).
+    *
+    * Returns (stratumCols..., rank, idCol, priority), rank 1..cap by
+    * (priority DESC, id ASC).
+    */
+  def capPerStratum(df: DataFrame, stratumCols: Seq[String], idCol: String,
+      cap: Int, salt: String = ""): DataFrame = {
+    require(stratumCols.nonEmpty, "need at least one stratum column")
+    require(cap >= 1 && cap <= 100000, s"cap must be in [1, 100000], got $cap")
+    val prio = graft.functions.functions.hex_to_long(
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 13))
+    val strata = stratumCols.map(col)
+    df.withColumn("__prio", prio)
+      .groupBy(strata: _*)
+      .agg(graft.functions.TopKByAgg.top_k_by(
+        col("__prio").cast("double"), col(idCol), cap).as("__arr"))
+      .select(strata :+ posexplode(col("__arr")): _*)
+      .select(strata ++ Seq(
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.neighbor_id").as(idCol),
+        col("col.cosine").cast("long").as("priority")): _*)
+  }
 }

@@ -105,4 +105,26 @@ class QuantilesSpec extends AnyFunSuite {
       .select(expr("transform(__s, x -> x.v)")).as[Seq[Long]].head()
     assert(vals.sorted == Seq(7L, 7L, 7L, 9L))
   }
+
+  test("capPerStratum: exact caps, partitioning-independent, uniform-ish") {
+    val df = spark.range(0, 3000)
+      .select($"id", (($"id" % 3).cast("string")).as("g"))
+    val capped = Sampling.capPerStratum(df, Seq("g"), "id", cap = 7)
+      .as[(String, Int, Long, Long)].collect()
+    // exactly 7 per stratum, ranks 1..7, priorities strictly descending
+    val byG = capped.groupBy(_._1)
+    assert(byG.keySet == Set("0", "1", "2"))
+    byG.values.foreach { rs =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 7))
+      val pr = rs.sortBy(_._2).map(_._4).toSeq
+      assert(pr == pr.sorted(Ordering[Long].reverse))
+    }
+    // stable under repartition (identity-hashed priority)
+    val again = Sampling.capPerStratum(df.repartition(17), Seq("g"), "id", cap = 7)
+      .as[(String, Int, Long, Long)].collect()
+    assert(capped.toSet == again.toSet)
+    // a cap >= stratum size keeps everything
+    val all = Sampling.capPerStratum(df, Seq("g"), "id", cap = 1000)
+    assert(all.count() == 3000)
+  }
 }
