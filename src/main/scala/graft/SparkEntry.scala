@@ -646,6 +646,15 @@ object SparkEntry {
           Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 4)
         .orderBy("node")
     },
+    "q_hyperball" -> { (s, d) =>
+      // HyperBall ball-register state at radius 3 (ops/HyperBall): the
+      // O(V·2^p) sketch path for geometric centralities — the register
+      // evolution is pure integer math, so the SPARSE register table
+      // itself is the oracle surface (estimates are spec-tested)
+      graft.ops.HyperBall.ballRegisters(
+          Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 3, p = 4)
+        .orderBy("node", "idx")
+    },
     "q_harmonic" -> { (s, d) =>
       // truncated harmonic centrality on the co-order part graph:
       // radius-4 BFS from a 1% md5-sampled source set, lcm-scaled exact
@@ -1458,6 +1467,7 @@ object SparkEntry {
     "q_communities" -> lpaOracle(rounds = 4),
     "q_harmonic" -> harmonicOracle(rounds = 4, ratePermille = 10,
       salt = "harmonic"),
+    "q_hyperball" -> hyperballOracle(rounds = 3, p = 4, hashBits = 60),
     "q_triangles" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -1689,6 +1699,46 @@ object SparkEntry {
        |       CAST(SUM($scale // d) AS BIGINT) AS harmonic_num,
        |       CAST($scale AS BIGINT) AS harmonic_den
        |FROM d$rounds WHERE d > 0 GROUP BY v ORDER BY v""".stripMargin
+  }
+
+  /** Unrolled HyperBall oracle over the co-order part graph: base
+    * registers are the HLL of each node's own md5 hash (the
+    * q_hll_distinct integer register math), and each round max-merges
+    * neighbor registers across the symmetric edge list — exactly
+    * ops.HyperBall.ballRegisters' join+max aggregate, on the same sparse
+    * (node, idx, rho) rows. MATERIALIZED per round as usual.
+    */
+  private def hyperballOracle(rounds: Int, p: Int, hashBits: Int): String = {
+    val m = 1 << p
+    val wZeroRho = hashBits - p + 1
+    val head =
+      s"""WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+         |               FROM lineitem WHERE l_quantity <= 15),
+         |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+         |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+         |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+         |se AS MATERIALIZED (SELECT x AS a, y AS b FROM e0
+         |       UNION ALL SELECT y AS a, x AS b FROM e0),
+         |h0 AS (SELECT DISTINCT a AS node,
+         |         ('0x' || substr(md5(a), 1, 15))::BIGINT AS h FROM se),
+         |b0 AS MATERIALIZED (SELECT node, CAST(h % $m AS INT) AS idx,
+         |       CAST(CASE WHEN h >> $p = 0 THEN $wZeroRho
+         |            ELSE bit_count(((h >> $p) & -(h >> $p)) - 1) + 1
+         |            END AS INT) AS rho
+         |       FROM h0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""b$i AS MATERIALIZED (SELECT node, idx, MAX(rho) AS rho FROM (
+         |        SELECT node, idx, rho FROM b${i - 1}
+         |        UNION ALL
+         |        SELECT se.a AS node, b.idx, b.rho
+         |        FROM se JOIN b${i - 1} b ON b.node = se.b
+         |      ) GROUP BY node, idx)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, CAST(idx AS INT) AS idx, CAST(rho AS INT) AS rho
+       |FROM b$rounds ORDER BY node, idx""".stripMargin
   }
 
   /** Unrolled fixed-point PageRank oracle: one CTE per iteration mirrors

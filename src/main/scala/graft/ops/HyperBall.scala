@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** HyperBall (Boldi & Vigna 2013, "In-Core Computation of Geometric
+  * Centralities with HyperBall") — neighborhood-function sketching: every
+  * node carries a HyperLogLog counter of its ball B(v, r), and one round
+  * of elementwise register max-merge across edges advances every ball
+  * radius by one. Ball-size ESTIMATES per radius then yield harmonic
+  * centrality (and closeness, neighbourhood function, …) for ALL nodes at
+  * O(V · 2^p) state — the 100 TB-scale complement of [[Harmonic]], whose
+  * exact pair-state BFS is O(sources · reach) and needs source sampling
+  * to stay tractable.
+  *
+  * Registers are kept SPARSE — one row (node, idx, rho), zero registers
+  * absent — and use the identical portable register math as
+  * [[graft.functions.HllRegistersAgg]] (md5 60-bit lane, trailing-zero
+  * rank: pure integer ops, so the register evolution itself is
+  * reproducible in any engine — the q_hyperball oracle replays it in
+  * unrolled SQL). Each round is one edge join + one (node, idx) max
+  * aggregation — pure shuffle algebra, no driver state.
+  *
+  * Estimates ([[harmonicEstimate]]) use the standard HLL estimator with
+  * the small-range linear-counting correction; accuracy vs the exact BFS
+  * is spec-tested (estimates are float and deliberately NOT part of the
+  * cross-engine oracle surface).
+  */
+object HyperBall {
+
+  /** Symmetric distinct edge list (BFS semantics: multiplicity and
+    * direction ignored), persisted — probed every round. */
+  private def symEdges(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+    fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+  }
+
+  /** Sparse single-value register row per node: the HLL of {v}. */
+  private def baseRegisters(nodes: DataFrame, p: Int, hashBits: Int): DataFrame = {
+    val m = 1 << p
+    nodes
+      .withColumn("__h", graft.functions.functions.hex_to_long(
+        substring(md5(col("node")), 1, 15)))
+      .withColumn("idx", expr(s"CAST(__h % $m AS INT)"))
+      .withColumn("rho", expr(
+        s"""CAST(CASE WHEN (__h >> $p) = 0 THEN ${hashBits - p + 1}
+           |     ELSE bit_count(((__h >> $p) & -(__h >> $p)) - 1) + 1
+           |     END AS INT)""".stripMargin))
+      .select(col("node"), col("idx"), col("rho"))
+  }
+
+  /** Register states per node per radius 0..rounds:
+    * (r, node, idx, rho) — sparse. The per-radius slices feed the
+    * estimator; callers wanting only the final ball take `r = rounds`.
+    */
+  def ballRegistersByRound(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 6, hashBits: Int = 60): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
+    require(p >= 2 && p <= 14, s"p must be in [2, 14], got $p")
+    val sym = symEdges(edges, srcCol, dstCol)
+    val nodes = sym.select(col("a").as("node")).distinct()
+    var state = baseRegisters(nodes, p, hashBits).localCheckpoint(true)
+    var slices = List(state.withColumn("r", lit(0)))
+    for (i <- 1 to rounds) {
+      // neighbor registers flow along edges, then elementwise max —
+      // checkpoint per round (two consumers: next round + the slice)
+      state = state
+        .join(sym, col("node") === col("b"))
+        .select(col("a").as("node"), col("idx"), col("rho"))
+        .union(state)
+        .groupBy(col("node"), col("idx")).agg(max(col("rho")).as("rho"))
+        .localCheckpoint(true)
+      slices ::= state.withColumn("r", lit(i))
+    }
+    slices.reverse.reduce(_ union _)
+      .select(col("r"), col("node"), col("idx"), col("rho"))
+  }
+
+  /** Final-radius sparse registers: (node, idx, rho) — the oracle
+    * surface. */
+  def ballRegisters(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 6, hashBits: Int = 60): DataFrame =
+    ballRegistersByRound(edges, srcCol, dstCol, rounds, p, hashBits)
+      .where(col("r") === rounds).drop("r")
+
+  /** Per-node truncated harmonic centrality estimate:
+    * Ĥ(v) = Σ_{r=1..rounds} (|B̂(v,r)| - |B̂(v,r-1)|) / r, with |B̂| the
+    * HLL estimate (linear counting below 2.5m). Returns
+    * (node, ball_final, harmonic_est). Estimates are doubles — spec-tested
+    * against the exact BFS, not oracle-compared.
+    */
+  def harmonicEstimate(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 6, hashBits: Int = 60): DataFrame = {
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _  => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val slices = ballRegistersByRound(edges, srcCol, dstCol, rounds, p, hashBits)
+    // HLL estimate per (node, r): raw = alpha·m² / Σ 2^-M[j] (absent
+    // sparse rows are zeros contributing 1 each); linear counting when
+    // raw <= 2.5m and zero registers remain
+    val est = slices.groupBy(col("r"), col("node"))
+      .agg(count(lit(1)).as("nz"), sum(expr("pow(0.5, rho)")).as("s"))
+      .withColumn("raw", expr(s"$alpha * $m * $m / (s + ($m - nz))"))
+      .withColumn("est", expr(
+        s"""CASE WHEN raw <= 2.5 * $m AND nz < $m
+           |     THEN $m * ln(CAST($m AS DOUBLE) / ($m - nz))
+           |     ELSE raw END""".stripMargin))
+      .select(col("r"), col("node"), col("est"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("node")).orderBy(col("r"))
+    est
+      .withColumn("prev", lag(col("est"), 1).over(w))
+      .withColumn("term", when(col("r") > 0,
+        greatest(col("est") - col("prev"), lit(0.0)) / col("r")))
+      .groupBy(col("node"))
+      .agg(max(when(col("r") === rounds, col("est"))).as("ball_final"),
+        sum(col("term")).as("harmonic_est"))
+  }
+}

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ops.{Harmonic, HyperBall}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class HyperBallSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("ball registers converge to the whole-graph HLL on a connected graph") {
+    // path 0-1-...-19: radius 19 makes every ball the full node set, so
+    // every node's registers must equal one global hll_registers over all
+    // node hashes — an independent computation path (single aggregate vs
+    // 19 iterative max-merges)
+    val edges = (0 until 19).map(i => (i.toString, (i + 1).toString))
+      .toDF("src", "dst")
+    val regs = HyperBall.ballRegisters(edges, "src", "dst", rounds = 19, p = 4)
+    val global = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node"))).distinct()
+      .withColumn("h", graft.functions.functions.hex_to_long(
+        substring(md5(col("node")), 1, 15)))
+      .agg(graft.functions.Hll.hll_registers(col("h"), p = 4).as("regs"))
+      .select(posexplode(col("regs")))
+      .where(col("col") > 0)
+      .select(col("pos").cast("int"), col("col").cast("int"))
+      .as[(Int, Int)].collect().toSet
+    val perNode = regs.select("node", "idx", "rho").as[(String, Int, Int)]
+      .collect().groupBy(_._1)
+    assert(perNode.size == 20)
+    perNode.values.foreach { rows =>
+      assert(rows.map(r => (r._2, r._3)).toSet == global)
+    }
+  }
+
+  test("harmonic estimate tracks the exact truncated harmonic on a cycle") {
+    // C_60, radius 4: every node's exact truncated harmonic is
+    // 2·(1 + 1/2 + 1/3 + 1/4) = 25/6 ≈ 4.1667; balls (9 nodes) are far
+    // below m=1024 so linear counting makes the estimate collision-bound
+    val n = 60
+    val edges = (0 until n).map(i => (i.toString, ((i + 1) % n).toString))
+      .toDF("src", "dst")
+    val est = HyperBall.harmonicEstimate(edges, "src", "dst",
+        rounds = 4, p = 10)
+      .select("node", "harmonic_est").as[(String, Double)].collect()
+    assert(est.length == n)
+    val exact = 2.0 * (1.0 + 1.0 / 2 + 1.0 / 3 + 1.0 / 4)
+    // per-node: a register collision inside a small ball costs ~10%
+    // (observed max 11.7% on this fixture) — bound at 15%; in aggregate
+    // the collisions average out — bound the mean error at 5%
+    est.foreach { case (node, h) =>
+      assert(math.abs(h - exact) / exact < 0.15,
+        s"node $node: est $h vs exact $exact")
+    }
+    val meanErr = est.map(e => math.abs(e._2 - exact) / exact).sum / est.length
+    assert(meanErr < 0.05, s"mean relative error $meanErr")
+    // and the exact operator agrees with the closed form (sanity tie)
+    val ex = Harmonic.harmonicCentrality(edges, "src", "dst", rounds = 4)
+      .select("harmonic_num", "harmonic_den").as[(Long, Long)].collect()
+    ex.foreach { case (num, den) =>
+      assert(math.abs(num.toDouble / den - exact) < 1e-12)
+    }
+  }
+}
