@@ -90,6 +90,19 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((4L, 1L, 0L, 0L, 0L)))
   }
 
+  test("decontaminate: eval n-gram probe broadcasts, no shuffle of train side beyond its aggs") {
+    import graft.ops.Decontaminate
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val ev = docs.where(col("doc_id") % 10 === 0)
+    val train = docs.where(col("doc_id") % 10 =!= 0)
+    val plan = Decontaminate.flagContaminated(train, ev, "doc_id", "text",
+        n = 3, thresholdPermille = 200)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan) // eval probe side
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+  }
+
   test("repetitionStats: hand-computed bigram/5-gram repetition fractions") {
     import graft.ops.TextStats
     val docs = Seq(

@@ -36,6 +36,17 @@ class DocSimilaritySpec extends AnyFunSuite {
     assert(out == Set((1L, 2L), (2L, 1L))) // 3 is isolated
   }
 
+  test("topKSimilarDocs: plan is an inverted-index equi-join, no cross join") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val plan = graft.ops.DocSimilarity
+      .topKSimilarDocs(docs, "doc_id", "text", k = 3, maxDf = 50)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoop"), plan)
+    // the top-k is the k-slot aggregate, not a rank-window sort
+    assert(plan.contains("topkbyagg") && !plan.contains("row_number"), plan)
+  }
+
   test("topKSimilarDocs: identical docs score 1000") {
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "unrelated words here"))
       .toDF("doc_id", "text")
