@@ -227,6 +227,14 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    "q_dedup_prefix" -> { (s, d) =>
+      // PPJoin-style prefix filtering: same exact pair set and scores as
+      // q_dedup_ngram (the oracle SQL is literally shared) from a far
+      // smaller candidate join — the 100 TB path for EXACT jaccard dedup
+      Dedup.ngramJaccardPairsPrefix(Tables.documents(s, d), "doc_id", "text",
+          n = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
     "q_dedup_minhash" -> { (s, d) =>
       // MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified.
       // Portable md5 hashing → full DuckDB oracle (the xxhash64 variant
@@ -779,6 +787,19 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
+  private val ngramJaccardOracleSql: String =
+    """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+      |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+      |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |          GROUP BY 1, 2)
+      |SELECT id_a, id_b, CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+      |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
+      |ORDER BY id_a, id_b""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus,
@@ -948,18 +969,10 @@ object SparkEntry {
         |SELECT a.text_sha, a.n_copies, b.keep_id, b.keep_score
         |FROM agg a JOIN best b ON a.text_sha = b.text_sha AND b.rn = 1
         |ORDER BY a.text_sha""".stripMargin,
-    "q_dedup_ngram" ->
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
-        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
-        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
-        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |          GROUP BY 1, 2)
-        |SELECT id_a, id_b, CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) AS jaccard
-        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5
-        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_ngram" -> ngramJaccardOracleSql,
+    // prefix filtering changes the CANDIDATE plan, not the result: the
+    // oracle is shared verbatim with the full-inverted-index query
+    "q_dedup_prefix" -> ngramJaccardOracleSql,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
          |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -167,6 +167,71 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Prefix-filtered exact n-gram Jaccard pairs — same output contract as
+    * [[ngramJaccardPairs]] (id_a < id_b, jaccard >= threshold, exact
+    * scores) with PPJoin-style candidate generation: index only each
+    * document's PREFIX instead of its full shingle set.
+    *
+    * Under any global total order on shingles, two sets with
+    * Jaccard >= t must share an element among the first
+    * |S| - ceil(t*|S|) + 1 elements of each (their intersection has
+    * >= ceil(t*|S|) elements, which cannot all hide in the last
+    * ceil(t*|S|) - 1 positions). Ordering shingles by ascending document
+    * frequency makes the indexed prefix the RAREST shingles, so posting
+    * lists shrink quadratically where it matters: candidate volume drops
+    * from sum(df²) over all shingles to sum(df²) over rare-prefix
+    * occurrences — the difference between an O(n²)-ish index join and a
+    * near-linear one on boilerplate-heavy crawl corpora. Candidates are
+    * then verified against the FULL shingle sets, so emitted scores are
+    * exact and (absent cap hits) the pair set equals the full
+    * inverted-index result.
+    *
+    * The required overlap ceil(t*|S|) is computed in integer arithmetic
+    * from a per-mille threshold (floor((tPm*n + 999)/1000)) — a double
+    * multiply at the boundary (e.g. 0.3*20 = 6.000000000000001) would
+    * over-shorten the prefix and silently lose recall.
+    *
+    * `maxPostings` caps prefix posting lists exactly like
+    * [[ngramJaccardPairs]] caps full ones (log + drop); the df-ascending
+    * prefix makes hits far rarer here.
+    */
+  def ngramJaccardPairsPrefix(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, threshold: Double = 0.8, maxPostings: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"threshold must be in (0, 1], got $threshold")
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val indexed = capHotBuckets(prefixPostings(sh, threshold), Seq("shingle"),
+      maxPostings, "ngramJaccardPairsPrefix prefix postings")
+    val candidates = indexed.as("a")
+      .join(indexed.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyJaccard(sh, threshold, candidates)
+  }
+
+  /** The prefix-filter index over a (id, shingle) set: per id, the
+    * |S| - ceil(t*|S|) + 1 globally-rarest shingles (document frequency
+    * asc, shingle asc — a total order, so the prefix is deterministic).
+    */
+  private[graft] def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tPm = math.round(threshold * 1000).toInt
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("__nsh"))
+    val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("shingle"))
+    // required overlap ceil(t*|S|) = floor((tPm*|S| + 999)/1000), via a
+    // double division that is exact-enough: the quotient is within ~1e-13
+    // of the rational value while the nearest integer boundary is >= 1/1000
+    // away, so floor() cannot be off by one. (A raw threshold*|S| double
+    // multiply CAN cross the boundary — 0.3*20 = 6.000000000000001.)
+    val reqOverlap = floor((lit(tPm) * col("__nsh") + lit(999)) / lit(1000.0))
+    sh.join(dfreq, "shingle").join(sizes, "id")
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") <= col("__nsh") - reqOverlap.cast("long") + 1)
+      .select(col("id"), col("shingle"))
+  }
+
   /** MinHash signature per document: the shingle string is hashed ONCE
     * (xxhash64), then the i-th hash function is the cheap fixed-width
     * xxhash64(seed_i, base) over that long — 64 string hashes per row

@@ -38,6 +38,42 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 2L)) - 6.0 / 8.0) < 1e-12)
   }
 
+  test("ngramJaccardPairsPrefix equals the full inverted-index result") {
+    // fixture: near-dup pair + distinct doc + shared boilerplate shingle
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "completely different words entirely here now ok yes"),
+      (4L, "the quick brown unrelated tail of words goes here"))
+      .toDF("doc_id", "text")
+    for (t <- Seq(0.3, 0.4, 0.5, 0.8)) {
+      val full = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      val pref = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 3, t)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(pref == full, s"threshold $t: prefix=$pref full=$full")
+    }
+    // and on real testdata at the driver-query threshold
+    val full = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(full.nonEmpty && pref == full)
+  }
+
+  test("prefix filtering indexes strictly fewer postings than the full index") {
+    // the point of the operator: candidate volume shrinks. Compare the
+    // indexed row counts (prefix table vs full shingle table) on testdata.
+    val sh = Dedup.shingles(docs, "doc_id", "text", 3)
+    val full = sh.count()
+    val nDocs = docs.count()
+    val pref = Dedup.prefixPostings(sh, 0.5).count()
+    // per doc the prefix keeps n - ceil(0.5n) + 1 <= n/2 + 1 shingles
+    assert(pref <= full / 2 + nDocs,
+      s"prefix index should ~halve postings at t=0.5: prefix=$pref full=$full")
+    assert(pref < full, "prefix index must be a strict subset")
+  }
+
   test("minHashLshPairs achieves full recall of high-jaccard pairs on testdata") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
