@@ -712,6 +712,19 @@ object SparkEntry {
           col("col").cast("int").as("reg_val"))
         .orderBy("lang", "reg_idx")
     },
+    "q_bloom_join" -> { (s, d) =>
+      // Bloom-pruned semi join (ops/BloomPrune.scala): lineitems of
+      // top-priced orders. The Bloom probe filters the lineitem SCAN
+      // before any exchange; the exact semi join then removes false
+      // positives, so the result is oracle-identical to a plain IN join
+      val pricey = Tables.orders(s, d).where(col("o_totalprice") > 450000.0)
+      graft.ops.BloomPrune.semiJoin(
+          Tables.lineitem(s, d), "l_orderkey", pricey, "o_orderkey")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy("l_returnflag")
+    },
     "q_range_join" -> { (s, d) =>
       // banded range join (ops/RangeJoin.scala): orders priced into 100
       // overlapping price bands via a band-id equi-join + residual — the
@@ -969,6 +982,14 @@ object SparkEntry {
         |SELECT a.text_sha, a.n_copies, b.keep_id, b.keep_score
         |FROM agg a JOIN best b ON a.text_sha = b.text_sha AND b.rn = 1
         |ORDER BY a.text_sha""".stripMargin,
+    "q_bloom_join" ->
+      """SELECT l_returnflag, COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "q_dedup_ngram" -> ngramJaccardOracleSql,
     // prefix filtering changes the CANDIDATE plan, not the result: the
     // oracle is shared verbatim with the full-inverted-index query
