@@ -235,6 +235,14 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    "q_dedup_passage" -> { (s, d) =>
+      // sub-document dedup: per-doc count of 16-token passages repeated
+      // anywhere in the corpus (boilerplate signal document-level dedup
+      // cannot see)
+      Dedup.passageDuplication(Tables.documents(s, d), "doc_id", "text",
+          passageTokens = 16)
+        .orderBy("doc_id")
+    },
     "q_dedup_minhash" -> { (s, d) =>
       // MinHash(64)+LSH(16 bands) candidates, exact-Jaccard verified.
       // Portable md5 hashing → full DuckDB oracle (the xxhash64 variant
@@ -994,6 +1002,20 @@ object SparkEntry {
     // prefix filtering changes the CANDIDATE plan, not the result: the
     // oracle is shared verbatim with the full-inverted-index query
     "q_dedup_prefix" -> ngramJaccardOracleSql,
+    "q_dedup_passage" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |c AS (SELECT doc_id, w, len(w) AS n FROM t),
+        |idx AS (SELECT doc_id, w, CAST(u.i AS INT) AS ci
+        |        FROM c, UNNEST(range(0, 1 + CAST(CEIL(GREATEST(n - 16, 0) / 16.0) AS BIGINT))) AS u(i)),
+        |ch AS (SELECT doc_id, md5(array_to_string(w[ci*16+1 : ci*16+16], ' ')) AS h
+        |       FROM idx),
+        |g AS (SELECT h, COUNT(*) AS c FROM ch GROUP BY h),
+        |d AS (SELECT doc_id, COUNT(*) AS n_passages,
+        |             CAST(SUM(CASE WHEN g.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_passages
+        |      FROM ch JOIN g USING (h) GROUP BY doc_id)
+        |SELECT doc_id, n_passages, n_dup_passages,
+        |       CAST(FLOOR(n_dup_passages * 1000.0 / n_passages) AS BIGINT) AS dup_permille
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE
          |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),

@@ -210,6 +210,37 @@ object Dedup extends org.apache.spark.internal.Logging {
     verifyJaccard(sh, threshold, candidates)
   }
 
+  /** Passage-level duplication stats — the sub-document dedup signal
+    * (repeated boilerplate passages: headers, navigation, license blocks)
+    * that document-level dedup cannot see. Each document is cut into
+    * non-overlapping `passageTokens`-token passages ([[Chunker]] — a pure
+    * per-row projection, no shuffle), passages are md5-keyed and counted
+    * corpus-wide, and each document reports how many of its passages occur
+    * elsewhere too: (id, n_passages, n_dup_passages, dup_permille).
+    * A curation pipeline drops or re-segments docs above a dup_permille
+    * threshold.
+    *
+    * Plan shape at 100 TB: one passage-hash-keyed aggregation (partial
+    * map-side: identical boilerplate combines before the shuffle) + one
+    * hash-keyed join back + one doc-keyed aggregation. The per-mille ratio
+    * is floor(n_dup*1000/n): n_dup*1000 is integer-exact in a double and
+    * the quotient lands >= 1/n from the nearest integer unless exact, so
+    * floor is engine-stable.
+    */
+  def passageDuplication(df: DataFrame, idCol: String, textCol: String,
+      passageTokens: Int = 32): DataFrame = {
+    val ch = Chunker.chunkByTokens(df, idCol, textCol, passageTokens,
+        overlapTokens = 0)
+      .select(col(idCol), md5(col("chunk_text")).as("__h"))
+    val freq = ch.groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+    ch.join(freq, "__h")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_passages"),
+        sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_passages"))
+      .withColumn("dup_permille",
+        floor(col("n_dup_passages") * lit(1000.0) / col("n_passages")).cast("long"))
+  }
+
   /** The prefix-filter index over a (id, shingle) set: per id, the
     * |S| - ceil(t*|S|) + 1 globally-rarest shingles (document frequency
     * asc, shingle asc — a total order, so the prefix is deterministic).

@@ -74,6 +74,28 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pref < full, "prefix index must be a strict subset")
   }
 
+  test("passageDuplication flags shared passages, not unique ones") {
+    // 4-token passages; docs 1 and 2 share their first passage exactly,
+    // doc 3 shares nothing. Doc 1: 8 tokens = 2 passages (1 dup);
+    // doc 2: 6 tokens = 2 passages (first full, then 2-token tail).
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d x y"),
+      (3L, "p q r s t u v w"))
+      .toDF("doc_id", "text")
+    val out = Dedup.passageDuplication(df, "doc_id", "text", passageTokens = 4)
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out(0) == ((1L, 2L, 1L, 500L)))
+    assert(out(1) == ((2L, 2L, 1L, 500L)))
+    assert(out(2) == ((3L, 2L, 0L, 0L)))
+    // corpus-level sanity on testdata: planted exact dups must make the
+    // signal non-trivial
+    val td = Dedup.passageDuplication(docs, "doc_id", "text", 16)
+    assert(td.where(col("n_dup_passages") > 0).count() > 0)
+    assert(td.count() == docs.count(), "every doc reports")
+  }
+
   test("minHashLshPairs achieves full recall of high-jaccard pairs on testdata") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
