@@ -720,6 +720,24 @@ object SparkEntry {
           col("col").cast("int").as("reg_val"))
         .orderBy("lang", "reg_idx")
     },
+    "q_anonymize" -> { (s, d) =>
+      // privacy pass with referential integrity: custkeys pseudonymized
+      // INDEPENDENTLY on each table (md5 keyed surrogate, no mapping
+      // table), names digit-masked; the per-customer order counts must
+      // still line up through the surrogate join
+      import graft.ops.Anonymize
+      val cust = Tables.customer(s, d).select(
+        Anonymize.pseudonym(col("c_custkey"), "s4lt").as("cust_pid"),
+        Anonymize.maskNumbers(col("c_name")).as("masked_name"),
+        col("c_mktsegment"))
+      val ords = Tables.orders(s, d).select(
+        Anonymize.pseudonym(col("o_custkey"), "s4lt").as("cust_pid"),
+        lit(1).as("__o"))
+      cust.join(ords, Seq("cust_pid"), "left")
+        .groupBy(col("cust_pid"), col("masked_name"), col("c_mktsegment"))
+        .agg(count(col("__o")).as("n_orders"))
+        .orderBy("cust_pid")
+    },
     "q_bloom_join" -> { (s, d) =>
       // Bloom-pruned semi join (ops/BloomPrune.scala): lineitems of
       // top-priced orders. The Bloom probe filters the lineitem SCAN
@@ -990,6 +1008,16 @@ object SparkEntry {
         |SELECT a.text_sha, a.n_copies, b.keep_id, b.keep_score
         |FROM agg a JOIN best b ON a.text_sha = b.text_sha AND b.rn = 1
         |ORDER BY a.text_sha""".stripMargin,
+    "q_anonymize" ->
+      """WITH cust AS (SELECT md5('s4lt' || CAST(c_custkey AS VARCHAR)) AS cust_pid,
+        |                     regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked_name,
+        |                     c_mktsegment
+        |              FROM customer),
+        |o AS (SELECT md5('s4lt' || CAST(o_custkey AS VARCHAR)) AS cust_pid FROM orders)
+        |SELECT cust.cust_pid, masked_name, c_mktsegment, COUNT(o.cust_pid) AS n_orders
+        |FROM cust LEFT JOIN o ON cust.cust_pid = o.cust_pid
+        |GROUP BY 1, 2, 3
+        |ORDER BY cust.cust_pid""".stripMargin,
     "q_bloom_join" ->
       """SELECT l_returnflag, COUNT(*) AS n_items,
         |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
