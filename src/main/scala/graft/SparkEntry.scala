@@ -720,6 +720,21 @@ object SparkEntry {
           col("col").cast("int").as("reg_val"))
         .orderBy("lang", "reg_idx")
     },
+    "q_zorder" -> { (s, d) =>
+      // Morton-curve stats over (orderkey, partkey): the z-value column
+      // algebra that ops/ZOrderLayout.layout clusters files by. Bucketed
+      // by the top 8 z-bits → each bucket is a rectangle in key space;
+      // min/max inside prove the interleave (see ZOrderLayoutSpec for the
+      // actual file-pruning property)
+      import graft.ops.ZOrderLayout
+      Tables.lineitem(s, d)
+        .select(ZOrderLayout.zValue2(
+          col("l_orderkey") % 65536, col("l_partkey") % 65536).as("z"))
+        .groupBy(shiftright(col("z"), 24).as("z_bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("z")).as("z_min"), max(col("z")).as("z_max"))
+        .orderBy("z_bucket")
+    },
     "q_anonymize" -> { (s, d) =>
       // privacy pass with referential integrity: custkeys pseudonymized
       // INDEPENDENTLY on each table (md5 keyed surrogate, no mapping
@@ -1008,6 +1023,13 @@ object SparkEntry {
         |SELECT a.text_sha, a.n_copies, b.keep_id, b.keep_score
         |FROM agg a JOIN best b ON a.text_sha = b.text_sha AND b.rn = 1
         |ORDER BY a.text_sha""".stripMargin,
+    "q_zorder" ->
+      s"""WITH base AS (SELECT l_orderkey % 65536 AS a, l_partkey % 65536 AS b
+         |              FROM lineitem),
+         |${graft.ops.ZOrderLayout.spreadOracleCtes("base")}
+         |SELECT (z >> 24) AS z_bucket, COUNT(*) AS n_rows,
+         |       MIN(z) AS z_min, MAX(z) AS z_max
+         |FROM zfin GROUP BY 1 ORDER BY z_bucket""".stripMargin,
     "q_anonymize" ->
       """WITH cust AS (SELECT md5('s4lt' || CAST(c_custkey AS VARCHAR)) AS cust_pid,
         |                     regexp_replace(c_name, '[0-9]+', '<ID>', 'g') AS masked_name,
