@@ -720,6 +720,13 @@ object SparkEntry {
           col("col").cast("int").as("reg_val"))
         .orderBy("lang", "reg_idx")
     },
+    "q_scc" -> { (s, d) =>
+      // strongly connected components of the directed user-journey graph
+      // (ops/Scc.scala): mutual-reachability classes via forward/backward
+      // min-label peeling — all shuffle algebra, no driver graph state
+      graft.ops.Scc.components(Tables.userSequenceEdges(s, d))
+        .orderBy("node")
+    },
     "q_zorder" -> { (s, d) =>
       // Morton-curve stats over (orderkey, partkey): the z-value column
       // algebra that ops/ZOrderLayout.layout clusters files by. Bucketed
@@ -1023,6 +1030,21 @@ object SparkEntry {
         |SELECT a.text_sha, a.n_copies, b.keep_id, b.keep_score
         |FROM agg a JOIN best b ON a.text_sha = b.text_sha AND b.rn = 1
         |ORDER BY a.text_sha""".stripMargin,
+    "q_scc" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |reach AS (SELECT node AS a, node AS b FROM n
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |scc AS (SELECT f.a AS node, MIN(f.b) AS scc_id
+        |        FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a
+        |        GROUP BY f.a)
+        |SELECT node, scc_id FROM scc ORDER BY node""".stripMargin,
     "q_zorder" ->
       s"""WITH base AS (SELECT l_orderkey % 65536 AS a, l_partkey % 65536 AS b
          |              FROM lineitem),

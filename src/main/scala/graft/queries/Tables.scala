@@ -80,6 +80,25 @@ object Tables {
       concat(lit("P"), col("l_partkey")).as("src"),
       concat(lit("S"), col("l_suppkey")).as("dst"))
 
+  /** Directed user-journey edges: consecutive low-value events of one
+    * type, ordered by (event time, event_id), link each event's user to
+    * the next event's user. Users recur in the stream, so the graph has
+    * genuine directed cycles — the SCC fixture (unlike the nation chain,
+    * which is a DAG, or the co-order graph, which is undirected).
+    */
+  def userSequenceEdges(s: SparkSession, d: String,
+      eventType: String = "click", maxValue: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .where(col("event_type") === eventType && col("value") < maxValue)
+      .withColumn("nxt", lead(col("user_id"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .select(col("user_id").cast("string").as("src"),
+        col("nxt").cast("string").as("dst"))
+      .distinct()
+  }
+
   /** Co-order part pair edges (src < dst, duplicates kept) from
     * low-quantity lineitems of orders with <= `maxItems` items — the
     * shared input of q_triangles / q_kcore / q_link_pred. One groupBy +
