@@ -630,6 +630,14 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
         .orderBy("lang")
     },
+    "q_weighted_sample" -> { (s, d) =>
+      // importance sampling ∝ n_chars with integer-exact acceptance and
+      // Horvitz-Thompson inclusion probabilities (ops/Sampling)
+      graft.ops.Sampling.weightedSample(Tables.documents(s, d), "doc_id",
+          "n_chars", ratePerMillion = 1000, salt = "ws1")
+        .select(col("doc_id"), col("n_chars"), col("p_ppm"))
+        .orderBy("doc_id")
+    },
     "q_profile" -> { (s, d) =>
       // one-pass column profiling (ops/Profiler): nulls, min/max, HLL
       // distinct sketch for four orders columns from a single wide
@@ -1567,6 +1575,13 @@ object SparkEntry {
         |FROM documents
         |WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000 < 200
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars,
+        |       LEAST(1000000, n_chars * 1000) AS p_ppm
+        |FROM documents
+        |WHERE ('0x' || substr(md5('ws1' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1000000
+        |      < n_chars * 1000
+        |ORDER BY doc_id""".stripMargin,
     "q_profile" -> profileOracle(
       Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")),
     "q_link_pred" ->

@@ -144,6 +144,30 @@ object Sampling {
     df.withColumn("split", labeled)
   }
 
+  /** Importance-weighted Poisson sampling: keep each row independently
+    * with probability min(1, weight * ratePerMillion / 1e6) — the
+    * standard corpus-reweighting primitive (oversample long/high-quality
+    * documents, undersample boilerplate) with Horvitz-Thompson
+    * reweighting enabled by the emitted inclusion probability `p_ppm`
+    * (estimate a population total as Σ value/p over the sample).
+    *
+    * The acceptance test is pure integer arithmetic on the row-identity
+    * hash: `(md5-60-bit(salt||id) mod 1e6) < weight * ratePerMillion` —
+    * no doubles anywhere, so the sample is bit-reproducible across
+    * engines, runs, and partitionings (same identity-hash contract as
+    * [[hashSample]]; a double `rand() < w*r` would be none of those).
+    * `weightCol` must be integral and non-negative (repo convention).
+    */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+      ratePerMillion: Long, salt: String = ""): DataFrame = {
+    require(ratePerMillion >= 0, s"ratePerMillion must be >= 0, got $ratePerMillion")
+    val u = graft.functions.functions.hex_to_long(
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)) % 1000000L
+    val w = col(weightCol).cast("long")
+    df.where(u < w * ratePerMillion)
+      .withColumn("p_ppm", least(lit(1000000L), w * ratePerMillion))
+  }
+
   /** Diversity cap: keep at most `cap` rows per stratum, chosen by a
     * deterministic md5 priority — the curation step that stops one
     * domain/source from dominating a training mix, with the kept subset a

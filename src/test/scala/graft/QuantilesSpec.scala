@@ -74,6 +74,32 @@ class QuantilesSpec extends AnyFunSuite {
     assert(overlap < 0.25, s"overlap $overlap")
   }
 
+  test("weighted sample: rate ∝ weight, exact p_ppm, partition-independent") {
+    // weights 0, tiny, medium, saturating
+    val df = spark.range(0, 8000).select($"id",
+      when($"id" % 4 === 0, 0L)
+        .when($"id" % 4 === 1, 100L)
+        .when($"id" % 4 === 2, 500L)
+        .otherwise(2000L).as("w"))
+    val got = Sampling.weightedSample(df, "id", "w", ratePerMillion = 1000,
+        salt = "t")
+      .as[(Long, Long, Long)].collect()
+    assert(got.forall { case (_, w, p) => p == math.min(1000000L, w * 1000) })
+    val byW = got.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(!byW.contains(0L), "zero-weight rows never sampled")
+    assert(byW(2000L) == 2000, "saturated rows (p=1) always kept")
+    // acceptance ~ w/1000: 10% of w=100 rows, 50% of w=500 rows
+    assert(math.abs(byW(100L) - 200) < 80, s"w=100 kept ${byW(100L)}")
+    assert(math.abs(byW(500L) - 1000) < 150, s"w=500 kept ${byW(500L)}")
+    // identity-hash contract: layout cannot change the sample
+    val re = Sampling.weightedSample(df.repartition(11), "id", "w", 1000, "t")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(re == got.toSet)
+    // Horvitz-Thompson: Σ 1/p over the sample estimates the population
+    val ht = got.map(1000000.0 / _._3).sum
+    assert(math.abs(ht - 6000) < 600, s"HT estimate $ht for 6000 nonzero rows")
+  }
+
   test("bottom-k sketch state is partition-invariant (merge = union-then-trim)") {
     val df = spark.range(1, 5001).select($"id".as("v"))
     def state(parts: Int) = Quantiles.sketch(df.repartition(parts), "v", k = 32)
