@@ -235,6 +235,14 @@ object SparkEntry {
           n = 3, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    "q_dedup_edit" -> { (s, d) =>
+      // Levenshtein near-dups: shingle-blocked candidates, length
+      // pre-filter, banded 3-arg levenshtein verification — catches
+      // aligned small-edit dups token-set measures miss
+      Dedup.editDistancePairs(Tables.documents(s, d), "doc_id", "text",
+          maxDist = 20, n = 3)
+        .orderBy("id_a", "id_b")
+    },
     "q_dedup_passage" -> { (s, d) =>
       // sub-document dedup: per-doc count of 16-token passages repeated
       // anywhere in the corpus (boilerplate signal document-level dedup
@@ -1082,6 +1090,21 @@ object SparkEntry {
     // prefix filtering changes the CANDIDATE plan, not the result: the
     // oracle is shared verbatim with the full-inverted-index query
     "q_dedup_prefix" -> ngramJaccardOracleSql,
+    // candidate generation (shared-shingle blocking) mirrored exactly: a
+    // pair sharing no word trigram is out of contract on both sides
+    "q_dedup_edit" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS dist
+        |FROM cand
+        |JOIN documents ta ON ta.doc_id = id_a
+        |JOIN documents tb ON tb.doc_id = id_b
+        |WHERE abs(len(ta.text) - len(tb.text)) <= 20
+        |  AND levenshtein(ta.text, tb.text) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_passage" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
         |c AS (SELECT doc_id, w, len(w) AS n FROM t),

@@ -167,6 +167,53 @@ object Dedup extends org.apache.spark.internal.Logging {
     }
   }
 
+  /** Edit-distance (Levenshtein) near-duplicate pairs: (id_a < id_b, dist)
+    * for every candidate pair within `maxDist` edits. Catches the near-dup
+    * family token-set measures are blind to — small in-place edits
+    * (typo fixes, date stamps, template variable substitutions) that keep
+    * the texts aligned character-for-character.
+    *
+    * An all-pairs Levenshtein is O(n²·len²) — never viable. Candidates
+    * instead come from the same word-n-gram inverted index as
+    * [[ngramJaccardPairs]] (a pair within a small edit distance of texts
+    * longer than a few words always shares word n-grams; hot shingles are
+    * capped + logged identically), then two successively stronger exact
+    * filters run per candidate:
+    *
+    *   1. |len(a) − len(b)| <= maxDist — each edit changes the length by
+    *      at most 1, so this is a free exact pre-filter off the already-
+    *      joined strings (predicate, no DP);
+    *   2. banded Levenshtein via Spark's 3-arg `levenshtein(a, b,
+    *      threshold)` — O(len·maxDist) per pair instead of O(len²), the
+    *      standard band optimization, evaluated inside codegen.
+    *
+    * Contract note: a pair whose every shared shingle was capped (or whose
+    * texts share no word n-gram at all — only possible when maxDist is
+    * large relative to the text) is not discovered; that is the same
+    * recall/cost trade [[ngramJaccardPairs]] documents.
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 20, n: Int = 3, maxPostings: Int = 1000): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    val docs = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    val sh = shingles(df, idCol, textCol, n)
+    val postings = capHotBuckets(sh, Seq("shingle"), maxPostings,
+      "editDistancePairs shingle postings")
+    val candidates = postings.as("a")
+      .join(postings.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(docs.select(col("id").as("id_a"), col("__txt").as("__ta")), "id_a")
+      .join(docs.select(col("id").as("id_b"), col("__txt").as("__tb")), "id_b")
+      .where(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("__ta"), col("__tb"), maxDist))
+      // 3-arg levenshtein returns -1 when the band is exceeded
+      .where(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
   /** Prefix-filtered exact n-gram Jaccard pairs — same output contract as
     * [[ngramJaccardPairs]] (id_a < id_b, jaccard >= threshold, exact
     * scores) with PPJoin-style candidate generation: index only each

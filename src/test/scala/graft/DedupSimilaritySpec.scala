@@ -38,6 +38,47 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(math.abs(pairs((1L, 2L)) - 6.0 / 8.0) < 1e-12)
   }
 
+  test("editDistancePairs finds small-edit dups within the band, drops the rest") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"), // dist 3 (dog→cat)
+      (3L, "the quick brown fox jumps over the lazy dog today"), // dist 6 (append " today")
+      (4L, "completely different words entirely here now ok yes"))
+      .toDF("doc_id", "text")
+    val got = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    // (2,3) is distance 9 (cat→dog plus " today") — outside the band
+    assert(got == Set((1L, 2L, 3L), (1L, 3L, 6L)), s"got $got")
+    // tighter band excludes the distance-6 pair
+    val tight = Dedup.editDistancePairs(df, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(tight == Set((1L, 2L, 3L)))
+  }
+
+  test("editDistancePairs distances are exact vs a reference DP on testdata") {
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val texts = docs.select("doc_id", "text").as[(Long, String)]
+      .collect().toMap
+    val got = Dedup.editDistancePairs(docs, "doc_id", "text", maxDist = 20)
+      .as[(Long, Long, Long)].collect()
+    assert(got.nonEmpty, "testdata should contain small-edit near-dups")
+    got.foreach { case (a, b, d) =>
+      assert(lev(texts(a), texts(b)) == d, s"pair ($a,$b)")
+    }
+  }
+
   test("ngramJaccardPairsPrefix equals the full inverted-index result") {
     // fixture: near-dup pair + distinct doc + shared boilerplate shingle
     val df = Seq(
