@@ -14,6 +14,12 @@ Test / fork := true
 // forked JVM spikes memory (observed OOM) and serves no purpose.
 Test / parallelExecution := false
 run / fork := true
+// Forked run output is logged through sbt by default, prefixing every
+// line with "[info] " — which breaks any consumer that parses Bench's
+// JSON stdout lines (5 rounds of BENCH_r*.json show parsed:null for
+// exactly this reason). StdoutOutput passes the child's stdout through
+// verbatim.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
