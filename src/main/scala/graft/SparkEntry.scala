@@ -470,6 +470,21 @@ object SparkEntry {
           gapUs = 1800000000L)
         .orderBy("user_id")
     },
+    "q_funnel" -> { (s, d) =>
+      // ordered view→click→purchase funnel (ops/Funnel.scala): step k's
+      // time is the earliest step-k event STRICTLY after step k-1's; a
+      // user absent from step 1 is absent entirely. k user-keyed shuffles
+      // over scan-pruned per-step subsets — no full-stream window.
+      graft.ops.Funnel.userFunnel(Tables.events(s, d), "user_id", "ts_us",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("user_id")
+    },
+    "q_funnel_steps" -> { (s, d) =>
+      // chart form: one row per step with the user count that reached it
+      graft.ops.Funnel.stepCounts(Tables.events(s, d), "user_id", "ts_us",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
     "q_event_windows" -> { (s, d) =>
       // hourly tumbling windows per event type; value summed as exact cents
       Sessionize.tumbling(Tables.events(s, d), "ts_us", 3600000000L)
@@ -1431,6 +1446,31 @@ object SparkEntry {
         |SELECT user_id, COUNT(DISTINCT session_no) AS n_sessions, COUNT(*) AS n_events,
         |       CAST(MAX(us) - MIN(us) AS BIGINT) AS span_us
         |FROM sn GROUP BY user_id ORDER BY user_id""".stripMargin,
+    "q_funnel" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, MIN(CASE WHEN e.us > t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2, MIN(CASE WHEN e.us > t2 THEN e.us END) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT user_id, t1, t2, t3,
+        |       CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+        |FROM s3 ORDER BY user_id""".stripMargin,
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, MIN(CASE WHEN e.us > t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2, MIN(CASE WHEN e.us > t2 THEN e.us END) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT 1 AS step, 'view' AS step_type, COUNT(t1) AS n_users FROM s3
+        |UNION ALL SELECT 2, 'click', COUNT(t2) FROM s3
+        |UNION ALL SELECT 3, 'purchase', COUNT(t3) FROM s3
+        |ORDER BY step""".stripMargin,
     "q_event_windows" ->
       """SELECT epoch_us(date_trunc('hour', ts)) AS window_start_us, event_type,
         |       COUNT(*) AS n,

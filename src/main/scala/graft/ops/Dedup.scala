@@ -294,7 +294,12 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   private[graft] def prefixPostings(sh: DataFrame, threshold: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val tPm = math.round(threshold * 1000).toInt
+    // floor, not round: tPm must never exceed the true threshold. Rounding
+    // UP (e.g. 0.7996 -> 800) would let reqOverlap exceed ceil(t*|S|),
+    // shortening the prefix and silently losing pairs with jaccard in
+    // [t, tPm/1000) — the exact verifier uses the double threshold, so the
+    // prefix bound has to err toward longer prefixes (ADVICE r5).
+    val tPm = math.floor(threshold * 1000).toInt
     val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("__df"))
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("__nsh"))
     val w = Window.partitionBy(col("id")).orderBy(col("__df"), col("shingle"))

@@ -30,9 +30,21 @@ import org.apache.spark.sql.functions._
   */
 object Scc {
 
-  /** (node, scc_id) for every node incident to an edge. */
+  /** (node, scc_id) for every node incident to an edge.
+    *
+    * `maxRounds` is a loud-abort guard, not a tuning knob: rounds are
+    * bounded by the min-id-chain depth of the condensation DAG, and each
+    * round extracts EVERY SCC whose forward and backward mins coincide —
+    * typically a large fraction, so real graphs finish in a handful of
+    * rounds. The worst case is adversarial: a path graph whose ids
+    * strictly DESCEND along the edges peels exactly one SCC per round
+    * (only the globally smallest id has f = b). 256 therefore covers any
+    * condensation chain 256 deep; a deeper one aborts via `require` with
+    * the remaining-node count rather than looping silently (raise the
+    * parameter if a legitimately deeper id-descending chain exists).
+    */
   def components(edges: DataFrame, srcCol: String = "src",
-      dstCol: String = "dst", maxRounds: Int = 32,
+      dstCol: String = "dst", maxRounds: Int = 256,
       maxPropSteps: Int = 128): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._

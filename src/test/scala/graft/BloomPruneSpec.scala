@@ -21,9 +21,13 @@ class BloomPruneSpec extends AnyFunSuite {
   }
 
   test("no false negatives; false positives bounded at sane load") {
+    // kernel-level: build and probe with the raw bigint agg/probe pair
+    // (BloomPrune.buildFilter additionally hash-normalizes keys, so its
+    // filters are only probeable through BloomPrune.probe)
     val keys = (0L until 2000L).map(_ * 3 + 1)
-    val filter = BloomPrune.buildFilter(keys.toDF("k"), "k",
-      numBits = 1 << 16, numHashes = 5)
+    val filter = keys.toDF("k")
+      .select(bloom_filter_agg(col("k"), 1 << 16, 5))
+      .collect()(0).getAs[Array[Byte]](0)
     val probes = (0L until 20000L).toDF("k")
       .select(col("k"), bloom_might_contain(lit(filter), col("k")).as("hit"))
       .as[(Long, Boolean)].collect()
@@ -79,6 +83,31 @@ class BloomPruneSpec extends AnyFunSuite {
     // should keep barely more than the true matches, far below the scan
     assert(kept < trueMatches + total / 100,
       s"pruning too weak: kept=$kept matches=$trueMatches total=$total")
+  }
+
+  test("string keys survive the probe (ADVICE r5: cast-to-long dropped them)") {
+    val small = Seq("alpha", "gamma").toDF("k")
+    val big = Seq("alpha", "beta", "gamma", "delta").toDF("k")
+    val got = BloomPrune.semiJoin(big, "k", small, "k",
+      numBits = 1 << 12, numHashes = 3).as[String].collect().toSet
+    assert(got == Set("alpha", "gamma"))
+  }
+
+  test("int big side matches bigint small side (integral family normalizes)") {
+    val small = Seq(3L, 5L).toDF("k")
+    val big = Seq(1, 2, 3, 4, 5).toDF("k")
+    val got = BloomPrune.semiJoin(big, "k", small, "k",
+      numBits = 1 << 12, numHashes = 3).as[Int].collect().toSet
+    assert(got == Set(3, 5))
+  }
+
+  test("mismatched non-integral key types are rejected loudly") {
+    val small = Seq("1").toDF("k")
+    val big = Seq(1L).toDF("k")
+    val e = intercept[IllegalArgumentException] {
+      BloomPrune.semiJoin(big, "k", small, "k")
+    }
+    assert(e.getMessage.contains("hash identically"))
   }
 
   test("aggregate rejects non-bigint keys loudly") {

@@ -87,7 +87,10 @@ class DedupSimilaritySpec extends AnyFunSuite {
       (3L, "completely different words entirely here now ok yes"),
       (4L, "the quick brown unrelated tail of words goes here"))
       .toDF("doc_id", "text")
-    for (t <- Seq(0.3, 0.4, 0.5, 0.8)) {
+    // 0.7996 regression-tests the ADVICE r5 rounding bug: round() gave
+    // tPm=800 > t*1000, over-tightening the overlap bound and losing pairs
+    // with jaccard in [0.7996, 0.8); floor() errs toward a longer prefix
+    for (t <- Seq(0.3, 0.4, 0.5, 0.7996, 0.8)) {
       val full = Dedup.ngramJaccardPairs(df, "doc_id", "text", 3, t)
         .as[(Long, Long, Double)].collect().toSet
       val pref = Dedup.ngramJaccardPairsPrefix(df, "doc_id", "text", 3, t)
@@ -113,6 +116,20 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(pref <= full / 2 + nDocs,
       s"prefix index should ~halve postings at t=0.5: prefix=$pref full=$full")
     assert(pref < full, "prefix index must be a strict subset")
+  }
+
+  test("prefix length never undershoots |S| - ceil(t|S|) + 1 (ADVICE r5 rounding)") {
+    // t=0.2505 on a 4000-shingle doc: true keep = 4000 - ceil(1002) + 1 =
+    // 2999. The old math.round gave tPm=251 (rounded UP past the true
+    // threshold) -> reqOverlap ceil(251*4000/1000) = 1004 -> keep 2997,
+    // silently losing candidates. floor(tPm=250) errs to keep 3001 >= 2999.
+    val t = 0.2505
+    val n = 4000
+    val sh = (0 until n).map(i => (1L, f"sh_$i%05d")).toDF("id", "shingle")
+    val keep = Dedup.prefixPostings(sh, t).count()
+    val trueKeep = n - math.ceil(t * n).toInt + 1
+    assert(keep >= trueKeep,
+      s"prefix too short: keep=$keep < required $trueKeep (recall loss)")
   }
 
   test("passageDuplication flags shared passages, not unique ones") {
