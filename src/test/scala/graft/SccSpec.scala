@@ -52,4 +52,22 @@ class SccSpec extends AnyFunSuite {
     // the fixture must be interesting: at least one non-singleton SCC
     assert(got.groupBy(_._2).exists(_._2.size > 1))
   }
+
+  test("distributed peeling path (maxLocalEdges=0) equals the local Tarjan path") {
+    val edf = graft.queries.Tables.userSequenceEdges(
+      spark, "/root/testdata/sf0.001")
+    val local = Scc.components(edf).as[(String, String)].collect().toMap
+    val dist = Scc.components(edf, maxLocalEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(dist == local)
+  }
+
+  test("distributed path on hand fixtures (cycles, bridge, DAG)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "d"), ("c", "d"), ("e", "z"),
+      ("z", "y"), ("y", "x"))
+    val got = Scc.components(edges.toDF("src", "dst"), maxLocalEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(got == refScc(edges))
+  }
 }
