@@ -30,13 +30,22 @@ object Bench {
     // persist internal tables (dedup shingles, quantized vectors, LSH
     // buckets) whose plans match across repeats, and a warm repeat would
     // time the cache, not the operator.
+    // A failed run records time -1.0 (NOT the elapsed time of the failed
+    // attempt — r6's events plan-failures showed up as plausible 0.05-0.15 s
+    // "times", VERDICT r6 item 2) and the error lands in an `errors` field
+    // of the totals JSON so a broken query can never masquerade as fast.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.filter(q => wanted(q._1)).map {
       case (name, fn) =>
         val times = (0 until reps).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
-          try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            errors(name) = Option(e.getMessage).getOrElse(e.getClass.getName)
+              .linesIterator.next().take(200)
+            -1.0
+          }
         }
         name -> times
     }
@@ -48,13 +57,17 @@ object Bench {
     val runs = results.map { case (k, v) =>
       s"\"" + k + "\":" + v.map(r3).mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_.min).sum else 0.0
+    val total =
+      if (results.nonEmpty) results.values.map(_.min).filter(_ >= 0).sum else 0.0
+    val errJson = errors.map { case (k, v) =>
+      "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     // Compact totals line FIRST and again LAST: the driver captures a
     // bounded head/tail of stdout, and round 4's single giant totals-last
     // line outgrew the captured tail (VERDICT r4 item 1). Whichever end
     // survives, one complete parseable totals line is present.
     val totalsLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
     println(totalsLine)
     println(s"""{"metric":"runs","runs":$runs,"sf":"$sfDir"}""")
     println(totalsLine)

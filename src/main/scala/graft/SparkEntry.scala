@@ -166,11 +166,12 @@ object SparkEntry {
         .orderBy("from", "to")
     },
     "q_pagerank" -> { (s, d) =>
-      // reference recurrence (no dangling redistribution), fixed 12
-      // iterations on the directed part→supplier graph; no SQL oracle
-      // (iterative fixpoint) → driver records rows-only, goldens in ScalaTest
-      // reference-default convergence (L1 < 1e-6); this bipartite DAG hits
-      // its exact fixpoint in ~3 iterations, so the check pays for itself
+      // reference recurrence (no dangling redistribution) on the directed
+      // part→supplier graph, capped at 12 iterations with the reference's
+      // L1 < 1e-6 convergence check live — this bipartite DAG hits its
+      // exact fixpoint in ~3 iterations, so the check pays for itself. No
+      // SQL oracle (double-precision iterative fixpoint) → driver records
+      // rows-only; value goldens live in ScalaTest
       PageRank.scores(Tables.partSupplierDirectedEdges(s, d),
           damping = 0.85, maxIter = 12, tol = 1e-6)
         .orderBy("node")

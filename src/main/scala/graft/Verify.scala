@@ -23,12 +23,32 @@ object Verify {
     val selected =
       if (subset.isEmpty) SparkEntry.queries
       else SparkEntry.queries.filter { case (n, _) => subset(n) }
+    // A crashed query must NOT silently vanish from the round record
+    // (r6: 10 queries lost their correctness rows invisibly — VERDICT r6
+    // item 2). On failure we still write a one-row parquet whose single
+    // `__error` column carries the message: the driver's DuckDB compare
+    // then records a loud schema/hash FAIL row instead of nothing. The
+    // failures are also echoed to stdout and collected in _errors.json.
+    val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        val msg = Option(e.getMessage).getOrElse(e.getClass.getName)
+        errors(name) = msg.linesIterator.next().take(300)
+        println(s"[verify] QUERY FAILED: $name: ${errors(name)}")
+        try {
+          import spark.implicits._
+          Seq(errors(name)).toDF("__error").coalesce(1)
+            .write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case _: Throwable => () }
       }
+    }
+    if (errors.nonEmpty) {
+      def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+      Files.writeString(Paths.get(s"$outDir/_errors.json"),
+        errors.map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+          .mkString("{", ",", "}"))
     }
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), oracleJson)
     spark.stop()

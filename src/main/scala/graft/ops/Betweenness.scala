@@ -32,7 +32,7 @@ object Betweenness {
 
   def betweennessCentrality(df: DataFrame, from: String, to: String,
       normalized: Boolean = true, directed: Boolean = false,
-      maxLocalEdges: Long = 50000000L): DataFrame = {
+      maxLocalEdges: Long = 10000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
 
@@ -80,7 +80,7 @@ object Betweenness {
     */
   def betweennessCentralitySampled(df: DataFrame, from: String, to: String,
       sampleSize: Int, normalized: Boolean = true, directed: Boolean = false,
-      seed: Long = 42L, maxLocalEdges: Long = 50000000L): DataFrame = {
+      seed: Long = 42L, maxLocalEdges: Long = 10000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val e = Ingest.edges(df, from, to)
@@ -242,7 +242,7 @@ object Betweenness {
     * sources like [[betweennessCentrality]].
     */
   def allPairsSigma(df: DataFrame, from: String, to: String,
-      directed: Boolean = false, maxLocalEdges: Long = 50000000L): DataFrame = {
+      directed: Boolean = false, maxLocalEdges: Long = 10000000L): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val e = Ingest.edges(df, from, to)

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Readers for the driver-generated parquet testdata (TESTDATA.md) and the
   * shared derived edge/transaction sets used by both `SparkEntry.queries`
@@ -20,23 +21,34 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark 4 refuses to
-    * read as a timestamp; read it as a nanosecond long and derive `ts_us`
-    * via truncating integer division — the same C-style ns→µs conversion
-    * DuckDB applies on read, so both engines see identical microsecond
-    * values (for post-epoch data, as here, truncation == floor). All
-    * downstream time arithmetic is integer µs.
+  /** events.parquet derives `ts_us` (integer microseconds since epoch)
+    * SCHEMA-ADAPTIVELY — the testdata's physical encoding of `ts` has
+    * already changed once mid-project (TIMESTAMP(NANOS) → TIMESTAMP_MICROS,
+    * round 6/7 boundary), so we branch on what the parquet footer actually
+    * says instead of assuming:
     *
-    * The `nanosAsLong` flag must be set at SESSION CONSTRUCTION (it changes
-    * parquet schema conversion session-wide); silently setting it here as a
-    * read side effect leaked type behavior into the shared session
-    * (ADVICE r1). Verify/Bench/TestSpark all set it in their builders.
+    *  - `LongType`: legacy NANOS read via `nanosAsLong=true` — truncating
+    *    ns→µs division, matching DuckDB's C-style conversion on read.
+    *  - `TimestampType` / `TimestampNTZType`: `unix_micros` (NTZ is cast
+    *    through the session zone, which all our sessions pin to UTC, so
+    *    the µs values are identical to DuckDB's `epoch_us(ts)`).
+    *
+    * All downstream time arithmetic is integer µs either way.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "events.parquet is TIMESTAMP(NANOS): build the session with " +
-        ".config(\"spark.sql.legacy.parquet.nanosAsLong\", \"true\")")
-    table(s, d, "events").withColumn("ts_us", expr("ts div 1000"))
+    val raw = table(s, d, "events")
+    val tsUs = raw.schema("ts").dataType match {
+      case LongType          => expr("ts div 1000")
+      case TimestampType     => unix_micros(col("ts"))
+      case TimestampNTZType  =>
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.ts is TIMESTAMP_NTZ: the session timezone must be UTC " +
+            "for ts_us to match the DuckDB oracle's epoch_us(ts)")
+        unix_micros(col("ts").cast(TimestampType))
+      case dt => throw new IllegalArgumentException(
+        s"events.ts has unsupported type $dt (expected long/timestamp)")
+    }
+    raw.withColumn("ts_us", tsUs)
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

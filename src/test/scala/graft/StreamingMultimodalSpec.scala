@@ -196,9 +196,9 @@ class StreamingMultimodalSpec extends AnyFunSuite {
 
   test("streaming sessionization matches batch sessionizer on sf0.001 events") {
     implicit val sqlCtx = spark.sqlContext
-    // nanosAsLong is set at session construction in TestSpark
-    val events = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-      .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id"))
+    // Tables.events derives ts_us schema-adaptively (encoding has drifted)
+    val events = graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts_us"), col("event_id"))
       .as[(Long, Long, Long)].collect()
       .map { case (u, t, e) => SessionEvent(u, t, e) }
       .sortBy(e => (e.ts_us, e.event_id))
@@ -221,8 +221,8 @@ class StreamingMultimodalSpec extends AnyFunSuite {
       .filter(_.user_id >= 0)
       .groupBy(_.user_id).view.mapValues(_.length).toMap
     val batch = graft.ops.Sessionize.sessionStats(
-        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
-          .select(col("user_id"), expr("ts div 1000").as("ts_us"), col("event_id")),
+        graft.queries.Tables.events(spark, "/root/testdata/sf0.001")
+          .select(col("user_id"), col("ts_us"), col("event_id")),
         "user_id", "ts_us", "event_id", gap)
       .select("user_id", "n_sessions").as[(Long, Long)].collect().toMap
     assert(streamed.keySet == batch.keySet)
