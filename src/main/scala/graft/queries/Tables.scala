@@ -34,6 +34,12 @@ object Tables {
     *    the µs values are identical to DuckDB's `epoch_us(ts)`).
     *
     * All downstream time arithmetic is integer µs either way.
+    *
+    * The session builders deliberately KEEP `nanosAsLong=true` even though
+    * the current testdata is MICROS: the flag is a no-op for MICROS but is
+    * the only way Spark 4 can read a NANOS file at all, so retaining it
+    * keeps this reader genuinely two-way adaptive if the encoding drifts
+    * back.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw = table(s, d, "events")
