@@ -1,6 +1,6 @@
 package graft
 
-import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, Multimodal, PageRank, Sessionize, ShortestPaths, Similarity, TextStats, Tokenizer}
+import graft.ops.{AssociationRules, Betweenness, ConnectedComponents, Dedup, KMeansEmbed, Multimodal, PageRank, Sessionize, ShortestPaths, Similarity, TextStats, Tokenizer}
 import graft.queries.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -875,6 +875,26 @@ object SparkEntry {
       Similarity.lshTopKPortable(feats, "asset_id", "features", dim = 8,
           k = 3, nBits = 4, tables = 2, seed = 42L)
         .orderBy("query_id", "rank")
+    },
+    "q_kmeans" -> { (s, d) =>
+      // fully distributed Lloyd (per-partition k×dim partial stats, only
+      // the merged sums reach the driver — the 100 TB shape, unlike the
+      // sample-based Lloyd inside q_ann_ivf). Integer-quantized vectors,
+      // floorDiv centroid updates, (dist, cluster) argmin ties → the
+      // whole 2-iteration fit + final assignment is hash-exact vs the
+      // unrolled-CTE DuckDB oracle.
+      KMeansEmbed.assignments(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .orderBy("vec_id")
+    },
+    "q_semdedup" -> { (s, d) =>
+      // SemDeDup (Abbas et al. 2023): k-means partition, then exact
+      // cosine dedup only WITHIN a cluster — Σ|cell|² pair work instead
+      // of n². A vector is a dup iff a smaller-id same-cluster vector
+      // clears the cosine threshold.
+      KMeansEmbed.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
+          k = 8, iters = 2, threshold = 0.35)
+        .orderBy("vec_id")
     }
   )
 
@@ -1771,8 +1791,60 @@ object SparkEntry {
         |      FROM sc)
         |SELECT doc_id, quality, lang_pred FROM q
         |WHERE quality >= CAST(0.3 AS DOUBLE)
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+    "q_kmeans" -> (kmeansCtes(iters = 2) + """
+        |SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist
+        |FROM a_f ORDER BY vec_id""".stripMargin),
+    "q_semdedup" -> (kmeansCtes(iters = 2) + """,
+        |nrm AS (SELECT vec_id, (SELECT SUM(v[i]*v[i])
+        |          FROM UNNEST(range(1, len(v)+1)) AS t(i)) AS nrm FROM q),
+        |wv AS (SELECT a_f.vec_id, a_f.cluster, q.v, nrm.nrm
+        |       FROM a_f JOIN q USING (vec_id) JOIN nrm USING (vec_id)),
+        |dup AS (SELECT DISTINCT b.vec_id FROM wv a
+        |        JOIN wv b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+        |        WHERE (SELECT SUM(a.v[i]*b.v[i])
+        |                 FROM UNNEST(range(1, len(a.v)+1)) AS t(i))
+        |              / SQRT(a.nrm * b.nrm) >= CAST(0.35 AS DOUBLE))
+        |SELECT w.vec_id, w.cluster,
+        |       (w.vec_id IN (SELECT vec_id FROM dup)) AS is_dup
+        |FROM wv w ORDER BY w.vec_id""".stripMargin)
   )
+
+  /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
+    * ×10000 floor-quantized vectors, smallest-id seeding, `iters`
+    * assign+update Lloyd rounds, final assignment `a_f`. Mirrors
+    * [[graft.ops.KMeansEmbed.fit]] step for step — integer squared
+    * distances, (dist, cluster) argmin ties, floorDiv centroid updates
+    * via the pmod identity (the numerator is exactly divisible, so
+    * DuckDB's integer `//` equals Math.floorDiv). */
+  private def kmeansCtes(iters: Int, k: Int = 8): String = {
+    val dist =
+      "(SELECT SUM((q.v[i]-c.v[i])*(q.v[i]-c.v[i])) " +
+        "FROM UNNEST(range(1, len(q.v)+1)) AS t(i))"
+    def assign(name: String, cPrev: String) =
+      s"""$name AS (SELECT vec_id, cluster, dist FROM (
+         |  SELECT q.vec_id, c.cluster, $dist AS dist,
+         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |      ORDER BY $dist ASC, c.cluster ASC) AS rk
+         |  FROM q CROSS JOIN $cPrev c) WHERE rk = 1)""".stripMargin
+    def update(name: String, a: String) =
+      s"""$name AS (SELECT cluster, list(comp ORDER BY pos) AS v FROM (
+         |  SELECT $a.cluster, t.i AS pos,
+         |    (SUM(q.v[t.i]) - (((SUM(q.v[t.i]) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+         |      // COUNT(*) AS comp
+         |  FROM $a JOIN q USING (vec_id), UNNEST(range(1, len(q.v)+1)) AS t(i)
+         |  GROUP BY $a.cluster, t.i) GROUP BY cluster)""".stripMargin
+    val rounds = (1 to iters).map { i =>
+      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i")
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
+       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE)) AS BIGINT)) AS v
+       |  FROM embeddings),
+       |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
+       |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
+       |$rounds,
+       |${assign("a_f", s"c$iters")}""".stripMargin
+  }
 
   /** Per-column profiling oracle over `orders`: one UNION ALL block per
     * column mirroring Profiler.profile — null counts, string min/max, and
