@@ -895,6 +895,13 @@ object SparkEntry {
       KMeansEmbed.semDedup(Tables.embeddings(s, d), "vec_id", "embedding",
           k = 8, iters = 2, threshold = 0.35)
         .orderBy("vec_id")
+    },
+    "q_novelty" -> { (s, d) =>
+      // first-occurrence 3-gram novelty per document — the per-doc "is
+      // this fresh content or boilerplate" curation signal; no pair join,
+      // two shingle-keyed shuffles (ops/TextStats.noveltyScores)
+      TextStats.noveltyScores(Tables.documents(s, d), "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     }
   )
 
@@ -1807,7 +1814,21 @@ object SparkEntry {
         |              / SQRT(a.nrm * b.nrm) >= CAST(0.35 AS DOUBLE))
         |SELECT w.vec_id, w.cluster,
         |       (w.vec_id IN (SELECT vec_id FROM dup)) AS is_dup
-        |FROM wv w ORDER BY w.vec_id""".stripMargin)
+        |FROM wv w ORDER BY w.vec_id""".stripMargin),
+    "q_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |fo AS (SELECT shingle, MIN(doc_id) AS first_id FROM sh GROUP BY shingle)
+        |SELECT sh.doc_id,
+        |  COUNT(*) AS n_shingles,
+        |  CAST(SUM(CASE WHEN sh.doc_id = fo.first_id THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST((SUM(CASE WHEN sh.doc_id = fo.first_id THEN 1 ELSE 0 END) * 1000)
+        |    // COUNT(*) AS BIGINT) AS novelty_permille
+        |FROM sh JOIN fo USING (shingle)
+        |GROUP BY sh.doc_id
+        |ORDER BY sh.doc_id""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -178,4 +178,36 @@ object TextStats {
         sum(when(col("df") <= rareDf, 1L).otherwise(0L)).as("n_rare"))
       .withColumn("rare_permille", expr("(n_rare * 1000) div n_token_rows"))
   }
+
+  /** First-occurrence n-gram novelty: how much of a document's (distinct)
+    * word n-gram set appears in NO earlier document (by ascending id) —
+    * high novelty flags fresh content, low novelty flags boilerplate or
+    * near-copies of earlier data. The curation signal behind "keep the
+    * first, drop repeats" corpus policies, per-document instead of
+    * per-pair (no candidate join at all, unlike the Dedup family).
+    *
+    *   first(shingle) = min doc id containing it (one shingle-keyed
+    *   aggregation; min partial-aggregates map-side, so hot boilerplate
+    *   shingles cost one row per map partition, not one per document)
+    *   novelty_permille = (1000 · |{sh : first(sh) = id}|) div |shingles|
+    *
+    * Output: (id, n_shingles, n_novel, novelty_permille). Integer counts
+    * and integer division end-to-end; shingle derivation shared with the
+    * Jaccard dedup family ([[Dedup.shingles]] — docs shorter than n
+    * tokens contribute their whole text as one shingle). The join back of
+    * first-owners onto shingle rows is shingle-keyed and co-partitioned
+    * with the aggregation that produced it — two shuffles total plus the
+    * final per-document count, all partial-aggregatable: the 100 TB shape.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3): DataFrame = {
+    val sh = Dedup.shingles(df, idCol, textCol, n) // (id, shingle) distinct
+    val first = sh.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
+    sh.join(first, "shingle")
+      .groupBy(col("id").as(idCol))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
+  }
 }

@@ -69,6 +69,22 @@ class CurationSpec extends AnyFunSuite {
     assert(out(3L) == ((3L, 6L, 5L, 833L)))
   }
 
+  test("noveltyScores: first doc owns shared shingles; later copies score low") {
+    import graft.ops.TextStats
+    val docs = Seq(
+      (1L, "a b c d"), // shingles: "a b c", "b c d" — both first here
+      (2L, "a b c d"), // exact copy -> 0 novel
+      (3L, "a b c e"), // "a b c" seen, "b c e" novel -> 500
+      (4L, "zz")) // short doc: whole text is the single (novel) shingle
+      .toDF("doc_id", "text")
+    val out = TextStats.noveltyScores(docs, "doc_id", "text", n = 3)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) == ((1L, 2L, 2L, 1000L)))
+    assert(out(2L) == ((2L, 2L, 0L, 0L)))
+    assert(out(3L) == ((3L, 2L, 1L, 500L)))
+    assert(out(4L) == ((4L, 1L, 1L, 1000L)))
+  }
+
   test("decontaminate: hand-computed n-gram overlap vs eval corpus") {
     import graft.ops.Decontaminate
     val train = Seq(
