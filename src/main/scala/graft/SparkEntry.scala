@@ -902,6 +902,20 @@ object SparkEntry {
       // two shingle-keyed shuffles (ops/TextStats.noveltyScores)
       TextStats.noveltyScores(Tables.documents(s, d), "doc_id", "text", n = 3)
         .orderBy("doc_id")
+    },
+    "q_multimodal_resize" -> { (s, d) =>
+      // pack → decode → aspect-preserving integer resize into a 256×256
+      // box (audio passthrough, payload truncated by area ratio) →
+      // per-kind/format rollup of the post-resize dims and bytes
+      val assets = Multimodal.decodeAssets(
+        Multimodal.packAssets(Tables.documents(s, d), "doc_id", "text"))
+      Multimodal.resizeAssets(assets, maxW = 256, maxH = 256)
+        .groupBy(col("kind"), col("meta.format").as("format"))
+        .agg(count(lit(1)).as("n_assets"),
+          sum(col("meta.width").cast("long")).as("tot_width"),
+          sum(col("meta.height").cast("long")).as("tot_height"),
+          sum(length(col("payload")).cast("long")).as("tot_bytes"))
+        .orderBy("kind", "format")
     }
   )
 
@@ -1828,7 +1842,37 @@ object SparkEntry {
         |    // COUNT(*) AS BIGINT) AS novelty_permille
         |FROM sh JOIN fo USING (shingle)
         |GROUP BY sh.doc_id
-        |ORDER BY sh.doc_id""".stripMargin
+        |ORDER BY sh.doc_id""".stripMargin,
+    "q_multimodal_resize" ->
+      """WITH a AS (SELECT doc_id AS asset_id,
+        |             (['image','audio','video'])[(doc_id % 3) + 1] AS kind,
+        |             text,
+        |             ('0x' || substr(md5(text), 1, 8))::BIGINT AS h
+        |           FROM documents),
+        |d AS (SELECT asset_id, kind,
+        |        CAST(64 + h % 1024 AS BIGINT) AS w,
+        |        CAST(64 + (h // 1024) % 1024 AS BIGINT) AS ht,
+        |        CASE WHEN kind = 'image' THEN (CASE WHEN h % 2 = 0 THEN 'png' ELSE 'jpeg' END)
+        |             WHEN kind = 'audio' THEN 'wav' ELSE 'mp4' END AS format,
+        |        CAST(strlen(text) AS BIGINT) AS len
+        |      FROM a),
+        |r AS (SELECT kind, format, w, ht, len,
+        |        CASE WHEN kind IN ('image', 'video')
+        |             THEN least(1000000, (256 * 1000000) // w, (256 * 1000000) // ht)
+        |             ELSE 1000000 END AS scale
+        |      FROM d),
+        |f AS (SELECT kind, format, w, ht, len,
+        |        greatest(1, (w * scale) // 1000000) AS nw,
+        |        greatest(1, (ht * scale) // 1000000) AS nh
+        |      FROM r),
+        |g AS (SELECT kind, format, nw, nh,
+        |        least(len, greatest(1, (len * nw * nh) // (w * ht))) AS nlen
+        |      FROM f)
+        |SELECT kind, format, COUNT(*) AS n_assets,
+        |  CAST(SUM(nw) AS BIGINT) AS tot_width,
+        |  CAST(SUM(nh) AS BIGINT) AS tot_height,
+        |  CAST(SUM(nlen) AS BIGINT) AS tot_bytes
+        |FROM g GROUP BY kind, format ORDER BY kind, format""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -117,4 +117,38 @@ object Multimodal {
       .withColumn("frame_offset_bytes",
         (col("frame_idx") * col("payload_len")) / lit(n))
       .drop("payload_len")
+
+  /** Resize plumbing: aspect-preserving integer scale-down of image/video
+    * assets into a (maxW, maxH) box; audio passes through unchanged and
+    * nothing ever upscales. A real implementation would transcode pixels
+    * in the partition-wise decode step; this deterministic stand-in
+    * truncates the payload in proportion to the area ratio (byte-defined,
+    * like [[fakeDecode]]) while the meta struct carries the REAL new
+    * dimensions — downstream operators consume the production schema.
+    * All arithmetic is integer (ppm scale + truncating div), so the
+    * rollup reproduces hash-exactly in DuckDB (q_multimodal_resize).
+    * Pure column algebra: stays inside whole-stage codegen, no UDF.
+    */
+  def resizeAssets(assets: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    require(maxW > 0 && maxH > 0, s"resize box must be positive ($maxW x $maxH)")
+    val visual = col("kind").isin("image", "video")
+    assets
+      .withColumn("__scale", when(visual, expr(
+          s"least(1000000, (CAST($maxW AS BIGINT) * 1000000) div meta.width, " +
+            s"(CAST($maxH AS BIGINT) * 1000000) div meta.height)"))
+        .otherwise(lit(1000000L)))
+      .withColumn("__nw",
+        expr("greatest(1, (CAST(meta.width AS BIGINT) * __scale) div 1000000)").cast("int"))
+      .withColumn("__nh",
+        expr("greatest(1, (CAST(meta.height AS BIGINT) * __scale) div 1000000)").cast("int"))
+      // clamped to the real payload size so an empty payload stays empty
+      .withColumn("__nlen", expr(
+        "least(CAST(octet_length(payload) AS BIGINT), " +
+          "greatest(1, (CAST(octet_length(payload) AS BIGINT) * __nw * __nh) " +
+          "div (CAST(meta.width AS BIGINT) * meta.height)))"))
+      .select(col("asset_id"), col("kind"),
+        expr("substr(payload, 1, CAST(__nlen AS INT))").as("payload"),
+        struct(col("__nw").as("width"), col("__nh").as("height"),
+          col("meta.format").as("format")).as("meta"))
+  }
 }

@@ -251,4 +251,33 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val videos = assets.where(col("kind") === "video").count()
     assert(frames.count() == videos * 4)
   }
+
+  test("multimodal resize: bounded box, aspect kept, audio passthrough, no upscale") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    val assets = Multimodal.decodeAssets(Multimodal.packAssets(docs, "doc_id", "text"))
+    val orig = assets.select("asset_id", "kind", "meta.width", "meta.height")
+      .as[(Long, String, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val origLen = assets.select(col("asset_id"), length(col("payload")))
+      .as[(Long, Int)].collect().toMap
+    val resized = Multimodal.resizeAssets(assets, maxW = 256, maxH = 256)
+    assert(resized.schema == Multimodal.assetSchema) // production shape kept
+    val out = resized.select(col("asset_id"), col("kind"), col("meta.width"),
+        col("meta.height"), length(col("payload")))
+      .as[(Long, String, Int, Int, Int)].collect()
+    assert(out.length == 60)
+    out.foreach { case (id, kind, nw, nh, nlen) =>
+      val (_, _, w, h) = orig(id)
+      if (kind == "audio") {
+        assert(nw == w && nh == h && nlen == origLen(id)) // passthrough
+      } else {
+        assert(nw <= 256 && nh <= 256 && nw <= w && nh <= h) // in box, no upscale
+        assert(nlen <= origLen(id) && nlen >= 1)
+        // aspect preserved up to the shared truncating ppm scale
+        val scale = math.min(1000000L,
+          math.min(256L * 1000000 / w, 256L * 1000000 / h))
+        assert(nw == math.max(1L, w * scale / 1000000).toInt)
+        assert(nh == math.max(1L, h * scale / 1000000).toInt)
+      }
+    }
+  }
 }
