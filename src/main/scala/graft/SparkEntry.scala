@@ -916,6 +916,15 @@ object SparkEntry {
           sum(col("meta.height").cast("long")).as("tot_height"),
           sum(length(col("payload")).cast("long")).as("tot_bytes"))
         .orderBy("kind", "format")
+    },
+    "q_domain_affinity" -> { (s, d) =>
+      // DSIR-style importance signal with target = English docs: exact
+      // cross-multiplied likelihood-ratio test on md5-hashed bigram
+      // buckets (no logs — integer-exact), affinity = permille of a
+      // doc's features in target-affine buckets (ops/DomainAffinity)
+      graft.ops.DomainAffinity.score(Tables.documents(s, d), "doc_id",
+          "text", targetPred = col("lang") === "en")
+        .orderBy("doc_id")
     }
   )
 
@@ -1872,7 +1881,31 @@ object SparkEntry {
         |  CAST(SUM(nw) AS BIGINT) AS tot_width,
         |  CAST(SUM(nh) AS BIGINT) AS tot_height,
         |  CAST(SUM(nlen) AS BIGINT) AS tot_bytes
-        |FROM g GROUP BY kind, format ORDER BY kind, format""".stripMargin
+        |FROM g GROUP BY kind, format ORDER BY kind, format""".stripMargin,
+    "q_domain_affinity" ->
+      """WITH toks AS (SELECT doc_id, lang = 'en' AS is_t,
+        |                text, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, is_t,
+        |         array_to_string(w[i:i+1], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w), 2))) AS t(i)),
+        |b AS (SELECT DISTINCT doc_id, is_t,
+        |        ('0x' || substr(md5(shingle), 1, 8))::BIGINT % 4096 AS bucket
+        |      FROM sh),
+        |cnts AS (SELECT bucket,
+        |           CAST(SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |           CAST(SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS BIGINT) AS cs
+        |         FROM b GROUP BY bucket),
+        |tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+        |               CAST(SUM(cs) AS BIGINT) AS ns FROM cnts),
+        |aff AS (SELECT bucket,
+        |          (ct + 1) * (ns + 4096) >= 2 * ((cs + 1) * (nt + 4096)) AS is_affine
+        |        FROM cnts, tot)
+        |SELECT b.doc_id, COUNT(*) AS n_features,
+        |  CAST(SUM(CASE WHEN aff.is_affine THEN 1 ELSE 0 END) AS BIGINT) AS n_affine,
+        |  CAST((SUM(CASE WHEN aff.is_affine THEN 1 ELSE 0 END) * 1000)
+        |    // COUNT(*) AS BIGINT) AS affinity_permille
+        |FROM b JOIN aff USING (bucket)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
