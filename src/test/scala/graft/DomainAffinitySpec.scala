@@ -44,4 +44,33 @@ class DomainAffinitySpec extends AnyFunSuite {
       targetPred = col("lang") === "en").count()
     assert(n == docs.count())
   }
+
+  test("stream scoring against a batch-built model equals batch scoring") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    val affine = DomainAffinity
+      .affineBuckets(docs, "doc_id", "text", col("lang") === "en")
+      .cache() // frozen model: scored against by every micro-batch
+    val batchScores = DomainAffinity
+      .scoreAgainst(docs, "doc_id", "text", affine)
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+
+    val rows = docs.select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect()
+    val input = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.Map[Long, (Long, Long, Long, Long)]()
+    val q = graft.streaming.StreamAffinity.start(
+        input.toDS().toDF("doc_id", "text"), "doc_id", "text", affine) {
+      (scored, _) =>
+        scored.as[(Long, Long, Long, Long)].collect()
+          .foreach(r => got(r._1) = r)
+    }
+    rows.grouped(math.max(1, rows.length / 3)).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    }
+    q.stop()
+    assert(got.keySet == batchScores.keySet)
+    got.foreach { case (id, r) => assert(r == batchScores(id), s"doc $id") }
+  }
 }
