@@ -45,6 +45,14 @@ class DomainAffinitySpec extends AnyFunSuite {
     assert(n == docs.count())
   }
 
+  test("scores are invariant to input partitioning") {
+    val docs = graft.queries.Tables.documents(spark, "/root/testdata/sf0.001")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      DomainAffinity.score(d, "doc_id", "text", col("lang") === "en")
+        .orderBy("doc_id").as[(Long, Long, Long, Long)].collect().toSeq
+    assert(run(docs) == run(docs.repartition(13)))
+  }
+
   test("stream scoring against a batch-built model equals batch scoring") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx = spark.sqlContext

@@ -49,6 +49,16 @@ class KMeansEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("fit is invariant to input partitioning (integer-exact merges)") {
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      KMeansEmbed.assignments(d, "vec_id", "embedding", k = 4, iters = 2)
+        .orderBy("vec_id").as[(Long, Int, Long)].collect().toSeq
+    // partial sums are exact integers, so any partitioning/summation
+    // order must produce the same centroids, hence the same assignment
+    assert(run(emb) == run(emb.repartition(13)))
+  }
+
   test("sf0.001 embeddings: full cover, stable labels, dup rate sane") {
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     val n = emb.count()
