@@ -68,15 +68,10 @@ object DomainAffinity {
       .distinct()
   }
 
-  /** Build the (bucket, is_affine) model table from a reference corpus.
-    * `buckets` rows — broadcastable at any corpus size. */
-  def affineBuckets(df: DataFrame, idCol: String, textCol: String,
-      targetPred: Column, buckets: Int = 4096,
-      ratioNum: Long = 2L, ratioDen: Long = 1L): DataFrame = {
-    require(buckets > 0 && ratioNum > 0 && ratioDen > 0,
-      s"buckets/ratio must be positive (got $buckets, $ratioNum/$ratioDen)")
-    val feats = featureRows(df.withColumn("__is_t", targetPred),
-      idCol, textCol, Seq("__is_t"), buckets)
+  /** The likelihood-ratio test over flagged feature rows: (bucket,
+    * is_affine), `buckets` rows. */
+  private def affineFromFeats(feats: DataFrame, buckets: Int,
+      ratioNum: Long, ratioDen: Long): DataFrame = {
     val cnts = feats.groupBy(col("bucket")).agg(
       sum(when(col("__is_t"), 1L).otherwise(0L)).as("ct"),
       sum(when(col("__is_t"), 0L).otherwise(1L)).as("cs"))
@@ -86,6 +81,19 @@ object DomainAffinity {
         (col("ct") + 1L) * (col("ns") + buckets.toLong) * ratioDen >=
           (col("cs") + 1L) * (col("nt") + buckets.toLong) * ratioNum)
       .select(col("bucket"), col("is_affine"))
+  }
+
+  /** Build the (bucket, is_affine) model table from a reference corpus.
+    * `buckets` rows — broadcastable at any corpus size. */
+  def affineBuckets(df: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, buckets: Int = 4096,
+      ratioNum: Long = 2L, ratioDen: Long = 1L): DataFrame = {
+    require(buckets > 0 && ratioNum > 0 && ratioDen > 0,
+      s"buckets/ratio must be positive (got $buckets, $ratioNum/$ratioDen)")
+    affineFromFeats(
+      featureRows(df.withColumn("__is_t", targetPred), idCol, textCol,
+        Seq("__is_t"), buckets),
+      buckets, ratioNum, ratioDen)
   }
 
   /** Score documents against a prebuilt model table. Pure per-document
@@ -104,11 +112,27 @@ object DomainAffinity {
       .withColumn("affinity_permille",
         expr("(n_affine * 1000) div n_features"))
 
-  /** One-shot: build the model on `df` and score `df` with it. */
+  /** One-shot: build the model on `df` and score `df` with it. The
+    * flagged feature rows are derived ONCE and persisted — they feed both
+    * the class-count aggregation and the scoring join (plan audit r7:
+    * the unshared formulation tokenized the corpus twice; at sf0.1 the
+    * cache materialization costs more than the cheap recompute, but at
+    * corpus scale recompute means a second full pass over the data). */
   def score(df: DataFrame, idCol: String, textCol: String,
       targetPred: Column, buckets: Int = 4096,
-      ratioNum: Long = 2L, ratioDen: Long = 1L): DataFrame =
-    scoreAgainst(df, idCol, textCol,
-      affineBuckets(df, idCol, textCol, targetPred, buckets, ratioNum, ratioDen),
-      buckets)
+      ratioNum: Long = 2L, ratioDen: Long = 1L): DataFrame = {
+    require(buckets > 0 && ratioNum > 0 && ratioDen > 0,
+      s"buckets/ratio must be positive (got $buckets, $ratioNum/$ratioDen)")
+    val feats = featureRows(df.withColumn("__is_t", targetPred),
+        idCol, textCol, Seq("__is_t"), buckets)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val affine = affineFromFeats(feats, buckets, ratioNum, ratioDen)
+    feats.join(broadcast(affine), Seq("bucket"), "left")
+      .groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_features"),
+        sum(when(coalesce(col("is_affine"), lit(false)), 1L).otherwise(0L))
+          .as("n_affine"))
+      .withColumn("affinity_permille",
+        expr("(n_affine * 1000) div n_features"))
+  }
 }

@@ -201,7 +201,15 @@ object TextStats {
     */
   def noveltyScores(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    val sh = Dedup.shingles(df, idCol, textCol, n) // (id, shingle) distinct
+    // persisted: feeds both the first-owner aggregation and the join —
+    // without it the tokenize+window shingle subtree runs twice (plan
+    // audit r7). At sf0.1 the cache materialization actually costs more
+    // than the cheap recompute (~0.6 s, measured); at corpus scale the
+    // recompute is two extra full shuffles, so the persist is the right
+    // call. Left to LRU eviction (lazy-plan policy of
+    // Dedup.ngramJaccardPairs / ConnectedComponents).
+    val sh = Dedup.shingles(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val first = sh.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
     sh.join(first, "shingle")
       .groupBy(col("id").as(idCol))
