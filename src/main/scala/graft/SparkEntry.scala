@@ -495,6 +495,18 @@ object SparkEntry {
           (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
         .orderBy("window_start_us", "event_type")
     },
+    "q_sliding_windows" -> { (s, d) =>
+      // 1-hour windows hopping every 15 min (Spark's native window()
+      // generator — the Structured Streaming primitive, exercised in
+      // batch): each event lands in exactly 4 epoch-aligned windows
+      Sessionize.sliding(Tables.events(s, d), "ts_us",
+          windowUs = 3600000000L, slideUs = 900000000L)
+        .groupBy(col("window_start_us"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
+        .orderBy("window_start_us", "event_type")
+    },
     "q_events_json" -> { (s, d) =>
       // JSON property extraction from the props column
       Tables.events(s, d)
@@ -1527,6 +1539,12 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_sliding_windows" ->
+      """SELECT (epoch_us(ts) // 900000000 - t.k) * 900000000 AS window_start_us,
+        |       event_type, COUNT(*) AS n,
+        |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
+        |FROM events, UNNEST(range(0, 4)) AS t(k)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_events_json" ->
       """SELECT event_type, COUNT(*) AS n,
         |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k

@@ -63,4 +63,33 @@ object Sessionize {
     // and diverge from date_trunc semantics
     df.withColumn("window_start_us", us - pmod(us, lit(windowUs)))
   }
+
+  /** Sliding (hopping) windows via Spark's native `window()` generator:
+    * each event lands in the `windowUs / slideUs` epoch-aligned windows
+    * [start, start + windowUs) that contain it — one output row per
+    * (event, window), `window_start_us` in integer µs. `slideUs` must
+    * divide `windowUs` (every event is then in exactly window/slide
+    * windows, the invariant the oracle replays with a k-range join).
+    * Works identically on a streaming DataFrame — window() is the
+    * Structured Streaming windowing primitive. The `window` struct is
+    * KEPT alongside `window_start_us`: append-mode streaming aggregation
+    * must group on the struct (that is what carries the watermark
+    * linkage); batch callers group on the integer column and never
+    * select the struct.
+    */
+  def sliding(df: DataFrame, tsCol: String, windowUs: Long,
+      slideUs: Long): DataFrame = {
+    require(windowUs > 0 && slideUs > 0 && windowUs % slideUs == 0,
+      s"slide must divide window (got window=$windowUs, slide=$slideUs)")
+    // a timestamp column is used DIRECTLY (a µs round-trip would strip
+    // the watermark metadata a streaming caller attached to it); integer
+    // µs columns are converted
+    val tsExpr = df.schema(tsCol).dataType match {
+      case TimestampType => col(tsCol)
+      case _ => timestamp_micros(col(tsCol))
+    }
+    df.withColumn("window", window(tsExpr,
+        s"$windowUs microseconds", s"$slideUs microseconds"))
+      .withColumn("window_start_us", unix_micros(col("window.start")))
+  }
 }

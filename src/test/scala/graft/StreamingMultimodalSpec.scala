@@ -90,6 +90,48 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getString(0) == "buy" && r.getLong(1) == 1))
   }
 
+  test("sliding windows aggregate identically on stream and batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val events = Seq( // 30-min slide, 1-h window: each event in 2 windows
+      (600000000L, "click", 1.0), // 00:10 -> windows 23:40? no: starts 00:00, -00:30
+      (2400000000L, "click", 2.0), // 00:40
+      (4200000000L, "buy", 5.0)) // 01:10
+    // streaming append-mode must group on the window STRUCT over the
+    // WATERMARKED timestamp column; deriving window_start_us after the
+    // agg keeps batch and stream outputs identical
+    def agg(d: org.apache.spark.sql.DataFrame) = graft.ops.Sessionize
+      .sliding(d, "ts", windowUs = 3600000000L, slideUs = 1800000000L)
+      .groupBy(col("window"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("event_type"), col("n"), col("sum_value"))
+    val batch = agg(events.toDF("ts_us", "event_type", "value")
+        .withColumn("ts", timestamp_micros(col("ts_us"))))
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    val input = MemoryStream[(Long, String, Double)]
+    val streamDf = input.toDS().toDF("ts_us", "event_type", "value")
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+    val out = agg(streamDf)
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("slide_out").start()
+    events.foreach { e => input.addData(e); q.processAllAvailable() }
+    // sentinel far in the future closes every window
+    input.addData((86400000000L * 10, "click", 0.0)); q.processAllAvailable()
+    input.addData((86400000000L * 10 + 1, "click", 0.0)); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("slide_out")
+      .select(col("window_start_us"), col("event_type"), col("n"), col("sum_value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .filter { case ((ws, _), _) => ws < 86400000000L } // drop sentinel windows
+      .toMap
+    assert(streamed == batch)
+    // each of the 3 events produced exactly 2 window memberships
+    assert(batch.values.map(_._1).sum == 6L)
+  }
+
   test("incremental streaming CC equals batch CC after every micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     val dir = java.nio.file.Files.createTempDirectory("graft-scc").toString
