@@ -937,6 +937,35 @@ object SparkEntry {
       graft.ops.DomainAffinity.score(Tables.documents(s, d), "doc_id",
           "text", targetPred = col("lang") === "en")
         .orderBy("doc_id")
+    },
+    "q_hll_rollup" -> { (s, d) =>
+      // THE reason sketches earn their place at 100 TB: registers built
+      // once at the finest grain (source, lang) roll up to per-source
+      // and global levels by register max-MERGE over the tiny sketch
+      // table — the token stream is scanned exactly once. Register
+      // arithmetic is md5-integer math → hash-exact DuckDB oracle.
+      val toks = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", graft.functions.functions.hex_to_long(
+          substring(md5(col("tok")), 1, 15)))
+      val fine = toks.groupBy(col("source"), col("lang"))
+        .agg(graft.functions.Hll.hll_registers(col("h"), p = 6).as("regs"))
+        .select(col("source"), col("lang"),
+          posexplode(col("regs")).as(Seq("reg_idx", "reg_val")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val bySource = fine.groupBy(col("source"), col("reg_idx"))
+        .agg(max(col("reg_val")).as("reg_val"))
+        .withColumn("lang", lit("ALL"))
+      val global = fine.groupBy(col("reg_idx"))
+        .agg(max(col("reg_val")).as("reg_val"))
+        .withColumn("source", lit("ALL")).withColumn("lang", lit("ALL"))
+      fine.select(col("source"), col("lang"), col("reg_idx"), col("reg_val"))
+        .unionByName(bySource.select(col("source"), col("lang"),
+          col("reg_idx"), col("reg_val")))
+        .unionByName(global.select(col("source"), col("lang"),
+          col("reg_idx"), col("reg_val")))
+        .orderBy("source", "lang", "reg_idx")
     }
   )
 
@@ -1923,7 +1952,30 @@ object SparkEntry {
         |  CAST((SUM(CASE WHEN aff.is_affine THEN 1 ELSE 0 END) * 1000)
         |    // COUNT(*) AS BIGINT) AS affinity_permille
         |FROM b JOIN aff USING (bucket)
-        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    "q_hll_rollup" ->
+      """WITH toks AS (SELECT source, lang, UNNEST(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |h AS (SELECT source, lang,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h FROM toks),
+        |r AS (SELECT source, lang, CAST(h % 64 AS INT) AS idx,
+        |        CASE WHEN h >> 6 = 0 THEN 55
+        |             ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+        |      FROM h),
+        |grps AS (SELECT DISTINCT source, lang FROM documents
+        |         UNION SELECT DISTINCT source, 'ALL' FROM documents
+        |         UNION SELECT 'ALL', 'ALL'),
+        |lv AS (SELECT source, lang, idx, MAX(rho) AS reg
+        |       FROM r GROUP BY source, lang, idx
+        |       UNION ALL
+        |       SELECT source, 'ALL', idx, MAX(rho) FROM r GROUP BY source, idx
+        |       UNION ALL
+        |       SELECT 'ALL', 'ALL', idx, MAX(rho) FROM r GROUP BY idx)
+        |SELECT g.source, g.lang, CAST(t.i AS INT) AS reg_idx,
+        |       CAST(COALESCE(lv.reg, 0) AS INT) AS reg_val
+        |FROM grps g CROSS JOIN range(0, 64) t(i)
+        |LEFT JOIN lv ON lv.source = g.source AND lv.lang = g.lang AND lv.idx = t.i
+        |ORDER BY g.source, g.lang, reg_idx""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
