@@ -507,6 +507,13 @@ object SparkEntry {
           (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
         .orderBy("window_start_us", "event_type")
     },
+    "q_retention" -> { (s, d) =>
+      // daily cohort retention matrix (ops/Retention): cohort = day of a
+      // user's first event, k = days since cohort with any activity
+      graft.ops.Retention.cohortRetention(Tables.events(s, d), "user_id",
+          "ts_us", periodUs = 86400000000L)
+        .orderBy("cohort_start_us", "k")
+    },
     "q_events_json" -> { (s, d) =>
       // JSON property extraction from the props column
       Tables.events(s, d)
@@ -1568,6 +1575,18 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
+        |c AS (SELECT user_id,
+        |        MIN(us) - (MIN(us) % 86400000000) AS cohort_start_us
+        |      FROM e GROUP BY user_id),
+        |a AS (SELECT DISTINCT c.cohort_start_us,
+        |        ((e.us - e.us % 86400000000) - c.cohort_start_us)
+        |          // 86400000000 AS k,
+        |        e.user_id
+        |      FROM e JOIN c USING (user_id))
+        |SELECT cohort_start_us, k, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_sliding_windows" ->
       """SELECT (epoch_us(ts) // 900000000 - t.k) * 900000000 AS window_start_us,
         |       event_type, COUNT(*) AS n,
