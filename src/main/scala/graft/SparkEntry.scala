@@ -507,6 +507,13 @@ object SparkEntry {
           (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
         .orderBy("window_start_us", "event_type")
     },
+    "q_funnel_timing" -> { (s, d) =>
+      // per-step time-to-convert (n, integer mean µs, max µs from step 1)
+      // in ONE aggregation pass over the per-user funnel
+      graft.ops.Funnel.stepTiming(Tables.events(s, d), "user_id", "ts_us",
+          "event_type", Seq("view", "click", "purchase"))
+        .orderBy("step")
+    },
     "q_retention" -> { (s, d) =>
       // daily cohort retention matrix (ops/Retention): cohort = day of a
       // user's first event, k = days since cohort with any activity
@@ -1575,6 +1582,31 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_funnel_timing" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
+        |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT s1.user_id, t1, MIN(CASE WHEN e.us > t1 THEN e.us END) AS t2
+        |       FROM s1 LEFT JOIN e ON e.user_id = s1.user_id AND e.event_type = 'click'
+        |       GROUP BY 1, 2),
+        |s3 AS (SELECT s2.user_id, t1, t2, MIN(CASE WHEN e.us > t2 THEN e.us END) AS t3
+        |       FROM s2 LEFT JOIN e ON e.user_id = s2.user_id AND e.event_type = 'purchase'
+        |       GROUP BY 1, 2, 3)
+        |SELECT * FROM (
+        |  SELECT 1 AS step, 'view' AS step_type, COUNT(t1) AS n_users,
+        |    CAST(CASE WHEN COUNT(t1) = 0 THEN NULL
+        |              ELSE SUM(t1 - t1) // COUNT(t1) END AS BIGINT) AS avg_us,
+        |    CAST(MAX(t1 - t1) AS BIGINT) AS max_us FROM s3
+        |  UNION ALL
+        |  SELECT 2, 'click', COUNT(t2),
+        |    CAST(CASE WHEN COUNT(t2) = 0 THEN NULL
+        |              ELSE SUM(t2 - t1) // COUNT(t2) END AS BIGINT),
+        |    CAST(MAX(t2 - t1) AS BIGINT) FROM s3
+        |  UNION ALL
+        |  SELECT 3, 'purchase', COUNT(t3),
+        |    CAST(CASE WHEN COUNT(t3) = 0 THEN NULL
+        |              ELSE SUM(t3 - t1) // COUNT(t3) END AS BIGINT),
+        |    CAST(MAX(t3 - t1) AS BIGINT) FROM s3)
+        |ORDER BY step""".stripMargin,
     "q_retention" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events),
         |c AS (SELECT user_id,

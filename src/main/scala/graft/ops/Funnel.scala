@@ -76,4 +76,33 @@ object Funnel {
       .selectExpr(
         s"stack(${steps.length}, $stacked) AS (step, step_type, n_users)")
   }
+
+  /** Time-to-convert summary: per step, the users who reached it and the
+    * integer-exact mean and max µs from step 1 (step 1 rows are 0 by
+    * definition). ONE aggregation pass over the per-user funnel, the k
+    * output rows built by exploding an in-row struct array — no per-step
+    * re-execution of the funnel plan. avg_us is truncating integer
+    * division (null when the step was never reached).
+    */
+  def stepTiming(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String]): DataFrame = {
+    val perUser = userFunnel(events, userCol, tsCol, typeCol, steps)
+    val aggs = steps.indices.flatMap { j =>
+      val t = col(s"t${j + 1}")
+      Seq(
+        sum(when(t.isNotNull, 1L).otherwise(0L)).as(s"__n${j + 1}"),
+        sum(t - col("t1")).as(s"__d${j + 1}"),
+        max(t - col("t1")).as(s"__m${j + 1}"))
+    }
+    val aggRow = perUser.agg(aggs.head, aggs.tail: _*)
+    val rows = steps.indices.map { j =>
+      struct(
+        lit(j + 1).as("step"), lit(steps(j)).as("step_type"),
+        col(s"__n${j + 1}").as("n_users"),
+        when(col(s"__n${j + 1}") > 0,
+          expr(s"__d${j + 1} div __n${j + 1}")).as("avg_us"),
+        col(s"__m${j + 1}").as("max_us"))
+    }
+    aggRow.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
 }

@@ -50,4 +50,16 @@ class FunnelSpec extends AnyFunSuite {
       .as[(String, Long, Int)].collect().sortBy(_._1)
     assert(got.toSeq == Seq(("a", 2L, 1), ("b", 1L, 1), ("e", 3L, 1)))
   }
+
+  test("stepTiming: hand-computed mean/max time-to-convert") {
+    // from the fixture: a reaches t2 at 2 (t1=1, Δ=1), e at 3 (t1=1, Δ=2);
+    // only a reaches t3 at 3 (Δ=2). Step 1 deltas are all 0.
+    val got = Funnel.stepTiming(fixture, "user", "ts", "etype",
+        Seq("view", "click", "purchase"))
+      .as[(Int, String, Long, Option[Long], Option[Long])].collect().sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1, "view", 4L, Some(0L), Some(0L)),
+      (2, "click", 2L, Some(1L), Some(2L)), // (1+2) div 2 = 1, max 2
+      (3, "purchase", 1L, Some(2L), Some(2L))))
+  }
 }
