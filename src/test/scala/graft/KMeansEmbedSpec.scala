@@ -49,6 +49,25 @@ class KMeansEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("loud gates: driver-stat cap and cluster-size cap fail fast, not silently") {
+    val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // k*dim beyond the driver-collect gate
+    val e1 = intercept[IllegalArgumentException] {
+      KMeansEmbed.assignments(emb, "vec_id", "embedding", k = 8, iters = 1,
+        scale = 10000.0) // fine
+      KMeansEmbed.fit(emb, "vec_id", "embedding", k = 8, iters = 1,
+        maxDriverStats = 100L)
+    }
+    assert(e1.getMessage.contains("driver-collected centroid stats"))
+    // an oversized cluster must abort the pair scoring loudly
+    val e2 = intercept[org.apache.spark.SparkException] {
+      KMeansEmbed.semDedup(emb, "vec_id", "embedding", k = 1, iters = 0,
+        threshold = 0.9, maxClusterSize = 10).count()
+    }
+    assert(e2.getMessage.contains("maxClusterSize") ||
+      Option(e2.getCause).exists(_.getMessage.contains("exceeds")))
+  }
+
   test("fit is invariant to input partitioning (integer-exact merges)") {
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     def run(d: org.apache.spark.sql.DataFrame) =
