@@ -507,6 +507,14 @@ object SparkEntry {
           (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
         .orderBy("window_start_us", "event_type")
     },
+    "q_rate_spikes" -> { (s, d) =>
+      // hourly event-rate spikes per type: n > 2x the mean of the 3
+      // previous observed hours, tested as a cross-multiplied integer
+      // comparison (ops/Anomaly) — no floating-point mean anywhere
+      graft.ops.Anomaly.rateSpikes(Tables.events(s, d), "ts_us",
+          "event_type", windowUs = 3600000000L, lookback = 3)
+        .orderBy("event_type", "window_start_us")
+    },
     "q_funnel_timing" -> { (s, d) =>
       // per-step time-to-convert (n, integer mean µs, max µs from step 1)
       // in ONE aggregation pass over the per-user funnel
@@ -1582,6 +1590,24 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rate_spikes" ->
+      """WITH c AS (SELECT event_type,
+        |             epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
+        |             COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, window_start_us, n,
+        |        COALESCE(SUM(n) OVER (PARTITION BY event_type
+        |          ORDER BY window_start_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), 0)
+        |          AS base_sum,
+        |        COUNT(n) OVER (PARTITION BY event_type
+        |          ORDER BY window_start_us ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)
+        |          AS n_prior
+        |      FROM c)
+        |SELECT event_type, window_start_us, n,
+        |       CAST(base_sum AS BIGINT) AS base_sum,
+        |       CAST(n_prior AS BIGINT) AS n_prior,
+        |       (n_prior = 3 AND n * n_prior * 1 > base_sum * 2) AS is_spike
+        |FROM w ORDER BY event_type, window_start_us""".stripMargin,
     "q_funnel_timing" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_type FROM events),
         |s1 AS (SELECT user_id, MIN(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
