@@ -921,6 +921,15 @@ object SparkEntry {
           "embedding", k = 8, iters = 2)
         .orderBy("vec_id")
     },
+    "q_kmeans_fps" -> { (s, d) =>
+      // farthest-point (deterministic k-means++-style) seeding: spreads
+      // the initial centroids instead of taking the k smallest ids —
+      // k-1 extra broadcast-map + top-1 corpus passes, same distributed
+      // Lloyd machinery after
+      KMeansEmbed.assignments(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 4, iters = 1, farthestPoint = true)
+        .orderBy("vec_id")
+    },
     "q_semdedup" -> { (s, d) =>
       // SemDeDup (Abbas et al. 2023): k-means partition, then exact
       // cosine dedup only WITHIN a cluster — Σ|cell|² pair work instead
@@ -1949,6 +1958,9 @@ object SparkEntry {
     "q_kmeans" -> (kmeansCtes(iters = 2) + """
         |SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist
         |FROM a_f ORDER BY vec_id""".stripMargin),
+    "q_kmeans_fps" -> (kmeansFpsCtes(iters = 1, k = 4) + """
+        |SELECT vec_id, cluster, CAST(dist AS BIGINT) AS dist
+        |FROM a_f ORDER BY vec_id""".stripMargin),
     "q_semdedup" -> (kmeansCtes(iters = 2) + """,
         |nrm AS (SELECT vec_id, (SELECT SUM(v[i]*v[i])
         |          FROM UNNEST(range(1, len(v)+1)) AS t(i)) AS nrm FROM q),
@@ -2062,33 +2074,60 @@ object SparkEntry {
     * distances, (dist, cluster) argmin ties, floorDiv centroid updates
     * via the pmod identity (the numerator is exactly divisible, so
     * DuckDB's integer `//` equals Math.floorDiv). */
-  private def kmeansCtes(iters: Int, k: Int = 8): String = {
-    val dist =
-      "(SELECT SUM((q.v[i]-c.v[i])*(q.v[i]-c.v[i])) " +
-        "FROM UNNEST(range(1, len(q.v)+1)) AS t(i))"
-    def assign(name: String, cPrev: String) =
-      s"""$name AS (SELECT vec_id, cluster, dist FROM (
-         |  SELECT q.vec_id, c.cluster, $dist AS dist,
-         |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
-         |      ORDER BY $dist ASC, c.cluster ASC) AS rk
-         |  FROM q CROSS JOIN $cPrev c) WHERE rk = 1)""".stripMargin
-    def update(name: String, a: String) =
-      s"""$name AS (SELECT cluster, list(comp ORDER BY pos) AS v FROM (
-         |  SELECT $a.cluster, t.i AS pos,
-         |    (SUM(q.v[t.i]) - (((SUM(q.v[t.i]) % COUNT(*)) + COUNT(*)) % COUNT(*)))
-         |      // COUNT(*) AS comp
-         |  FROM $a JOIN q USING (vec_id), UNNEST(range(1, len(q.v)+1)) AS t(i)
-         |  GROUP BY $a.cluster, t.i) GROUP BY cluster)""".stripMargin
-    val rounds = (1 to iters).map { i =>
-      assign(s"a$i", s"c${i - 1}") + ",\n" + update(s"c$i", s"a$i")
-    }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id, list_transform(embedding,
-       |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE)) AS BIGINT)) AS v
-       |  FROM embeddings),
+  private val kmeansDistSql =
+    "(SELECT SUM((q.v[i]-c.v[i])*(q.v[i]-c.v[i])) " +
+      "FROM UNNEST(range(1, len(q.v)+1)) AS t(i))"
+
+  private def kmeansAssignCte(name: String, cPrev: String) =
+    s"""$name AS (SELECT vec_id, cluster, dist FROM (
+       |  SELECT q.vec_id, c.cluster, $kmeansDistSql AS dist,
+       |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |      ORDER BY $kmeansDistSql ASC, c.cluster ASC) AS rk
+       |  FROM q CROSS JOIN $cPrev c) WHERE rk = 1)""".stripMargin
+
+  private def kmeansUpdateCte(name: String, a: String) =
+    s"""$name AS (SELECT cluster, list(comp ORDER BY pos) AS v FROM (
+       |  SELECT $a.cluster, t.i AS pos,
+       |    (SUM(q.v[t.i]) - (((SUM(q.v[t.i]) % COUNT(*)) + COUNT(*)) % COUNT(*)))
+       |      // COUNT(*) AS comp
+       |  FROM $a JOIN q USING (vec_id), UNNEST(range(1, len(q.v)+1)) AS t(i)
+       |  GROUP BY $a.cluster, t.i) GROUP BY cluster)""".stripMargin
+
+  private val kmeansQCte =
+    """q AS (SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE)) AS BIGINT)) AS v
+      |  FROM embeddings)""".stripMargin
+
+  private def kmeansRoundsSql(iters: Int): String =
+    ((1 to iters).map { i =>
+      kmeansAssignCte(s"a$i", s"c${i - 1}") + ",\n" +
+        kmeansUpdateCte(s"c$i", s"a$i")
+    } :+ kmeansAssignCte("a_f", s"c$iters")).mkString(",\n")
+
+  private def kmeansCtes(iters: Int, k: Int = 8): String =
+    s"""WITH $kmeansQCte,
        |c0 AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, v
        |  FROM (SELECT vec_id, v FROM q ORDER BY vec_id LIMIT $k)),
-       |$rounds,
-       |${assign("a_f", s"c$iters")}""".stripMargin
+       |${kmeansRoundsSql(iters)}""".stripMargin
+
+  /** FPS-seeded variant: c0 built by k-1 farthest-point selection CTEs
+    * (argmax of min squared distance to the chosen set, ties -> min id),
+    * mirroring [[graft.ops.KMeansEmbed]]'s `farthestPoint = true`. */
+  private def kmeansFpsCtes(iters: Int, k: Int): String = {
+    val sel = (2 to k).map { j =>
+      s"""m${j - 1} AS (SELECT q.vec_id, MIN($kmeansDistSql) AS md
+         |  FROM q CROSS JOIN ch${j - 1} c GROUP BY q.vec_id),
+         |s$j AS (SELECT ${j - 1} AS cluster, v FROM q
+         |  WHERE vec_id = (SELECT vec_id FROM m${j - 1}
+         |                  ORDER BY md DESC, vec_id ASC LIMIT 1)),
+         |ch$j AS (SELECT * FROM ch${j - 1} UNION ALL SELECT * FROM s$j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $kmeansQCte,
+       |ch1 AS (SELECT 0 AS cluster, v
+       |  FROM (SELECT v FROM q ORDER BY vec_id LIMIT 1)),
+       |$sel,
+       |c0 AS (SELECT CAST(cluster AS INT) AS cluster, v FROM ch$k),
+       |${kmeansRoundsSql(iters)}""".stripMargin
   }
 
   /** Per-column profiling oracle over `orders`: one UNION ALL block per

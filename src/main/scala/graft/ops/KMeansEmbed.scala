@@ -50,11 +50,17 @@ object KMeansEmbed extends Logging {
       centroids: Array[(Int, Array[Double])],
       assigned: DataFrame) // (id, cluster, dist)
 
-  /** Lloyd fit: `iters` assign+update rounds from the deterministic
-    * smallest-id seeding, then a final assignment pass. */
+  /** Lloyd fit: `iters` assign+update rounds from a deterministic
+    * seeding, then a final assignment pass. `farthestPoint = false`
+    * seeds with the k smallest-id vectors; `true` uses farthest-point
+    * (k-means++-flavored, deterministic) seeding: c0 = smallest-id
+    * vector, each next centroid the vector maximizing its min squared
+    * distance to the chosen set (ties -> smallest id) — k-1 extra
+    * corpus passes, each a broadcast map + top-1, no extra shuffles. */
   private[graft] def fit(df: DataFrame, idCol: String, vecCol: String,
       k: Int, iters: Int, scale: Double = 10000.0,
-      maxDriverStats: Long = 4000000L): Fit = {
+      maxDriverStats: Long = 4000000L,
+      farthestPoint: Boolean = false): Fit = {
     val spark = df.sparkSession
     import spark.implicits._
     require(k > 0 && iters >= 0, s"need k > 0, iters >= 0 (got $k, $iters)")
@@ -62,14 +68,16 @@ object KMeansEmbed extends Logging {
         Similarity.quantize(col(vecCol), scale).as("qv"))
       .as[(Long, Array[Double])]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val seed = q.orderBy(col("id")).limit(k).collect()
+    val seed =
+      if (farthestPoint) farthestPointSeeds(q, k)
+      else q.orderBy(col("id")).limit(k).collect().map(_._2)
     require(seed.nonEmpty, "k-means on an empty corpus")
-    val dim = seed(0)._2.length
+    val dim = seed(0).length
     require(k.toLong * dim <= maxDriverStats,
       s"k*dim = ${k.toLong * dim} driver-collected centroid stats exceed " +
         s"$maxDriverStats — lower k or raise maxDriverStats")
     var centroids: Array[(Int, Array[Double])] =
-      seed.map(_._2).zipWithIndex.map { case (v, i) => (i, v) }
+      seed.zipWithIndex.map { case (v, i) => (i, v) }
 
     for (_ <- 0 until iters) {
       val bc = spark.sparkContext.broadcast(centroids)
@@ -118,10 +126,43 @@ object KMeansEmbed extends Logging {
     Fit(q, centroids, assigned)
   }
 
+  /** Deterministic farthest-point seeds in SELECTION order (cluster
+    * label = selection index). Each step is one corpus map against the
+    * broadcast chosen set plus a (minDist desc, id asc) top-1. */
+  private def farthestPointSeeds(q: Dataset[(Long, Array[Double])],
+      k: Int): Array[Array[Double]] = {
+    val spark = q.sparkSession
+    import spark.implicits._
+    val first = q.orderBy(col("id")).limit(1).collect()
+    require(first.nonEmpty, "k-means on an empty corpus")
+    val chosen = scala.collection.mutable.ArrayBuffer[Array[Double]](first(0)._2)
+    while (chosen.length < k) {
+      val bc = spark.sparkContext.broadcast(chosen.toArray)
+      val next = q.mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, v) =>
+          var md = Long.MaxValue
+          var i = 0
+          while (i < cs.length) {
+            val d = sqDistL(v, cs(i)); if (d < md) md = d; i += 1
+          }
+          (id, v, md)
+        }
+      }.toDF("id", "v", "md")
+        .orderBy(col("md").desc, col("id").asc).limit(1)
+        .as[(Long, Array[Double], Long)].collect()
+      bc.destroy()
+      chosen += next(0)._2
+    }
+    chosen.toArray
+  }
+
   /** Final assignment as a driver query: (vec_id, cluster, dist). */
   def assignments(df: DataFrame, idCol: String, vecCol: String,
-      k: Int, iters: Int, scale: Double = 10000.0): DataFrame =
-    fit(df, idCol, vecCol, k, iters, scale).assigned
+      k: Int, iters: Int, scale: Double = 10000.0,
+      farthestPoint: Boolean = false): DataFrame =
+    fit(df, idCol, vecCol, k, iters, scale, farthestPoint = farthestPoint)
+      .assigned
       .withColumnRenamed("id", idCol)
 
   /** SemDeDup: k-means partition, then exact cosine pairs ONLY within a

@@ -49,6 +49,23 @@ class KMeansEmbedSpec extends AnyFunSuite {
     }
   }
 
+  test("farthest-point seeding spreads seeds where smallest-id seeding cannot") {
+    // both smallest ids sit in group A; FPS must jump to group B
+    val d = df(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(0.01f, 0.0f),
+      2L -> Seq(1.0f, 1.0f), 3L -> Seq(0.99f, 1.0f))
+    val fps = KMeansEmbed.assignments(d, "vec_id", "embedding", k = 2,
+        iters = 0, farthestPoint = true)
+      .orderBy("vec_id").as[(Long, Int, Long)].collect()
+    assert(fps.map(_._2).toSeq == Seq(0, 0, 1, 1)) // groups separated
+    // smallest-id seeding with iters=0 puts seeds 0 and 1 inside group A
+    val plain = KMeansEmbed.assignments(d, "vec_id", "embedding", k = 2,
+        iters = 0)
+      .orderBy("vec_id").as[(Long, Int, Long)].collect()
+    assert(plain.map(_._2).distinct.length == 2)
+    assert(plain(2)._2 == plain(3)._2) // group B lumped onto one A seed
+  }
+
   test("loud gates: driver-stat cap and cluster-size cap fail fast, not silently") {
     val emb = graft.queries.Tables.embeddings(spark, "/root/testdata/sf0.001")
     // k*dim beyond the driver-collect gate
