@@ -507,6 +507,22 @@ object SparkEntry {
           (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
         .orderBy("window_start_us", "event_type")
     },
+    "q_window_distinct" -> { (s, d) =>
+      // unique users per rolling hour (30-min hop): HLL registers INSIDE
+      // the sliding-window aggregation — the canonical streaming metric,
+      // one pass, sketch state per window instead of a distinct shuffle
+      // of every (window, user) pair at 100 TB. Register math is
+      // md5-integer → hash-exact oracle (estimates spec-tested in HllSpec).
+      val win = Sessionize.sliding(Tables.events(s, d), "ts_us",
+          windowUs = 3600000000L, slideUs = 1800000000L)
+        .withColumn("h", graft.functions.functions.hex_to_long(
+          substring(md5(col("user_id").cast("string")), 1, 15)))
+      win.groupBy(col("window_start_us"))
+        .agg(graft.functions.Hll.hll_registers(col("h"), p = 6).as("regs"))
+        .select(col("window_start_us"),
+          posexplode(col("regs")).as(Seq("reg_idx", "reg_val")))
+        .orderBy("window_start_us", "reg_idx")
+    },
     "q_rate_spikes" -> { (s, d) =>
       // hourly event-rate spikes per type: n > 2x the mean of the 3
       // previous observed hours, tested as a cross-multiplied integer
@@ -1599,6 +1615,24 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_window_distinct" ->
+      """WITH e AS (SELECT (epoch_us(ts) // 1800000000 - t.k) * 1800000000 AS ws,
+        |             user_id
+        |           FROM events, UNNEST(range(0, 2)) AS t(k)),
+        |h AS (SELECT ws,
+        |        ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        |      FROM e),
+        |r AS (SELECT ws, CAST(h % 64 AS INT) AS idx,
+        |        CASE WHEN h >> 6 = 0 THEN 55
+        |             ELSE bit_count(((h >> 6) & -(h >> 6)) - 1) + 1 END AS rho
+        |      FROM h),
+        |regs AS (SELECT ws, idx, MAX(rho) AS reg FROM r GROUP BY 1, 2),
+        |wins AS (SELECT DISTINCT ws FROM e)
+        |SELECT w.ws AS window_start_us, CAST(t.i AS INT) AS reg_idx,
+        |       CAST(COALESCE(regs.reg, 0) AS INT) AS reg_val
+        |FROM wins w CROSS JOIN range(0, 64) t(i)
+        |LEFT JOIN regs ON regs.ws = w.ws AND regs.idx = t.i
+        |ORDER BY w.ws, reg_idx""".stripMargin,
     "q_rate_spikes" ->
       """WITH c AS (SELECT event_type,
         |             epoch_us(ts) - (epoch_us(ts) % 3600000000) AS window_start_us,
