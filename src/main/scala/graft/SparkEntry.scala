@@ -507,6 +507,15 @@ object SparkEntry {
           (sum(floor(col("value") * lit(100.0))).cast("double") / lit(100.0)).as("sum_value"))
         .orderBy("window_start_us", "event_type")
     },
+    "q_feature_prop" -> { (s, d) =>
+      // one round of GraphSAGE-style mean message passing: user-graph
+      // neighbors' quantized embeddings, element-wise floor-mean
+      // (ops/FeatureProp) — the core graph-ML feature workload
+      graft.ops.FeatureProp.neighborMean(
+          Tables.userSequenceEdges(s, d), "src", "dst",
+          Tables.embeddings(s, d), "vec_id", "embedding")
+        .orderBy("node", "pos")
+    },
     "q_window_distinct" -> { (s, d) =>
       // unique users per rolling hour (30-min hop): HLL registers INSIDE
       // the sliding-window aggregation — the canonical streaming metric,
@@ -1615,6 +1624,25 @@ object SparkEntry {
         |       COUNT(*) AS n,
         |       CAST(SUM(FLOOR(value * CAST(100.0 AS DOUBLE))) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_feature_prop" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |ed AS (SELECT DISTINCT user_id AS src, nxt AS dst
+        |       FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |sym AS (SELECT src AS a, dst AS b FROM ed
+        |        UNION SELECT dst, src FROM ed),
+        |q AS (SELECT vec_id, list_transform(embedding,
+        |        x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE)) AS BIGINT)) AS v
+        |      FROM embeddings),
+        |j AS (SELECT sym.a AS node, t.i - 1 AS pos, q.v[t.i] AS vl
+        |      FROM sym JOIN q ON q.vec_id = sym.b,
+        |           UNNEST(range(1, len(q.v)+1)) AS t(i)),
+        |g AS (SELECT node, pos, SUM(vl) AS s, COUNT(*) AS n
+        |      FROM j GROUP BY 1, 2)
+        |SELECT node, CAST(pos AS INT) AS pos,
+        |       CAST((s - (((s % n) + n) % n)) // n AS BIGINT) AS value
+        |FROM g ORDER BY node, pos""".stripMargin,
     "q_window_distinct" ->
       """WITH e AS (SELECT (epoch_us(ts) // 1800000000 - t.k) * 1800000000 AS ws,
         |             user_id
