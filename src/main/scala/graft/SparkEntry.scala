@@ -1022,6 +1022,37 @@ object SparkEntry {
         .unionByName(global.select(col("source"), col("lang"),
           col("reg_idx"), col("reg_val")))
         .orderBy("source", "lang", "reg_idx")
+    },
+    "q_transitions" -> { (s, d) =>
+      // Markov next-event transition matrix per user sequence
+      // (ops/Transitions): counts + integer per-mille probabilities,
+      // |types|^2 output table however large the stream
+      graft.ops.Transitions.eventTransitions(Tables.events(s, d),
+          "user_id", "ts_us", "event_type", "event_id")
+        .orderBy("from_type", "to_type")
+    },
+    "q_scd2" -> { (s, d) =>
+      // SCD2 change capture (ops/ChangeCapture): compress each user's
+      // event-type stream into versioned validity intervals — the
+      // lakehouse MERGE-maintained dimension derived from the raw log
+      graft.ops.ChangeCapture.stateIntervals(Tables.events(s, d),
+          "user_id", "ts_us", "event_type", "event_id")
+        .orderBy("user_id", "version")
+    },
+    "q_interval_merge" -> { (s, d) =>
+      // gaps-and-islands (ops/Intervals): merge each user's 30-minute
+      // activity intervals into maximal islands, integer-µs windows
+      graft.ops.Intervals.coalesceIntervals(Tables.events(s, d),
+          "user_id", "ts_us", "event_id", durUs = 1800000000L)
+        .orderBy("user_id", "island_idx")
+    },
+    "q_decay_counts" -> { (s, d) =>
+      // half-life decayed per-type activity (ops/Decay): dyadic 2^-age
+      // weights over hourly windows — recency score in exact integer
+      // arithmetic, reference time = latest observed window
+      graft.ops.Decay.decayedCounts(Tables.events(s, d), "ts_us",
+          "event_type", windowUs = 3600000000L, maxAge = 20)
+        .orderBy("event_type")
     }
   )
 
@@ -2126,7 +2157,64 @@ object SparkEntry {
         |       CAST(COALESCE(lv.reg, 0) AS INT) AS reg_val
         |FROM grps g CROSS JOIN range(0, 64) t(i)
         |LEFT JOIN lv ON lv.source = g.source AND lv.lang = g.lang AND lv.idx = t.i
-        |ORDER BY g.source, g.lang, reg_idx""".stripMargin
+        |ORDER BY g.source, g.lang, reg_idx""".stripMargin,
+    "q_transitions" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS to_type
+        |           FROM events),
+        |c AS (SELECT event_type AS from_type, to_type, COUNT(*) AS n
+        |      FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |       CAST(SUM(n) OVER (PARTITION BY from_type) AS BIGINT) AS from_total,
+        |       CAST((n * 1000) // SUM(n) OVER (PARTITION BY from_type) AS BIGINT)
+        |         AS permille
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+        |             lag(event_type) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS prev
+        |           FROM events),
+        |ch AS (SELECT user_id, us, event_id, event_type
+        |       FROM e WHERE prev IS NULL OR prev <> event_type)
+        |SELECT user_id, event_type, us AS valid_from_us,
+        |       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         AS valid_to_us,
+        |       CAST(row_number() OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |         AS BIGINT) AS version,
+        |       lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id) IS NULL
+        |         AS is_current
+        |FROM ch ORDER BY user_id, version""".stripMargin,
+    "q_interval_merge" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id,
+        |             epoch_us(ts) + 1800000000 AS e_end FROM events),
+        |m AS (SELECT *, MAX(e_end) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+        |      FROM e),
+        |f AS (SELECT *, CASE WHEN pme IS NULL OR us > pme THEN 1 ELSE 0 END AS nw
+        |      FROM m),
+        |i AS (SELECT *, SUM(nw) OVER (PARTITION BY user_id
+        |        ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island_idx
+        |      FROM f)
+        |SELECT user_id, CAST(island_idx AS BIGINT) AS island_idx,
+        |       MIN(us) AS start_us, MAX(e_end) AS end_us, COUNT(*) AS n_events
+        |FROM i GROUP BY user_id, island_idx ORDER BY user_id, island_idx""".stripMargin,
+    "q_decay_counts" ->
+      """WITH c AS (SELECT event_type,
+        |             epoch_us(ts) - epoch_us(ts) % 3600000000 AS ws,
+        |             COUNT(*) AS n
+        |           FROM events GROUP BY 1, 2),
+        |r AS (SELECT MAX(ws) AS ref_ws FROM c),
+        |a AS (SELECT event_type, n, (ref_ws - ws) // 3600000000 AS age
+        |      FROM c, r WHERE (ref_ws - ws) // 3600000000 <= 20)
+        |SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_recent,
+        |       CAST(SUM(n * (CAST(1 AS BIGINT) << CAST(20 - age AS INT)))
+        |         AS BIGINT) AS decayed_num,
+        |       CAST((SUM(n * (CAST(1 AS BIGINT) << CAST(20 - age AS INT)))
+        |         * 1000000) // 1048576 AS BIGINT) AS decayed_ppm
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
