@@ -1053,6 +1053,31 @@ object SparkEntry {
       graft.ops.Decay.decayedCounts(Tables.events(s, d), "ts_us",
           "event_type", windowUs = 3600000000L, maxAge = 20)
         .orderBy("event_type")
+    },
+    "q_keywords" -> { (s, d) =>
+      // top-3 rarity-weighted keywords per document (TextStats.keywords):
+      // integer tf·(1e6 div df) scoring, ranked by the k-slot string
+      // top-k aggregate instead of a window sort over every token row
+      graft.ops.TextStats.keywords(Tables.documents(s, d),
+          "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank")
+    },
+    "q_jaccard_links" -> { (s, d) =>
+      // neighborhood-Jaccard link scores over the co-order part graph —
+      // the normalized companion of q_link_pred's RA index, same wedge
+      // plan and degree-64 center cap, exact integer per-mille
+      graft.ops.LinkPrediction.neighborJaccard(
+          Tables.coOrderPairEdges(s, d), "src", "dst",
+          maxCenterDegree = 64, minCommon = 2)
+        .orderBy("a", "b")
+    },
+    "q_bipartite" -> { (s, d) =>
+      // per-component 2-colorability of the (undirected) user-journey
+      // graph via the parity-doubling reduction to connected components
+      // (ops/Bipartite) — two CC runs, no new fixpoint machinery
+      graft.ops.Bipartite.bipartiteComponents(
+          Tables.userSequenceEdges(s, d), "src", "dst")
+        .orderBy("component")
     }
   )
 
@@ -2214,7 +2239,82 @@ object SparkEntry {
         |         AS BIGINT) AS decayed_num,
         |       CAST((SUM(n * (CAST(1 AS BIGINT) << CAST(20 - age AS INT)))
         |         * 1000000) // 1048576 AS BIGINT) AS decayed_ppm
-        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM a GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_keywords" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+        |sc AS (SELECT doc_id, tok, tf * (1000000 // df) AS score
+        |       FROM tf JOIN dfq USING (tok)),
+        |r AS (SELECT doc_id, tok, score,
+        |        row_number() OVER (PARTITION BY doc_id
+        |          ORDER BY score DESC, tok ASC) AS rank
+        |      FROM sc)
+        |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok AS token,
+        |       CAST(score AS BIGINT) AS score
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_jaccard_links" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |adj AS (SELECT x AS w, y AS n FROM e UNION ALL SELECT y AS w, x AS n FROM e),
+        |deg AS (SELECT w, COUNT(*) AS d FROM adj GROUP BY w),
+        |okc AS (SELECT w FROM deg WHERE d <= 64),
+        |capd AS (SELECT a1.w, a1.n FROM adj a1 JOIN okc ON okc.w = a1.w),
+        |cand AS (SELECT a1.n AS a, a2.n AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+        |         FROM capd a1 JOIN capd a2 ON a2.w = a1.w AND a1.n < a2.n
+        |         GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT c.a, c.b, c.n_common, da.d AS deg_a, db.d AS deg_b,
+        |       CAST((1000 * c.n_common) // (da.d + db.d - c.n_common) AS BIGINT)
+        |         AS jaccard_permille
+        |FROM cand c
+        |LEFT JOIN e ON e.x = c.a AND e.y = c.b
+        |JOIN deg da ON da.w = c.a
+        |JOIN deg db ON db.w = c.b
+        |WHERE e.x IS NULL
+        |ORDER BY c.a, c.b""".stripMargin,
+    "q_bipartite" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |ed AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS a,
+        |         CAST(nxt AS VARCHAR) AS b
+        |       FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |dbl AS (SELECT a || '#0' AS a, b || '#1' AS b FROM ed
+        |        UNION SELECT a || '#1', b || '#0' FROM ed),
+        |symd AS (SELECT a, b FROM dbl UNION SELECT b AS a, a AS b FROM dbl),
+        |nodesd AS (SELECT DISTINCT a AS node FROM symd),
+        |ccd AS (
+        |  SELECT node, node AS lab FROM nodesd
+        |  UNION
+        |  SELECT s.b AS node, c.lab
+        |  FROM ccd c JOIN symd s ON c.node = s.a
+        |  WHERE c.lab < s.b),
+        |compd AS (SELECT node, MIN(lab) AS comp FROM ccd GROUP BY node),
+        |pairs AS (SELECT substr(node, 1, length(node) - 2) AS bnode, comp,
+        |            COUNT(*) AS k
+        |          FROM compd GROUP BY 1, 2),
+        |odd AS (SELECT DISTINCT bnode FROM pairs WHERE k = 2),
+        |symb AS (SELECT a, b FROM ed UNION SELECT b AS a, a AS b FROM ed),
+        |nodesb AS (SELECT DISTINCT a AS node FROM symb),
+        |ccb AS (
+        |  SELECT node, node AS lab FROM nodesb
+        |  UNION
+        |  SELECT s.b AS node, c.lab
+        |  FROM ccb c JOIN symb s ON c.node = s.a
+        |  WHERE c.lab < s.b),
+        |compb AS (SELECT node, MIN(lab) AS component FROM ccb GROUP BY node)
+        |SELECT component, COUNT(*) AS n_nodes,
+        |       MAX(CASE WHEN o.bnode IS NOT NULL THEN 1 ELSE 0 END) = 0
+        |         AS is_bipartite
+        |FROM compb LEFT JOIN odd o ON o.bnode = compb.node
+        |GROUP BY component ORDER BY component""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -51,4 +51,48 @@ object LinkPrediction {
     cand
       .join(e.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
   }
+
+  /** Neighborhood-Jaccard link scores — the normalized cousin of
+    * [[resourceAllocation]]: for a non-adjacent candidate pair (a, b),
+    *
+    *   jaccard = |N(a) ∩ N(b)| / |N(a) ∪ N(b)|
+    *           = n_common / (deg(a) + deg(b) − n_common)
+    *
+    * emitted as the exact integer per-mille
+    * `(1000 · n_common) div (deg_a + deg_b − n_common)`, so the driver
+    * query gets a hash-exact oracle. Same wedge shape and hot-center cap
+    * as RA (common-neighbor counting through centers with degree ≤
+    * `maxCenterDegree`; each dropped center under-counts n_common by 1 —
+    * the denominator degrees stay exact). Output:
+    * (a, b, n_common, deg_a, deg_b, jaccard_permille).
+    */
+  def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
+      maxCenterDegree: Int = 1024, minCommon: Int = 1): DataFrame = {
+    require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .distinct()
+      .persist() // adjacency, degree joins, AND the final anti-join
+    val adj = e.select(col("x").as("w"), col("y").as("n"))
+      .union(e.select(col("y").as("w"), col("x").as("n")))
+    val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
+    val okCenters = deg.where(col("d") <= maxCenterDegree).select("w")
+    val capped = adj.join(okCenters, Seq("w"), "left_semi")
+    val cand = capped.join(capped.select(col("w"), col("n").as("b")), Seq("w"))
+      .where(col("n") < col("b"))
+      .select(col("n").as("a"), col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_common"))
+      .where(col("n_common") >= minCommon)
+    cand
+      .join(e.select(col("x").as("a"), col("y").as("b")), Seq("a", "b"), "left_anti")
+      .join(deg.select(col("w").as("a"), col("d").as("deg_a")), "a")
+      .join(deg.select(col("w").as("b"), col("d").as("deg_b")), "b")
+      .withColumn("jaccard_permille",
+        expr("(1000 * n_common) div (deg_a + deg_b - n_common)"))
+      .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
+        col("jaccard_permille"))
+  }
 }

@@ -218,4 +218,42 @@ object TextStats {
         sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
       .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
   }
+
+  /** Top-`k` rarity-weighted keywords per document — the tf·idf term
+    * extraction behind tagging/routing/topic features, in exact integer
+    * arithmetic so the driver query gets a hash-exact oracle:
+    *
+    *   score(doc, tok) = tf(doc, tok) · (1 000 000 div df(tok))
+    *
+    * an idf-like rarity weight without libm `log` (same design choice as
+    * [[LinkPrediction]]'s RA-over-Adamic-Adar: integer-div rarity is
+    * engine-portable, logarithms are not). Resolution floor: tokens with
+    * corpus df > 1e6 score 0 — documented, and exactly the tokens tf·idf
+    * would bury anyway. Ranking is (score desc, token asc) via the k-slot
+    * [[graft.functions.TopKByAgg]] string aggregate — a hash aggregate
+    * whose map-side partials carry ≤ k entries per doc per partition,
+    * instead of a window sort over every scored token row.
+    *
+    * Output: (id, rank 1..k, token, score). Plan shape at 100 TB: tf and
+    * df are token/doc-keyed partial-aggregating shuffles, the tf⋈df join
+    * is token-keyed against a vocabulary-sized table, and the final top-k
+    * aggregate is doc-keyed — no per-corpus state, no sorts over the
+    * token stream.
+    */
+  def keywords(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k must be positive, got $k")
+    val Scale = 1000000L
+    val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val scored = tf.join(dfreq, "tok")
+      .withColumn("score", expr(s"tf * (${Scale}L div df)"))
+    scored.groupBy(col(idCol))
+      .agg(graft.functions.TopKByAgg.top_k_by_str(
+        col("score").cast("double"), col("tok"), k).as("top"))
+      .select(col(idCol), posexplode(col("top")).as(Seq("pos", "kw")))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("rank"),
+        col("kw.payload").as("token"), col("kw.score").cast("long").as("score"))
+  }
 }

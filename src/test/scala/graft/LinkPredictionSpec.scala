@@ -49,4 +49,31 @@ class LinkPredictionSpec extends AnyFunSuite {
     // with the hub included the same pair also gets 1e9/10
     assert(uncapped(("l0", "l1")) == 500000000L + 100000000L)
   }
+
+  test("neighbor-Jaccard per-mille on path and square fixtures") {
+    // path a-w-b: candidate (a,b), common {w}, deg 1/1 -> 1000*1/(1+1-1)
+    val path = Seq(("w", "a"), ("w", "b")).toDF("src", "dst")
+    val gotPath = LinkPrediction.neighborJaccard(path, "src", "dst")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(gotPath == Set(("a", "b", 1L, 1L, 1L, 1000L)))
+    // square a-b-c-d-a: (a,c) common {b,d}, deg 2/2 -> 1000*2/(2+2-2)
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+      .toDF("src", "dst")
+    val gotSq = LinkPrediction.neighborJaccard(square, "src", "dst")
+      .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    assert(gotSq == Set(("a", "c", 2L, 2L, 2L, 1000L), ("b", "d", 2L, 2L, 2L, 1000L)))
+  }
+
+  test("neighbor-Jaccard center cap drops hub wedges, keeps exact degrees") {
+    // hub h (deg 10) + private wedge l0-m-l1: cap 5 keeps only wedges
+    // through m; (l0,l1) common drops to 1 but degrees stay full (2 each)
+    val hub = (0 until 10).map(i => ("h", s"l$i"))
+    val edges = (hub ++ Seq(("m", "l0"), ("m", "l1"))).toDF("src", "dst")
+    val capped = LinkPrediction.neighborJaccard(edges, "src", "dst",
+        maxCenterDegree = 5)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(capped(("l0", "l1")) == ("l0", "l1", 1L, 2L, 2L, 1000L * 1 / 3))
+    assert(capped(("h", "m")) == ("h", "m", 2L, 10L, 2L, 1000L * 2 / 10))
+  }
 }
