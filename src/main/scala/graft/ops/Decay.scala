@@ -32,9 +32,15 @@ object Decay {
       windowUs: Long, maxAge: Int = 20): DataFrame = {
     require(maxAge >= 1 && maxAge <= 40,
       s"maxAge must be in [1, 40] (dyadic weights in Long range), got $maxAge")
+    // persisted: the counts subtree feeds BOTH the decay fold and the
+    // global-max reference — without it the event scan + aggregation runs
+    // twice (plan audit r7). The table is types × windows, so the cache is
+    // tiny however big the stream; left to LRU eviction (lazy-plan policy
+    // of ConnectedComponents / Dedup).
     val counts = Sessionize.tumbling(events, tsCol, windowUs)
       .groupBy(col(typeCol), col("window_start_us"))
       .agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ref = counts.agg(max(col("window_start_us")).as("ref_ws"))
     counts.crossJoin(broadcast(ref))
       .withColumn("age",

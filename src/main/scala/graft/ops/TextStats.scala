@@ -244,8 +244,14 @@ object TextStats {
       k: Int = 3): DataFrame = {
     require(k >= 1, s"k must be positive, got $k")
     val Scale = 1000000L
+    // persisted: tf feeds BOTH the df aggregation and the score join —
+    // without it the tokenize + (doc, tok) shuffle runs twice (plan audit
+    // r7, same trade-off note as noveltyScores: at small SF the cache
+    // costs more than the recompute, at corpus scale the recompute is a
+    // second full scan + token shuffle). Left to LRU eviction.
     val tf = df.select(col(idCol), explode(split(col(textCol), " ")).as("tok"))
       .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "tok")
       .withColumn("score", expr(s"tf * (${Scale}L div df)"))
