@@ -1078,6 +1078,24 @@ object SparkEntry {
       graft.ops.Bipartite.bipartiteComponents(
           Tables.userSequenceEdges(s, d), "src", "dst")
         .orderBy("component")
+    },
+    "q_user_paths" -> { (s, d) =>
+      // top user journeys (ops/Paths): first-5-event-type path strings
+      // counted across users — the Sankey/flow table, bounded collect
+      // buffers (row_number <= maxLen filter runs before the agg)
+      graft.ops.Paths.userPaths(Tables.events(s, d), "user_id", "ts_us",
+          "event_id", "event_type", maxLen = 5)
+        .orderBy("path", "depth")
+    },
+    "q_hard_negatives" -> { (s, d) =>
+      // contrastive hard-negative mining (Similarity.hardNegatives):
+      // top-5 most-similar DIFFERENT-label vectors per query — broadcast
+      // query batch, one corpus scan, k-slot top-k aggregate
+      val e = Tables.embeddings(s, d).select(col("vec_id"),
+        graft.ops.Similarity.quantize(col("embedding")).as("qv"), col("label"))
+      graft.ops.Similarity.hardNegatives(e, "vec_id", "qv", "label",
+          e.where(col("vec_id") < 20), k = 5)
+        .orderBy("query_id", "rank")
     }
   )
 
@@ -2314,7 +2332,36 @@ object SparkEntry {
         |       MAX(CASE WHEN o.bnode IS NOT NULL THEN 1 ELSE 0 END) = 0
         |         AS is_bipartite
         |FROM compb LEFT JOIN odd o ON o.bnode = compb.node
-        |GROUP BY component ORDER BY component""".stripMargin
+        |GROUP BY component ORDER BY component""".stripMargin,
+    "q_user_paths" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             row_number() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS rn
+        |           FROM events),
+        |p AS (SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path,
+        |        COUNT(*) AS depth
+        |      FROM e WHERE rn <= 5 GROUP BY user_id)
+        |SELECT path, CAST(depth AS BIGINT) AS depth, COUNT(*) AS n_users
+        |FROM p GROUP BY 1, 2 ORDER BY path, depth""".stripMargin,
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+        |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT SUM(qq.v[i]*c.v[i]) FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+        |      FROM (SELECT * FROM q WHERE vec_id < 20) qq
+        |      JOIN q c ON c.vec_id <> qq.vec_id AND c.label <> qq.label),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             dot / SQRT(na.nrm * nb.nrm) AS cosine,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |               ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC, neighbor_id ASC) AS rank
+        |           FROM p JOIN n na ON na.vec_id = query_id
+        |                  JOIN n nb ON nb.vec_id = neighbor_id
+        |           WHERE NOT isnan(dot / SQRT(na.nrm * nb.nrm)))
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        |FROM scored WHERE rank <= 5
+        |ORDER BY query_id, rank""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

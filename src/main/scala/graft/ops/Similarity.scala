@@ -152,6 +152,34 @@ object Similarity {
       .toDF("query_id", "rank", "neighbor_id", "cosine")
   }
 
+  /** Hard-negative mining — the contrastive-training data-prep step: for
+    * each query vector, the `k` most cosine-similar corpus vectors with a
+    * DIFFERENT label (same-label hits are positives; the near-miss
+    * negatives are what a contrastive loss learns from). Output:
+    * (query_id, rank, neighbor_id, cosine), ranked (cosine desc, id asc).
+    *
+    * Topology is the mining one: the query batch is SMALL (one training
+    * batch) and broadcast, the corpus is LARGE and streams through one
+    * scan — a broadcast nested-loop join whose per-row work is the
+    * codegen'd [[graft.functions.ArrayDot]] cosine, followed by the
+    * k-slot top-k aggregate (shuffle carries ≤ k pairs per query per
+    * partition). No driver-side vector state; corpus scale is unbounded.
+    * Pre-quantize both sides via [[quantize]] for an engine-exact result.
+    */
+  def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, queries: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
+      col(labelCol).as("__ql"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
+      col(labelCol).as("__cl"))
+    val pairs = c.join(broadcast(q),
+        col("query_id") =!= col("neighbor_id") && col("__ql") =!= col("__cl"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("__qv"), col("__cv")).as("cosine"))
+      .where(!isnan(col("cosine"))) // zero-norm vectors are unrankable
+    topKPerQuery(pairs, k)
+  }
+
   /** IVF (inverted-file) ANN: k-means-lite centroids → per-vector cell
     * assignment → queries probe only the `nProbe` nearest cells and rerank
     * exactly. The classic alternative to LSH bucketing: candidate cost is
