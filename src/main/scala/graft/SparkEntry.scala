@@ -1096,6 +1096,18 @@ object SparkEntry {
       graft.ops.Similarity.hardNegatives(e, "vec_id", "qv", "label",
           e.where(col("vec_id") < 20), k = 5)
         .orderBy("query_id", "rank")
+    },
+    "q_pagerank_weighted" -> { (s, d) =>
+      // edge-weighted integer fixed-point PageRank: walk mass leaves each
+      // part proportional to floor(l_quantity) per supplier edge — the
+      // weighted member of the q_pagerank_fp family, same unrolled oracle
+      PageRank.weightedScoresFixedPoint(
+          Tables.lineitem(s, d).select(
+            concat(lit("P"), col("l_partkey")).as("src"),
+            concat(lit("S"), col("l_suppkey")).as("dst"),
+            col("l_quantity").as("w")),
+          "w", iters = 10)
+        .orderBy("node")
     }
   )
 
@@ -2361,7 +2373,8 @@ object SparkEntry {
         |           WHERE NOT isnan(dot / SQRT(na.nrm * nb.nrm)))
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM scored WHERE rank <= 5
-        |ORDER BY query_id, rank""".stripMargin
+        |ORDER BY query_id, rank""".stripMargin,
+    "q_pagerank_weighted" -> pagerankFpOracle(iters = 10, weighted = true)
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
@@ -2609,7 +2622,8 @@ object SparkEntry {
     * (contributions + zero-indegree nodes). All sums cast back to BIGINT
     * (DuckDB SUM(BIGINT) is HUGEINT → float64 in pandas → hash mismatch).
     */
-  private def pagerankFpOracle(iters: Int, sources: Seq[String] = Nil): String = {
+  private def pagerankFpOracle(iters: Int, sources: Seq[String] = Nil,
+      weighted: Boolean = false): String = {
     val S = "1000000000000"
     // personalized: teleport (initial mass + per-iteration base) lands on
     // the source set only, divided by |S| — mirrors PageRank.pprFixedPoint
@@ -2623,12 +2637,24 @@ object SparkEntry {
         (s"CASE WHEN node IN ($list) THEN $S // $ns ELSE 0 END",
           s"CASE WHEN nd.node IN ($list) THEN (3 * $S) // (20 * $ns) ELSE 0 END")
       }
+    // weighted: edge weight = floor(l_quantity), non-positive dropped,
+    // m/outdeg are weight SUMS — mirrors PageRank.weightedScoresFixedPoint
+    val e0Cte =
+      if (weighted)
+        """e0 AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+          |              'S' || CAST(l_suppkey AS VARCHAR) AS dst,
+          |              CAST(FLOOR(l_quantity) AS BIGINT) AS w
+          |       FROM lineitem WHERE CAST(FLOOR(l_quantity) AS BIGINT) > 0),
+          |em AS (SELECT src, dst, CAST(SUM(w) AS BIGINT) AS m FROM e0 GROUP BY src, dst),
+          |od AS (SELECT src, CAST(SUM(w) AS BIGINT) AS outdeg FROM e0 GROUP BY src),""".stripMargin
+      else
+        """e0 AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+          |              'S' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+          |em AS (SELECT src, dst, COUNT(*) AS m FROM e0 GROUP BY src, dst),
+          |od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),""".stripMargin
     val head =
       s"""WITH
-         |e0 AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
-         |              'S' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
-         |em AS (SELECT src, dst, COUNT(*) AS m FROM e0 GROUP BY src, dst),
-         |od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+         |$e0Cte
          |e AS (SELECT em.src, em.dst, em.m, od.outdeg FROM em JOIN od ON em.src = od.src),
          |nodes AS (SELECT DISTINCT src AS node FROM e0 UNION SELECT DISTINCT dst FROM e0),
          |nn AS (SELECT COUNT(*) AS n FROM nodes),

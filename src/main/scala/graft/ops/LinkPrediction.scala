@@ -79,8 +79,11 @@ object LinkPrediction {
       .union(e.select(col("y").as("w"), col("x").as("n")))
     val deg = adj.groupBy("w").agg(count(lit(1)).as("d"))
     val okCenters = deg.where(col("d") <= maxCenterDegree).select("w")
+    // cap ONE wedge side only: the equi-join on w means a wedge survives
+    // iff its center is capped, and the plain-adj side avoids a second
+    // semi-join pass (RA's shape; measured on q_jaccard_links)
     val capped = adj.join(okCenters, Seq("w"), "left_semi")
-    val cand = capped.join(capped.select(col("w"), col("n").as("b")), Seq("w"))
+    val cand = capped.join(adj.select(col("w"), col("n").as("b")), Seq("w"))
       .where(col("n") < col("b"))
       .select(col("n").as("a"), col("b"))
       .groupBy(col("a"), col("b"))

@@ -188,14 +188,41 @@ object PageRank {
     fixedPoint(edges, Some(sources), iters, scale, maxLocalEdges, maxBroadcastNodes)
   }
 
-  private def fixedPoint(edges: DataFrame, sources: Option[Seq[String]],
+  /** Edge-WEIGHTED integer fixed-point PageRank: the walk leaves a node
+    * along each edge with probability proportional to the edge's weight —
+    * contribution `(17 · W(u,v) · r(u)) div (20 · W_out(u))` where W sums
+    * the integer weights of parallel edges. The unweighted variant is the
+    * special case weight ≡ 1 (multiplicity). Non-positive-weight edges
+    * are DROPPED (they carry no walk mass and would poison the
+    * denominator); fractional weights are floored to the integer grid —
+    * both documented, both mirrored in the oracle. Same overflow posture
+    * as [[scoresFixedPoint]]: 17·W·r must stay inside Long (ANSI mode
+    * faults loudly beyond), i.e. per-pair weight < ~5·10^5 at the default
+    * scale.
+    */
+  def weightedScoresFixedPoint(edges: DataFrame, weightCol: String,
+      iters: Int = 10, scale: Long = 1000000000000L,
+      maxLocalEdges: Long = 5_000_000L,
+      maxBroadcastNodes: Long = 10_000_000L): DataFrame =
+    fixedPoint(edges, None, iters, scale, maxLocalEdges, maxBroadcastNodes,
+      weight = Some(weightCol))
+
+  private def fixedPoint(edges0: DataFrame, sources: Option[Seq[String]],
       iters: Int, scale: Long, maxLocalEdges: Long,
-      maxBroadcastNodes: Long): DataFrame = {
-    val spark = edges.sparkSession
+      maxBroadcastNodes: Long, weight: Option[String] = None): DataFrame = {
+    val spark = edges0.sparkSession
     import spark.implicits._
 
+    // uniform shape: (src, dst, __w) with __w = 1 for the unweighted
+    // variants (sum(__w) ≡ count, so the unweighted results are unchanged)
+    val edges = weight match {
+      case Some(w) => edges0.where(col(w) > 0)
+        .select($"src", $"dst", floor(col(w)).cast("long").as("__w"))
+      case None => edges0.select($"src", $"dst", lit(1L).as("__w"))
+    }
+
     if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
-      val capped = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("m"))
+      val capped = edges.groupBy($"src", $"dst").agg(sum($"__w").as("m"))
         .limit(maxLocalEdges.toInt + 1)
         .as[(String, String, Long)].collect()
       if (capped.length <= maxLocalEdges) {
@@ -235,8 +262,8 @@ object PageRank {
     }
 
     // distributed: integer join-iteration, localCheckpoint per round
-    val wEdges = edges.groupBy($"src", $"dst").agg(count(lit(1)).as("m"))
-      .join(edges.groupBy($"src").agg(count(lit(1)).as("outdeg")), "src")
+    val wEdges = edges.groupBy($"src", $"dst").agg(sum($"__w").as("m"))
+      .join(edges.groupBy($"src").agg(sum($"__w").as("outdeg")), "src")
       .persist(StorageLevel.MEMORY_AND_DISK)
     wEdges.count()
     val nodes = edges.select($"src".as("node")).union(edges.select($"dst".as("node")))

@@ -48,4 +48,42 @@ class PageRankSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum("score")).first().getDouble(0)
     assert(total < 1.0)
   }
+
+  test("weighted fixed-point: hand-computed one-iteration grid") {
+    // a->b w3, a->c w1, b->a w1; scale 1e12, n=3
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L), ("b", "a", 1L))
+      .toDF("src", "dst", "w")
+    val got = PageRank.weightedScoresFixedPoint(edges, "w", iters = 1)
+      .as[(String, Long)].collect().toMap
+    // init r = 1e12/3; base = 3e12 div 60 = 5e10
+    // a <- b: (17*1*r) div 20; b <- a: (17*3*r) div 80; c <- a: (17*1*r) div 80
+    assert(got == Map(
+      "a" -> 333333333333L,   // 5e10 + 283333333333
+      "b" -> 262499999999L,   // 5e10 + 212499999999
+      "c" -> 120833333333L))  // 5e10 + 70833333333
+  }
+
+  test("weighted with unit weights equals the unweighted fixed point") {
+    val edges = Seq(("a", "b"), ("a", "c"), ("b", "a"), ("c", "a"), ("a", "b"))
+      .toDF("src", "dst")
+    val unw = PageRank.scoresFixedPoint(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    val w = PageRank.weightedScoresFixedPoint(
+        edges.withColumn("w", org.apache.spark.sql.functions.lit(1L)), "w", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(unw == w)
+  }
+
+  test("weighted drops non-positive edges and floors fractional weights") {
+    val edges = Seq(("a", "b", 2.9), ("a", "c", 0.0), ("b", "a", 1.0))
+      .toDF("src", "dst", "w")
+    val got = PageRank.weightedScoresFixedPoint(edges, "w", iters = 1)
+      .as[(String, Long)].collect().toMap
+    // c is not a node at all (its only edge has weight 0): n=2
+    // init r = 5e11; base = 3e12 div 40 = 75e9
+    // a out W=2 (floor 2.9): b <- (17*2*r) div 40; a <- (17*1*r) div 20
+    assert(got.keySet == Set("a", "b"))
+    assert(got("a") == 75000000000L + (17L * 500000000000L) / 20L)
+    assert(got("b") == 75000000000L + (17L * 2L * 500000000000L) / 40L)
+  }
 }
