@@ -1108,6 +1108,25 @@ object SparkEntry {
             col("l_quantity").as("w")),
           "w", iters = 10)
         .orderBy("node")
+    },
+    "q_degree_dist" -> { (s, d) =>
+      // degree histogram of the co-order part graph (ops/GraphStats)
+      graft.ops.GraphStats.degreeHistogram(
+          Tables.coOrderPairEdges(s, d), "src", "dst")
+        .orderBy("degree")
+    },
+    "q_assortativity" -> { (s, d) =>
+      // Newman degree assortativity as one row of integer sufficient
+      // statistics + the double coefficient derived from their casts
+      graft.ops.GraphStats.degreeAssortativity(
+          Tables.coOrderPairEdges(s, d), "src", "dst")
+    },
+    "q_modularity" -> { (s, d) =>
+      // modularity of the 4-round LPA partition over the same graph —
+      // exact integer fraction Σ(4m·e_c − d_c²) / 4m² plus the quotient
+      val edges = Tables.coOrderPairEdges(s, d)
+      graft.ops.GraphStats.modularity(edges, "src", "dst",
+        graft.ops.Communities.labelPropagation(edges, "src", "dst", rounds = 4))
     }
   )
 
@@ -2374,7 +2393,65 @@ object SparkEntry {
         |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
         |FROM scored WHERE rank <= 5
         |ORDER BY query_id, rank""".stripMargin,
-    "q_pagerank_weighted" -> pagerankFpOracle(iters = 10, weighted = true)
+    "q_pagerank_weighted" -> pagerankFpOracle(iters = 10, weighted = true),
+    "q_degree_dist" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |adj AS (SELECT x AS node FROM e UNION ALL SELECT y FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS degree
+        |        FROM adj GROUP BY node)
+        |SELECT degree, COUNT(*) AS n_nodes FROM deg
+        |GROUP BY degree ORDER BY degree""".stripMargin,
+    "q_assortativity" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |adj AS (SELECT x AS node FROM e UNION ALL SELECT y FROM e),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY node),
+        |ends AS (SELECT dx.d AS dx, dy.d AS dy
+        |         FROM e JOIN deg dx ON dx.node = e.x JOIN deg dy ON dy.node = e.y),
+        |sym AS (SELECT dx, dy FROM ends UNION ALL SELECT dy AS dx, dx AS dy FROM ends),
+        |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_ends,
+        |        CAST(SUM(dx * dy) AS BIGINT) AS s_xy,
+        |        CAST(SUM(dx) AS BIGINT) AS s_x,
+        |        CAST(SUM(dx * dx) AS BIGINT) AS s_x2
+        |      FROM sym)
+        |SELECT m_ends, s_xy, s_x, s_x2,
+        |       (CAST(m_ends AS DOUBLE) * CAST(s_xy AS DOUBLE)
+        |          - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))
+        |       / (CAST(m_ends AS DOUBLE) * CAST(s_x2 AS DOUBLE)
+        |          - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)) AS assortativity
+        |FROM s""".stripMargin,
+    "q_modularity" ->
+      s"""${lpaCtes(4)},
+         |lab AS (SELECT node, lab AS community FROM l4),
+         |wl AS (SELECT lx.community AS cx, ly.community AS cy
+         |       FROM e0 JOIN lab lx ON lx.node = e0.x
+         |              JOIN lab ly ON ly.node = e0.y),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM wl),
+         |intra AS (SELECT cx AS community, CAST(COUNT(*) AS BIGINT) AS e_c
+         |          FROM wl WHERE cx = cy GROUP BY cx),
+         |degc AS (SELECT community, CAST(COUNT(*) AS BIGINT) AS d_c
+         |         FROM (SELECT cx AS community FROM wl
+         |               UNION ALL SELECT cy FROM wl) GROUP BY community),
+         |pc AS (SELECT d.community, COALESCE(i.e_c, 0) AS e_c, d.d_c
+         |       FROM degc d LEFT JOIN intra i ON i.community = d.community),
+         |qn AS (SELECT CAST(SUM(4 * t.m_edges * pc.e_c - pc.d_c * pc.d_c)
+         |                AS BIGINT) AS q_num,
+         |              ANY_VALUE(t.m_edges) AS m_edges
+         |       FROM pc, tot t)
+         |SELECT m_edges, q_num,
+         |       CAST(4 * m_edges * m_edges AS BIGINT) AS q_den,
+         |       CAST(q_num AS DOUBLE) / CAST(4 * m_edges * m_edges AS DOUBLE)
+         |         AS modularity
+         |FROM qn""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
@@ -2506,7 +2583,10 @@ object SparkEntry {
     * ops.Communities.labelPropagation's min-struct aggregate. MATERIALIZED
     * per round for the usual CTE-inlining reason.
     */
-  private def lpaOracle(rounds: Int): String = {
+  /** The LPA CTE chain (co-order graph, `rounds` synchronous updates) as a
+    * reusable body — q_communities reads the final labels, q_modularity
+    * appends the partition-quality tail over the same l{rounds} table. */
+  private def lpaCtes(rounds: Int): String = {
     val head =
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -2526,10 +2606,12 @@ object SparkEntry {
          |               ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
          |        FROM c$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"""$head,
-       |$steps
-       |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+    s"$head,\n$steps"
   }
+
+  private def lpaOracle(rounds: Int): String =
+    s"""${lpaCtes(rounds)}
+       |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
 
   /** Unrolled radius-R multi-source BFS oracle for truncated harmonic
     * centrality over the same co-order part graph: per round, the

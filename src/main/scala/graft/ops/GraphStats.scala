@@ -1,0 +1,118 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Whole-graph summary statistics — the profiling layer of the graph
+  * family ([[Profiler]] is the tabular cousin): degree distribution,
+  * degree assortativity, and partition modularity. Every statistic is
+  * reduced to INTEGER sufficient sums first (exact in any engine, tiny
+  * outputs), with the final real-valued coefficient derived from those
+  * sums by a fixed double expression — both engines perform the identical
+  * correctly-rounded IEEE casts/ops, so even the doubles hash-match.
+  *
+  * All three share the same scale shape: one edge scan, degree tables via
+  * partial-aggregating shuffles, and a one-row (or histogram-sized) final
+  * aggregate. No windows over edges, no driver state.
+  */
+object GraphStats {
+
+  /** Deduplicated undirected edges (x < y) with nulls and self-loops
+    * dropped — the shared ingest of all three statistics. */
+  private def undirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .distinct()
+
+  /** (degree, n_nodes) histogram of the undirected graph. */
+  def degreeHistogram(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+    e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+  }
+
+  /** Newman degree assortativity: Pearson correlation of (deg(u), deg(v))
+    * over DIRECTED edge ends (each undirected edge contributes both
+    * orientations, so Σdx = Σdy and the symmetric form applies):
+    *
+    *   r = (M·Σdxdy − (Σdx)²) / (M·Σdx² − (Σdx)²)
+    *
+    * Output is ONE row: the integer sufficient statistics
+    * (m_ends, s_xy, s_x, s_x2) plus `assortativity` computed from their
+    * double casts. −1 = perfectly disassortative (stars), +1 = assortative.
+    */
+  def degreeAssortativity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK) // degree agg + two end joins
+    val deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ends = e
+      .join(deg.select(col("node").as("x"), col("d").as("dx")), "x")
+      .join(deg.select(col("node").as("y"), col("d").as("dy")), "y")
+      .select(col("dx"), col("dy"))
+    val sym = ends.union(ends.select(col("dy").as("dx"), col("dx").as("dy")))
+    sym.agg(
+        count(lit(1)).as("m_ends"),
+        sum(col("dx") * col("dy")).as("s_xy"),
+        sum(col("dx")).as("s_x"),
+        sum(col("dx") * col("dx")).as("s_x2"))
+      .withColumn("assortativity",
+        // try_divide: a REGULAR graph has zero degree variance — the
+        // coefficient is undefined and comes back NULL (DuckDB's plain
+        // division returns NULL on zero divisors, so the oracle matches)
+        expr("""try_divide(
+            cast(m_ends as double) * cast(s_xy as double)
+              - cast(s_x as double) * cast(s_x as double),
+            cast(m_ends as double) * cast(s_x2 as double)
+              - cast(s_x as double) * cast(s_x as double))"""))
+  }
+
+  /** Newman-Girvan modularity of a (node, community) partition over the
+    * undirected graph:
+    *
+    *   Q = Σ_c [ e_c/m − (d_c/2m)² ]  =  Σ_c (4m·e_c − d_c²) / 4m²
+    *
+    * computed as the exact integer fraction (q_num, q_den) — e_c = intra-
+    * community edge count, d_c = community degree sum, m = |E| — plus the
+    * double quotient. One row out. Communities absent from the label
+    * table contribute their edges as inter-community (labels joined
+    * left-ish via inner join: unlabeled nodes drop their edges — callers
+    * pass complete partitions, e.g. [[Communities.labelPropagation]]).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val lab = labels.select(col("node"), col("community"))
+    val withLabels = e
+      .join(lab.select(col("node").as("x"), col("community").as("cx")), "x")
+      .join(lab.select(col("node").as("y"), col("community").as("cy")), "y")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val totals = withLabels.agg(count(lit(1)).as("m_edges"))
+    val intra = withLabels.where(col("cx") === col("cy"))
+      .groupBy(col("cx").as("community")).agg(count(lit(1)).as("e_c"))
+    val degC = withLabels
+      .select(col("cx").as("community"))
+      .union(withLabels.select(col("cy").as("community")))
+      .groupBy("community").agg(count(lit(1)).as("d_c"))
+    degC.join(intra, Seq("community"), "left")
+      .select(col("community"), coalesce(col("e_c"), lit(0L)).as("e_c"),
+        col("d_c"))
+      .crossJoin(broadcast(totals))
+      .agg(
+        first(col("m_edges")).as("m_edges"),
+        sum(lit(4L) * col("m_edges") * col("e_c") - col("d_c") * col("d_c"))
+          .as("q_num"))
+      .withColumn("q_den",
+        lit(4L) * col("m_edges") * col("m_edges"))
+      .withColumn("modularity",
+        expr("try_divide(cast(q_num as double), cast(q_den as double))"))
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.ops.GraphStats
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraphStatsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("degree histogram on triangle plus pendant") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("a", "b"))
+      .toDF("src", "dst") // duplicate edge deduplicates
+    val got = GraphStats.degreeHistogram(edges, "src", "dst")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("star graph is perfectly disassortative (r = -1)") {
+    val star = Seq(("a", "b"), ("a", "c"), ("a", "d")).toDF("src", "dst")
+    val got = GraphStats.degreeAssortativity(star, "src", "dst")
+      .as[(Long, Long, Long, Long, Double)].collect().head
+    assert(got == ((6L, 18L, 12L, 30L, -1.0)))
+  }
+
+  test("regular graph assortativity is degenerate (zero variance -> null)") {
+    val cycle = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val got = GraphStats.degreeAssortativity(cycle, "src", "dst")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(got._1 == 6L && got._5.isEmpty) // all degrees equal: zero variance
+  }
+
+  test("modularity of two triangles with a bridge is 5/14") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d"), ("c", "d")).toDF("src", "dst")
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("d", "D"), ("e", "D"), ("f", "D")).toDF("node", "community")
+    val got = GraphStats.modularity(edges, "src", "dst", labels)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((7L, 70L, 196L, 70.0 / 196.0)))
+  }
+
+  test("everything in one community scores (4m*m - (2m)^2) / 4m^2 = 0") {
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val labels = Seq(("a", "X"), ("b", "X"), ("c", "X")).toDF("node", "community")
+    val got = GraphStats.modularity(edges, "src", "dst", labels)
+      .as[(Long, Long, Long, Double)].collect().head
+    assert(got == ((2L, 0L, 16L, 0.0)))
+  }
+}
