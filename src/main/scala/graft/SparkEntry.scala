@@ -1127,6 +1127,18 @@ object SparkEntry {
       val edges = Tables.coOrderPairEdges(s, d)
       graft.ops.GraphStats.modularity(edges, "src", "dst",
         graft.ops.Communities.labelPropagation(edges, "src", "dst", rounds = 4))
+    },
+    "q_temporal_reach" -> { (s, d) =>
+      // time-respecting earliest arrival over temporal user edges from a
+      // 10% md5-sampled source set, 4 fixed relaxation rounds
+      // (ops/TemporalReach) — static reachability overcounts diffusion
+      val te = Tables.userTemporalEdges(s, d)
+      val nodes = te.select(col("src").as("node"))
+        .union(te.select(col("dst").as("node"))).distinct()
+      graft.ops.TemporalReach.earliestArrival(te, "src", "dst", "t",
+          graft.ops.Sampling.hashSample(nodes, "node", 100, "treach"),
+          rounds = 4)
+        .orderBy("s", "node")
     }
   )
 
@@ -2451,7 +2463,38 @@ object SparkEntry {
          |       CAST(4 * m_edges * m_edges AS BIGINT) AS q_den,
          |       CAST(q_num AS DOUBLE) / CAST(4 * m_edges * m_edges AS DOUBLE)
          |         AS modularity
-         |FROM qn""".stripMargin
+         |FROM qn""".stripMargin,
+    "q_temporal_reach" -> {
+      val head =
+        """WITH ev AS (SELECT user_id, event_id,
+          |         lead(user_id) OVER (PARTITION BY event_type
+          |           ORDER BY ts, event_id) AS nxt,
+          |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+          |           ORDER BY ts, event_id) AS nxt_us
+          |       FROM events WHERE event_type = 'click' AND value < 2.0),
+          |te AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS a,
+          |         CAST(nxt AS VARCHAR) AS b, CAST(nxt_us AS BIGINT) AS t
+          |       FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+          |nodes AS (SELECT DISTINCT a AS node FROM te
+          |          UNION SELECT DISTINCT b FROM te),
+          |src AS (SELECT node FROM nodes
+          |        WHERE ('0x' || substr(md5('treach' || node), 1, 15))::BIGINT
+          |              % 1000 < 100),
+          |r0 AS MATERIALIZED (SELECT node AS s, node AS v,
+          |         CAST(-1 AS BIGINT) AS arr FROM src)""".stripMargin
+      val steps = (1 to 4).map { i =>
+        s"""r$i AS MATERIALIZED (SELECT s, v, MIN(arr) AS arr FROM (
+           |       SELECT s, v, arr FROM r${i - 1}
+           |       UNION ALL
+           |       SELECT p.s, te.b AS v, te.t AS arr
+           |       FROM r${i - 1} p JOIN te ON p.v = te.a AND te.t > p.arr
+           |     ) GROUP BY s, v)""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT s, v AS node, CAST(arr AS BIGINT) AS earliest_us FROM r4
+         |WHERE s <> v ORDER BY s, node""".stripMargin
+    }
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -117,6 +117,25 @@ object Tables {
       .distinct()
   }
 
+  /** Temporal variant of [[userSequenceEdges]]: the same consecutive-event
+    * user links, each carrying the LATER event's time — the (src, dst, t)
+    * input of time-respecting reachability. Mirrored verbatim in the
+    * q_temporal_reach oracle.
+    */
+  def userTemporalEdges(s: SparkSession, d: String,
+      eventType: String = "click", maxValue: Double = 2.0): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts_us"), col("event_id"))
+    events(s, d)
+      .where(col("event_type") === eventType && col("value") < maxValue)
+      .withColumn("nxt", lead(col("user_id"), 1).over(w))
+      .withColumn("nxt_ts", lead(col("ts_us"), 1).over(w))
+      .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+      .select(col("user_id").cast("string").as("src"),
+        col("nxt").cast("string").as("dst"), col("nxt_ts").as("t"))
+      .distinct()
+  }
+
   /** Co-order part pair edges (src < dst, duplicates kept) from
     * low-quantity lineitems of orders with <= `maxItems` items — the
     * shared input of q_triangles / q_kcore / q_link_pred. One groupBy +
