@@ -1139,6 +1139,26 @@ object SparkEntry {
           graft.ops.Sampling.hashSample(nodes, "node", 100, "treach"),
           rounds = 4)
         .orderBy("s", "node")
+    },
+    "q_mixture" -> { (s, d) =>
+      // training-mixture sampling (ops/Mixture): 50/30/20 target shares
+      // over three sources, 30-row budget — per-source per-mille rates
+      // from quota arithmetic, identity-hash acceptance, others dropped
+      graft.ops.Mixture.mixSample(Tables.documents(s, d), "doc_id", "source",
+          Seq("src0" -> 500, "src1" -> 300, "src2" -> 200),
+          totalTarget = 30L, salt = "mix")
+        .select(col("doc_id"), col("source"), col("rate_permille"))
+        .orderBy("doc_id")
+    },
+    "q_pivot" -> { (s, d) =>
+      // relational pivot: events per day x event type as a wide table
+      // (explicit value list keeps the schema static and oracle-mirrorable)
+      Tables.events(s, d)
+        .withColumn("day", expr("ts_us div 86400000000"))
+        .groupBy("day")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count().na.fill(0L)
+        .orderBy("day")
     }
   )
 
@@ -2494,7 +2514,28 @@ object SparkEntry {
          |$steps
          |SELECT s, v AS node, CAST(arr AS BIGINT) AS earliest_us FROM r4
          |WHERE s <> v ORDER BY s, node""".stripMargin
-    }
+    },
+    "q_mixture" ->
+      """WITH sh AS (SELECT * FROM (VALUES ('src0', 500), ('src1', 300),
+        |              ('src2', 200)) AS t(source, share)),
+        |cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |rates AS (SELECT cnt.source,
+        |            LEAST(1000, (((30 * share) // 1000) * 1000) // n)
+        |              AS rate_permille
+        |          FROM cnt JOIN sh USING (source))
+        |SELECT d.doc_id, d.source, CAST(rate_permille AS BIGINT) AS rate_permille
+        |FROM documents d JOIN rates USING (source)
+        |WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 < rate_permille
+        |ORDER BY doc_id""".stripMargin,
+    "q_pivot" ->
+      """SELECT epoch_us(ts) // 86400000000 AS day,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
