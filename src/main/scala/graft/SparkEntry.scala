@@ -1159,6 +1159,22 @@ object SparkEntry {
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
         .count().na.fill(0L)
         .orderBy("day")
+    },
+    "q_attribution" -> { (s, d) =>
+      // last-touch conversion attribution over a 7-day lookback
+      // (ops/Attribution) — the temporal pick runs through the custom
+      // as-of physical plan (strict backward + tolerance), not a pair join
+      graft.ops.Attribution.lastTouch(Tables.events(s, d), "user_id",
+          "ts_us", "event_type", "purchase", "value",
+          lookbackUs = 7L * 86400000000L)
+        .orderBy("touch_type")
+    },
+    "q_collocations" -> { (s, d) =>
+      // document-level token collocation lift (ops/Collocations):
+      // integer sufficient stats + double lift, df-capped pairing
+      graft.ops.Collocations.collocations(Tables.documents(s, d),
+          "doc_id", "text", maxDf = 400L, minPairCount = 20L)
+        .orderBy("x", "y")
     }
   )
 
@@ -2535,7 +2551,44 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
         |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
         |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
-        |FROM events GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type, value
+        |           FROM events),
+        |conv AS (SELECT event_id, user_id, us,
+        |           CAST(FLOOR(value * CAST(100.0 AS DOUBLE)) AS BIGINT) AS cents
+        |         FROM e WHERE event_type = 'purchase'),
+        |t0 AS (SELECT user_id, us, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id, us ORDER BY event_id) AS rn
+        |       FROM e WHERE event_type <> 'purchase'),
+        |tch AS (SELECT user_id, us, event_type AS touch_type FROM t0 WHERE rn = 1),
+        |pick AS (SELECT c.event_id, c.user_id, c.cents, MAX(t.us) AS touch_us
+        |         FROM conv c LEFT JOIN tch t ON t.user_id = c.user_id
+        |              AND t.us < c.us AND c.us - t.us <= 604800000000
+        |         GROUP BY 1, 2, 3),
+        |att AS (SELECT COALESCE(t.touch_type, '(none)') AS touch_type, p.cents
+        |        FROM pick p LEFT JOIN tch t ON t.user_id = p.user_id
+        |             AND t.us = p.touch_us)
+        |SELECT touch_type, COUNT(*) AS n_conversions,
+        |       CAST(SUM(cents) AS BIGINT) AS cents_total
+        |FROM att GROUP BY 1 ORDER BY touch_type""".stripMargin,
+    "q_collocations" ->
+      """WITH toks AS (SELECT DISTINCT doc_id, UNNEST(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |dfq AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+        |kept AS (SELECT t.doc_id, t.tok FROM toks t JOIN dfq USING (tok)
+        |         WHERE dfq.n <= 400),
+        |p AS (SELECT a.tok AS x, b.tok AS y, COUNT(*) AS n_xy
+        |      FROM kept a JOIN kept b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 20),
+        |nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM documents)
+        |SELECT x, y, CAST(n_xy AS BIGINT) AS n_xy,
+        |       CAST(dx.n AS BIGINT) AS n_x, CAST(dy.n AS BIGINT) AS n_y,
+        |       CAST(nd.n AS BIGINT) AS n_docs,
+        |       (CAST(n_xy AS DOUBLE) * CAST(nd.n AS DOUBLE))
+        |         / (CAST(dx.n AS DOUBLE) * CAST(dy.n AS DOUBLE)) AS lift
+        |FROM p JOIN dfq dx ON dx.tok = p.x JOIN dfq dy ON dy.tok = p.y, nd
+        |ORDER BY x, y""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
