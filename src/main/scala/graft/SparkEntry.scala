@@ -1175,6 +1175,20 @@ object SparkEntry {
       graft.ops.Collocations.collocations(Tables.documents(s, d),
           "doc_id", "text", maxDf = 400L, minPairCount = 20L)
         .orderBy("x", "y")
+    },
+    "q_rank_normalize" -> { (s, d) =>
+      // rank-based feature scaling (Normalize.rankPermille): per-flag
+      // integer per-mille percent rank of the price — distribution-free,
+      // tie-deterministic (rank() merges equal values)
+      graft.ops.Normalize.rankPermille(
+          Tables.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+            col("l_returnflag"), col("l_extendedprice")),
+          "l_extendedprice", Seq("l_returnflag"))
+        // (orderkey, linenumber) is NOT unique in the synthetic lineitem
+        // (~12k duplicate pairs at sf0.01) — sort by the value columns too
+        // so the dump order is total wherever rows differ
+        .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
+          "l_extendedprice")
     }
   )
 
@@ -2588,7 +2602,17 @@ object SparkEntry {
         |       (CAST(n_xy AS DOUBLE) * CAST(nd.n AS DOUBLE))
         |         / (CAST(dx.n AS DOUBLE) * CAST(dy.n AS DOUBLE)) AS lift
         |FROM p JOIN dfq dx ON dx.tok = p.x JOIN dfq dy ON dy.tok = p.y, nd
-        |ORDER BY x, y""".stripMargin
+        |ORDER BY x, y""".stripMargin,
+    "q_rank_normalize" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |             rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rk,
+        |             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |       CAST(((rk - 1) * 1000) // GREATEST(n - 1, 1) AS BIGINT)
+        |         AS rank_permille
+        |FROM r ORDER BY l_orderkey, l_linenumber, l_returnflag,
+        |  l_extendedprice""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -204,3 +204,37 @@ object Sampling {
         col("col.cosine").cast("long").as("priority")): _*)
   }
 }
+
+/** Rank-based feature normalization — the distribution-free scaling step
+  * of an ML feature pipeline (robust to outliers where min-max scaling
+  * is not): each row's value is mapped to its per-group percent rank as
+  * an integer per-mille,
+  *
+  *   rank_permille = ((rank − 1) · 1000) div max(n − 1, 1)
+  *
+  * with `rank()` semantics on ties (equal values share the rank), so the
+  * result is deterministic whatever the physical row order — no tie
+  * column needed, and the driver query gets a hash-exact DuckDB oracle.
+  * A single-row group scales to 0.
+  *
+  * Plan shape: ONE group-keyed sort window (rank and the group count
+  * share its partitioning). At 100 TB the per-group sort is the cost —
+  * rank normalization is inherently a per-group order statistic; for
+  * sort-free approximate scaling use [[Quantiles.histogramQuantiles]]
+  * bucket ranks instead.
+  */
+object Normalize {
+  import org.apache.spark.sql.expressions.Window
+
+  def rankPermille(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      outCol: String = "rank_permille"): DataFrame = {
+    require(groupCols.nonEmpty, "rankPermille needs at least one group column")
+    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
+    val cw = Window.partitionBy(groupCols.map(col): _*)
+    df.withColumn("__rk", rank().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .withColumn(outCol,
+        expr("((__rk - 1) * 1000) div greatest(__n - 1, 1)"))
+      .drop("__rk", "__n")
+  }
+}

@@ -153,4 +153,27 @@ class QuantilesSpec extends AnyFunSuite {
     val all = Sampling.capPerStratum(df, Seq("g"), "id", cap = 1000)
     assert(all.count() == 3000)
   }
+
+  test("rankPermille: hand-computed per-group percent ranks with ties") {
+    val df = Seq(
+      ("g1", 1L, 10.0), ("g1", 2L, 20.0), ("g1", 3L, 20.0),
+      ("g1", 4L, 30.0), ("g1", 5L, 40.0),
+      ("g2", 6L, 7.0)) // single-row group scales to 0
+      .toDF("g", "id", "v")
+    val got = graft.ops.Normalize.rankPermille(df, "v", Seq("g"))
+      .select("id", "rank_permille").as[(Long, Long)].collect().toMap
+    // g1 n=5: ranks 1,2,2,4,5 -> (r-1)*1000 div 4 = 0, 250, 250, 750, 1000
+    assert(got == Map(1L -> 0L, 2L -> 250L, 3L -> 250L, 4L -> 750L,
+      5L -> 1000L, 6L -> 0L))
+  }
+
+  test("rankPermille is row-order independent (tie determinism)") {
+    val df = Seq(("g", 1L, 5.0), ("g", 2L, 5.0), ("g", 3L, 1.0))
+      .toDF("g", "id", "v")
+    val a = graft.ops.Normalize.rankPermille(df, "v", Seq("g"))
+      .select("id", "rank_permille").as[(Long, Long)].collect().toSet
+    val b = graft.ops.Normalize.rankPermille(df.repartition(7), "v", Seq("g"))
+      .select("id", "rank_permille").as[(Long, Long)].collect().toSet
+    assert(a == b && a == Set((1L, 500L), (2L, 500L), (3L, 0L)))
+  }
 }
