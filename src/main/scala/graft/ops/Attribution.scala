@@ -30,7 +30,12 @@ object Attribution {
     val conv = events.where(col(typeCol) === conversionType)
       .select(col(userCol), col(tsCol),
         floor(col(valueCol) * lit(100.0)).cast("long").as("__cents"))
+    // repartition by the join key BEFORE the (user, ts) groupBy: hash(user)
+    // satisfies both the aggregation's ClusteredDistribution and the as-of
+    // join's requirement, so this side carries ONE exchange instead of
+    // agg-shuffle + re-shuffle (the q_asof plan trick)
     val touches = events.where(col(typeCol) =!= conversionType)
+      .repartition(col(userCol))
       .groupBy(col(userCol), col(tsCol))
       .agg(min(struct(col(tieCol), col(typeCol).as("t"))).as("__m"))
       .select(col(userCol), col(tsCol), col("__m.t").as("touch_type"))
