@@ -1189,6 +1189,14 @@ object SparkEntry {
         // so the dump order is total wherever rows differ
         .orderBy("l_orderkey", "l_linenumber", "l_returnflag",
           "l_extendedprice")
+    },
+    "q_matching" -> { (s, d) =>
+      // distributed greedy maximal matching on the co-order part graph
+      // (ops/Matching): md5 edge priorities, 6 local-minimum rounds —
+      // the "merge each near-dup pair once" symmetry breaker
+      graft.ops.Matching.greedyMatching(Tables.coOrderPairEdges(s, d),
+          "src", "dst", rounds = 6, salt = "match")
+        .orderBy("x", "y")
     }
   )
 
@@ -2612,7 +2620,38 @@ object SparkEntry {
         |       CAST(((rk - 1) * 1000) // GREATEST(n - 1, 1) AS BIGINT)
         |         AS rank_permille
         |FROM r ORDER BY l_orderkey, l_linenumber, l_returnflag,
-        |  l_extendedprice""".stripMargin
+        |  l_extendedprice""".stripMargin,
+    "q_matching" -> {
+      val head =
+        """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+          |               FROM lineitem WHERE l_quantity <= 15),
+          |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+          |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+          |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+          |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+          |e0 AS MATERIALIZED (SELECT x, y,
+          |        ('0x' || substr(md5('match' || x || '|' || y), 1, 15))::BIGINT AS p
+          |      FROM e)""".stripMargin
+      val steps = (1 to 6).map { i =>
+        s"""adj$i AS (SELECT x AS v, x, y, p FROM e${i - 1}
+           |        UNION ALL SELECT y AS v, x, y, p FROM e${i - 1}),
+           |lm$i AS (SELECT x, y FROM (
+           |        SELECT v, x, y, row_number() OVER (PARTITION BY v
+           |          ORDER BY p, x, y) AS rn FROM adj$i) WHERE rn = 1),
+           |m$i AS MATERIALIZED (SELECT x, y, $i AS round FROM lm$i
+           |       GROUP BY x, y HAVING COUNT(*) = 2),
+           |mv$i AS (SELECT x AS v FROM m$i UNION SELECT y FROM m$i),
+           |e$i AS MATERIALIZED (SELECT t.x, t.y, t.p FROM e${i - 1} t
+           |       LEFT JOIN mv$i a ON a.v = t.x
+           |       LEFT JOIN mv$i b ON b.v = t.y
+           |       WHERE a.v IS NULL AND b.v IS NULL)""".stripMargin
+      }.mkString(",\n")
+      val un = (1 to 6).map(i => s"SELECT * FROM m$i").mkString(" UNION ALL ")
+      s"""$head,
+         |$steps
+         |SELECT x, y, CAST(round AS BIGINT) AS round FROM ($un)
+         |ORDER BY x, y""".stripMargin
+    }
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
