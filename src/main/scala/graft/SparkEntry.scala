@@ -1197,6 +1197,14 @@ object SparkEntry {
       graft.ops.Matching.greedyMatching(Tables.coOrderPairEdges(s, d),
           "src", "dst", rounds = 6, salt = "match")
         .orderBy("x", "y")
+    },
+    "q_event_ngrams" -> { (s, d) =>
+      // length-3 event-type sequence counts per user stream
+      // (Transitions.eventNgrams) — sequential pattern mining input,
+      // one entity-keyed window for all leads, |types|^3 count table
+      graft.ops.Transitions.eventNgrams(Tables.events(s, d), "user_id",
+          "ts_us", "event_type", "event_id", n = 3)
+        .orderBy("ngram")
     }
   )
 
@@ -2651,7 +2659,18 @@ object SparkEntry {
          |$steps
          |SELECT x, y, CAST(round AS BIGINT) AS round FROM ($un)
          |ORDER BY x, y""".stripMargin
-    }
+    },
+    "q_event_ngrams" ->
+      """WITH e AS (SELECT user_id, event_type,
+        |             lead(event_type, 1) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS t1,
+        |             lead(event_type, 2) OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts), event_id) AS t2
+        |           FROM events)
+        |SELECT event_type || '>' || t1 || '>' || t2 AS ngram,
+        |       COUNT(*) AS n_occurrences
+        |FROM e WHERE t1 IS NOT NULL AND t2 IS NOT NULL
+        |GROUP BY 1 ORDER BY ngram""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -41,4 +41,27 @@ object Transitions {
       .withColumn("from_total", sum(col("n")).over(perSource))
       .withColumn("permille", expr("(n * 1000) div from_total"))
   }
+
+  /** Event n-gram counts — [[eventTransitions]] generalized to length-`n`
+    * consecutive type sequences ("view>view>click"), the input of
+    * sequential pattern mining and next-k-step models. All `n−1` leads
+    * share ONE entity-keyed sort window (Spark evaluates them in a single
+    * Window operator), windows that would cross the end of an entity's
+    * stream are dropped, and the count table is at most |types|^n rows —
+    * partial-aggregated map-side like the transition matrix.
+    */
+  def eventNgrams(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, tieCol: String, n: Int = 3): DataFrame = {
+    require(n >= 2 && n <= 8, s"n must be in [2, 8], got $n")
+    val seq = Window.partitionBy(col(entityCol))
+      .orderBy(col(tsCol), col(tieCol))
+    var df = events.select(col(entityCol), col(tsCol), col(tieCol),
+      col(typeCol).as("__t0"))
+    for (i <- 1 until n)
+      df = df.withColumn(s"__t$i", lead(col("__t0"), i).over(seq))
+    val steps = (0 until n).map(i => col(s"__t$i"))
+    df.where(steps.map(_.isNotNull).reduce(_ && _))
+      .select(concat_ws(">", steps: _*).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
+  }
 }

@@ -39,4 +39,23 @@ class TransitionsSpec extends AnyFunSuite {
     assert(Transitions.eventTransitions(events, "user_id", "ts_us",
       "event_type", "event_id").count() == 0L)
   }
+
+  test("event 3-grams slide over each entity stream") {
+    val events = Seq(
+      ("A", 0L, 1L, "v"), ("A", 1L, 2L, "v"), ("A", 2L, 3L, "c"),
+      ("A", 3L, 4L, "p"),
+      ("B", 0L, 5L, "v"), ("B", 1L, 6L, "v"), ("B", 2L, 7L, "c"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    val got = Transitions.eventNgrams(events, "user_id", "ts_us",
+        "event_type", "event_id", n = 3)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("v>v>c" -> 2L, "v>c>p" -> 1L))
+  }
+
+  test("streams shorter than n yield no n-gram") {
+    val events = Seq(("C", 0L, 1L, "a"), ("C", 1L, 2L, "b"))
+      .toDF("user_id", "ts_us", "event_id", "event_type")
+    assert(Transitions.eventNgrams(events, "user_id", "ts_us",
+      "event_type", "event_id", n = 3).count() == 0L)
+  }
 }
