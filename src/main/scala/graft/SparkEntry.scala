@@ -1205,6 +1205,17 @@ object SparkEntry {
       graft.ops.Transitions.eventNgrams(Tables.events(s, d), "user_id",
           "ts_us", "event_type", "event_id", n = 3)
         .orderBy("ngram")
+    },
+    "q_multimodal_dedup" -> { (s, d) =>
+      // thumbnail-level exact asset dedup (Multimodal.dedupAssets):
+      // payloads packed from the 40-char text prefix stand in for sampled
+      // first-frame thumbnails — identical bytes collapse to the smallest
+      // asset id, digest-keyed shuffle carries no payloads
+      val thumbs = Multimodal.packAssets(
+        Tables.documents(s, d).select(col("doc_id"),
+          substring(col("text"), 1, 40).as("text")),
+        "doc_id", "text")
+      Multimodal.dedupAssets(thumbs).orderBy("digest")
     }
   )
 
@@ -2670,7 +2681,11 @@ object SparkEntry {
         |SELECT event_type || '>' || t1 || '>' || t2 AS ngram,
         |       COUNT(*) AS n_occurrences
         |FROM e WHERE t1 IS NOT NULL AND t2 IS NOT NULL
-        |GROUP BY 1 ORDER BY ngram""".stripMargin
+        |GROUP BY 1 ORDER BY ngram""".stripMargin,
+    "q_multimodal_dedup" ->
+      """SELECT md5(substr(text, 1, 40)) AS digest, COUNT(*) AS n_copies,
+        |       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -151,4 +151,19 @@ object Multimodal {
         struct(col("__nw").as("width"), col("__nh").as("height"),
           col("meta.format").as("format")).as("meta"))
   }
+
+  /** Exact asset dedup: group by the md5 digest of the raw payload bytes,
+    * keep the smallest asset id per group ([[Dedup]]'s keeper convention —
+    * for identical bytes every copy is equally good, so the tie-break IS
+    * the policy), report the copy count. The multimodal twin of
+    * `Dedup.exact`: one digest-keyed aggregation, partial map-side, the
+    * shuffle carries digests + ids, never payload bytes.
+    *
+    * Output: (digest hex, n_copies, keeper_id).
+    */
+  def dedupAssets(assets: DataFrame, idCol: String = "asset_id"): DataFrame =
+    assets
+      .select(md5(col("payload")).as("digest"), col(idCol))
+      .groupBy(col("digest"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keeper_id"))
 }
