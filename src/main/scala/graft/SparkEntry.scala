@@ -1216,6 +1216,19 @@ object SparkEntry {
           substring(col("text"), 1, 40).as("text")),
         "doc_id", "text")
       Multimodal.dedupAssets(thumbs).orderBy("digest")
+    },
+    "q_snapshot_diff" -> { (s, d) =>
+      // snapshot diff (ops/Diff): per-part shipped totals as of two
+      // cutoffs — one full-outer key join classifies added/changed keys
+      // (the change-data audit primitive; integer value columns)
+      def snap(cut: String) = Tables.lineitem(s, d)
+        .where(col("l_shipdate") < to_timestamp(lit(cut)))
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+      graft.ops.Diff.diffSnapshots(snap("1998-01-01"), snap("1999-01-01"),
+          Seq("l_partkey"), Seq("n_items", "sum_qty"))
+        .orderBy("l_partkey")
     }
   )
 
@@ -2685,7 +2698,27 @@ object SparkEntry {
     "q_multimodal_dedup" ->
       """SELECT md5(substr(text, 1, 40)) AS digest, COUNT(*) AS n_copies,
         |       CAST(MIN(doc_id) AS BIGINT) AS keeper_id
-        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
+        |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin,
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT l_partkey, COUNT(*) AS n_items,
+        |             CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |           FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |           GROUP BY 1),
+        |n AS (SELECT l_partkey, COUNT(*) AS n_items,
+        |        CAST(SUM(CAST(FLOOR(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |      FROM lineitem WHERE l_shipdate < TIMESTAMP '1999-01-01'
+        |      GROUP BY 1),
+        |j AS (SELECT COALESCE(o.l_partkey, n.l_partkey) AS l_partkey,
+        |        o.n_items AS old_n_items, n.n_items AS new_n_items,
+        |        o.sum_qty AS old_sum_qty, n.sum_qty AS new_sum_qty,
+        |        CASE WHEN o.l_partkey IS NULL THEN 'added'
+        |             WHEN n.l_partkey IS NULL THEN 'removed'
+        |             WHEN o.n_items <> n.n_items OR o.sum_qty <> n.sum_qty
+        |               THEN 'changed' END AS change
+        |      FROM o FULL OUTER JOIN n ON o.l_partkey = n.l_partkey)
+        |SELECT change, l_partkey, old_n_items, new_n_items,
+        |       old_sum_qty, new_sum_qty
+        |FROM j WHERE change IS NOT NULL ORDER BY l_partkey""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
