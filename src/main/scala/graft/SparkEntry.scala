@@ -1229,6 +1229,137 @@ object SparkEntry {
       graft.ops.Diff.diffSnapshots(snap("1998-01-01"), snap("1999-01-01"),
           Seq("l_partkey"), Seq("n_items", "sum_qty"))
         .orderBy("l_partkey")
+    },
+    "q_cube" -> { (s, d) =>
+      // full grouping-sets lattice (cube, completing q_rollup's subtotal
+      // chain): all four grouping combos with the grouping_id bitmask
+      // exposed — one pass, Spark expands to a partial-aggregated Expand,
+      // no per-combo rescan
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"), grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("gid"), col("sum_qty"), col("n"))
+        .orderBy("flag", "status", "gid")
+    },
+    "q_unpivot" -> { (s, d) =>
+      // wide→long reshape (Dataset.unpivot — the melt dual of q_pivot):
+      // per-flag integer measure sums (cents / basis points, exact in
+      // double before floor) melted to (flag, measure, value) rows
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("flag"))
+        .agg(
+          sum(floor(col("l_quantity") * lit(100.0)).cast("long")).as("qty_c"),
+          sum(floor(col("l_extendedprice") * lit(100.0)).cast("long")).as("price_c"),
+          sum(floor(col("l_discount") * lit(10000.0)).cast("long")).as("disc_bp"),
+          sum(floor(col("l_tax") * lit(10000.0)).cast("long")).as("tax_bp"))
+        .unpivot(Array(col("flag")),
+          Array(col("qty_c"), col("price_c"), col("disc_bp"), col("tax_bp")),
+          "measure", "value")
+        .orderBy("flag", "measure")
+    },
+    "q_tpch_q3" -> { (s, d) =>
+      // TPC-H Q3 (shipping priority): the classic fact⋈fact⋈dim star with
+      // filters PUSHED INTO ALL THREE SCANS before the joins. No forced
+      // broadcast: customer is a fact-sized table at 100 TB, so the plan
+      // must stay a shuffle join there and let AQE downgrade to broadcast
+      // when the filtered side is actually small (it is at bench SF).
+      // Revenue: integer-cents sum (order-insensitive), one final divide.
+      val cut = to_timestamp(lit("1998-03-15"))
+      val cust = Tables.customer(s, d)
+        .where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+      val ord = Tables.orders(s, d).where(col("o_orderdate") < cut)
+        .select(col("o_orderkey"), col("o_custkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp))").as("o_orderdate_us"),
+          col("o_orderpriority"))
+      Tables.lineitem(s, d).where(col("l_shipdate") > cut)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate_us"), col("o_orderpriority"))
+        .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0))).cast("double") / lit(100.0)).as("revenue"))
+        // (revenue, l_orderkey) is a total order → the top-10 cut is
+        // deterministic; Spark runs it as a TakeOrdered, no global sort
+        .orderBy(col("revenue").desc, col("l_orderkey")).limit(10)
+    },
+    "q_tpch_q5" -> { (s, d) =>
+      // TPC-H Q5 (local-supplier revenue): five-way join where the
+      // customer⋈supplier nation-equality rides the existing l_suppkey
+      // join (no extra shuffle), and nation⋈region — genuinely tiny at
+      // ANY scale — is the one explicitly broadcast dim
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .select(col("n_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nr), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg((sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0))).cast("double") / lit(100.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    "q_random_walks" -> { (s, d) =>
+      // node2vec-style walk sampling (ops/RandomWalks): 4-step
+      // hash-guided walks from the 40 lexicographically-smallest users of
+      // the journey graph — deterministic "coin" via the md5 identity-hash
+      // contract, one frontier⋈edges join + map-side argmin per step
+      val e = Tables.userSequenceEdges(s, d)
+      val seeds = e.select("src").distinct().orderBy("src").limit(40)
+      graft.ops.RandomWalks.walks(e, "src", "dst", seeds, "src", steps = 4)
+        .orderBy("walk_id", "step")
+    },
+    "q_mst" -> { (s, d) =>
+      // distributed Borůvka minimum spanning forest (ops/SpanningForest)
+      // on the nation graph with md5-derived DISTINCT integer weights —
+      // distinctness makes the MSF unique, so the DuckDB oracle can run
+      // Prim (a different greedy) and provably land on the same edge set
+      val e = Tables.nationGraphEdges(s, d)
+        .select(least(col("src"), col("dst")).as("x"),
+          greatest(col("src"), col("dst")).as("y"))
+        .distinct()
+        .withColumn("w", graft.functions.functions.hex_to_long(
+          substring(md5(concat(lit("mst"), col("x"), lit("|"), col("y"))), 1, 12)))
+      graft.ops.SpanningForest.minimumSpanningForest(e, "x", "y", "w")
+        .select("x", "y", "w").orderBy("x", "y")
+    },
+    "q_eccentricity" -> { (s, d) =>
+      // per-node eccentricity (max finite shortest-path distance) on the
+      // weighted nation graph — same ×1000-truncating APSP engine as
+      // q_shortest_path, folded with one max; unreachable pairs stay out.
+      // allPairs emits each undirected pair once (from < to), so the max
+      // folds over BOTH endpoints; distances are symmetric
+      val ap = ShortestPaths
+        .allPairs(Tables.nationGraphEdges(s, d), directed = false)
+      ap.select(col("from").as("node"), col("distance"))
+        .union(ap.select(col("to").as("node"), col("distance")))
+        .groupBy("node")
+        .agg(max(col("distance")).as("ecc"))
+        .orderBy("node")
+    },
+    "q_ktruss" -> { (s, d) =>
+      // 4-truss of the co-order part graph (ops/Truss): iterative
+      // triangle-support peeling on the degree-oriented wedge plan —
+      // 6 rounds is past the fixpoint at this SF (oracle unrolls the same
+      // 6; the monotone peel makes early-stable == full-unroll)
+      graft.ops.Truss.kTruss(Tables.coOrderPairEdges(s, d), "src", "dst",
+          k = 4, maxRounds = 6)
+        .orderBy("x", "y")
     }
   )
 
@@ -2718,7 +2849,141 @@ object SparkEntry {
         |      FROM o FULL OUTER JOIN n ON o.l_partkey = n.l_partkey)
         |SELECT change, l_partkey, old_n_items, new_n_items,
         |       old_sum_qty, new_sum_qty
-        |FROM j WHERE change IS NOT NULL ORDER BY l_partkey""".stripMargin
+        |FROM j WHERE change IS NOT NULL ORDER BY l_partkey""".stripMargin,
+    "q_cube" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |       COALESCE(l_linestatus, 'ALL') AS status,
+        |       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+        |       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |       COUNT(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY flag, status, gid""".stripMargin,
+    "q_unpivot" ->
+      """WITH a AS (SELECT l_returnflag AS flag,
+        |  CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) AS BIGINT) AS qty_c,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) AS BIGINT) AS price_c,
+        |  CAST(SUM(CAST(FLOOR(l_discount * 10000.0) AS BIGINT)) AS BIGINT) AS disc_bp,
+        |  CAST(SUM(CAST(FLOOR(l_tax * 10000.0) AS BIGINT)) AS BIGINT) AS tax_bp
+        |  FROM lineitem GROUP BY 1)
+        |SELECT flag, measure, value FROM (
+        |  SELECT flag, 'qty_c' AS measure, qty_c AS value FROM a
+        |  UNION ALL SELECT flag, 'price_c', price_c FROM a
+        |  UNION ALL SELECT flag, 'disc_bp', disc_bp FROM a
+        |  UNION ALL SELECT flag, 'tax_bp', tax_bp FROM a)
+        |ORDER BY flag, measure""".stripMargin,
+    "q_tpch_q3" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us,
+        |       o_orderpriority,
+        |       CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |       CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1997-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_random_walks" -> {
+      // unrolled per-step argmin mirror of RandomWalks.walks: same md5
+      // coin, same (score, dst) tie order, seeds = 40 smallest src strings
+      val head =
+        """WITH ev AS (SELECT user_id, ts, event_id,
+          |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+          |       FROM events WHERE event_type = 'click' AND value < 2.0),
+          |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+          |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+          |seeds AS (SELECT src AS walk_id FROM (SELECT DISTINCT src FROM e)
+          |          ORDER BY src LIMIT 40),
+          |s0 AS (SELECT walk_id, walk_id AS node FROM seeds)""".stripMargin
+      val steps = (1 to 4).map { t =>
+        s"""s$t AS (SELECT walk_id, dst AS node FROM (
+           |  SELECT w.walk_id, e.dst,
+           |    row_number() OVER (PARTITION BY w.walk_id ORDER BY
+           |      ('0x' || substr(md5('walk' || w.walk_id || '|$t|' || e.dst), 1, 15))::BIGINT, e.dst) AS rn
+           |  FROM s${t - 1} w JOIN e ON w.node = e.src) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      val un = (0 to 4)
+        .map(t => s"SELECT walk_id, CAST($t AS BIGINT) AS step, node FROM s$t")
+        .mkString(" UNION ALL ")
+      s"""$head,
+         |$steps
+         |SELECT * FROM ($un) ORDER BY walk_id, step""".stripMargin
+    },
+    "q_mst" ->
+      // Prim with a single-row recursive state (visited list + chosen
+      // edges); == Borůvka's MSF because the md5 weights are distinct
+      """WITH RECURSIVE
+        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |und AS (SELECT LEAST(src, dst) AS x, GREATEST(src, dst) AS y
+        |        FROM (SELECT * FROM chain UNION ALL SELECT * FROM skip)),
+        |e AS MATERIALIZED (SELECT x, y,
+        |      ('0x' || substr(md5('mst' || x || '|' || y), 1, 12))::BIGINT AS w
+        |    FROM (SELECT DISTINCT x, y FROM und)),
+        |prim AS (
+        |  SELECT 0 AS it, [(SELECT MIN(x) FROM e)] AS vis,
+        |         CAST([] AS STRUCT(x VARCHAR, y VARCHAR, w BIGINT)[]) AS mst
+        |  UNION ALL
+        |  SELECT it + 1,
+        |    list_append(vis, CASE WHEN list_contains(vis, pick.x) THEN pick.y ELSE pick.x END),
+        |    list_append(mst, {'x': pick.x, 'y': pick.y, 'w': pick.w})
+        |  FROM prim, LATERAL (
+        |    SELECT x, y, w FROM e
+        |    WHERE list_contains(prim.vis, x) <> list_contains(prim.vis, y)
+        |    ORDER BY w, x, y LIMIT 1) AS pick
+        |  WHERE it < 24
+        |)
+        |SELECT u.x AS x, u.y AS y, u.w AS w FROM (
+        |  SELECT unnest(mst) AS u FROM prim
+        |  WHERE it = (SELECT MAX(it) FROM prim))
+        |ORDER BY x, y""".stripMargin,
+    "q_eccentricity" ->
+      s"""WITH
+         |${nationApspCtes(rounds = 5)}
+         |SELECT src AS node, CAST(MAX(cost) AS DOUBLE) / 1000.0 AS ecc
+         |FROM d5 GROUP BY src ORDER BY node""".stripMargin,
+    "q_ktruss" -> {
+      // unrolled support-peeling mirror of Truss.kTruss (k=4, 6 rounds):
+      // per round, triangles of the surviving edge set via the canonical
+      // a<b<c 3-join, corner-pair support, HAVING >= k-2, inner join back
+      val head =
+        """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+          |               FROM lineitem WHERE l_quantity <= 15),
+          |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+          |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+          |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item)""".stripMargin
+      val steps = (1 to 6).map { i =>
+        val p = i - 1
+        s"""t$i AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+           |        FROM e$p e1 JOIN e$p e2 ON e2.x = e1.y
+           |        JOIN e$p e3 ON e3.x = e1.x AND e3.y = e2.y),
+           |s$i AS (SELECT x, y FROM (SELECT a AS x, b AS y FROM t$i
+           |         UNION ALL SELECT a, c FROM t$i UNION ALL SELECT b, c FROM t$i)
+           |         GROUP BY x, y HAVING COUNT(*) >= 2),
+           |e$i AS MATERIALIZED (SELECT e$p.x, e$p.y FROM e$p JOIN s$i USING (x, y))""".stripMargin
+      }.mkString(",\n")
+      s"""$head,
+         |$steps
+         |SELECT x, y FROM e6 ORDER BY x, y""".stripMargin
+    }
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
