@@ -1360,6 +1360,28 @@ object SparkEntry {
       graft.ops.Truss.kTruss(Tables.coOrderPairEdges(s, d), "src", "dst",
           k = 4, maxRounds = 6)
         .orderBy("x", "y")
+    },
+    "q_skipgrams" -> { (s, d) =>
+      // word2vec training-pair extraction (ops/Skipgrams): forward
+      // window-2 (center, context) counts over the corpus, one doc-keyed
+      // window for all leads + one map-side-combined count
+      graft.ops.Skipgrams.skipgramCounts(Tables.documents(s, d), "doc_id",
+          "text", window = 2, minCount = 20L)
+        .orderBy("center", "context")
+    },
+    "q_clustering_coef" -> { (s, d) =>
+      // local clustering coefficient (Triangles.clusteringCoefficients)
+      // on the co-order part graph — integer-permille portable score
+      graft.ops.Triangles.clusteringCoefficients(
+          Tables.coOrderPairEdges(s, d), "src", "dst")
+        .orderBy("node")
+    },
+    "q_dedup_contain" -> { (s, d) =>
+      // containment near-dup (Dedup.containmentPairs): catches short-doc-
+      // inside-long-doc duplication that Jaccard structurally misses
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, thresholdPermille = 800L)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -2983,7 +3005,48 @@ object SparkEntry {
       s"""$head,
          |$steps
          |SELECT x, y FROM e6 ORDER BY x, y""".stripMargin
-    }
+    },
+    "q_skipgrams" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |p AS (SELECT w[i] AS center, w[i+j] AS context
+        |      FROM toks, UNNEST(range(1, len(w)+1)) AS t(i), UNNEST([1,2]) AS u(j)
+        |      WHERE i + j <= len(w))
+        |SELECT center, context, COUNT(*) AS n FROM p GROUP BY 1, 2
+        |HAVING COUNT(*) >= 20
+        |ORDER BY center, context""".stripMargin,
+    "q_clustering_coef" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |        FROM e e1 JOIN e e2 ON e2.x = e1.y
+        |        JOIN e e3 ON e3.x = e1.x AND e3.y = e2.y),
+        |corners AS (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        |            UNION ALL SELECT c FROM tri),
+        |tcnt AS (SELECT node, COUNT(*) AS n_tri FROM corners GROUP BY 1),
+        |deg AS (SELECT node, COUNT(*) AS deg FROM
+        |        (SELECT x AS node FROM e UNION ALL SELECT y FROM e) GROUP BY 1)
+        |SELECT d.node, d.deg, CAST(COALESCE(t.n_tri, 0) AS BIGINT) AS n_triangles,
+        |       CAST(FLOOR(2000 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1))) AS BIGINT) AS coef_pm
+        |FROM deg d LEFT JOIN tcnt t USING (node)
+        |WHERE d.deg >= 2 ORDER BY node""".stripMargin,
+    "q_dedup_contain" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+        |       CAST(FLOOR(1000 * n_inter / LEAST(sa.n_sh, sb.n_sh)) AS BIGINT) AS contain_pm
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE FLOOR(1000 * n_inter / LEAST(sa.n_sh, sb.n_sh)) >= 800
+        |ORDER BY id_a, id_b""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -533,6 +533,55 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Shingle-CONTAINMENT near-duplicate pairs: scores
+    * |A ∩ B| / min(|A|, |B|) instead of Jaccard — the measure that
+    * catches a short document embedded verbatim inside a long one
+    * (boilerplate-wrapped reposts, quote-and-extend threads), which
+    * Jaccard is structurally blind to (|A∩B|/|A∪B| → 0 as the host
+    * grows). Same inverted-index candidate machinery as
+    * [[ngramJaccardPairs]] including the hot-shingle cap + exact
+    * verification; the score is an integer PERMILLE
+    * (floor(1000·inter/min)) so both engines agree bit-for-bit.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, thresholdPermille: Long = 800,
+      maxPostings: Int = 1000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
+    val postings = capHotBuckets(sh, Seq("shingle"), maxPostings,
+      "containmentPairs shingle postings")
+    val inter =
+      if (postings eq sh)
+        sh.as("a")
+          .join(sh.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      else {
+        val candidates = postings.as("a")
+          .join(postings.as("b"),
+            col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val arrs = sh.groupBy(col("id"))
+          .agg(collect_list(col("shingle")).as("__shs"))
+        candidates
+          .join(arrs.select(col("id").as("id_a"), col("__shs").as("__sa")), "id_a")
+          .join(arrs.select(col("id").as("id_b"), col("__shs").as("__sb")), "id_b")
+          .select(col("id_a"), col("id_b"),
+            size(array_intersect(col("__sa"), col("__sb"))).cast("long").as("n_inter"))
+      }
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    inter
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .withColumn("contain_pm",
+        floor(lit(1000L) * col("n_inter") / least(col("n_a"), col("n_b")))
+          .cast("long"))
+      .where(col("contain_pm") >= lit(thresholdPermille))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"),
+        col("n_b"), col("contain_pm"))
+  }
+
   /** Shared scoring tail: join per-doc shingle counts onto intersection
     * counts, compute jaccard, apply the threshold. */
   private def jaccardScore(sh: DataFrame, inter: DataFrame,

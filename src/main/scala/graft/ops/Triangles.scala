@@ -82,4 +82,26 @@ object Triangles {
   /** Global triangle count (single row). */
   def globalCount(edges: DataFrame, srcCol: String, dstCol: String): DataFrame =
     triangleList(edges, srcCol, dstCol).agg(count(lit(1)).as("n_triangles"))
+
+  /** Local clustering coefficient per node with degree >= 2:
+    * triangles(v) / C(deg(v), 2), reported as an exact integer PERMILLE
+    * (floor(2000·tri / (deg·(deg−1)))) so the value is engine-portable.
+    * Degree is on the simple (canonicalized) graph — the same graph the
+    * triangle count sees. One extra degree aggregation + left join on top
+    * of [[perNodeCounts]]; zero-triangle nodes report 0.
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = canonical(edges, srcCol, dstCol)
+    val deg = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    deg.where(col("deg") >= 2)
+      .join(perNodeCounts(edges, srcCol, dstCol), Seq("node"), "left")
+      .withColumn("n_triangles", coalesce(col("n_triangles"), lit(0L)))
+      .withColumn("coef_pm",
+        floor(lit(2000L) * col("n_triangles") / (col("deg") * (col("deg") - 1)))
+          .cast("long"))
+      .select(col("node"), col("deg"), col("n_triangles"), col("coef_pm"))
+  }
 }
