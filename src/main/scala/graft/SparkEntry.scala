@@ -1382,6 +1382,53 @@ object SparkEntry {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text",
           n = 3, thresholdPermille = 800L)
         .orderBy("id_a", "id_b")
+    },
+    "q_dq_rules" -> { (s, d) =>
+      // declarative data-quality audit (ops/Validation): six per-row rules
+      // in ONE scan (conditional sums, unpivoted) + one anti-join
+      // referential check; the pipeline-gate primitive
+      val li = Tables.lineitem(s, d)
+      graft.ops.Validation.ruleViolations(li, Seq(
+          "discount_out_of_range" ->
+            (col("l_discount") < 0.0 || col("l_discount") > 0.3),
+          "discount_over_8pct" -> (col("l_discount") > 0.08),
+          "tax_negative" -> (col("l_tax") < 0.0),
+          "quantity_nonpositive" -> (col("l_quantity") <= 0.0),
+          "quantity_over_40" -> (col("l_quantity") > 40.0),
+          "returnflag_invalid" -> !col("l_returnflag").isin("A", "N", "R")))
+        .unionByName(graft.ops.Validation.orphanCount("orderkey_orphan",
+          li, "l_orderkey", Tables.orders(s, d), "o_orderkey"))
+        .orderBy("rule")
+    },
+    "q_split_strata" -> { (s, d) =>
+      // exact-fraction 80/20 stratified split (ops/Splits): every
+      // (lang, source) stratum gets exactly floor(0.8n) train rows,
+      // ranked by the replayable md5 permutation
+      graft.ops.Splits.stratifiedSplit(
+          Tables.documents(s, d).select("doc_id", "lang", "source"),
+          "doc_id", Seq("lang", "source"), trainNum = 4, trainDen = 5)
+        .select("doc_id", "lang", "source", "split")
+        .orderBy("doc_id")
+    },
+    "q_grouped_topk" -> { (s, d) =>
+      // top-3 revenue parts per supplier nation via the k-slot top-k
+      // aggregate (functions/TopKByAgg) — partial top-k merges map-side
+      // like any hash agg; no per-group full window sort at any scale
+      val rev = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0))).cast("double").as("cents"))
+      rev.groupBy(col("s_nationkey"))
+        .agg(graft.functions.TopKByAgg.top_k_by_str(col("cents"),
+          concat(lit("P"), col("l_partkey")), 3).as("arr"))
+        .select(col("s_nationkey").cast("long").as("nationkey"),
+          posexplode(col("arr")).as(Seq("rk0", "e")))
+        .select(col("nationkey"), (col("rk0") + 1).cast("long").as("rk"),
+          col("e.payload").as("part"),
+          (col("e.score") / lit(100.0)).as("revenue"))
+        .orderBy("nationkey", "rk")
     }
   )
 
@@ -3046,7 +3093,46 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE FLOOR(1000 * n_inter / LEAST(sa.n_sh, sb.n_sh)) >= 800
-        |ORDER BY id_a, id_b""".stripMargin
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_dq_rules" ->
+      """SELECT rule, n_violations FROM (
+        |  SELECT 'discount_out_of_range' AS rule,
+        |    CAST(COUNT(*) FILTER (WHERE l_discount < 0.0 OR l_discount > 0.3) AS BIGINT) AS n_violations FROM lineitem
+        |  UNION ALL SELECT 'discount_over_8pct',
+        |    CAST(COUNT(*) FILTER (WHERE l_discount > 0.08) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'tax_negative',
+        |    CAST(COUNT(*) FILTER (WHERE l_tax < 0.0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'quantity_nonpositive',
+        |    CAST(COUNT(*) FILTER (WHERE l_quantity <= 0.0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'quantity_over_40',
+        |    CAST(COUNT(*) FILTER (WHERE l_quantity > 40.0) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'returnflag_invalid',
+        |    CAST(COUNT(*) FILTER (WHERE l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT) FROM lineitem
+        |  UNION ALL SELECT 'orderkey_orphan', CAST(COUNT(*) AS BIGINT)
+        |    FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |ORDER BY rule""".stripMargin,
+    "q_split_strata" ->
+      """WITH r AS (SELECT doc_id, lang, source,
+        |    ROW_NUMBER() OVER (PARTITION BY lang, source ORDER BY
+        |      ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT,
+        |      doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang, source) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, source,
+        |       CASE WHEN rn * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_grouped_topk" ->
+      """WITH rev AS (SELECT s_nationkey, l_partkey,
+        |    CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS DOUBLE) AS cents
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT s_nationkey, 'P' || CAST(l_partkey AS VARCHAR) AS part, cents,
+        |    ROW_NUMBER() OVER (PARTITION BY s_nationkey
+        |      ORDER BY cents DESC, 'P' || CAST(l_partkey AS VARCHAR) ASC) AS rk
+        |  FROM rev)
+        |SELECT CAST(s_nationkey AS BIGINT) AS nationkey, CAST(rk AS BIGINT) AS rk,
+        |       part, cents / 100.0 AS revenue
+        |FROM rk WHERE rk <= 3 ORDER BY nationkey, rk""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
