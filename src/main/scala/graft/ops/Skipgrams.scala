@@ -30,10 +30,12 @@ object Skipgrams {
     val withLeads = toks.select(
       col("tok") +: (1 to window).map(j =>
         lead(col("tok"), j).over(w).as(s"__t$j")): _*)
-    val pairs = (1 to window).map { j =>
-      withLeads.where(col(s"__t$j").isNotNull)
-        .select(col("tok").as("center"), col(s"__t$j").as("context"))
-    }.reduce(_ unionByName _)
+    // one explode over the lead array, NOT a per-distance union: a union
+    // of j branches physically duplicates the scan+window subtree j times
+    // (plan-audited — two full document scans for window=2)
+    val pairs = withLeads.select(col("tok").as("center"),
+        explode(array((1 to window).map(j => col(s"__t$j")): _*)).as("context"))
+      .where(col("context").isNotNull)
     pairs.groupBy("center", "context").agg(count(lit(1)).as("n"))
       .where(col("n") >= minCount)
   }
