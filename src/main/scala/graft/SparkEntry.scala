@@ -1429,6 +1429,14 @@ object SparkEntry {
           col("e.payload").as("part"),
           (col("e.score") / lit(100.0)).as("revenue"))
         .orderBy("nationkey", "rk")
+    },
+    "q_mis" -> { (s, d) =>
+      // Luby maximal independent set (ops/IndependentSet) on the co-order
+      // part graph — the node-side dual of q_matching's symmetry breaking;
+      // 6 rounds is past the fixpoint at this SF (unrolled-oracle parity)
+      graft.ops.IndependentSet.maximalIndependentSet(
+          Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 6)
+        .orderBy("node")
     }
   )
 
@@ -3132,7 +3140,41 @@ object SparkEntry {
         |  FROM rev)
         |SELECT CAST(s_nationkey AS BIGINT) AS nationkey, CAST(rk AS BIGINT) AS rk,
         |       part, cents / 100.0 AS revenue
-        |FROM rk WHERE rk <= 3 ORDER BY nationkey, rk""".stripMargin
+        |FROM rk WHERE rk <= 3 ORDER BY nationkey, rk""".stripMargin,
+    "q_mis" -> {
+      // unrolled Luby rounds mirroring IndependentSet: per-round md5
+      // priorities, neighbor argmin via row_number, row-value comparison,
+      // winners+neighbors retired by anti-join
+      val head =
+        """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+          |               FROM lineitem WHERE l_quantity <= 15),
+          |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+          |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+          |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+          |      FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+          |n0 AS MATERIALIZED (SELECT x AS node FROM e0 UNION SELECT y FROM e0)""".stripMargin
+      val steps = (1 to 6).map { i =>
+        val p = i - 1
+        s"""p$i AS (SELECT node, ('0x' || substr(md5('mis$i|' || node), 1, 15))::BIGINT AS pr FROM n$p),
+           |adj$i AS (SELECT x AS v, y AS u FROM e$p UNION ALL SELECT y, x FROM e$p),
+           |nm$i AS (SELECT v, pr AS mp, u AS mu FROM (
+           |  SELECT a.v, pp.pr, pp.node AS u,
+           |    ROW_NUMBER() OVER (PARTITION BY a.v ORDER BY pp.pr, pp.node) AS rn
+           |  FROM adj$i a JOIN p$i pp ON pp.node = a.u) WHERE rn = 1),
+           |mis$i AS MATERIALIZED (SELECT p$i.node FROM p$i LEFT JOIN nm$i ON nm$i.v = p$i.node
+           |  WHERE nm$i.v IS NULL OR (p$i.pr, p$i.node) < (nm$i.mp, nm$i.mu)),
+           |k$i AS (SELECT node FROM mis$i UNION SELECT a.u FROM adj$i a JOIN mis$i m ON a.v = m.node),
+           |n$i AS MATERIALIZED (SELECT t.node FROM n$p t LEFT JOIN k$i kk ON kk.node = t.node WHERE kk.node IS NULL),
+           |e$i AS MATERIALIZED (SELECT t.x, t.y FROM e$p t LEFT JOIN k$i a ON a.node = t.x
+           |  LEFT JOIN k$i b ON b.node = t.y WHERE a.node IS NULL AND b.node IS NULL)""".stripMargin
+      }.mkString(",\n")
+      val un = (1 to 6)
+        .map(i => s"SELECT node, CAST($i AS BIGINT) AS round FROM mis$i")
+        .mkString(" UNION ALL ")
+      s"""$head,
+         |$steps
+         |SELECT node, round FROM ($un) ORDER BY node""".stripMargin
+    }
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Luby-style distributed maximal independent set — no two chosen nodes
+  * adjacent, no unchosen node addable. The node-side dual of
+  * [[Matching]]'s edge symmetry breaking: MIS is the classic "pick a
+  * non-conflicting set of representatives in O(log n) rounds" primitive
+  * (scheduling one merge per dedup cluster neighborhood, anchor selection
+  * in entity graphs).
+  *
+  * Per round r, every undecided node draws the DETERMINISTIC priority
+  * `hex_to_long(md5(salt‖r‖'|'‖node)[1..15])` — a fresh fixed
+  * pseudo-random permutation per round, the repo's identity-hash
+  * contract — and joins the set iff its (priority, node) pair is strictly
+  * smaller than every undecided neighbor's (Luby's local-minimum rule;
+  * isolated undecided nodes join unconditionally). Winners and their
+  * neighbors retire. Expected O(log n) rounds; the cap is FIXED so the
+  * unrolled SQL oracle computes the identical truncation (the
+  * k-core/Matching parity trick — early convergence equals the full
+  * unroll because retired state never changes).
+  *
+  * Round cost: one neighbor-min aggregation (map-side `min(struct)`
+  * argmin, no window) + two anti-joins, everything keyed by node —
+  * shuffle-native at any scale; per-round state is locally checkpointed.
+  *
+  * Output: (node, round) — members and the round each joined.
+  */
+object IndependentSet {
+
+  def maximalIndependentSet(edges: DataFrame, srcCol: String,
+      dstCol: String, rounds: Int = 8, salt: String = "mis"): DataFrame = {
+    require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .distinct()
+      .localCheckpoint(true)
+    var nodes = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node"))).distinct()
+      .localCheckpoint(true)
+    var parts = List.empty[DataFrame]
+    var r = 1
+    while (r <= rounds && !nodes.isEmpty) {
+      val p = nodes.withColumn("pr", graft.functions.functions.hex_to_long(
+        substring(md5(concat(lit(s"$salt$r|"), col("node"))), 1, 15)))
+      val adj = e.select(col("x").as("v"), col("y").as("u"))
+        .union(e.select(col("y").as("v"), col("x").as("u")))
+      val nbrMin = adj
+        .join(p.select(col("node").as("u"), col("pr").as("pu")), "u")
+        .groupBy(col("v")).agg(min(struct(col("pu"), col("u"))).as("m"))
+        .withColumnRenamed("v", "node")
+      val mis = p.join(nbrMin, Seq("node"), "left")
+        // own pair named identically to m's fields: struct comparisons
+        // resolve only between same-shaped types
+        .where(col("m").isNull ||
+          struct(col("pr").as("pu"), col("node").as("u")) < col("m"))
+        .select(col("node"), lit(r.toLong).as("round"))
+        .localCheckpoint(true)
+      parts ::= mis
+      val killed = mis.select("node")
+        .union(adj.join(mis.select(col("node").as("v")), Seq("v"))
+          .select(col("u").as("node")))
+        .distinct()
+      nodes = nodes.join(killed, Seq("node"), "left_anti").localCheckpoint(true)
+      e = e.join(killed.withColumnRenamed("node", "x"), Seq("x"), "left_anti")
+        .join(killed.withColumnRenamed("node", "y"), Seq("y"), "left_anti")
+        .localCheckpoint(true)
+      r += 1
+    }
+    parts.reduceOption(_ unionByName _)
+      .getOrElse(nodes.withColumn("round", lit(0L)).limit(0))
+  }
+}
