@@ -30,14 +30,32 @@ import org.apache.spark.sql.functions._
 object IndependentSet {
 
   def maximalIndependentSet(edges: DataFrame, srcCol: String,
-      dstCol: String, rounds: Int = 8, salt: String = "mis"): DataFrame = {
+      dstCol: String, rounds: Int = 8, salt: String = "mis",
+      maxLocalEdges: Long = 2_000_000L): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
-    var e = edges.select(
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canonical0 = edges.select(
         least(col(srcCol), col(dstCol)).as("x"),
         greatest(col(srcCol), col(dstCol)).as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
       .distinct()
-      .localCheckpoint(true)
+    // gated driver-local fast path (the Scc/Truss pattern): 6 Luby rounds
+    // are ~30 sequential distributed jobs — measured 24 s distributed vs
+    // <1 s local at sf0.1. The local loop replays the EXACT same rounds
+    // (same md5 priorities, same local-minimum rule).
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val capped = canonical0.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, Long)].toDF("node", "round")
+        return spark.createDataFrame(
+          localLuby(capped, rounds, salt).toIndexedSeq)
+          .toDF("node", "round")
+      }
+    }
+    var e = canonical0.localCheckpoint(true)
     var nodes = e.select(col("x").as("node"))
       .union(e.select(col("y").as("node"))).distinct()
       .localCheckpoint(true)
@@ -72,5 +90,63 @@ object IndependentSet {
     }
     parts.reduceOption(_ unionByName _)
       .getOrElse(nodes.withColumn("round", lit(0L)).limit(0))
+  }
+
+  /** In-memory Luby replay — identical rounds to the distributed loop:
+    * same md5 priority stream, same (priority, node) local-minimum rule,
+    * same winners+neighbors retirement. */
+  private def localLuby(edges: Array[(String, String)], rounds: Int,
+      salt: String): Array[(String, Long)] = {
+    val names = {
+      val s = new java.util.TreeSet[String]()
+      edges.foreach { case (a, b) => s.add(a); s.add(b) }
+      s.toArray(new Array[String](0))
+    }
+    val id = new java.util.HashMap[String, Int](names.length * 2)
+    names.zipWithIndex.foreach { case (n, i) => id.put(n, i) }
+    val adj = Array.fill(names.length)(new scala.collection.mutable.ArrayBuffer[Int]())
+    edges.foreach { case (a, b) =>
+      val (u, v) = (id.get(a), id.get(b)); adj(u) += v; adj(v) += u
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def prio(r: Int, node: String): Long = {
+      val h = md.digest(s"$salt$r|$node".getBytes("UTF-8"))
+      md.reset()
+      val hex = new StringBuilder(15)
+      var i = 0
+      while (hex.length < 15) {
+        hex.append(f"${h(i) & 0xff}%02x"); i += 1
+      }
+      java.lang.Long.parseLong(hex.substring(0, 15), 16)
+    }
+    val undecided = Array.fill(names.length)(true)
+    var nUndecided = names.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    var r = 1
+    while (r <= rounds && nUndecided > 0) {
+      val p = new Array[Long](names.length)
+      var i = 0
+      while (i < names.length) {
+        if (undecided(i)) p(i) = prio(r, names(i))
+        i += 1
+      }
+      val winners = (0 until names.length).filter { v =>
+        undecided(v) && adj(v).forall { u =>
+          !undecided(u) ||
+            p(v) < p(u) || (p(v) == p(u) && names(v) < names(u))
+        }
+      }
+      winners.foreach { v =>
+        out += ((names(v), r.toLong))
+      }
+      winners.foreach { v =>
+        if (undecided(v)) { undecided(v) = false; nUndecided -= 1 }
+        adj(v).foreach { u =>
+          if (undecided(u)) { undecided(u) = false; nUndecided -= 1 }
+        }
+      }
+      r += 1
+    }
+    out.toArray
   }
 }

@@ -54,4 +54,18 @@ class IndependentSetSpec extends AnyFunSuite {
     val mis = run(es, rounds = 1).keySet
     es.foreach { case (a, b) => assert(!(mis(a) && mis(b))) }
   }
+
+  test("gated local Luby equals the distributed rounds (incl. truncation)") {
+    val es = for (i <- 0 until 30; j <- i + 1 until 30
+      if (i * 7 + j * 5) % 6 == 0) yield (s"n$i", s"n$j")
+    for (rounds <- Seq(1, 8)) {
+      val local = IndependentSet.maximalIndependentSet(
+          es.toDF("src", "dst"), "src", "dst", rounds)
+        .as[(String, Long)].collect().toMap
+      val dist = IndependentSet.maximalIndependentSet(
+          es.toDF("src", "dst"), "src", "dst", rounds, maxLocalEdges = 0L)
+        .as[(String, Long)].collect().toMap
+      assert(local == dist, s"rounds=$rounds")
+    }
+  }
 }

@@ -66,4 +66,18 @@ class SpanningForestSpec extends AnyFunSuite {
     val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
     assert(got.size < nodes.size)
   }
+
+  test("gated local Boruvka equals the distributed rounds, round-for-round") {
+    val rnd = new scala.util.Random(11)
+    val perm = rnd.shuffle((0 until 2000).toList).iterator
+    val es = for (i <- 0 until 30; j <- i + 1 until 30
+      if rnd.nextInt(5) == 0) yield (s"n$i", s"n$j", perm.next().toLong)
+    val local = SpanningForest.minimumSpanningForest(
+        es.toDF("src", "dst", "w"), "src", "dst", "w")
+      .as[(String, String, Long, Long)].collect().toSet
+    val dist = SpanningForest.minimumSpanningForest(
+        es.toDF("src", "dst", "w"), "src", "dst", "w", maxLocalEdges = 0L)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(local == dist)
+  }
 }

@@ -52,4 +52,18 @@ class TrussSpec extends AnyFunSuite {
     val es = k4(Seq("a", "b", "c", "d")) ++ k4(Seq("p", "q", "r", "s"))
     assert(run(es, 4) == es.toSet)
   }
+
+  test("gated local peel equals the distributed peel (incl. truncation)") {
+    val rnd = new scala.util.Random(7)
+    val es = for (i <- 0 until 25; j <- i + 1 until 25
+      if rnd.nextInt(4) == 0) yield (s"n$i", s"n$j")
+    for (rounds <- Seq(1, 8)) {
+      val local = Truss.kTruss(es.toDF("src", "dst"), "src", "dst", 4, rounds)
+        .as[(String, String)].collect().toSet
+      val dist = Truss.kTruss(es.toDF("src", "dst"), "src", "dst", 4, rounds,
+          maxLocalEdges = 0L)
+        .as[(String, String)].collect().toSet
+      assert(local == dist, s"rounds=$rounds")
+    }
+  }
 }
