@@ -1437,6 +1437,95 @@ object SparkEntry {
       graft.ops.IndependentSet.maximalIndependentSet(
           Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 6)
         .orderBy("node")
+    },
+    "q_label_noise" -> { (s, d) =>
+      // label-noise detection: for each of the first 500 vectors, how many
+      // of its 10 nearest neighbors (exact cosine over the shared ×10000
+      // quantization) share its label — minority agreement flags a suspect
+      // label. The label-QA pass of an embedding-classifier pipeline;
+      // the LSH/IVF ANN variants are the documented scale path for the
+      // neighbor search.
+      val emb = Tables.embeddings(s, d)
+      val q = emb.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val topk = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 500), "vec_id", "qv", k = 10)
+      val lab = emb.select(col("vec_id"), col("label"))
+      topk
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("q_label")), "query_id")
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("n_label")), "neighbor_id")
+        .groupBy(col("query_id"), col("q_label"))
+        .agg(sum(when(col("n_label") === col("q_label"), 1L).otherwise(0L))
+            .as("n_agree"),
+          count(lit(1)).as("k_found"))
+        .withColumn("suspect", col("n_agree") * 2 < col("k_found"))
+        .orderBy("query_id")
+    },
+    "q_tpch_q8" -> { (s, d) =>
+      // TPC-H Q8 (national market share): nation appears in TWO roles
+      // (customer's region filter vs supplier's share bucket) — the share
+      // is a ratio of two exact integer-cents sums, so the double divide
+      // is portable. Dims broadcast; facts stay shuffle joins.
+      val nr = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA").select(col("n_nationkey"))
+      val supNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name"))),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("o_orderkey"), col("o_custkey"),
+          year(col("o_orderdate")).cast("long").as("o_year"))
+      val cust = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(broadcast(nr), col("c_nationkey") === col("n_nationkey"))
+        .select("c_custkey")
+      val econParts = Tables.part(s, d)
+        .where(col("p_type") === "ECONOMY").select("p_partkey")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("vol_c"))
+        .join(econParts, col("l_partkey") === col("p_partkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("o_year")
+        .agg((sum(when(col("supp_nation") === "NATION_7", col("vol_c"))
+            .otherwise(0L)).cast("double") /
+          sum(col("vol_c")).cast("double")).as("mkt_share"))
+        .orderBy("o_year")
+    },
+    "q_tpch_q10" -> { (s, d) =>
+      // TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+      // lost to returns in one quarter — filters into every scan, revenue
+      // in exact cents, deterministic top-20 via the (revenue, custkey)
+      // total order (TakeOrdered, no global sort)
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1997-10-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1998-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val li = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("rev_c"))
+      val custN = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("n_name"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(custN, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("c_mktsegment"), col("n_name"))
+        .agg((sum(col("rev_c")).cast("double") / lit(100.0)).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
     }
   )
 
@@ -3174,7 +3263,62 @@ object SparkEntry {
       s"""$head,
          |$steps
          |SELECT node, round FROM ($un) ORDER BY node""".stripMargin
-    }
+    },
+    "q_label_noise" ->
+      """WITH q AS (SELECT vec_id, label, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+        |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT SUM(qq.v[i]*c.v[i]) FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+        |      FROM (SELECT * FROM q WHERE vec_id < 500) qq
+        |      JOIN q c ON c.vec_id <> qq.vec_id),
+        |scored AS (SELECT query_id, neighbor_id,
+        |             ROW_NUMBER() OVER (PARTITION BY query_id
+        |               ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC, neighbor_id ASC) AS rank
+        |           FROM p JOIN n na ON na.vec_id = query_id
+        |                  JOIN n nb ON nb.vec_id = neighbor_id),
+        |top AS (SELECT query_id, neighbor_id FROM scored WHERE rank <= 10)
+        |SELECT t.query_id, ql.label AS q_label,
+        |       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |       COUNT(*) AS k_found,
+        |       CAST(SUM(CASE WHEN nl.label = ql.label THEN 1 ELSE 0 END) AS BIGINT) * 2 < COUNT(*) AS suspect
+        |FROM top t
+        |JOIN q ql ON ql.vec_id = t.query_id
+        |JOIN q nl ON nl.vec_id = t.neighbor_id
+        |GROUP BY t.query_id, ql.label
+        |ORDER BY query_id""".stripMargin,
+    "q_tpch_q8" ->
+      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |  CAST(SUM(CASE WHEN sn.n_name = 'NATION_7'
+        |        THEN CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)
+        |        ELSE 0 END) AS DOUBLE)
+        |  / CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS DOUBLE) AS mkt_share
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |JOIN region ON cn.n_regionkey = r_regionkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1 ORDER BY o_year""".stripMargin,
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name, c_acctbal, c_mktsegment, n_name,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT)) AS DOUBLE) / 100.0 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY 1, 2, 3, 4, 5
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
