@@ -1526,6 +1526,24 @@ object SparkEntry {
           col("c_mktsegment"), col("n_name"))
         .agg((sum(col("rev_c")).cast("double") / lit(100.0)).as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey")).limit(20)
+    },
+    "q_winsorize" -> { (s, d) =>
+      // per-flag winsorization audit (Normalize.winsorizeStats): exact
+      // P05/P95 order-statistic cuts over integer cents + what clipping
+      // would do — one group-keyed sort window, one conditional aggregate
+      graft.ops.Normalize.winsorizeStats(
+          Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long").as("v_c")),
+          "v_c", Seq("flag"))
+        .orderBy("flag")
+    },
+    "q_trend" -> { (s, d) =>
+      // per-type OLS value drift (ops/Trend): exact integer sufficient
+      // sums (day-scaled x, micro-unit y), identically-rounded double
+      // slope — the data-drift monitoring primitive
+      graft.ops.Trend.groupTrends(Tables.events(s, d), "event_type",
+          "ts_us", "value")
+        .orderBy("grp")
     }
   )
 
@@ -3318,7 +3336,35 @@ object SparkEntry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY 1, 2, 3, 4, 5
         |ORDER BY revenue DESC, c_custkey
-        |LIMIT 20""".stripMargin
+        |LIMIT 20""".stripMargin,
+    "q_winsorize" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |             CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |r AS (SELECT flag, v, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY flag) AS n FROM v),
+        |cuts AS (SELECT flag,
+        |    MIN(CASE WHEN rn = GREATEST((n * 5 + 99) // 100, 1) THEN v END) AS p_lo,
+        |    MIN(CASE WHEN rn = GREATEST((n * 95 + 99) // 100, 1) THEN v END) AS p_hi
+        |  FROM r GROUP BY flag)
+        |SELECT flag, COUNT(*) AS n, MIN(p_lo) AS p_lo, MIN(p_hi) AS p_hi,
+        |  CAST(SUM(CASE WHEN v < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_low,
+        |  CAST(SUM(CASE WHEN v > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_high,
+        |  CAST(SUM(GREATEST(LEAST(v, p_hi), p_lo)) AS BIGINT) AS wsum
+        |FROM r JOIN cuts USING (flag)
+        |GROUP BY flag ORDER BY flag""".stripMargin,
+    "q_trend" ->
+      """WITH t0 AS (SELECT MIN(epoch_us(ts)) AS t0 FROM events),
+        |s AS (SELECT event_type AS grp, (epoch_us(ts) - t0) // 86400000000 AS x,
+        |        CAST(FLOOR(value * 1000000.0) AS BIGINT) AS y FROM events, t0)
+        |SELECT grp, COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS s_x,
+        |  CAST(SUM(y) AS BIGINT) AS s_y, CAST(SUM(x * y) AS BIGINT) AS s_xy,
+        |  CAST(SUM(x * x) AS BIGINT) AS s_x2,
+        |  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+        |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        |  / NULLIF(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE), 0.0) AS slope
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

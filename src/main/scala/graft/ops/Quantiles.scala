@@ -237,4 +237,47 @@ object Normalize {
         expr("((__rk - 1) * 1000) div greatest(__n - 1, 1)"))
       .drop("__rk", "__n")
   }
+
+  /** Per-group winsorization audit: the exact lower/upper percentile cut
+    * values (order statistics at rank ceil(p·n/100) — deterministic even
+    * under ties, because tied rows share the value) and what clipping to
+    * them would do: clipped-row counts and the winsorized integer sum.
+    * The outlier-taming feature-prep step, reported as ONE row per group.
+    *
+    * Same single group-keyed sort window as [[rankPermille]] (row_number
+    * + count share the partitioning), then a 1-row-per-group conditional
+    * aggregate — values must already be integers (e.g. cents).
+    */
+  def winsorizeStats(df: DataFrame, valueCol: String, groupCols: Seq[String],
+      loPct: Int = 5, hiPct: Int = 95): DataFrame = {
+    require(groupCols.nonEmpty, "winsorizeStats needs at least one group column")
+    require(loPct >= 1 && hiPct <= 100 && loPct < hiPct,
+      s"need 1 <= loPct < hiPct <= 100, got $loPct/$hiPct")
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col(valueCol))
+    val cw = Window.partitionBy(groupCols.map(col): _*)
+    val v = col(valueCol).cast("long")
+    val ranked = df
+      .withColumn("__v", v)
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      // order statistic ranks: ceil(p*n/100) = (p*n + 99) div 100
+      .withColumn("__rlo", expr(s"greatest((__n * $loPct + 99) div 100, 1)"))
+      .withColumn("__rhi", expr(s"greatest((__n * $hiPct + 99) div 100, 1)"))
+    val cuts = ranked
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("__rn") === col("__rlo"), col("__v"))).as("p_lo"),
+        min(when(col("__rn") === col("__rhi"), col("__v"))).as("p_hi"))
+    ranked.join(cuts, groupCols)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        min(col("p_lo")).as("p_lo"),
+        min(col("p_hi")).as("p_hi"),
+        sum(when(col("__v") < col("p_lo"), 1L).otherwise(0L))
+          .as("n_clipped_low"),
+        sum(when(col("__v") > col("p_hi"), 1L).otherwise(0L))
+          .as("n_clipped_high"),
+        sum(greatest(least(col("__v"), col("p_hi")), col("p_lo")))
+          .as("wsum"))
+  }
 }
