@@ -1544,6 +1544,26 @@ object SparkEntry {
       graft.ops.Trend.groupTrends(Tables.events(s, d), "event_type",
           "ts_us", "value")
         .orderBy("grp")
+    },
+    "q_cdf" -> { (s, d) =>
+      // empirical CDF probes per flag (inverse view of q_quantiles): the
+      // permille of rows at or below each fixed price point — ONE scan,
+      // conditional sums, then a probe-array explode (no per-probe rescan)
+      val probes = Seq(100000L, 300000L, 500000L, 700000L, 900000L)
+      val aggs = count(lit(1)).as("n") +: probes.map(p =>
+        sum(when(col("v_c") <= p, 1L).otherwise(0L)).as(s"le_$p"))
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag").as("flag"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long").as("v_c"))
+        .groupBy("flag")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("flag"), col("n"),
+          explode(array(probes.map(p => struct(lit(p).as("probe"),
+            col(s"le_$p").as("n_le"))): _*)).as("e"))
+        .select(col("flag"), col("e.probe").as("probe"),
+          col("e.n_le").as("n_le"),
+          expr("(1000 * e.n_le) div n").as("permille"))
+        .orderBy("flag", "probe")
     }
   )
 
@@ -3364,7 +3384,25 @@ object SparkEntry {
         |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
         |  / NULLIF(CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
         |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE), 0.0) AS slope
-        |FROM s GROUP BY grp ORDER BY grp""".stripMargin
+        |FROM s GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_cdf" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |             CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |a AS (SELECT flag, COUNT(*) AS n,
+        |        CAST(COUNT(*) FILTER (WHERE v <= 100000) AS BIGINT) AS le1,
+        |        CAST(COUNT(*) FILTER (WHERE v <= 300000) AS BIGINT) AS le2,
+        |        CAST(COUNT(*) FILTER (WHERE v <= 500000) AS BIGINT) AS le3,
+        |        CAST(COUNT(*) FILTER (WHERE v <= 700000) AS BIGINT) AS le4,
+        |        CAST(COUNT(*) FILTER (WHERE v <= 900000) AS BIGINT) AS le5
+        |      FROM v GROUP BY flag)
+        |SELECT flag, probe, n_le, (1000 * n_le) // n AS permille FROM (
+        |  SELECT flag, CAST(100000 AS BIGINT) AS probe, le1 AS n_le, n FROM a
+        |  UNION ALL SELECT flag, 300000, le2, n FROM a
+        |  UNION ALL SELECT flag, 500000, le3, n FROM a
+        |  UNION ALL SELECT flag, 700000, le4, n FROM a
+        |  UNION ALL SELECT flag, 900000, le5, n FROM a)
+        |ORDER BY flag, probe""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
