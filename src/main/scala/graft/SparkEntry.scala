@@ -1564,6 +1564,173 @@ object SparkEntry {
           col("e.n_le").as("n_le"),
           expr("(1000 * e.n_le) div n").as("permille"))
         .orderBy("flag", "probe")
+    },
+    "q_lm_score" -> { (s, d) =>
+      // CCNet-style LM quality scoring (ops/LmScore): bigram model
+      // trained on the lang='en' slice, every document scored by its mean
+      // conditional bigram probability in ppm — integer-exact (no logs),
+      // model join is a plain bigram-keyed shuffle (model size unbounded)
+      graft.ops.LmScore.score(Tables.documents(s, d), "doc_id", "text",
+          col("lang") === "en")
+        .orderBy("doc_id")
+    },
+    "q_outliers" -> { (s, d) =>
+      // robust MAD outliers per event type (ops/Outliers): exact integer
+      // order statistics (lower median, lower MAD), 3×MAD flag via
+      // integer comparison — the monitoring primitive mean/stddev breaks on
+      graft.ops.Outliers.madStats(
+          Tables.events(s, d).select(col("event_type").as("grp"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("v")),
+          "v", Seq("grp"))
+        .orderBy("grp")
+    },
+    "q_autocorr" -> { (s, d) =>
+      // lag-1 autocorrelation of daily event counts per type
+      // (Trend.lagAutocorr): integer sufficient sums, correctly-rounded
+      // IEEE sqrt/divide for the final r — the seasonality probe
+      graft.ops.Trend.lagAutocorr(Tables.events(s, d), "event_type",
+          "ts_us")
+        .orderBy("grp")
+    },
+    "q_decontam_embed" -> { (s, d) =>
+      // embedding-space decontamination (Decontaminate.embedOverlap):
+      // eval = the vec_id % 97 == 0 slice (broadcast), corpus streams
+      // through one scan of codegen ArrayDot cosines; quantized vectors
+      // make dot/norms exact so the doubles hash-match the oracle
+      val q = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      graft.ops.Decontaminate.embedOverlap(q, "vec_id", "qv",
+          q.where(pmod(col("vec_id"), lit(97L)) === 0L), "vec_id", "qv",
+          threshold = 0.25)
+        .orderBy("id")
+    },
+    "q_reciprocity" -> { (s, d) =>
+      // directed-graph reciprocity of the user-journey graph
+      // (GraphStats.reciprocity): two shuffles of the distinct edge set,
+      // one-row output
+      graft.ops.GraphStats.reciprocity(
+        Tables.userSequenceEdges(s, d), "src", "dst")
+    },
+    "q_butterflies" -> { (s, d) =>
+      // bipartite butterfly (2x2 biclique) count over the part-supplier
+      // graph (ops/Butterflies): co-neighbor pair counts via the bounded
+      // collect_list wedge plan, hub guard at wedge degree 64
+      graft.ops.Butterflies.globalCount(
+        Tables.partSupplierEdges(s, d), "src", "dst", maxWedgeDegree = 64)
+    },
+    "q_tpch_q6" -> { (s, d) =>
+      // TPC-H Q6 (forecasting revenue change) — the pushdown showcase:
+      // every predicate reaches the parquet scan, one partial-aggregated
+      // global sum, revenue in exact integer ten-thousandths
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(count(lit(1)).as("n_items"),
+          sum(floor(col("l_extendedprice") * col("l_discount") * lit(10000.0))
+            .cast("long")).as("revenue_e4"))
+    },
+    "q_tpch_q4" -> { (s, d) =>
+      // TPC-H Q4 shape (order-priority checking) adapted to this schema
+      // (no commit/receipt dates): an order counts when ANY lineitem
+      // shipped > 90 days after the order date — EXISTS becomes a
+      // left-semi join with an equi key plus residual range predicate
+      val ord = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1997-07-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-10-01")))
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_shipdate")
+      ord.join(li,
+          ord("o_orderkey") === li("l_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 90 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+    "q_tpch_q12" -> { (s, d) =>
+      // TPC-H Q12 shape (shipping-mode priority split) adapted to this
+      // schema (no l_shipmode → l_returnflag is the mode stand-in):
+      // late lineitems (shipped > 60 days after order) per flag, split
+      // into high- vs low-priority order counts via conditional sums
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"), col("l_returnflag"))
+      li.join(ord,
+          li("l_orderkey") === ord("o_orderkey") &&
+            li("l_shipdate") > ord("o_orderdate") + expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))
+        .orderBy("l_returnflag")
+    },
+    "q_tpch_q18" -> { (s, d) =>
+      // TPC-H Q18 (large-volume customers): the IN-subquery over a HAVING
+      // aggregate becomes an aggregate + join; top-100 via the
+      // deterministic (totalprice desc, orderkey) total order
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_quantity").cast("long").as("qty"))
+      val big = li.groupBy("l_orderkey").agg(sum(col("qty")).as("sum_qty"))
+        .where(col("sum_qty") > 300L)
+      val ord = Tables.orders(s, d)
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+          col("o_orderdate"), col("sum_qty"))
+      ord.join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_totalprice"), col("o_orderdate"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    "q_tpch_q22" -> { (s, d) =>
+      // TPC-H Q22 shape (global-sales opportunity) adapted: customers
+      // with above-average positive balance and NO orders since 1998 —
+      // the scalar-average subquery is exact integer cents compared by
+      // cross-multiplication (bal_c·n_pos > sum_c_pos, no double mean),
+      // NOT EXISTS is a left-anti join on the filtered order scan
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          floor(col("c_acctbal") * lit(100.0)).cast("long").as("bal_c"))
+      val avgStats = cust.where(col("bal_c") > 0L)
+        .agg(count(lit(1)).as("n_pos"), sum(col("bal_c")).as("sum_c"))
+      val recent = Tables.orders(s, d)
+        .where(col("o_orderdate") >= to_timestamp(lit("1998-01-01")))
+        .select(col("o_custkey"))
+      cust.crossJoin(broadcast(avgStats))
+        .where(col("bal_c") * col("n_pos") > col("sum_c"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totbal_c"))
+        .orderBy("n_name")
+    },
+    "q_window_range" -> { (s, d) =>
+      // RANGE-frame window (the frame family q_window_running's ROWS
+      // frame doesn't cover): per-user trailing-1h event count + value
+      // sum in exact micro-units over the integer-µs ordering key
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts_us"))
+        .rangeBetween(-3600000000L, 0L)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          floor(col("value") * lit(1000000.0)).cast("long").as("v_us"))
+        .withColumn("trail_n", count(lit(1)).over(w))
+        .withColumn("trail_sum", sum(col("v_us")).over(w))
+        .orderBy("user_id", "ts_us", "event_id")
+    },
+    "q_scc_condense" -> { (s, d) =>
+      // condensation DAG of the user-journey graph (Scc.condensationEdges):
+      // distinct inter-SCC edges — the acyclic quotient topological passes
+      // run on
+      graft.ops.Scc.condensationEdges(Tables.userSequenceEdges(s, d))
+        .orderBy("scc_src", "scc_dst")
     }
   )
 
@@ -3402,7 +3569,184 @@ object SparkEntry {
         |  UNION ALL SELECT flag, 500000, le3, n FROM a
         |  UNION ALL SELECT flag, 700000, le4, n FROM a
         |  UNION ALL SELECT flag, 900000, le5, n FROM a)
-        |ORDER BY flag, probe""".stripMargin
+        |ORDER BY flag, probe""".stripMargin,
+    "q_lm_score" ->
+      """WITH w AS (SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |b AS (SELECT doc_id, lang, ws[i] AS w1, ws[i + 1] AS w2
+        |      FROM w, UNNEST(range(1, len(ws))) AS t(i)
+        |      WHERE len(ws) >= 2),
+        |m AS (SELECT w1, w2, COUNT(*) AS c2 FROM b WHERE lang = 'en' GROUP BY 1, 2),
+        |f AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM m GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS nb,
+        |         CAST(SUM(COALESCE((m.c2 * 1000000) // f.c1, 0)) AS BIGINT) AS sp
+        |       FROM b LEFT JOIN m USING (w1, w2) LEFT JOIN f USING (w1)
+        |       GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(nb, 0) AS BIGINT) AS n_bigrams,
+        |  CAST(COALESCE(sp, 0) AS BIGINT) AS sum_ppm,
+        |  CAST(CASE WHEN COALESCE(nb, 0) = 0 THEN 0 ELSE sp // nb END AS BIGINT) AS lm_ppm
+        |FROM (SELECT DISTINCT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_outliers" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |r AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY grp) AS n FROM v),
+        |med AS (SELECT grp, MIN(CASE WHEN rn = (n + 1) // 2 THEN v END) AS med
+        |        FROM r GROUP BY grp),
+        |dv AS (SELECT r.grp, v, n, med, ABS(v - med) AS d FROM r JOIN med USING (grp)),
+        |r2 AS (SELECT grp, v, n, med, d,
+        |         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY d, v) AS rd FROM dv),
+        |mad AS (SELECT grp, MIN(CASE WHEN rd = (n + 1) // 2 THEN d END) AS mad
+        |        FROM r2 GROUP BY grp)
+        |SELECT grp, COUNT(*) AS n, MIN(med) AS med, MIN(mad) AS mad,
+        |  CAST(SUM(CASE WHEN d * 1 > mad * 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM r2 JOIN mad USING (grp)
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_autocorr" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |                 epoch_us(ts) // 86400000000 AS day, COUNT(*) AS c
+        |               FROM events GROUP BY 1, 2),
+        |p AS (SELECT grp, c AS x,
+        |        LEAD(c, 1) OVER (PARTITION BY grp ORDER BY day) AS y
+        |      FROM daily)
+        |SELECT grp, COUNT(*) AS n_pairs,
+        |  CAST(SUM(x) AS BIGINT) AS s_x, CAST(SUM(y) AS BIGINT) AS s_y,
+        |  CAST(SUM(x * y) AS BIGINT) AS s_xy,
+        |  CAST(SUM(x * x) AS BIGINT) AS s_x2,
+        |  CAST(SUM(y * y) AS BIGINT) AS s_y2,
+        |  (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * y) AS DOUBLE)
+        |     - CAST(SUM(x) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))
+        |  / NULLIF(SQRT((CAST(COUNT(*) AS DOUBLE) * CAST(SUM(x * x) AS DOUBLE)
+        |       - CAST(SUM(x) AS DOUBLE) * CAST(SUM(x) AS DOUBLE))
+        |     * (CAST(COUNT(*) AS DOUBLE) * CAST(SUM(y * y) AS DOUBLE)
+        |       - CAST(SUM(y) AS DOUBLE) * CAST(SUM(y) AS DOUBLE))), 0.0) AS r
+        |FROM p WHERE y IS NOT NULL
+        |GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_decontam_embed" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+        |ev AS (SELECT vec_id AS eid, v AS evec FROM q WHERE vec_id % 97 = 0),
+        |p AS (SELECT t.vec_id AS id, e.eid,
+        |        (SELECT SUM(t.v[i] * e.evec[i])
+        |         FROM UNNEST(range(1, len(t.v) + 1)) AS s(i)) AS dot
+        |      FROM q t JOIN ev e ON t.vec_id <> e.eid),
+        |c AS (SELECT p.id, dot / SQRT(na.nrm * nb.nrm) AS cos
+        |      FROM p JOIN n na ON na.vec_id = p.id JOIN n nb ON nb.vec_id = p.eid)
+        |SELECT id, COUNT(*) AS n_eval,
+        |  CAST(SUM(CASE WHEN cos >= CAST(0.25 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+        |  MAX(cos) AS max_cos,
+        |  CAST(CASE WHEN SUM(CASE WHEN cos >= CAST(0.25 AS DOUBLE) THEN 1 ELSE 0 END) > 0
+        |       THEN 1 ELSE 0 END AS BIGINT) AS contaminated
+        |FROM c GROUP BY id ORDER BY id""".stripMargin,
+    "q_reciprocity" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |            FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |rec AS (SELECT COUNT(*) AS m_reciprocal FROM e x
+        |        WHERE EXISTS (SELECT 1 FROM e r
+        |                      WHERE r.src = x.dst AND r.dst = x.src)),
+        |tot AS (SELECT COUNT(*) AS m_edges FROM e)
+        |SELECT m_edges, m_reciprocal,
+        |  (m_reciprocal * 1000) // m_edges AS reciprocity_permille
+        |FROM tot, rec""".stripMargin,
+    "q_butterflies" ->
+      """WITH e AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS l,
+        |             'S' || CAST(l_suppkey AS VARCHAR) AS r
+        |           FROM lineitem WHERE l_quantity <= 2),
+        |okr AS (SELECT r FROM e GROUP BY r HAVING COUNT(*) <= 64),
+        |k AS (SELECT l, r FROM e JOIN okr USING (r)),
+        |p AS (SELECT a.l AS l1, b.l AS l2, COUNT(*) AS c
+        |      FROM k a JOIN k b ON a.r = b.r AND a.l < b.l
+        |      GROUP BY 1, 2)
+        |SELECT (SELECT COUNT(*) FROM k) AS m_edges,
+        |  COUNT(*) AS n_wedge_pairs,
+        |  CAST(SUM(c) AS BIGINT) AS n_wedges,
+        |  CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS n_butterflies
+        |FROM p""".stripMargin,
+    "q_tpch_q6" ->
+      """SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(FLOOR(l_extendedprice * l_discount * 10000.0)) AS BIGINT) AS revenue_e4
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+    "q_tpch_q4" ->
+      """SELECT o_orderpriority, COUNT(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+        |  AND o_orderdate < TIMESTAMP '1997-10-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_tpch_q12" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |             FROM lineitem GROUP BY l_orderkey
+        |             HAVING SUM(CAST(l_quantity AS BIGINT)) > 300)
+        |SELECT c_custkey, c_name, o_orderkey, o_totalprice, o_orderdate, sum_qty
+        |FROM orders JOIN big ON o_orderkey = big.l_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 100""".stripMargin,
+    "q_tpch_q22" ->
+      """WITH cust AS (SELECT c_custkey, c_nationkey,
+        |                CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_c
+        |              FROM customer),
+        |st AS (SELECT COUNT(*) AS n_pos, CAST(SUM(bal_c) AS BIGINT) AS sum_c
+        |       FROM cust WHERE bal_c > 0),
+        |r AS (SELECT o_custkey FROM orders
+        |      WHERE o_orderdate >= TIMESTAMP '1998-01-01')
+        |SELECT n_name, COUNT(*) AS numcust,
+        |  CAST(SUM(bal_c) AS BIGINT) AS totbal_c
+        |FROM cust CROSS JOIN st JOIN nation ON c_nationkey = n_nationkey
+        |WHERE bal_c * n_pos > sum_c
+        |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.o_custkey = cust.c_custkey)
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin,
+    "q_window_range" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_us,
+        |  COUNT(*) OVER w AS trail_n,
+        |  CAST(SUM(CAST(FLOOR(value * 1000000.0) AS BIGINT)) OVER w AS BIGINT) AS trail_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, ts_us, event_id""".stripMargin,
+    "q_scc_condense" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |reach AS (SELECT node AS a, node AS b FROM n
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |scc AS (SELECT f.a AS node, MIN(f.b) AS scc_id
+        |        FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a
+        |        GROUP BY f.a)
+        |SELECT DISTINCT a.scc_id AS scc_src, b.scc_id AS scc_dst
+        |FROM e JOIN scc a ON a.node = e.src JOIN scc b ON b.node = e.dst
+        |WHERE a.scc_id <> b.scc_id
+        |ORDER BY scc_src, scc_dst""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -61,4 +61,51 @@ object Decontaminate {
       .withColumn("contaminated",
         when(col("contam_permille") >= thresholdPermille, 1L).otherwise(0L))
   }
+
+  /** Embedding-space decontamination — the semantic sibling of
+    * [[ngramOverlap]]: a paraphrased eval item shares no 8-gram with its
+    * source, but its embedding still sits next to it. A train vector is
+    * contaminated when its cosine against ANY eval vector reaches
+    * `threshold`.
+    *
+    * Topology mirrors the n-gram path: the eval corpus is benchmark-sized
+    * (≪ train) and BROADCAST; the train side streams through one scan —
+    * a broadcast nested-loop whose per-pair work is the codegen'd
+    * [[graft.functions.ArrayDot]], followed by a train-id-keyed count
+    * aggregation (partial-aggregated map-side, so the |train|·|eval|
+    * pair stream never shuffles — only per-train-id hit counts do).
+    * No driver vector state beyond the eval broadcast; train scale is
+    * unbounded.
+    *
+    * Both sides must be pre-quantized via [[Similarity.quantize]]: dot
+    * products and norms are then integer-valued doubles (exact to 2^53),
+    * and `dot / sqrt(na·nb)` reproduces bit-identically in any engine
+    * (the q_dedup_embed recipe). `excludeSelfId` skips the eval vector
+    * with the train row's own id — correct when eval ⊆ train (a held-out
+    * slice of one id space), false for unrelated corpora.
+    *
+    * Output: (id, n_eval, n_hits, max_cos, contaminated) — one row per
+    * train vector; `max_cos` is NULL for an empty eval set.
+    */
+  def embedOverlap(train: DataFrame, idCol: String, vecCol: String,
+      eval: DataFrame, evalIdCol: String, evalVecCol: String,
+      threshold: Double, excludeSelfId: Boolean = true): DataFrame = {
+    val dotC = graft.functions.ArrayDot.array_dot(col("__tv"), col("__ev"))
+    val ev = eval.select(col(evalIdCol).as("__eid"),
+      col(evalVecCol).as("__ev"),
+      graft.functions.ArrayDot.array_dot(col(evalVecCol), col(evalVecCol))
+        .as("__en"))
+    val tr = train.select(col(idCol).as("id"), col(vecCol).as("__tv"),
+      graft.functions.ArrayDot.array_dot(col(vecCol), col(vecCol))
+        .as("__tn"))
+    val pairs = tr.crossJoin(broadcast(ev))
+      .where(if (excludeSelfId) col("id") =!= col("__eid") else lit(true))
+      .withColumn("cos", dotC / sqrt(col("__tn") * col("__en")))
+    pairs.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("cos") >= threshold, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cos")).as("max_cos"))
+      .withColumn("contaminated",
+        when(col("n_hits") > 0L, 1L).otherwise(0L))
+  }
 }

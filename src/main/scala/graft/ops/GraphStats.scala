@@ -115,4 +115,26 @@ object GraphStats {
       .withColumn("modularity",
         expr("try_divide(cast(q_num as double), cast(q_den as double))"))
   }
+
+  /** Directed-graph reciprocity: the fraction of directed edges whose
+    * reverse edge also exists (how conversational is the interaction
+    * graph — near 1 for mutual-follow networks, near 0 for broadcast
+    * ones). Edges are deduplicated and self-loops dropped first; the
+    * reverse probe is a self semi-join on the swapped key, so the whole
+    * statistic is two shuffles of the distinct edge set and a one-row
+    * output: (m_edges, m_reciprocal, reciprocity_permille).
+    */
+  def reciprocity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("s"), col(dstCol).as("t"))
+      .where(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val rev = e.select(col("t").as("s"), col("s").as("t"))
+    e.join(rev, Seq("s", "t"), "left_semi")
+      .agg(count(lit(1)).as("m_reciprocal"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("m_edges"))))
+      .select(col("m_edges"), col("m_reciprocal"),
+        expr("(m_reciprocal * 1000) div m_edges").as("reciprocity_permille"))
+  }
 }

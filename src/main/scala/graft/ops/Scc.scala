@@ -232,4 +232,34 @@ object Scc {
     eByDst.unpersist()
     lab
   }
+
+  /** Condensation DAG: the distinct (scc_src, scc_dst) edges between
+    * DIFFERENT strongly connected components — the acyclic quotient graph
+    * every cycle-sensitive downstream pass (topological ordering,
+    * longest-path criticality, dependency batching) actually runs on.
+    *
+    * Shape: one [[components]] run, then the edge list joined to the
+    * label table on each endpoint (two label-keyed shuffle joins of the
+    * distinct edge set — labels are (node, scc_id) rows, never collected)
+    * and a distinct. Output: (scc_src, scc_dst).
+    */
+  def condensationEdges(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxRounds: Int = 256,
+      maxPropSteps: Int = 128, maxLocalEdges: Long = 5_000_000L): DataFrame = {
+    val e = edges
+      .select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull &&
+        col("src") =!= col("dst"))
+      .distinct()
+    val lab = components(edges, srcCol, dstCol, maxRounds, maxPropSteps,
+        maxLocalEdges)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bySrc = lab.select(col("node").as("src"), col("scc_id").as("scc_src"))
+    val byDst = lab.select(col("node").as("dst"), col("scc_id").as("scc_dst"))
+    e.join(bySrc, Seq("src")).join(byDst, Seq("dst"))
+      .where(col("scc_src") =!= col("scc_dst"))
+      .select(col("scc_src"), col("scc_dst"))
+      .distinct()
+  }
 }

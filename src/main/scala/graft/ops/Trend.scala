@@ -44,4 +44,55 @@ object Trend {
             cast(n as double) * cast(s_x2 as double)
               - cast(s_x as double) * cast(s_x as double))"""))
   }
+
+  /** Per-group lag-1 autocorrelation of the daily event-count series —
+    * the seasonality/burstiness probe next to [[groupTrends]]'s drift
+    * slope: r ≈ +1 means yesterday predicts today (momentum / weekly
+    * rhythm), r ≈ −1 means alternation (batch-then-quiet ingestion).
+    *
+    * Day buckets with no events are SKIPPED, not zero-filled (the
+    * observed-window convention of `Anomaly.rateSpikes` — zero-filling
+    * would need a generated calendar spine and makes the result depend
+    * on the chosen global range). Pairs are consecutive OBSERVATIONS:
+    * (count at day i, count at next observed day).
+    *
+    * Pearson r over the pairs from exact integer sufficient sums; the
+    * final coefficient is assembled in doubles with sqrt — IEEE sqrt is
+    * correctly rounded in every engine, and the products feeding it are
+    * exact integers cast to double, so the result is bit-reproducible
+    * (the [[GraphStats.degreeAssortativity]] precedent). NULL when a
+    * group has < 2 observed days or zero variance on either side.
+    *
+    * Shape: one (group, day) count aggregation (map-side partials), one
+    * group-keyed lag window over the TINY per-day count table, one final
+    * aggregation. Events shuffle once, at day grain.
+    */
+  def lagAutocorr(df: DataFrame, groupCol: String,
+      tsUsCol: String): DataFrame = {
+    val daily = df
+      .select(col(groupCol).as("grp"),
+        (col(tsUsCol).cast("long") / lit(86400000000L)).cast("long")
+          .as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("day"))
+    daily
+      .withColumn("c_next", lead(col("c"), 1).over(w))
+      .where(col("c_next").isNotNull)
+      .select(col("grp"), col("c").as("x"), col("c_next").as("y"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("x")).as("s_x"), sum(col("y")).as("s_y"),
+        sum(col("x") * col("y")).as("s_xy"),
+        sum(col("x") * col("x")).as("s_x2"),
+        sum(col("y") * col("y")).as("s_y2"))
+      .withColumn("r",
+        expr("""try_divide(
+            cast(n_pairs as double) * cast(s_xy as double)
+              - cast(s_x as double) * cast(s_y as double),
+            sqrt((cast(n_pairs as double) * cast(s_x2 as double)
+                   - cast(s_x as double) * cast(s_x as double))
+                 * (cast(n_pairs as double) * cast(s_y2 as double)
+                   - cast(s_y as double) * cast(s_y as double))))"""))
+  }
 }
