@@ -58,5 +58,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(
         classOf[graft.functions.QuantileSampleAgg].getName, "quantile_sample"),
       (exprs: Seq[Expression]) => graft.functions.functions.buildQuantileSample(exprs)))
+    ext.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(
+        classOf[graft.functions.KmvSetAgg].getName, "kmv_sketch"),
+      (exprs: Seq[Expression]) => graft.functions.functions.buildKmvSketch(exprs)))
   }
 }

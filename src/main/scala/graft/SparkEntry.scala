@@ -1731,6 +1731,41 @@ object SparkEntry {
       // run on
       graft.ops.Scc.condensationEdges(Tables.userSequenceEdges(s, d))
         .orderBy("scc_src", "scc_dst")
+    },
+    "q_topo_layers" -> { (s, d) =>
+      // longest-path topological layers of the nation DAG
+      // (TopoSort.longestPathLayers): frontier relaxation rounds = DAG
+      // depth, pure shuffle algebra, loud cycle guard
+      graft.ops.TopoSort.longestPathLayers(
+          Tables.nationGraphEdges(s, d), "src", "dst")
+        .orderBy("node")
+    },
+    "q_kmv_sketch" -> { (s, d) =>
+      // FULL STATE of the per-source KMV bottom-k distinct-token sketch
+      // (functions/KmvSketch via SetSketch.kmvSketches), exploded to rows
+      // — the register-compare pattern: the oracle recomputes the k
+      // smallest distinct md5 lanes and every cell must match
+      val h = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"), graft.functions.functions.hex_to_long(
+          substring(md5(col("tok")), 1, 15)).as("h"))
+      graft.ops.SetSketch.kmvSketches(h, "source", "h", k = 256)
+        .select(col("source"), posexplode(col("sketch")))
+        .select(col("source"), (col("pos") + 1).cast("int").as("rk"),
+          col("col").as("h"))
+        .orderBy("source", "rk")
+    },
+    "q_kmv_jaccard" -> { (s, d) =>
+      // pairwise source-vocabulary overlap from the SAME sketches
+      // (SetSketch.pairwiseJaccard): bottom-k union sample per pair —
+      // the set-intersection estimate HLL registers cannot provide
+      val h = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"), graft.functions.functions.hex_to_long(
+          substring(md5(col("tok")), 1, 15)).as("h"))
+      val sk = graft.ops.SetSketch.kmvSketches(h, "source", "h", k = 256)
+      graft.ops.SetSketch.pairwiseJaccard(sk, "source", k = 256)
+        .orderBy("src_a", "src_b")
     }
   )
 
@@ -3746,7 +3781,56 @@ object SparkEntry {
         |SELECT DISTINCT a.scc_id AS scc_src, b.scc_id AS scc_dst
         |FROM e JOIN scc a ON a.node = e.src JOIN scc b ON b.node = e.dst
         |WHERE a.scc_id <> b.scc_id
-        |ORDER BY scc_src, scc_dst""".stripMargin
+        |ORDER BY scc_src, scc_dst""".stripMargin,
+    "q_topo_layers" ->
+      """WITH RECURSIVE
+        |nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |e AS (SELECT DISTINCT src, dst FROM (SELECT * FROM chain UNION ALL SELECT * FROM skip)),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |s AS (SELECT node FROM n WHERE node NOT IN (SELECT dst FROM e)),
+        |p AS (SELECT node, 0 AS l FROM s
+        |      UNION ALL
+        |      SELECT e.dst, p.l + 1 FROM p JOIN e ON e.src = p.node)
+        |SELECT node, CAST(MAX(l) AS BIGINT) AS layer
+        |FROM p GROUP BY node ORDER BY node""".stripMargin,
+    "q_kmv_sketch" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents)),
+        |r AS (SELECT source, h,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        |      FROM h)
+        |SELECT source, CAST(rk AS INT) AS rk, h
+        |FROM r WHERE rk <= 256
+        |ORDER BY source, rk""".stripMargin,
+    "q_kmv_jaccard" ->
+      """WITH h AS (SELECT DISTINCT source,
+        |             ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |           FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                 FROM documents)),
+        |r AS (SELECT source, h,
+        |        ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rk
+        |      FROM h),
+        |sk AS (SELECT source, h FROM r WHERE rk <= 256),
+        |prs AS (SELECT a.source AS src_a, b.source AS src_b
+        |        FROM (SELECT DISTINCT source FROM sk) a
+        |        JOIN (SELECT DISTINCT source FROM sk) b ON a.source < b.source),
+        |u AS (SELECT prs.src_a, prs.src_b, s.h,
+        |        MAX(CASE WHEN s.source = prs.src_a THEN 1 ELSE 0 END) AS ia,
+        |        MAX(CASE WHEN s.source = prs.src_b THEN 1 ELSE 0 END) AS ib
+        |      FROM prs JOIN sk s ON s.source IN (prs.src_a, prs.src_b)
+        |      GROUP BY 1, 2, 3),
+        |ru AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rn
+        |       FROM u),
+        |bk AS (SELECT * FROM ru WHERE rn <= 256)
+        |SELECT src_a, src_b, COUNT(*) AS k_eff, MAX(h) AS h_k,
+        |  CAST(SUM(ia * ib) AS BIGINT) AS n_shared,
+        |  (1000 * CAST(SUM(ia * ib) AS BIGINT)) // COUNT(*) AS jaccard_permille
+        |FROM bk GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

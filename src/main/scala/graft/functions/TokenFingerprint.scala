@@ -171,6 +171,12 @@ object functions {
     QuantileSampleAgg(exprs.head, exprs(1), intLiteral(exprs(2), "k"))
   }
 
+  private[graft] def buildKmvSketch(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2,
+      s"kmv_sketch expects (hash, k), got ${exprs.length} arguments")
+    KmvSetAgg(exprs.head, intLiteral(exprs(1), "k"))
+  }
+
   /** Register graft's native functions for SQL use
     * (`SELECT token_fingerprint(text), array_dot(a, b),
     * hll_registers(h, 6), top_k_by(score, id, 5) ...`). Aggregate
@@ -187,5 +193,6 @@ object functions {
     reg.createOrReplaceTempFunction("top_k_by", buildTopKBy, "scala_udf")
     reg.createOrReplaceTempFunction("top_k_by_str", buildTopKByStr, "scala_udf")
     reg.createOrReplaceTempFunction("quantile_sample", buildQuantileSample, "scala_udf")
+    reg.createOrReplaceTempFunction("kmv_sketch", buildKmvSketch, "scala_udf")
   }
 }

@@ -1,0 +1,54 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Pairwise set-overlap estimation between groups via KMV bottom-k
+  * distinct sketches — "how much vocabulary do these two sources share?"
+  * without a quadratic token join. HLL ([[graft.functions.Hll]]) answers
+  * per-group distinct counts but cannot intersect; the KMV sketch is a
+  * coordinated uniform sample of each group's hash set, so any pair's
+  * bottom-k UNION sample yields an unbiased Jaccard estimate (Beyer et
+  * al. 2007): of the k smallest union hashes, the fraction present in
+  * both sketches.
+  *
+  * Shape at 100 TB: one token scan → per-group [[graft.functions.KmvSketch]]
+  * aggregation (bounded k-slot state, map-side partials, dedup inside the
+  * buffer — no global distinct shuffle anywhere); the sketch table is one
+  * row per group, so the pairwise stage is a tiny self-join over group
+  * pairs with per-pair array algebra. Estimation error is the standard
+  * O(1/sqrt(k)).
+  *
+  * Output: (src_a, src_b, k_eff, h_k, n_shared, jaccard_permille) per
+  * unordered group pair — k_eff = |bottom-k of the union| (= min(k,
+  * |A∪B|)), h_k its largest hash (the union sample's threshold),
+  * n_shared the members of both sketches at or below that threshold.
+  * All integers: hash-exact in any engine.
+  */
+object SetSketch {
+
+  /** Per-group bottom-k distinct-hash sketch: (key, sketch sorted
+    * array<long>). `hashCol` must be the portable md5 lane
+    * (`hex_to_long(substr(md5(x), 1, 15))`) for cross-engine parity. */
+  def kmvSketches(df: DataFrame, keyCol: String, hashCol: String,
+      k: Int): DataFrame =
+    df.groupBy(col(keyCol))
+      .agg(graft.functions.KmvSketch.kmv_sketch(col(hashCol), k).as("sketch"))
+
+  /** Jaccard estimates for every unordered pair of sketch rows. */
+  def pairwiseJaccard(sketches: DataFrame, keyCol: String,
+      k: Int): DataFrame = {
+    val a = sketches.select(col(keyCol).as("src_a"), col("sketch").as("sa"))
+    val b = sketches.select(col(keyCol).as("src_b"), col("sketch").as("sb"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("u", array_sort(array_union(col("sa"), col("sb"))))
+      .withColumn("k_eff", least(lit(k), size(col("u"))).cast("long"))
+      .withColumn("h_k", element_at(col("u"), col("k_eff").cast("int")))
+      .withColumn("n_shared",
+        size(filter(array_intersect(col("sa"), col("sb")),
+          x => x <= col("h_k"))).cast("long"))
+      .select(col("src_a"), col("src_b"), col("k_eff"), col("h_k"),
+        col("n_shared"),
+        expr("(1000 * n_shared) div k_eff").as("jaccard_permille"))
+  }
+}

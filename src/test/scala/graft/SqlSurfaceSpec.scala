@@ -40,7 +40,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
         |       bit_votes(hex_to_long(substring(md5(text), 1, 15)), 8) AS votes,
         |       top_k_by(CAST(id AS DOUBLE), id, 2) AS top,
         |       top_k_by_str(CAST(id AS DOUBLE), text, 2) AS top_s,
-        |       quantile_sample(hex_to_long(substring(md5(text), 1, 15)), id, 2) AS qs
+        |       quantile_sample(hex_to_long(substring(md5(text), 1, 15)), id, 2) AS qs,
+        |       kmv_sketch(hex_to_long(substring(md5(text), 1, 15)), 2) AS kmv
         |FROM sql_docs""".stripMargin).collect().head
     val api = Seq((1L, "alpha beta"), (2L, "beta gamma"), (3L, "alpha beta"))
       .toDF("id", "text")
@@ -51,7 +52,8 @@ class SqlSurfaceSpec extends AnyFunSuite {
         graft.functions.BitVoteAgg.bit_votes($"h", 8).as("votes"),
         graft.functions.TopKByAgg.top_k_by($"id".cast("double"), $"id", 2).as("top"),
         graft.functions.TopKByAgg.top_k_by_str($"id".cast("double"), $"text", 2).as("top_s"),
-        graft.functions.QuantileSample.quantile_sample($"h", $"id", 2).as("qs"))
+        graft.functions.QuantileSample.quantile_sample($"h", $"id", 2).as("qs"),
+        graft.functions.KmvSketch.kmv_sketch($"h", 2).as("kmv"))
       .collect().head
     assert(sql == api)
     // and grouped SQL aggregation works
