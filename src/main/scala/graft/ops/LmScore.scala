@@ -39,21 +39,23 @@ import org.apache.spark.sql.functions._
   */
 object LmScore {
 
-  /** Per-occurrence (id, w1, w2) bigram rows. Array-expression
-    * shingling bound to a single `split` (the [[DomainAffinity]]
-    * derivation — O(tokens)/row, window-free hence streamable); docs
-    * shorter than 2 tokens yield no rows.
+  /** Per-occurrence (id, passthrough..., w1, w2) bigram rows.
+    * Array-expression shingling bound to a single `split` (the
+    * [[DomainAffinity]] derivation — O(tokens)/row, window-free hence
+    * streamable); docs shorter than 2 tokens yield no rows.
     */
-  private def bigramRows(df: DataFrame, idCol: String,
-      textCol: String): DataFrame =
-    df.select(col(idCol).as("id"), split(col(textCol), " ").as("__w"))
+  private def bigramRows(df: DataFrame, idCol: String, textCol: String,
+      passthrough: Seq[String] = Seq.empty): DataFrame =
+    df.select((col(idCol).as("id") +: passthrough.map(col)) :+
+        split(col(textCol), " ").as("__w"): _*)
       .where(size(col("__w")) >= 2)
-      .select(col("id"), explode(expr(
+      .select((col("id") +: passthrough.map(col)) :+ explode(expr(
         """transform(sequence(0, size(__w) - 2),
           |  i -> struct(element_at(__w, i + 1) AS w1,
           |              element_at(__w, i + 2) AS w2))""".stripMargin))
-        .as("bg"))
-      .select(col("id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+        .as("bg"): _*)
+      .select((col("id") +: passthrough.map(col)) :+
+        col("bg.w1").as("w1") :+ col("bg.w2").as("w2"): _*)
 
   /** Train the bigram model on a reference corpus:
     * (w1, w2, c2, c1) — bigram count and first-word continuation total.
@@ -74,9 +76,13 @@ object LmScore {
     * model table.
     */
   def scoreAgainst(df: DataFrame, idCol: String, textCol: String,
-      model: DataFrame): DataFrame = {
-    val ids = df.select(col(idCol).as("id")).distinct()
-    val scored = bigramRows(df, idCol, textCol)
+      model: DataFrame): DataFrame =
+    finishScore(df.select(col(idCol).as("id")).distinct(),
+      bigramRows(df, idCol, textCol), model, idCol)
+
+  private def finishScore(ids: DataFrame, bg: DataFrame,
+      model: DataFrame, idCol: String): DataFrame = {
+    val scored = bg.select("id", "w1", "w2")
       .join(model, Seq("w1", "w2"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_bigrams"),
@@ -93,12 +99,24 @@ object LmScore {
 
   /** One-shot: train on the rows matching `refPred` (the trusted slice —
     * e.g. the target language) and score EVERY row of `df` against that
-    * model. The bigram stream is derived once per side from the same
-    * scan-friendly projection; the model subtree is reused by Catalyst's
-    * exchange reuse where plans allow.
+    * model. The bigram stream is derived ONCE and persisted — it feeds
+    * both the model aggregation (filtered to the reference slice) and
+    * the scoring join, so the corpus is tokenized in a single pass
+    * instead of once per consumer (the [[DomainAffinity.score]] shape;
+    * at sf0.1 the cache materialization roughly breaks even with the
+    * recompute, but at corpus scale recompute means an extra full pass
+    * over the data). The id spine is a third scan but column-pruned to
+    * the id alone.
     */
   def score(df: DataFrame, idCol: String, textCol: String,
-      refPred: Column): DataFrame =
-    scoreAgainst(df, idCol, textCol,
-      bigramModel(df.where(refPred), idCol, textCol))
+      refPred: Column): DataFrame = {
+    val bg = bigramRows(df.withColumn("__is_ref", refPred),
+        idCol, textCol, Seq("__is_ref"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val refBg = bg.where(col("__is_ref"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+    val model = refBg.join(
+      refBg.groupBy(col("w1")).agg(sum(col("c2")).as("c1")), Seq("w1"))
+    finishScore(df.select(col(idCol).as("id")).distinct(), bg, model, idCol)
+  }
 }

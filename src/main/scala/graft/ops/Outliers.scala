@@ -42,11 +42,18 @@ object Outliers {
     val grp = groupCols.map(col)
     val wv = Window.partitionBy(grp: _*).orderBy(col("__v"))
     val cw = Window.partitionBy(grp: _*)
+    // ranked and devs each feed TWO consumers (the cut aggregation and
+    // the join-back); persisted so the source is scanned and window-sorted
+    // ONCE per stage instead of re-derived per consumer (plan-guarded:
+    // q_outliers must stay a single source scan). The cut tables are one
+    // row per group — broadcast, so the join-back keeps the window's hash
+    // partitioning instead of re-exchanging the data side.
     val ranked = df
       .withColumn("__v", col(valueCol).cast("long"))
       .withColumn("__rn", row_number().over(wv))
       .withColumn("__n", count(lit(1)).over(cw))
       .withColumn("__rmed", expr("(__n + 1) div 2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val meds = ranked.groupBy(grp: _*)
       .agg(min(when(col("__rn") === col("__rmed"), col("__v"))).as("med"))
     // |v − med|, then the SAME order-statistic trick on the deviations;
@@ -54,12 +61,13 @@ object Outliers {
     // row tied at the median rank carries the same __d, so the selected
     // statistic is deterministic either way
     val wd = Window.partitionBy(grp: _*).orderBy(col("__d"), col("__v"))
-    val devs = ranked.join(meds, groupCols)
+    val devs = ranked.join(broadcast(meds), groupCols)
       .withColumn("__d", abs(col("__v") - col("med")))
       .withColumn("__rd", row_number().over(wd))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val mads = devs.groupBy(grp: _*)
       .agg(min(when(col("__rd") === col("__rmed"), col("__d"))).as("mad"))
-    devs.join(mads, groupCols)
+    devs.join(broadcast(mads), groupCols)
       .groupBy(grp: _*)
       .agg(count(lit(1)).as("n"),
         min(col("med")).as("med"),

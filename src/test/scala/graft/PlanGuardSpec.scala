@@ -54,4 +54,44 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(scans(p) == 3)
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_tpch_q6 pushes every predicate to the scan") {
+    val p = physical("q_tpch_q6")
+    assert(scans(p) == 1)
+    assert(p.contains("PushedFilters") &&
+      p.contains("l_shipdate") && p.contains("l_quantity"),
+      s"predicates must reach the parquet scan, plan:\n${p.take(2000)}")
+  }
+
+  test("q_outliers consumes the source through shared caches, scanned once") {
+    // ranked and devs are persisted: every top-level consumer reads an
+    // InMemoryTableScan, so the events parquet is materialized exactly
+    // once (string-counting scans would see the cached subtree re-printed
+    // under each reuse — count FileSourceScanExec nodes in the TREE,
+    // where cached innards don't appear)
+    val plan = SparkEntry.queries("q_outliers")(spark, sf)
+      .queryExecution.executedPlan
+    val treeScans = plan.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.size
+    assert(treeScans == 0, s"expected all source reads behind the shared " +
+      s"caches, found $treeScans direct scans")
+    assert(plan.toString.contains("InMemoryRelation"))
+    assert(!plan.toString.contains("CartesianProduct"))
+  }
+
+  test("q_window_range evaluates both frame aggregates in one Window node") {
+    val p = physical("q_window_range")
+    assert(scans(p) == 1)
+    assert("Window ".r.findAllIn(p).size == 1,
+      s"both RANGE aggregates must share one Window, plan:\n${p.take(2000)}")
+  }
+
+  test("q_kmv_jaccard's pairwise stage joins sketch rows, not token rows") {
+    val p = physical("q_kmv_jaccard")
+    // token scan feeds the sketch agg twice (a/b sides of the self-join);
+    // the non-equi pair join must be a BNL over SKETCH rows (one row per
+    // source), never a cartesian of token rows
+    assert(!p.contains("CartesianProduct"))
+  }
 }

@@ -49,6 +49,35 @@ class StreamingSketchSpec extends AnyFunSuite {
     assert(math.abs(est1 - 7) / 7.0 < 0.3, s"window1 est $est1")
   }
 
+  test("streaming windowed KMV set sketch equals the batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)] // (ts_us, token)
+    val hourUs = 3600000000L
+    def agg(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("window_start_us", col("ts_us") - pmod(col("ts_us"), lit(hourUs)))
+      .withColumn("h", graft.functions.functions.hex_to_long(
+        substring(md5(col("tok")), 1, 15)))
+      .groupBy(col("window_start_us"))
+      .agg(graft.functions.KmvSketch.kmv_sketch(col("h"), 16).as("sk"))
+    val q = agg(input.toDF().toDF("ts_us", "tok"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("kmv_stream").start()
+    val b1 = (0 until 40).map(i => (1000000L * i, s"t$i"))
+    val b2 = (20 until 60).map(i => (1000000L * i, s"t$i")) // dup first 20
+    val b3 = (0 until 30).map(i => (hourUs + 1000000L * i, s"t${i % 7}"))
+    input.addData(b1); q.processAllAvailable()
+    input.addData(b2); q.processAllAvailable()
+    input.addData(b3); q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("kmv_stream").as[(Long, Seq[Long])]
+      .collect().toMap
+    val batch = agg((b1 ++ b2 ++ b3).toDF("ts_us", "tok"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(streamed == batch)
+    assert(streamed(0L).size == 16)      // 60 distinct -> full sketch
+    assert(streamed(hourUs).size == 7)   // 7 distinct -> whole set
+  }
+
   test("streaming Count-Min counters equal the batch sketch") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[String]
