@@ -1766,6 +1766,27 @@ object SparkEntry {
       val sk = graft.ops.SetSketch.kmvSketches(h, "source", "h", k = 256)
       graft.ops.SetSketch.pairwiseJaccard(sk, "source", k = 256)
         .orderBy("src_a", "src_b")
+    },
+    "q_global_rank" -> { (s, d) =>
+      // global sequence numbering WITHOUT a single-partition window
+      // (Ranks.globalRowNumber: range exchange + zipWithIndex offsets);
+      // every 997th rank probed so the oracle proves the whole order
+      graft.ops.Ranks.globalRowNumber(
+          Tables.lineitem(s, d).select(col("l_orderkey"),
+            col("l_linenumber"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long")
+              .as("v_c")),
+          Seq("v_c", "l_orderkey", "l_linenumber"))
+        .where(pmod(col("grn"), lit(997L)) === 0L)
+        .orderBy("grn")
+    },
+    "q_dedup_snm" -> { (s, d) =>
+      // sorted-neighborhood dedup (Dedup.sortedNeighborhoodPairs): the
+      // third blocking family — text-prefix sort key, rank window 8,
+      // exact 3-gram Jaccard on the O(N*w) candidates
+      Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
+          "text", window = 8, n = 3, thresholdPermille = 500)
+        .orderBy("id_a", "id_b")
     }
   )
 
@@ -3830,7 +3851,41 @@ object SparkEntry {
         |  CAST(SUM(ia * ib) AS BIGINT) AS n_shared,
         |  (1000 * CAST(SUM(ia * ib) AS BIGINT)) // COUNT(*) AS jaccard_permille
         |FROM bk GROUP BY src_a, src_b
-        |ORDER BY src_a, src_b""".stripMargin
+        |ORDER BY src_a, src_b""".stripMargin,
+    "q_global_rank" ->
+      """WITH r AS (SELECT l_orderkey, l_linenumber,
+        |             CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v_c,
+        |             ROW_NUMBER() OVER (ORDER BY
+        |               CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT),
+        |               l_orderkey, l_linenumber) AS grn
+        |           FROM lineitem)
+        |SELECT l_orderkey, l_linenumber, v_c, grn
+        |FROM r WHERE grn % 997 = 0
+        |ORDER BY grn""".stripMargin,
+    "q_dedup_snm" ->
+      """WITH k AS (SELECT doc_id, substr(text, 1, 64) AS key FROM documents),
+        |r AS (SELECT doc_id, ROW_NUMBER() OVER (ORDER BY key, doc_id) AS grn FROM k),
+        |cand AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM r a JOIN r b ON b.grn - a.grn BETWEEN 1 AND 8),
+        |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |si AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        |          FROM cand c
+        |          JOIN sh a ON a.doc_id = c.id_a
+        |          JOIN sh b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+        |          GROUP BY 1, 2)
+        |SELECT c.id_a, c.id_b, CAST(COALESCE(n_inter, 0) AS BIGINT) AS n_inter,
+        |  (1000 * COALESCE(n_inter, 0))
+        |    // (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) AS jaccard_permille
+        |FROM cand c
+        |JOIN si sa ON sa.doc_id = c.id_a
+        |JOIN si sb ON sb.doc_id = c.id_b
+        |LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
+        |WHERE (1000 * COALESCE(n_inter, 0))
+        |    // (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 500
+        |ORDER BY c.id_a, c.id_b""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -777,4 +777,62 @@ object Dedup extends org.apache.spark.internal.Logging {
       }
       .toDF("id_a", "id_b", "cosine")
   }
+
+  /** Sorted-neighborhood near-dup mining (Hernández & Stolfo 1995) — the
+    * third blocking family next to LSH (hash-similar) and prefix
+    * filtering (share-a-rare-shingle): sort the corpus by a cheap
+    * locality key, compare only rows within `window` positions of each
+    * other. Catches the near-dups that cluster under a domain sort
+    * (shared prefixes/boilerplate headers) at candidate cost O(N·window)
+    * REGARDLESS of how hot any one blocking key is — the property
+    * LSH/prefix candidates lose on skewed corpora.
+    *
+    * Shape: one [[Ranks.globalRowNumber]] pass over (sortKey, id) — a
+    * range exchange, never a single-partition window — then the
+    * rank-banded self-join (each row tags its band and band+1, the
+    * [[RangeJoin]] trick, so every candidate pair is produced exactly
+    * once), then EXACT n-gram Jaccard on candidates only via per-id
+    * shingle arrays. Output: (id_a, id_b, n_inter, jaccard_permille)
+    * for candidate pairs at or above `thresholdPermille`, ids ordered by
+    * rank (= sort-key order, the SNM convention).
+    *
+    * `sortKeyExpr` defaults to the first 64 chars of the text — swap in
+    * a domain key (normalized name, URL host, shingle fingerprint) when
+    * one exists.
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, textCol: String,
+      window: Int, n: Int = 3, thresholdPermille: Int = 500,
+      sortKeyCol: Option[String] = None): DataFrame = {
+    require(window >= 1, s"window must be >= 1, got $window")
+    require(thresholdPermille >= 0 && thresholdPermille <= 1000,
+      s"threshold is per-mille in [0, 1000], got $thresholdPermille")
+    val keyed = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
+      sortKeyCol.map(col).getOrElse(substring(col(textCol), 1, 64))
+        .as("__key"))
+    val ranked = Ranks.globalRowNumber(keyed, Seq("__key", "id"))
+      .select(col("id"), col("grn"),
+        (col("grn") / window).cast("long").as("__band"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tagged = ranked.select(col("id").as("id_a"), col("grn").as("rn_a"),
+      explode(array(col("__band"), col("__band") + 1L)).as("__jb"))
+    val cand = tagged.join(
+        ranked.select(col("id").as("id_b"), col("grn").as("rn_b"),
+          col("__band").as("__jb")),
+        Seq("__jb"))
+      .where(col("rn_b") - col("rn_a") >= 1L &&
+        col("rn_b") - col("rn_a") <= window.toLong)
+      .select(col("id_a"), col("id_b"))
+    val sets = shingles(df, idCol, textCol, n)
+      .groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
+    val scored = cand
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard_permille", expr(
+        "(1000 * n_inter) div (size(sh_a) + size(sh_b) - n_inter)"))
+    scored.where(col("jaccard_permille") >= thresholdPermille)
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("jaccard_permille"))
+  }
 }
