@@ -1787,6 +1787,34 @@ object SparkEntry {
       Dedup.sortedNeighborhoodPairs(Tables.documents(s, d), "doc_id",
           "text", window = 8, n = 3, thresholdPermille = 500)
         .orderBy("id_a", "id_b")
+    },
+    "q_latest_state" -> { (s, d) =>
+      // per-user latest-state compaction (the upsert/materialized view of
+      // an event log) WITHOUT a window sort: max over (ts, event_id,
+      // payload...) structs — one partial-aggregated shuffle, the struct
+      // comparison never reaches the payload fields because (ts_us,
+      // event_id) is unique
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"),
+            col("value"))).as("m"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("m.ts_us").as("last_ts_us"),
+          col("m.event_id").as("last_event_id"),
+          col("m.event_type").as("last_type"),
+          col("m.value").as("last_value"), col("n_events"))
+        .orderBy("user_id")
+    },
+    "q_percentile_cont" -> { (s, d) =>
+      // interpolated P50/P90 per flag (Quantiles.interpolatedPercentiles):
+      // PERCENTILE_CONT semantics from exact integer anchors + one affine
+      // double step — identical expression in the oracle, hash-exact
+      graft.ops.Quantiles.interpolatedPercentiles(
+          Tables.lineitem(s, d).select(col("l_returnflag").as("flag"),
+            floor(col("l_extendedprice") * lit(100.0)).cast("long")
+              .as("v_c")),
+          "v_c", Seq("flag"), Seq(50, 90))
+        .orderBy("flag")
     }
   )
 
@@ -3885,7 +3913,40 @@ object SparkEntry {
         |LEFT JOIN inter ON inter.id_a = c.id_a AND inter.id_b = c.id_b
         |WHERE (1000 * COALESCE(n_inter, 0))
         |    // (sa.n_sh + sb.n_sh - COALESCE(n_inter, 0)) >= 500
-        |ORDER BY c.id_a, c.id_b""".stripMargin
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
+    "q_latest_state" ->
+      """WITH r AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id,
+        |             event_type, value,
+        |             ROW_NUMBER() OVER (PARTITION BY user_id
+        |               ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn,
+        |             COUNT(*) OVER (PARTITION BY user_id) AS n_events
+        |           FROM events)
+        |SELECT user_id, ts_us AS last_ts_us, event_id AS last_event_id,
+        |  event_type AS last_type, value AS last_value,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM r WHERE rn = 1
+        |ORDER BY user_id""".stripMargin,
+    "q_percentile_cont" ->
+      """WITH v AS (SELECT l_returnflag AS flag,
+        |             CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v
+        |           FROM lineitem),
+        |r AS (SELECT flag, v, ROW_NUMBER() OVER (PARTITION BY flag ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY flag) AS n FROM v),
+        |a AS (SELECT flag, COUNT(*) AS n,
+        |        MIN(CASE WHEN rn = ((n - 1) * 50) // 100 + 1 THEN v END) AS p50_lo,
+        |        MIN(CASE WHEN rn = LEAST(((n - 1) * 50) // 100 + 2, n) THEN v END) AS p50_hi,
+        |        MIN(((n - 1) * 50) % 100) AS p50_frac,
+        |        MIN(CASE WHEN rn = ((n - 1) * 90) // 100 + 1 THEN v END) AS p90_lo,
+        |        MIN(CASE WHEN rn = LEAST(((n - 1) * 90) // 100 + 2, n) THEN v END) AS p90_hi,
+        |        MIN(((n - 1) * 90) % 100) AS p90_frac
+        |      FROM r GROUP BY flag)
+        |SELECT flag, n, p50_lo, p50_hi, p50_frac,
+        |  CAST(p50_lo AS DOUBLE)
+        |    + (CAST(p50_hi AS DOUBLE) - CAST(p50_lo AS DOUBLE)) * (p50_frac / 100.0) AS p50,
+        |  p90_lo, p90_hi, p90_frac,
+        |  CAST(p90_lo AS DOUBLE)
+        |    + (CAST(p90_hi AS DOUBLE) - CAST(p90_lo AS DOUBLE)) * (p90_frac / 100.0) AS p90
+        |FROM a ORDER BY flag""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

@@ -97,6 +97,57 @@ object Quantiles {
       .groupBy(keyCols.map(col): _*)
       .agg(graft.functions.QuantileSample.quantile_sample(h, v, k).as("__s"))
   }
+
+  /** Exact INTERPOLATED percentiles (SQL `PERCENTILE_CONT` / numpy
+    * type-7) per group — the continuous complement of the order-statistic
+    * family above: position (n−1)·p/100 between the two bracketing
+    * values, `a + (b − a)·frac`. The bracketing ranks and the fraction
+    * are exact integers; only the final affine combination is a double,
+    * assembled by the identical expression in any engine (integer-cast
+    * operands, one multiply, one add — no accumulation order to vary).
+    *
+    * One group-keyed sort window + one conditional aggregation — same
+    * scale posture as [[Normalize.winsorizeStats]] (per-group sort must
+    * fit a task's spill budget; use [[sketch]] when it cannot).
+    *
+    * Output: (groupCols..., n, then for each p: p<P>_lo, p<P>_hi,
+    * p<P>_frac, p<P>), e.g. p50_lo/p50_hi/p50_frac/p50.
+    */
+  def interpolatedPercentiles(df: DataFrame, valueCol: String,
+      groupCols: Seq[String], ps: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "needs at least one group column")
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 100),
+      s"percentiles must be in [0, 100], got $ps")
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col("__v"))
+    val cw = Window.partitionBy(grp: _*)
+    val ranked = df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+    val withRanks = ps.foldLeft(ranked) { (acc, p) =>
+      acc
+        .withColumn(s"__lo_$p", expr(s"((__n - 1) * $p) div 100 + 1"))
+        .withColumn(s"__hi_$p", least(expr(s"__lo_$p + 1"), col("__n")))
+        .withColumn(s"__fr_$p", expr(s"((__n - 1) * $p) % 100"))
+    }
+    val aggs = ps.flatMap { p =>
+      Seq(
+        min(when(col("__rn") === col(s"__lo_$p"), col("__v")))
+          .as(s"p${p}_lo"),
+        min(when(col("__rn") === col(s"__hi_$p"), col("__v")))
+          .as(s"p${p}_hi"),
+        min(col(s"__fr_$p")).as(s"p${p}_frac"))
+    }
+    val base = withRanks.groupBy(grp: _*)
+      .agg(count(lit(1)).as("n"), aggs: _*)
+    ps.foldLeft(base) { (acc, p) =>
+      acc.withColumn(s"p$p", expr(
+        s"cast(p${p}_lo as double) + " +
+          s"(cast(p${p}_hi as double) - cast(p${p}_lo as double)) * " +
+          s"(p${p}_frac / 100.0)"))
+    }
+  }
 }
 
 /** Deterministic hash sampling: the portable alternative to
