@@ -1815,6 +1815,63 @@ object SparkEntry {
               .as("v_c")),
           "v_c", Seq("flag"), Seq(50, 90))
         .orderBy("flag")
+    },
+    "q_tpch_q14" -> { (s, d) =>
+      // TPC-H Q14 (promotion effect): one month of lineitems ⋈ part,
+      // promo share in exact integer permyriad of cents revenue —
+      // shipdate filter pushed to the scan, one aggregation row out
+      val li = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-09-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-10-01")))
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("rev_c"))
+      li.join(Tables.part(s, d).select(col("p_partkey"), col("p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(when(col("p_type") === "PROMO", col("rev_c")).otherwise(0L))
+            .as("promo_c"),
+          sum(col("rev_c")).as("total_c"))
+        .withColumn("promo_permyriad",
+          expr("(10000 * promo_c) div total_c"))
+    },
+    "q_tpch_q15" -> { (s, d) =>
+      // TPC-H Q15 (top supplier): quarterly revenue per supplier, keep
+      // the max — the view + scalar-max-subquery becomes an aggregate +
+      // broadcast max join (ties all kept, as in the spec)
+      val rev = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1997-04-01")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * lit(100.0)).cast("long")).as("total_rev_c"))
+      val maxRev = rev.agg(max(col("total_rev_c")).as("max_rev_c"))
+      rev.crossJoin(broadcast(maxRev))
+        .where(col("total_rev_c") === col("max_rev_c"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
+        .orderBy("s_suppkey")
+    },
+    "q_tpch_q17" -> { (s, d) =>
+      // TPC-H Q17 shape (small-quantity revenue): lineitems under 20% of
+      // their part's average quantity — the correlated AVG subquery
+      // decorrelates into a per-part aggregate joined back, threshold as
+      // the cross-multiplied integer test 5·qty·n < Σqty (no double avg)
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long")
+            .as("price_c"))
+      val pq = li.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_li"), sum(col("qty")).as("sum_q"))
+      li.join(pq, Seq("l_partkey"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .where(col("p_brand").isin("Brand#12", "Brand#23") &&
+          lit(5L) * col("qty") * col("n_li") < col("sum_q"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small"),
+          sum(col("price_c")).as("rev_small_c"))
+        .orderBy("p_brand")
     }
   )
 
@@ -3946,7 +4003,45 @@ object SparkEntry {
         |  p90_lo, p90_hi, p90_frac,
         |  CAST(p90_lo AS DOUBLE)
         |    + (CAST(p90_hi AS DOUBLE) - CAST(p90_lo AS DOUBLE)) * (p90_frac / 100.0) AS p90
-        |FROM a ORDER BY flag""".stripMargin
+        |FROM a ORDER BY flag""".stripMargin,
+    "q_tpch_q14" ->
+      """WITH li AS (SELECT l_partkey,
+        |              CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0) AS BIGINT) AS rev_c
+        |            FROM lineitem
+        |            WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+        |              AND l_shipdate < TIMESTAMP '1997-10-01')
+        |SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT) AS promo_c,
+        |  CAST(SUM(rev_c) AS BIGINT) AS total_c,
+        |  (10000 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_c ELSE 0 END) AS BIGINT))
+        |    // CAST(SUM(rev_c) AS BIGINT) AS promo_permyriad
+        |FROM li JOIN part ON l_partkey = p_partkey""".stripMargin,
+    "q_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |               CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS BIGINT) AS total_rev_c
+        |             FROM lineitem
+        |             WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |               AND l_shipdate < TIMESTAMP '1997-04-01'
+        |             GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_rev_c
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q17" ->
+      """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+        |              CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS price_c
+        |            FROM lineitem),
+        |pq AS (SELECT l_partkey, COUNT(*) AS n_li,
+        |         CAST(SUM(qty) AS BIGINT) AS sum_q
+        |       FROM li GROUP BY l_partkey)
+        |SELECT p_brand, COUNT(*) AS n_small,
+        |  CAST(SUM(price_c) AS BIGINT) AS rev_small_c
+        |FROM li JOIN pq USING (l_partkey)
+        |JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand IN ('Brand#12', 'Brand#23')
+        |  AND 5 * qty * n_li < sum_q
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
