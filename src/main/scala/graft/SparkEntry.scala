@@ -1852,6 +1852,15 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_vocab_drift" -> { (s, d) =>
+      // pairwise total-variation drift between source vocabularies
+      // (ops/VocabDrift): hashed-bucket token distributions in integer
+      // per-mille, L1 over the tiny distribution table — the log-free
+      // domain-drift monitor (KL needs libm, not oracle-portable)
+      graft.ops.VocabDrift.drift(Tables.documents(s, d), "source", "text",
+          buckets = 1024)
+        .orderBy("src_a", "src_b")
+    },
     "q_tpch_q17" -> { (s, d) =>
       // TPC-H Q17 shape (small-quantity revenue): lineitems under 20% of
       // their part's average quantity — the correlated AVG subquery
@@ -4027,6 +4036,29 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_vocab_drift" ->
+      """WITH toks AS (SELECT source AS k,
+        |                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
+        |              FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |                    FROM documents)),
+        |cnts AS (SELECT k, b, COUNT(*) AS cnt FROM toks GROUP BY k, b),
+        |tots AS (SELECT k, CAST(SUM(cnt) AS BIGINT) AS tot FROM cnts GROUP BY k),
+        |dist AS (SELECT cnts.k, b, (1000 * cnt) // tot AS pm
+        |         FROM cnts JOIN tots USING (k)),
+        |prs AS (SELECT a.k AS src_a, b.k AS src_b
+        |        FROM (SELECT DISTINCT k FROM dist) a
+        |        JOIN (SELECT DISTINCT k FROM dist) b ON a.k < b.k),
+        |un AS (SELECT prs.src_a, prs.src_b, d.b, d.pm AS pm_a, 0 AS pm_b
+        |       FROM prs JOIN dist d ON d.k = prs.src_a
+        |       UNION ALL
+        |       SELECT prs.src_a, prs.src_b, d.b, 0 AS pm_a, d.pm AS pm_b
+        |       FROM prs JOIN dist d ON d.k = prs.src_b),
+        |pb AS (SELECT src_a, src_b, b, SUM(pm_a) AS pa, SUM(pm_b) AS pb
+        |       FROM un GROUP BY 1, 2, 3)
+        |SELECT src_a, src_b, COUNT(*) AS n_buckets_used,
+        |  CAST(SUM(ABS(pa - pb)) AS BIGINT) AS l1_permille
+        |FROM pb GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_tpch_q17" ->
       """WITH li AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
         |              CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS price_c
