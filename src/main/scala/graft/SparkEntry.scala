@@ -1852,6 +1852,50 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_tpch_q7" -> { (s, d) =>
+      // TPC-H Q7 (volume shipping): lineitem revenue between two nations
+      // by year — supplier and customer nation dims BOTH broadcast, the
+      // two big fact joins shuffle on their keys, year from the pushed
+      // shipdate range
+      val n1 = "NATION_9"; val n2 = "NATION_10"
+      val natl = broadcast(Tables.nation(s, d)
+        .where(col("n_name").isin(n1, n2))
+        .select(col("n_nationkey"), col("n_name")))
+      val sup = Tables.supplier(s, d)
+        .join(natl, col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(natl, col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val ord = Tables.orders(s, d).select("o_orderkey", "o_custkey")
+      Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("rev_c"))
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .where(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_c"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    "q_tpch_q13" -> { (s, d) =>
+      // TPC-H Q13 (customer order-count distribution): left join keeps
+      // zero-order customers, two stacked aggregations — the classic
+      // histogram-of-counts shape
+      val ord = Tables.orders(s, d).select(col("o_custkey"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_custkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
     "q_vocab_drift" -> { (s, d) =>
       // pairwise total-variation drift between source vocabularies
       // (ops/VocabDrift): hashed-bucket token distributions in integer
@@ -4036,6 +4080,31 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q7" ->
+      """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+        |  CAST(YEAR(l_shipdate) AS INT) AS l_year,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS BIGINT) AS rev_c
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation sn ON s_nationkey = sn.n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation cn ON c_nationkey = cn.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND sn.n_name IN ('NATION_9', 'NATION_10')
+        |  AND cn.n_name IN ('NATION_9', 'NATION_10')
+        |  AND sn.n_name <> cn.n_name
+        |GROUP BY 1, 2, 3
+        |ORDER BY 1, 2, 3""".stripMargin,
+    "q_tpch_q13" ->
+      """SELECT c_count, COUNT(*) AS custdist FROM (
+        |  SELECT c_custkey, COUNT(o_custkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count
+        |ORDER BY custdist DESC, c_count DESC""".stripMargin,
     "q_vocab_drift" ->
       """WITH toks AS (SELECT source AS k,
         |                ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS b
