@@ -1852,6 +1852,22 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_graph_density" -> { (s, d) =>
+      // per-component structure profile (GraphStats.componentDensity):
+      // node count, undirected edge count, truncating per-mille density —
+      // labels computed once and persisted for both rollups
+      graft.ops.GraphStats.componentDensity(
+          Tables.partSupplierEdges(s, d), "src", "dst")
+        .orderBy("component")
+    },
+    "q_negative_edges" -> { (s, d) =>
+      // deterministic negative sampling (LinkPrediction.negativeEdges):
+      // fixed multiplicative-permutation partners over global node ranks,
+      // true edges anti-joined away — replayable in the oracle
+      graft.ops.LinkPrediction.negativeEdges(
+          Tables.userSequenceEdges(s, d), "src", "dst")
+        .orderBy("src", "dst")
+    },
     "q_tpch_q7" -> { (s, d) =>
       // TPC-H Q7 (volume shipping): lineitem revenue between two nations
       // by year — supplier and customer nation dims BOTH broadcast, the
@@ -4080,6 +4096,37 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_graph_density" -> ccOracle(
+      """, comp AS (SELECT node, MIN(lab) AS component FROM cc GROUP BY node),
+        |e2 AS (SELECT DISTINCT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM edges),
+        |ce AS (SELECT c.component, COUNT(*) AS n_edges
+        |       FROM e2 JOIN comp c ON c.node = e2.x GROUP BY 1),
+        |cn AS (SELECT component, COUNT(*) AS n_nodes FROM comp GROUP BY 1)
+        |SELECT cn.component, cn.n_nodes,
+        |  CAST(COALESCE(ce.n_edges, 0) AS BIGINT) AS n_edges,
+        |  CASE WHEN cn.n_nodes > 1
+        |       THEN (2000 * COALESCE(ce.n_edges, 0))
+        |              // (cn.n_nodes * (cn.n_nodes - 1))
+        |       ELSE 0 END AS density_permille
+        |FROM cn LEFT JOIN ce USING (component)
+        |ORDER BY component""".stripMargin),
+    "q_negative_edges" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |            FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r AS (SELECT node, ROW_NUMBER() OVER (ORDER BY node) AS grn FROM nodes),
+        |nn AS (SELECT COUNT(*) AS n FROM r),
+        |cand AS (SELECT a.node AS src, b.node AS dst
+        |         FROM r a CROSS JOIN nn
+        |         JOIN r b ON b.grn = (a.grn * 2654435761) % nn.n + 1
+        |         WHERE (a.grn * 2654435761) % nn.n + 1 <> a.grn)
+        |SELECT c.src, c.dst FROM cand c
+        |WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.src AND e.dst = c.dst)
+        |  AND NOT EXISTS (SELECT 1 FROM e WHERE e.src = c.dst AND e.dst = c.src)
+        |ORDER BY src, dst""".stripMargin,
     "q_tpch_q7" ->
       """SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
         |  CAST(YEAR(l_shipdate) AS INT) AS l_year,

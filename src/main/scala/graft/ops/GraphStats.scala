@@ -116,6 +116,33 @@ object GraphStats {
         expr("try_divide(cast(q_num as double), cast(q_den as double))"))
   }
 
+  /** Per-component structure profile: (component, n_nodes, n_edges,
+    * density_permille) — density = 2e/(n(n−1)) in truncating per-mille,
+    * 0 for singleton-free components of one node (cannot occur here:
+    * every node is edge-incident) and for n = 1 guards. Reads the
+    * component labels ONCE (persisted) for both the node rollup and the
+    * edge-label join; the edge join keys on the undirected edge's lower
+    * endpoint — both endpoints share a component by definition.
+    */
+  def componentDensity(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val und = undirected(edges, srcCol, dstCol)
+    val labels = ConnectedComponents.components(
+        edges.select(col(srcCol).as("src"), col(dstCol).as("dst")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val cn = labels.groupBy("component").agg(count(lit(1)).as("n_nodes"))
+    val ce = und
+      .join(labels.select(col("node").as("x"), col("component")), Seq("x"))
+      .groupBy("component").agg(count(lit(1)).as("n_edges"))
+    cn.join(ce, Seq("component"), "left")
+      .select(col("component"), col("n_nodes"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"))
+      .withColumn("density_permille",
+        when(col("n_nodes") > 1L,
+          expr("(2000 * n_edges) div (n_nodes * (n_nodes - 1))"))
+          .otherwise(0L))
+  }
+
   /** Directed-graph reciprocity: the fraction of directed edges whose
     * reverse edge also exists (how conversational is the interaction
     * graph — near 1 for mutual-follow networks, near 0 for broadcast

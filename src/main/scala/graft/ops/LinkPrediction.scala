@@ -98,4 +98,46 @@ object LinkPrediction {
       .select(col("a"), col("b"), col("n_common"), col("deg_a"), col("deg_b"),
         col("jaccard_permille"))
   }
+
+  /** Deterministic negative sampling — the other half of link-prediction
+    * training data: for every node, one pseudo-random partner that is NOT
+    * a neighbor. Candidates come from a fixed multiplicative permutation
+    * over the node ranks (partner(r) = r·2654435761 mod n + 1, the
+    * Knuth hash multiplier), so the sample is replayable in any engine —
+    * no RNG, no rejection loop; real edges (either orientation) are
+    * anti-joined away. Roughly one negative per node (fewer where the
+    * map self-pairs or hits a true edge) — run with several `mult`
+    * values for more.
+    *
+    * Shape: [[Ranks.globalRowNumber]] over the node set (range exchange),
+    * one rank-keyed self-join for the pairing, two anti-joins against the
+    * distinct edge set. `n` (one count job) must stay below ~3.4e9 so
+    * rank·mult fits a long — far above any node set that wants
+    * one-negative-per-node in one pass.
+    */
+  def negativeEdges(edges: DataFrame, srcCol: String, dstCol: String,
+      mult: Long = 2654435761L): DataFrame = {
+    require(mult > 0, s"mult must be positive, got $mult")
+    val e = edges.select(col(srcCol).cast("string").as("s"),
+        col(dstCol).cast("string").as("t"))
+      .where(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("s").as("node"))
+      .union(e.select(col("t").as("node"))).distinct()
+    val ranked = Ranks.globalRowNumber(nodes, Seq("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = ranked.count()
+    require(n < 3_400_000_000L,
+      s"rank * mult must fit a long: $n nodes is over the ~3.4e9 bound")
+    val cand = ranked
+      .withColumn("p", (col("grn") * mult) % n + 1L)
+      .where(col("p") =!= col("grn"))
+      .join(ranked.select(col("node").as("dst"), col("grn").as("p")),
+        Seq("p"))
+      .select(col("node").as("src"), col("dst"))
+    cand
+      .join(e, cand("src") === e("s") && cand("dst") === e("t"), "left_anti")
+      .join(e, col("src") === e("t") && col("dst") === e("s"), "left_anti")
+  }
 }

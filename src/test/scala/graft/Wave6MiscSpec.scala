@@ -77,4 +77,33 @@ class Wave6MiscSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().head
     assert(got == ((3L, 2L, 666L))) // dup a->c deduped; a<->b mutual
   }
+
+  test("component density profiles each component independently") {
+    // triangle {a,b,c} (density 1000) + path {x,y,z} (2 edges of 3 -> 666)
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("x", "y"), ("y", "z")).toDF("src", "dst")
+    val got = GraphStats.componentDensity(e, "src", "dst")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got == Map("a" -> ((3L, 3L, 1000L)), "x" -> ((3L, 2L, 666L))))
+  }
+
+  test("negative edges never collide with true edges, either orientation") {
+    // NOTE: mult % n == 1 for small n, so partners are rank-successors —
+    // pick edges that are NOT successor pairs under the alphabetical
+    // ranking (a 4-cycle would make every partner a true edge and the
+    // sample legitimately empty)
+    val e = Seq(("a", "d"), ("b", "e"), ("c", "f")).toDF("src", "dst")
+    val edgeSet = Set(("a", "d"), ("b", "e"), ("c", "f"))
+    val got = graft.ops.LinkPrediction.negativeEdges(e, "src", "dst")
+      .as[(String, String)].collect().toSet
+    assert(got.nonEmpty)
+    got.foreach { case (s, t) =>
+      assert(s != t && !edgeSet.contains((s, t)) && !edgeSet.contains((t, s)))
+    }
+    // replayable: a second run yields the identical sample
+    val again = graft.ops.LinkPrediction.negativeEdges(e, "src", "dst")
+      .as[(String, String)].collect().toSet
+    assert(again == got)
+  }
 }
