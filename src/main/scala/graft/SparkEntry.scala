@@ -1852,6 +1852,39 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_tpch_q19" -> { (s, d) =>
+      // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
+      // three brand×quantity×size AND-clauses OR'd — one join, the
+      // disjunction evaluated post-join, revenue in exact cents
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long").as("rev_c"))
+      val p = Tables.part(s, d).select("p_partkey", "p_brand", "p_size")
+      li.join(p, col("l_partkey") === col("p_partkey"))
+        .where(
+          (col("p_brand") === "Brand#12" && col("l_quantity") >= 1 &&
+            col("l_quantity") <= 11 && col("p_size") >= 1 &&
+            col("p_size") <= 5) ||
+          (col("p_brand") === "Brand#23" && col("l_quantity") >= 10 &&
+            col("l_quantity") <= 20 && col("p_size") >= 1 &&
+            col("p_size") <= 10) ||
+          (col("p_brand") === "Brand#34" && col("l_quantity") >= 20 &&
+            col("l_quantity") <= 30 && col("p_size") >= 1 &&
+            col("p_size") <= 15))
+        .agg(count(lit(1)).as("n_items"), sum(col("rev_c")).as("rev_c"))
+    },
+    "q_embed_gram" -> { (s, d) =>
+      // distributed covariance sufficient statistics (EmbedStats
+      // .gramMatrix): one mapPartitions pass folds rows into dim×dim
+      // exact Long partials — dim² numbers shuffle, never rows; the
+      // driver-side PCA eigensolve consumes exactly this table
+      graft.ops.EmbedStats.gramMatrix(
+          Tables.embeddings(s, d)
+            .select(Similarity.quantize(col("embedding")).as("qv")),
+          "qv", dim = 64)
+        .orderBy("i", "j")
+    },
     "q_graph_density" -> { (s, d) =>
       // per-component structure profile (GraphStats.componentDensity):
       // node count, undirected edge count, truncating per-mille density —
@@ -4096,6 +4129,28 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q19" ->
+      """SELECT COUNT(*) AS n_items,
+        |  CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS BIGINT) AS rev_c
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11
+        |         AND p_size BETWEEN 1 AND 5)
+        |   OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20
+        |         AND p_size BETWEEN 1 AND 10)
+        |   OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30
+        |         AND p_size BETWEEN 1 AND 15)""".stripMargin,
+    "q_embed_gram" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |             x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE)) AS BIGINT)) AS v
+        |           FROM embeddings),
+        |cells AS (SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j,
+        |            v[a.i + 1] * v[b.j + 1] AS p
+        |          FROM q, UNNEST(range(0, 64)) AS a(i), UNNEST(range(0, 64)) AS b(j)
+        |          WHERE b.j >= a.i)
+        |SELECT i, j, (SELECT COUNT(*) FROM q) AS n,
+        |  CAST(SUM(p) AS BIGINT) AS s
+        |FROM cells GROUP BY i, j
+        |ORDER BY i, j""".stripMargin,
     "q_graph_density" -> ccOracle(
       """, comp AS (SELECT node, MIN(lab) AS component FROM cc GROUP BY node),
         |e2 AS (SELECT DISTINCT LEAST(a, b) AS x, GREATEST(a, b) AS y FROM edges),
