@@ -71,4 +71,80 @@ object EmbedStats {
       .groupBy("i", "j")
       .agg(sum(col("n")).as("n"), sum(col("s")).as("s"))
   }
+
+  /** Driver-side principal components from a [[gramMatrix]] table — the
+    * second half of one-pass PCA: collect the dim×(dim+1)/2 exact sums
+    * (dim² numbers, NEVER rows), form the mean-free covariance with the
+    * column sums, and run cyclic Jacobi sweeps. Deterministic: fixed
+    * sweep order, fixed sweep count, no data-dependent pivoting — the
+    * same sums always yield the same rotations. Returns the top
+    * `k` (eigenvalue, eigenvector) pairs ordered by eigenvalue
+    * descending (ties by first-differing component sign convention:
+    * each vector is flipped so its largest-|component| entry is
+    * positive).
+    *
+    * `colSums` are Σ v_i per dimension (compute alongside the gram pass
+    * or with one cheap aggregation); pass `center = false` to
+    * decompose the raw second moment instead.
+    */
+  def pcaFromGram(gram: Array[((Int, Int), Long)], colSums: Array[Long],
+      n: Long, dim: Int, k: Int, center: Boolean = true,
+      sweeps: Int = 30): Seq[(Double, Array[Double])] = {
+    require(n > 0 && k >= 1 && k <= dim, s"need 0 < k <= dim, n > 0")
+    val a = Array.ofDim[Double](dim, dim)
+    gram.foreach { case ((i, j), s) =>
+      val c =
+        if (center)
+          (s.toDouble - colSums(i).toDouble * colSums(j).toDouble / n) / n
+        else s.toDouble / n
+      a(i)(j) = c; a(j)(i) = c
+    }
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    while (sweep < sweeps) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          val apq = a(p)(q)
+          if (math.abs(apq) > 1e-14) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * apq)
+            val t =
+              if (theta == 0.0) 1.0
+              else math.signum(theta) /
+                (math.abs(theta) + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var i = 0
+            while (i < dim) {
+              val aip = a(i)(p); val aiq = a(i)(q)
+              a(i)(p) = c * aip - s * aiq
+              a(i)(q) = s * aip + c * aiq
+              i += 1
+            }
+            i = 0
+            while (i < dim) {
+              val api = a(p)(i); val aqi = a(q)(i)
+              a(p)(i) = c * api - s * aqi
+              a(q)(i) = s * api + c * aqi
+              val vip = v(i)(p); val viq = v(i)(q)
+              v(i)(p) = c * vip - s * viq
+              v(i)(q) = s * vip + c * viq
+              i += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      sweep += 1
+    }
+    val eig = (0 until dim).map { j =>
+      val vec = Array.tabulate(dim)(i => v(i)(j))
+      val m = vec.indices.maxBy(i => math.abs(vec(i)))
+      if (vec(m) < 0) { var i = 0; while (i < dim) { vec(i) = -vec(i); i += 1 } }
+      (a(j)(j), vec)
+    }
+    eig.sortBy(-_._1).take(k)
+  }
 }

@@ -61,8 +61,9 @@ object VocabDrift {
   }
 
   /** One-shot: distributions + pairwise distance. The distribution table
-    * is tiny (slices·buckets), so it is NOT persisted — the two pair-side
-    * consumers re-read the aggregated subtree, not the corpus. */
+    * (slices·buckets rows) is persisted because BOTH pair sides consume
+    * it — without the persist each side re-derives it from a full token
+    * scan of the corpus. */
   def drift(df: DataFrame, keyCol: String, textCol: String,
       buckets: Int = 1024): DataFrame = {
     val dist = bucketDistributions(df, keyCol, textCol, buckets)

@@ -37,4 +37,30 @@ class EmbedStatsSpec extends AnyFunSuite {
     }
     assert(ex.getMessage != null)
   }
+
+  test("pcaFromGram recovers the dominant axis of an anisotropic cloud") {
+    // integer points spread along (3,4)/5 with small off-axis jitter
+    val pts = (-20 to 20).map(t =>
+      Array((3 * t + (t % 2)).toDouble, (4 * t - (t % 2)).toDouble))
+    val df = pts.toDF("v")
+    val gram = EmbedStats.gramMatrix(df, "v", 2)
+      .as[(Int, Int, Long, Long)].collect()
+      .map(r => ((r._1, r._2), r._4))
+    val colSums = Array(
+      pts.map(_(0).toLong).sum, pts.map(_(1).toLong).sum)
+    val top = EmbedStats.pcaFromGram(gram, colSums, n = pts.length,
+      dim = 2, k = 2)
+    val (ev1, vec1) = top.head
+    assert(ev1 > top(1)._1)                       // ordered descending
+    assert(math.abs(vec1(0) / vec1(1) - 0.75) < 0.05) // direction ~ (3,4)
+    val norm = math.sqrt(vec1(0) * vec1(0) + vec1(1) * vec1(1))
+    assert(math.abs(norm - 1.0) < 1e-9)           // orthonormal rotations
+    // trace preservation: eigenvalue sum == covariance trace
+    val n = pts.length.toDouble
+    val cxx = gram.toMap.apply((0, 0)).toDouble / n -
+      math.pow(colSums(0) / n, 2)
+    val cyy = gram.toMap.apply((1, 1)).toDouble / n -
+      math.pow(colSums(1) / n, 2)
+    assert(math.abs(top.map(_._1).sum - (cxx + cyy)) < 1e-6)
+  }
 }
