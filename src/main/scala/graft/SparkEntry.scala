@@ -1123,8 +1123,13 @@ object SparkEntry {
     },
     "q_modularity" -> { (s, d) =>
       // modularity of the 4-round LPA partition over the same graph —
-      // exact integer fraction Σ(4m·e_c − d_c²) / 4m² plus the quotient
+      // exact integer fraction Σ(4m·e_c − d_c²) / 4m² plus the quotient.
+      // The co-order derivation (groupBy + double explode over lineitem)
+      // feeds BOTH the modularity edge side and LPA — persist so it runs
+      // once (breaks even at sf0.1 where materialization ≈ recompute; at
+      // corpus scale recompute is a second full lineitem pass)
       val edges = Tables.coOrderPairEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       graft.ops.GraphStats.modularity(edges, "src", "dst",
         graft.ops.Communities.labelPropagation(edges, "src", "dst", rounds = 4))
     },

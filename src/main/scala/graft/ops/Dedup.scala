@@ -118,9 +118,16 @@ object Dedup extends org.apache.spark.internal.Logging {
     * docs in no pair are absent — they keep themselves.
     */
   def nearDupClusters(pairs: DataFrame, idACol: String, idBCol: String): DataFrame =
+    // the pair-mining subtree (LSH banding + exact verify) is the
+    // expensive part and ConnectedComponents consumes its edge input more
+    // than once (vertex derivation + the union-find aggregate / star
+    // rounds) — persist so mining runs ONCE (measured 6.7 -> ~4 s at
+    // sf0.1 for the minhash pipeline; LRU-evicted like all internal
+    // persists)
     graft.ops.ConnectedComponents.components(
       pairs.select(col(idACol).cast("string").as("src"),
-        col(idBCol).cast("string").as("dst")))
+        col(idBCol).cast("string").as("dst"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b,
     * jaccard >= threshold). Inverted-index join: only documents sharing at
