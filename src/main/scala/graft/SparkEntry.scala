@@ -1857,6 +1857,25 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_resample_ohlc" -> { (s, d) =>
+      // daily OHLC resampling per event type (Resample.ohlc): open/close
+      // via min/max (ts, id, value) structs — one hash aggregate, no
+      // per-bucket window sort; exact micro-unit values
+      graft.ops.Resample.ohlc(
+          Tables.events(s, d).withColumn("v_us",
+            floor(col("value") * lit(1000000.0)).cast("long")),
+          "event_type", "ts_us", "event_id", "v_us",
+          bucketUs = 86400000000L)
+        .orderBy("grp", "bucket_start_us")
+    },
+    "q_hourly_profile" -> { (s, d) =>
+      // hour-of-day seasonality fingerprint per type
+      // (Resample.hourlyProfile): counts + per-mille share of the type's
+      // total, broadcast totals join
+      graft.ops.Resample.hourlyProfile(Tables.events(s, d),
+          "event_type", "ts_us")
+        .orderBy("grp", "hour")
+    },
     "q_tpch_q19" -> { (s, d) =>
       // TPC-H Q19 shape (discounted revenue, disjunctive predicates):
       // three brand×quantity×size AND-clauses OR'd — one join, the
@@ -4134,6 +4153,33 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_resample_ohlc" ->
+      """WITH v AS (SELECT event_type AS grp, epoch_us(ts) AS ts_us, event_id,
+        |             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_us
+        |           FROM events),
+        |b AS (SELECT grp, ts_us - (ts_us % 86400000000) AS bucket_start_us,
+        |        ts_us, event_id, v_us FROM v),
+        |r AS (SELECT grp, bucket_start_us, v_us,
+        |        ROW_NUMBER() OVER (PARTITION BY grp, bucket_start_us
+        |          ORDER BY ts_us, event_id) AS ra,
+        |        ROW_NUMBER() OVER (PARTITION BY grp, bucket_start_us
+        |          ORDER BY ts_us DESC, event_id DESC) AS rd
+        |      FROM b)
+        |SELECT grp, bucket_start_us, COUNT(*) AS n,
+        |  MIN(CASE WHEN ra = 1 THEN v_us END) AS open,
+        |  MAX(v_us) AS high, MIN(v_us) AS low,
+        |  MIN(CASE WHEN rd = 1 THEN v_us END) AS close
+        |FROM r GROUP BY grp, bucket_start_us
+        |ORDER BY grp, bucket_start_us""".stripMargin,
+    "q_hourly_profile" ->
+      """WITH h AS (SELECT event_type AS grp,
+        |             (epoch_us(ts) // 3600000000) % 24 AS hour
+        |           FROM events),
+        |c AS (SELECT grp, hour, COUNT(*) AS n FROM h GROUP BY grp, hour),
+        |t AS (SELECT grp, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY grp)
+        |SELECT c.grp, c.hour, c.n, (1000 * n) // tot AS share_permille
+        |FROM c JOIN t ON c.grp = t.grp
+        |ORDER BY c.grp, c.hour""".stripMargin,
     "q_tpch_q19" ->
       """SELECT COUNT(*) AS n_items,
         |  CAST(SUM(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)) AS BIGINT) AS rev_c

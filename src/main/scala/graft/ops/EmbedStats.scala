@@ -147,4 +147,30 @@ object EmbedStats {
     }
     eig.sortBy(-_._1).take(k)
   }
+
+  /** Project every vector onto a component basis (PCA dimensionality
+    * reduction / whitening step) with NO UDF: since
+    * (v − μ)·w = v·w − μ·w and μ·w is a constant, each output
+    * coordinate is one codegen'd [[graft.functions.ArrayDot]] against a
+    * literal component array minus a literal scalar — row-parallel,
+    * whole-stage codegen, no shuffle, unbounded corpus. `means` are the
+    * column means (pass zeros for uncentered), completing the
+    * gram → eigensolve → project pipeline without a second statistics
+    * pass. Output: the input columns plus `projected` array<double> of
+    * length k.
+    */
+  def project(df: DataFrame, vecCol: String,
+      components: Seq[Array[Double]], means: Array[Double]): DataFrame = {
+    require(components.nonEmpty, "need at least one component")
+    val dim = components.head.length
+    require(components.forall(_.length == dim) && means.length == dim,
+      "component/mean dimensions disagree")
+    val v = col(vecCol).cast("array<double>")
+    val coords = components.map { w =>
+      val muDotW = means.zip(w).map { case (m, x) => m * x }.sum
+      graft.functions.ArrayDot.array_dot(v,
+        array(w.toSeq.map(lit): _*)) - lit(muDotW)
+    }
+    df.withColumn("projected", array(coords: _*))
+  }
 }
