@@ -1857,6 +1857,30 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_label_spread" -> { (s, d) =>
+      // semi-supervised label spreading (Communities.labelSpreading):
+      // 2% md5-seeded nodes carry their own id as label, 3 synchronous
+      // rounds of clamped majority adoption over the co-order graph
+      val edges = Tables.coOrderPairEdges(s, d)
+      val nodes = edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node"))).distinct()
+      val seeds = nodes
+        .where(pmod(graft.functions.functions.hex_to_long(
+          substring(md5(concat(lit("spread"), col("node"))), 1, 15)),
+          lit(1000L)) < 20L)
+        .select(col("node"), col("node").as("label"))
+      graft.ops.Communities.labelSpreading(edges, "src", "dst", seeds,
+          rounds = 3)
+        .orderBy("node")
+    },
+    "q_join_profile" -> { (s, d) =>
+      // pre-join diagnostics (ops/JoinProfile): per-side rows/distincts/
+      // orphans/hottest-key multiplicity + the EXACT join cardinality
+      // Σ c_l(k)·c_r(k) — computed from the two count tables, never rows
+      graft.ops.JoinProfile.profile(
+        Tables.orders(s, d), "o_custkey",
+        Tables.customer(s, d), "c_custkey")
+    },
     "q_resample_ohlc" -> { (s, d) =>
       // daily OHLC resampling per event type (Resample.ohlc): open/close
       // via min/max (ts, id, value) structs — one hash aggregate, no
@@ -4153,6 +4177,24 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_label_spread" -> labelSpreadOracle(rounds = 3, ratePermille = 20,
+      salt = "spread"),
+    "q_join_profile" ->
+      """WITH lc AS (SELECT o_custkey AS k, COUNT(*) AS lc FROM orders
+        |            WHERE o_custkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT c_custkey AS k, COUNT(*) AS rc FROM customer
+        |       WHERE c_custkey IS NOT NULL GROUP BY 1),
+        |m AS (SELECT lc, rc FROM lc FULL OUTER JOIN rc ON lc.k = rc.k)
+        |SELECT CAST(SUM(COALESCE(lc, 0)) AS BIGINT) AS l_rows,
+        |  CAST(SUM(COALESCE(rc, 0)) AS BIGINT) AS r_rows,
+        |  CAST(SUM(CASE WHEN lc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_distinct,
+        |  CAST(SUM(CASE WHEN rc IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS r_distinct,
+        |  CAST(SUM(CASE WHEN rc IS NULL THEN lc ELSE 0 END) AS BIGINT) AS l_orphan_rows,
+        |  CAST(SUM(CASE WHEN lc IS NULL THEN rc ELSE 0 END) AS BIGINT) AS r_orphan_rows,
+        |  CAST(MAX(COALESCE(lc, 0)) AS BIGINT) AS l_max_multiplicity,
+        |  CAST(MAX(COALESCE(rc, 0)) AS BIGINT) AS r_max_multiplicity,
+        |  CAST(SUM(COALESCE(lc, 0) * COALESCE(rc, 0)) AS BIGINT) AS join_rows
+        |FROM m""".stripMargin,
     "q_resample_ohlc" ->
       """WITH v AS (SELECT event_type AS grp, epoch_us(ts) AS ts_us, event_id,
         |             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_us
@@ -4456,6 +4498,44 @@ object SparkEntry {
   private def lpaOracle(rounds: Int): String =
     s"""${lpaCtes(rounds)}
        |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+
+  /** Unrolled seeded label-spreading oracle over the co-order graph:
+    * like [[lpaCtes]] but labels start ONLY on the md5-sampled seed set
+    * and seeds are clamped each round (non-seeds adopt the neighbor
+    * majority, ties to the smallest label) — mirrors
+    * ops.Communities.labelSpreading round for round. */
+  private def labelSpreadOracle(rounds: Int, ratePermille: Int,
+      salt: String): String = {
+    val head =
+      s"""WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+         |               FROM lineitem WHERE l_quantity <= 15),
+         |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+         |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+         |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+         |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+         |se AS MATERIALIZED (SELECT x AS a, y AS b FROM e0
+         |       UNION ALL SELECT y AS a, x AS b FROM e0),
+         |s0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM se
+         |       WHERE ('0x' || substr(md5('$salt' || a), 1, 15))::BIGINT
+         |             % 1000 < $ratePermille),
+         |l0 AS MATERIALIZED (SELECT node, lab FROM s0)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""c$i AS MATERIALIZED (SELECT s.a, l.lab, COUNT(*) AS c
+         |        FROM se s JOIN l${i - 1} l ON l.node = s.b
+         |        GROUP BY s.a, l.lab),
+         |m$i AS MATERIALIZED (SELECT a AS node, lab FROM (
+         |        SELECT a, lab,
+         |               ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+         |        FROM c$i) WHERE rn = 1),
+         |l$i AS MATERIALIZED (SELECT node, lab FROM s0
+         |        UNION ALL
+         |        SELECT node, lab FROM m$i
+         |        WHERE node NOT IN (SELECT node FROM s0))""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT node, lab AS label FROM l$rounds ORDER BY node""".stripMargin
+  }
 
   /** Unrolled radius-R multi-source BFS oracle for truncated harmonic
     * centrality over the same co-order part graph: per round, the

@@ -58,4 +58,48 @@ object Communities {
     * distributions. */
   def communitySizes(labeled: DataFrame): DataFrame =
     labeled.groupBy(col("community")).agg(count(lit(1)).as("n_members"))
+
+  /** Semi-supervised label SPREADING (Zhu & Ghahramani 2002 shape): a
+    * small seed set carries known labels; every other node adopts, each
+    * synchronous round, the most frequent label among its CURRENTLY
+    * LABELED neighbors (ties to the smallest label — the [[labelPropagation]]
+    * min-struct rule). Seeds are clamped: they never change, which is
+    * what separates spreading from community LPA. Nodes not reached
+    * within `rounds` hops of any seed stay unlabeled and are absent from
+    * the output.
+    *
+    * Shape per round: one label-keyed join of the symmetric edge list
+    * against the labeled set + one majority aggregate (min-struct, no
+    * window) + the clamp union — pure shuffle algebra, label state
+    * localCheckpointed every other round.
+    *
+    * `seeds`: (node, label) — must be unique per node. Output:
+    * (node, label) for every labeled node after `rounds` rounds.
+    */
+  def labelSpreading(edges: DataFrame, srcCol: String, dstCol: String,
+      seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val half = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      .where($"a".isNotNull && $"b".isNotNull && $"a" =!= $"b")
+    val sym = half.union(half.select($"b".as("a"), $"a".as("b")))
+      .distinct()
+      .localCheckpoint(true)
+    val seed = seeds.select(col("node"), col("label").as("lab"))
+      .localCheckpoint(true)
+    var lab = seed
+    for (i <- 1 to rounds) {
+      val cnt = sym
+        .join(lab.select($"node".as("b"), $"lab".as("nlab")), "b")
+        .groupBy($"a", $"nlab").agg(count(lit(1)).as("c"))
+      val majority = cnt.groupBy($"a")
+        .agg(min(struct((lit(0L) - $"c").as("nc"), $"nlab".as("lab"))).as("m"))
+        .select($"a".as("node"), $"m.lab".as("lab"))
+      val next = seed.union(
+        majority.join(seed.select($"node"), Seq("node"), "left_anti"))
+      lab = if (i % 2 == 0 || i == rounds) next.localCheckpoint(true) else next
+    }
+    lab.withColumnRenamed("lab", "label")
+  }
 }
