@@ -1857,6 +1857,30 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_user_features" -> { (s, d) =>
+      // churn/engagement covariates per user (Features.activityFeatures):
+      // one conditional aggregation, data-derived reference time
+      graft.ops.Features.activityFeatures(Tables.events(s, d),
+          "user_id", "ts_us")
+        .orderBy("id")
+    },
+    "q_rfm" -> { (s, d) =>
+      // RFM segmentation (Features.rfm): exact rank-arithmetic quartiles
+      // over the per-customer aggregate — deterministic in any engine
+      graft.ops.Features.rfm(
+          Tables.orders(s, d).withColumn("ts_us",
+            unix_micros(col("o_orderdate").cast("timestamp"))),
+          "o_custkey", "ts_us", "o_totalprice")
+        .orderBy("id")
+    },
+    "q_epoch_batches" -> { (s, d) =>
+      // deterministic epoch shuffling (Features.epochBatches): per-epoch
+      // md5 permutation + one global range-partitioned rank for ALL
+      // epochs, cut into fixed batches — the replayable training reader
+      graft.ops.Features.epochBatches(Tables.documents(s, d), "doc_id",
+          epochs = 2, batchSize = 64)
+        .orderBy("id", "epoch")
+    },
     "q_label_spread" -> { (s, d) =>
       // semi-supervised label spreading (Communities.labelSpreading):
       // 2% md5-seeded nodes carry their own id as label, 3 synchronous
@@ -4177,6 +4201,50 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_user_features" ->
+      """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref FROM events)
+        |SELECT user_id AS id, COUNT(*) AS n_total,
+        |  CAST(SUM(CASE WHEN epoch_us(ts) > ref - 7 * 86400000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+        |  CAST(SUM(CASE WHEN epoch_us(ts) > ref - 30 * 86400000000
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+        |  (ref - MAX(epoch_us(ts))) // 86400000000 AS days_since_last,
+        |  (MAX(epoch_us(ts)) - MIN(epoch_us(ts))) // 86400000000 AS days_active_span
+        |FROM events, r GROUP BY user_id, ref
+        |ORDER BY id""".stripMargin,
+    "q_rfm" ->
+      """WITH r AS (SELECT MAX(epoch_us(o_orderdate)) AS ref FROM orders),
+        |base AS (SELECT o_custkey AS id,
+        |           (ref - MAX(epoch_us(o_orderdate))) // 86400000000 AS recency_days,
+        |           COUNT(*) AS frequency,
+        |           CAST(SUM(FLOOR(o_totalprice * 100.0)) AS BIGINT) AS monetary_c
+        |         FROM orders, r GROUP BY o_custkey, ref),
+        |n AS (SELECT COUNT(*) AS n FROM base),
+        |rk AS (SELECT base.*, n.n,
+        |         ROW_NUMBER() OVER (ORDER BY recency_days, id) AS rr,
+        |         ROW_NUMBER() OVER (ORDER BY frequency DESC, id) AS rf,
+        |         ROW_NUMBER() OVER (ORDER BY monetary_c DESC, id) AS rm
+        |       FROM base, n)
+        |SELECT id, recency_days, frequency, monetary_c,
+        |  4 - (4 * (rr - 1)) // n AS r_score,
+        |  4 - (4 * (rf - 1)) // n AS f_score,
+        |  4 - (4 * (rm - 1)) // n AS m_score,
+        |  (4 - (4 * (rr - 1)) // n) * 100 + (4 - (4 * (rf - 1)) // n) * 10
+        |    + (4 - (4 * (rm - 1)) // n) AS rfm
+        |FROM rk ORDER BY id""".stripMargin,
+    "q_epoch_batches" ->
+      """WITH k AS (SELECT doc_id AS id, e.epoch,
+        |             ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || '|'
+        |               || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT AS kk
+        |           FROM documents, UNNEST([0, 1]) AS e(epoch)),
+        |r AS (SELECT id, epoch,
+        |        ROW_NUMBER() OVER (ORDER BY epoch, kk, id) - 1 AS pos0g
+        |      FROM k),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT id, epoch, (pos0g - epoch * n) // 64 AS batch_id,
+        |  (pos0g - epoch * n) % 64 AS pos_in_batch
+        |FROM r, n
+        |ORDER BY id, epoch""".stripMargin,
     "q_label_spread" -> labelSpreadOracle(rounds = 3, ratePermille = 20,
       salt = "spread"),
     "q_join_profile" ->

@@ -1,0 +1,113 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entity-level feature engineering — the last step before a training
+  * table leaves the pipeline. All features are exact integers relative
+  * to a REFERENCE time taken from the data itself (global max event
+  * time), so the same events always produce the same features in any
+  * engine.
+  */
+object Features {
+
+  private val dayUs = 86400000000L
+
+  /** Per-entity activity features from an event stream:
+    * (id, n_total, n_7d, n_30d, days_since_last, days_active_span) —
+    * the recency/intensity covariates of churn and engagement models.
+    * ONE conditional aggregation over an id-keyed shuffle; the reference
+    * time is a broadcast one-row aggregate.
+    */
+  def activityFeatures(df: DataFrame, idCol: String,
+      tsUsCol: String): DataFrame = {
+    val ref = df.agg(max(col(tsUsCol)).as("__ref"))
+    df.select(col(idCol).as("id"), col(tsUsCol).as("__ts"))
+      .crossJoin(broadcast(ref))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("__ts") > col("__ref") - 7L * dayUs, 1L).otherwise(0L))
+          .as("n_7d"),
+        sum(when(col("__ts") > col("__ref") - 30L * dayUs, 1L).otherwise(0L))
+          .as("n_30d"),
+        ((first(col("__ref")) - max(col("__ts"))) / dayUs).cast("long")
+          .as("days_since_last"),
+        ((max(col("__ts")) - min(col("__ts"))) / dayUs).cast("long")
+          .as("days_active_span"))
+  }
+
+  /** RFM segmentation over an order log: per customer the classic
+    * (recency, frequency, monetary) triple plus quartile scores 1-4 on
+    * each axis (4 = best). Quartiles are EXACT rank arithmetic —
+    * score = 4 − (4·(rank−1)) div n over a deterministic total order
+    * (metric, ties by id) — not an interpolated ntile, so the
+    * segmentation reproduces in any engine.
+    *
+    * The three rank windows run over the per-customer AGGREGATE (one row
+    * per customer), not over orders; they are single-partition windows,
+    * acceptable for dimension-sized customer tables — for
+    * billion-customer tables swap each axis onto
+    * [[Ranks.globalRowNumber]] (same rank semantics, range-partitioned).
+    *
+    * Output: (id, recency_days, frequency, monetary_c, r_score, f_score,
+    * m_score, rfm) with rfm = 100·r + 10·f + m.
+    */
+  def rfm(df: DataFrame, idCol: String, tsUsCol: String,
+      amountCol: String): DataFrame = {
+    val ref = df.agg(max(col(tsUsCol)).as("__ref"))
+    val base = df.select(col(idCol).as("id"), col(tsUsCol).as("__ts"),
+        floor(col(amountCol) * lit(100.0)).cast("long").as("__amt_c"))
+      .crossJoin(broadcast(ref))
+      .groupBy("id")
+      .agg(((first(col("__ref")) - max(col("__ts"))) / dayUs).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("__amt_c")).as("monetary_c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nRow = base.agg(count(lit(1)).as("__n"))
+    val wr = Window.orderBy(col("recency_days"), col("id"))
+    val wf = Window.orderBy(col("frequency").desc, col("id"))
+    val wm = Window.orderBy(col("monetary_c").desc, col("id"))
+    base.crossJoin(broadcast(nRow))
+      .withColumn("__rr", row_number().over(wr).cast("long"))
+      .withColumn("__rf", row_number().over(wf).cast("long"))
+      .withColumn("__rm", row_number().over(wm).cast("long"))
+      .withColumn("r_score", lit(4L) - expr("(4 * (__rr - 1)) div __n"))
+      .withColumn("f_score", lit(4L) - expr("(4 * (__rf - 1)) div __n"))
+      .withColumn("m_score", lit(4L) - expr("(4 * (__rm - 1)) div __n"))
+      .withColumn("rfm",
+        col("r_score") * 100L + col("f_score") * 10L + col("m_score"))
+      .select("id", "recency_days", "frequency", "monetary_c",
+        "r_score", "f_score", "m_score", "rfm")
+  }
+
+  /** Deterministic epoch shuffling for training readers: each epoch is a
+    * DIFFERENT but fully replayable permutation of the corpus, cut into
+    * fixed-size batches — (id, epoch, batch_id, pos_in_batch). The
+    * permutation key is the md5 lane of (epoch, id), so epoch e's order
+    * is uncorrelated with epoch e+1's yet identical on every run/engine;
+    * ranks come from [[Ranks.globalRowNumber]] (range exchange, never a
+    * single-partition sort).
+    */
+  def epochBatches(df: DataFrame, idCol: String, epochs: Int,
+      batchSize: Int): DataFrame = {
+    require(epochs >= 1 && batchSize >= 1,
+      s"need epochs >= 1 and batchSize >= 1, got $epochs/$batchSize")
+    val n = df.count()
+    val keyed = df.select(col(idCol).as("id"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__k", graft.functions.functions.hex_to_long(
+        substring(md5(concat(col("epoch").cast("string"), lit("|"),
+          col("id").cast("string"))), 1, 15)))
+    // one global rank over (epoch, shuffle-key, id): epoch leads the sort,
+    // so each epoch's ranks are the contiguous block [epoch·n+1, …] and
+    // the in-epoch position falls out by subtraction — one range exchange
+    // for ALL epochs instead of a window per epoch
+    Ranks.globalRowNumber(keyed, Seq("epoch", "__k", "id"))
+      .withColumn("__pos0", col("grn") - 1L - col("epoch") * n)
+      .select(col("id"), col("epoch"),
+        expr(s"__pos0 div $batchSize").as("batch_id"),
+        expr(s"__pos0 % $batchSize").as("pos_in_batch"))
+  }
+}
