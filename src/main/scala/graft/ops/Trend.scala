@@ -68,7 +68,8 @@ object Trend {
     * aggregation. Events shuffle once, at day grain.
     */
   def lagAutocorr(df: DataFrame, groupCol: String,
-      tsUsCol: String): DataFrame = {
+      tsUsCol: String, lag: Int = 1): DataFrame = {
+    require(lag >= 1, s"lag must be >= 1, got $lag")
     val daily = df
       .select(col(groupCol).as("grp"),
         (col(tsUsCol).cast("long") / lit(86400000000L)).cast("long")
@@ -77,7 +78,7 @@ object Trend {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("grp")).orderBy(col("day"))
     daily
-      .withColumn("c_next", lead(col("c"), 1).over(w))
+      .withColumn("c_next", lead(col("c"), lag).over(w))
       .where(col("c_next").isNotNull)
       .select(col("grp"), col("c").as("x"), col("c_next").as("y"))
       .groupBy("grp")
