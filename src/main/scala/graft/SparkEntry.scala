@@ -1857,6 +1857,14 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_katz" -> { (s, d) =>
+      // Katz centrality on the user-journey graph (ops/Katz): integer
+      // fixed-point on a 1e9 grid, alpha = 1/8 (max in-degree 5 -> safe
+      // geometric bound), 6 iterations unrolled in the oracle
+      graft.ops.Katz.centralityFixedPoint(
+          Tables.userSequenceEdges(s, d))
+        .orderBy("node")
+    },
     "q_user_features" -> { (s, d) =>
       // churn/engagement covariates per user (Features.activityFeatures):
       // one conditional aggregation, data-derived reference time
@@ -4201,6 +4209,8 @@ object SparkEntry {
         |FROM rev JOIN supplier ON l_suppkey = s_suppkey
         |WHERE total_rev_c = (SELECT MAX(total_rev_c) FROM rev)
         |ORDER BY s_suppkey""".stripMargin,
+    "q_katz" -> katzOracle(iters = 6, alphaNum = 1, alphaDen = 8,
+      scale = 1000000000L),
     "q_user_features" ->
       """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref FROM events)
         |SELECT user_id AS id, COUNT(*) AS n_total,
@@ -4696,6 +4706,35 @@ object SparkEntry {
     * (contributions + zero-indegree nodes). All sums cast back to BIGINT
     * (DuckDB SUM(BIGINT) is HUGEINT → float64 in pandas → hash mismatch).
     */
+  /** Unrolled integer fixed-point Katz oracle over the user-journey
+    * graph — mirrors ops.Katz.centralityFixedPoint iteration for
+    * iteration (one truncating division per node per round, applied to
+    * the summed in-contribution). */
+  private def katzOracle(iters: Int, alphaNum: Long, alphaDen: Long,
+      scale: Long): String = {
+    val head =
+      s"""WITH ev AS (SELECT user_id, ts, event_id,
+         |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+         |            FROM events WHERE event_type = 'click' AND value < 2.0),
+         |e0 AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+         |       FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+         |em AS MATERIALIZED (SELECT src, dst, COUNT(*) AS m FROM e0 GROUP BY src, dst),
+         |nodes AS (SELECT src AS node FROM em UNION SELECT dst FROM em),
+         |k0 AS (SELECT node, CAST($scale AS BIGINT) AS r FROM nodes)""".stripMargin
+    val iterCtes = (1 to iters).map { i =>
+      s"""k$i AS MATERIALIZED (
+         |  SELECT nd.node,
+         |         $scale + ($alphaNum * COALESCE(inc.s, 0)) // $alphaDen AS r
+         |  FROM nodes nd LEFT JOIN (
+         |    SELECT em.dst, CAST(SUM(em.m * p.r) AS BIGINT) AS s
+         |    FROM em JOIN k${i - 1} p ON p.node = em.src
+         |    GROUP BY em.dst) inc ON inc.dst = nd.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$iterCtes
+       |SELECT node, CAST(r AS BIGINT) AS katz_fp FROM k$iters ORDER BY node""".stripMargin
+  }
+
   private def pagerankFpOracle(iters: Int, sources: Seq[String] = Nil,
       weighted: Boolean = false): String = {
     val S = "1000000000000"
