@@ -1857,6 +1857,17 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_louvain_move" -> { (s, d) =>
+      // one synchronous Louvain move step over the LPA-4 partition
+      // (Communities.modularityMoveStep): exact integer ΔQ comparison,
+      // argmax via min-struct — deterministic unlike sequential Louvain
+      val edges = Tables.coOrderPairEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Communities.modularityMoveStep(edges, "src", "dst",
+          graft.ops.Communities.labelPropagation(edges, "src", "dst",
+            rounds = 4))
+        .orderBy("node")
+    },
     "q_katz" -> { (s, d) =>
       // Katz centrality on the user-journey graph (ops/Katz): integer
       // fixed-point on a 1e9 grid, alpha = 1/8 (max in-degree 5 -> safe
@@ -4211,6 +4222,33 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "q_katz" -> katzOracle(iters = 6, alphaNum = 1, alphaDen = 8,
       scale = 1000000000L),
+    "q_louvain_move" ->
+      s"""${lpaCtes(4)},
+         |adjv AS (SELECT x AS v, y AS n FROM e0 UNION ALL SELECT y AS v, x AS n FROM e0),
+         |mm AS (SELECT COUNT(*) AS m FROM e0),
+         |degv AS (SELECT v, COUNT(*) AS d FROM adjv GROUP BY v),
+         |labv AS (SELECT node, lab AS community FROM l4),
+         |dcc AS (SELECT community, CAST(SUM(d) AS BIGINT) AS d_c
+         |        FROM degv JOIN labv ON degv.v = labv.node GROUP BY community),
+         |evc AS (SELECT adjv.v, labv.community AS c, COUNT(*) AS e_vc
+         |        FROM adjv JOIN labv ON labv.node = adjv.n GROUP BY 1, 2),
+         |ownc AS (SELECT node AS v, community AS c, 0 AS e_vc FROM labv),
+         |candc AS (SELECT v, c, CAST(MAX(e_vc) AS BIGINT) AS e_vc FROM (
+         |            SELECT * FROM evc UNION ALL SELECT * FROM ownc)
+         |          GROUP BY v, c),
+         |sc AS (SELECT candc.v, candc.c,
+         |         4 * mm.m * candc.e_vc
+         |           - 2 * degv.d * (dcc.d_c -
+         |               CASE WHEN candc.c = labv.community THEN degv.d ELSE 0 END) AS score
+         |       FROM candc CROSS JOIN mm
+         |       JOIN labv ON labv.node = candc.v
+         |       JOIN degv ON degv.v = candc.v
+         |       JOIN dcc ON dcc.community = candc.c),
+         |best AS (SELECT v, c,
+         |           ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+         |         FROM sc)
+         |SELECT v AS node, c AS community FROM best WHERE rn = 1
+         |ORDER BY node""".stripMargin,
     "q_user_features" ->
       """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref FROM events)
         |SELECT user_id AS id, COUNT(*) AS n_total,

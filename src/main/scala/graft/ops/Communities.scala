@@ -59,6 +59,72 @@ object Communities {
   def communitySizes(labeled: DataFrame): DataFrame =
     labeled.groupBy(col("community")).agg(count(lit(1)).as("n_members"))
 
+  /** One synchronous Louvain-style move step: every node simultaneously
+    * re-evaluates, against the CURRENT partition, which neighboring
+    * community (or its own) maximizes the modularity gain of hosting it,
+    * and adopts the argmax. The per-candidate score is the exact
+    * integer-scaled gain term
+    *
+    *     score(v, c) = 4m·e_{v,c} − 2·d_v·(d_c − [c = c(v)]·d_v)
+    *
+    * (e_{v,c} = edges from v into c, d_c = community degree sum; the
+    * d_v correction removes v's own contribution when judging its home
+    * community) — comparing scores across candidates for fixed v is
+    * exactly comparing Louvain's ΔQ, with no floating point anywhere.
+    * Ties break to the smaller community label; argmax is a min-struct
+    * aggregate, not a window. Synchronous + deterministic = the same
+    * partition every run/engine, unlike classic sequential Louvain whose
+    * result depends on visit order — the documented trade for
+    * reproducibility (iterate the step to a fixpoint for refinement).
+    *
+    * Shape: degree/community-degree tables via partial-aggregated
+    * shuffles, one adjacency⋈labels join for e_{v,c}, one argmax
+    * aggregate. No driver state.
+    *
+    * Output: (node, community) — the post-move partition.
+    */
+  def modularityMoveStep(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y")
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select($"x".as("v"), $"y".as("n"))
+      .union(e.select($"y".as("v"), $"x".as("n")))
+    val lab = labels.select(col("node"), col("community"))
+      .localCheckpoint(true)
+    val m = e.count()
+    val deg = adj.groupBy($"v").agg(count(lit(1)).as("d"))
+    val dc = deg.join(lab, deg("v") === lab("node"))
+      .groupBy($"community").agg(sum($"d").as("d_c"))
+    // edges from v into each neighboring community
+    val evc = adj.join(lab.select($"node".as("n"), $"community".as("c")), "n")
+      .groupBy($"v", $"c").agg(count(lit(1)).as("e_vc"))
+    // candidate set = neighbor communities ∪ own community (e_vc = 0 when
+    // v has no neighbor at home)
+    val own = lab.select($"node".as("v"), $"community".as("c"),
+      lit(0L).as("e_vc"))
+    val cand = evc.union(own)
+      .groupBy($"v", $"c").agg(max($"e_vc").as("e_vc"))
+    // degree and home-community ride ONE v-keyed join (they share the key)
+    val vinfo = deg.join(lab, deg("v") === lab("node"))
+      .select($"v", $"d", $"community".as("home"))
+    val scored = cand
+      .join(vinfo, "v")
+      .join(dc.select($"community".as("c"), $"d_c"), "c")
+      .withColumn("d_excl",
+        $"d_c" - when($"c" === $"home", $"d").otherwise(lit(0L)))
+      .withColumn("score",
+        lit(4L) * m * $"e_vc" - lit(2L) * $"d" * $"d_excl")
+    scored.groupBy($"v")
+      .agg(min(struct((lit(0L) - $"score").as("ns"), $"c".as("c"))).as("b"))
+      .select($"v".as("node"), $"b.c".as("community"))
+  }
+
   /** Semi-supervised label SPREADING (Zhu & Ghahramani 2002 shape): a
     * small seed set carries known labels; every other node adopts, each
     * synchronous round, the most frequent label among its CURRENTLY
