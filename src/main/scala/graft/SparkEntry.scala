@@ -1857,6 +1857,26 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_merge_upsert" -> { (s, d) =>
+      // MERGE INTO emulation (ops/Merge): a deterministic change batch
+      // (updates %7, deletes %11, inserts at key+1000000 for %13) applied
+      // to the customer snapshot in one full-outer join
+      val base = Tables.customer(s, d)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          floor(col("c_acctbal") * lit(100.0)).cast("long").as("bal_c"))
+      val updates = base.where(pmod(col("k"), lit(7L)) === 0L)
+        .select(col("k"), lit("U").as("op"), col("seg"),
+          (col("bal_c") + 10000L).as("bal_c"))
+      val deletes = base.where(pmod(col("k"), lit(11L)) === 0L &&
+          pmod(col("k"), lit(7L)) =!= 0L)
+        .select(col("k"), lit("D").as("op"), col("seg"), col("bal_c"))
+      val inserts = base.where(pmod(col("k"), lit(13L)) === 0L)
+        .select((col("k") + 1000000L).as("k"), lit("I").as("op"),
+          lit("NEW").as("seg"), lit(0L).as("bal_c"))
+      graft.ops.Merge.applyChanges(base, "k",
+          updates.union(deletes).union(inserts), "op", Seq("seg", "bal_c"))
+        .orderBy("k")
+    },
     "q_louvain_move" -> { (s, d) =>
       // one synchronous Louvain move step over the LPA-4 partition
       // (Communities.modularityMoveStep): exact integer ΔQ comparison,
@@ -4222,6 +4242,23 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "q_katz" -> katzOracle(iters = 6, alphaNum = 1, alphaDen = 8,
       scale = 1000000000L),
+    "q_merge_upsert" ->
+      """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg,
+        |                CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_c
+        |              FROM customer),
+        |ch AS (SELECT k, 'U' AS op, seg, bal_c + 10000 AS bal_c
+        |       FROM base WHERE k % 7 = 0
+        |       UNION ALL
+        |       SELECT k, 'D', seg, bal_c FROM base
+        |       WHERE k % 11 = 0 AND k % 7 <> 0
+        |       UNION ALL
+        |       SELECT k + 1000000, 'I', 'NEW', 0 FROM base WHERE k % 13 = 0)
+        |SELECT COALESCE(ch.k, base.k) AS k,
+        |  CASE WHEN ch.op IS NOT NULL THEN ch.seg ELSE base.seg END AS seg,
+        |  CAST(CASE WHEN ch.op IS NOT NULL THEN ch.bal_c ELSE base.bal_c END AS BIGINT) AS bal_c
+        |FROM base FULL OUTER JOIN ch ON base.k = ch.k
+        |WHERE ch.op IS NULL OR ch.op <> 'D'
+        |ORDER BY k""".stripMargin,
     "q_louvain_move" ->
       s"""${lpaCtes(4)},
          |adjv AS (SELECT x AS v, y AS n FROM e0 UNION ALL SELECT y AS v, x AS n FROM e0),
