@@ -1857,6 +1857,16 @@ object SparkEntry {
         .select(col("s_suppkey"), col("s_name"), col("total_rev_c"))
         .orderBy("s_suppkey")
     },
+    "q_robust_scale" -> { (s, d) =>
+      // RobustScaler on exact order statistics (Quantiles.robustScale):
+      // per-type (v−med)/IQR in signed per-mille, magnitude and sign
+      // divided separately for cross-engine integer-division parity
+      graft.ops.Quantiles.robustScale(
+          Tables.events(s, d).select(col("event_type").as("grp"),
+            floor(col("value") * lit(1000000.0)).cast("long").as("v_us")),
+          "v_us", Seq("grp"))
+        .orderBy("grp", "v_us")
+    },
     "q_merge_upsert" -> { (s, d) =>
       // MERGE INTO emulation (ops/Merge): a deterministic change batch
       // (updates %7, deletes %11, inserts at key+1000000 for %13) applied
@@ -4242,6 +4252,22 @@ object SparkEntry {
         |ORDER BY s_suppkey""".stripMargin,
     "q_katz" -> katzOracle(iters = 6, alphaNum = 1, alphaDen = 8,
       scale = 1000000000L),
+    "q_robust_scale" ->
+      """WITH v AS (SELECT event_type AS grp,
+        |             CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v FROM events),
+        |r AS (SELECT grp, v, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v) AS rn,
+        |        COUNT(*) OVER (PARTITION BY grp) AS n FROM v),
+        |cuts AS (SELECT grp,
+        |    MIN(CASE WHEN rn = GREATEST((n * 25 + 99) // 100, 1) THEN v END) AS p25,
+        |    MIN(CASE WHEN rn = GREATEST((n * 50 + 99) // 100, 1) THEN v END) AS med,
+        |    MIN(CASE WHEN rn = GREATEST((n * 75 + 99) // 100, 1) THEN v END) AS p75
+        |  FROM r GROUP BY grp)
+        |SELECT r.grp, v AS v_us, med, p75 - p25 AS iqr,
+        |  CASE WHEN p75 - p25 = 0 THEN NULL
+        |       ELSE (CASE WHEN v >= med THEN 1 ELSE -1 END)
+        |              * ((1000 * ABS(v - med)) // (p75 - p25)) END AS scaled_permille
+        |FROM r JOIN cuts USING (grp)
+        |ORDER BY r.grp, v_us""".stripMargin,
     "q_merge_upsert" ->
       """WITH base AS (SELECT c_custkey AS k, c_mktsegment AS seg,
         |                CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS bal_c

@@ -113,6 +113,54 @@ object Quantiles {
     * Output: (groupCols..., n, then for each p: p<P>_lo, p<P>_hi,
     * p<P>_frac, p<P>), e.g. p50_lo/p50_hi/p50_frac/p50.
     */
+  /** Robust per-group scaling — sklearn's RobustScaler on exact order
+    * statistics: scaled = 1000·(v − median) div IQR, with median/P25/P75
+    * the lower order statistics (rank ⌈p·n/100⌉, the [[winsorizeStats]]
+    * convention) and IQR = P75 − P25. Outliers move the cuts by at most
+    * their rank (not their magnitude), which is the whole point over
+    * z-scoring. Groups with IQR = 0 (over half the values identical)
+    * return NULL scaled values via try_divide-style guarding — the
+    * caller decides whether a constant feature is droppable.
+    *
+    * One group-keyed sort window + a broadcast cut join; per-row output.
+    * Output: input group/value plus (med, iqr, scaled_permille).
+    */
+  def robustScale(df: DataFrame, valueCol: String,
+      groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "robustScale needs at least one group column")
+    val grp = groupCols.map(col)
+    val w = Window.partitionBy(grp: _*).orderBy(col("__v"))
+    val cw = Window.partitionBy(grp: _*)
+    val ranked = df
+      .withColumn("__v", col(valueCol).cast("long"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(cw))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cuts = ranked.groupBy(grp: _*)
+      .agg(
+        min(when(col("__rn") ===
+          expr("greatest((__n * 25 + 99) div 100, 1)"), col("__v")))
+          .as("p25"),
+        min(when(col("__rn") ===
+          expr("greatest((__n * 50 + 99) div 100, 1)"), col("__v")))
+          .as("med"),
+        min(when(col("__rn") ===
+          expr("greatest((__n * 75 + 99) div 100, 1)"), col("__v")))
+          .as("p75"))
+    // sign and magnitude divided separately: integer division of a
+    // NEGATIVE numerator truncates toward zero in Spark but floors in
+    // DuckDB — dividing |v − med| keeps both engines on the same grid
+    ranked.join(broadcast(cuts), groupCols)
+      .withColumn("iqr", col("p75") - col("p25"))
+      .withColumn("scaled_permille",
+        when(col("iqr") === 0L, lit(null).cast("long"))
+          .otherwise(
+            (when(col("__v") >= col("med"), 1L).otherwise(-1L)) *
+              expr("(1000 * abs(__v - med)) div iqr")))
+      .select((grp :+ col(valueCol) :+ col("med") :+ col("iqr") :+
+        col("scaled_permille")): _*)
+  }
+
   def interpolatedPercentiles(df: DataFrame, valueCol: String,
       groupCols: Seq[String], ps: Seq[Int]): DataFrame = {
     require(groupCols.nonEmpty, "needs at least one group column")

@@ -50,6 +50,24 @@ class TrendWinsorizeSpec extends AnyFunSuite {
     assert(wsum == expected)
   }
 
+  test("robust scale: exact quartile cuts, signed magnitude division") {
+    // 1..100: p25=25, med=50, p75=75, iqr=50
+    // v=100 -> +(1000*50) div 50 = +1000; v=1 -> -(1000*49) div 50 = -980
+    val rows = (1L to 100L).map(("g", _))
+    val got = graft.ops.Quantiles.robustScale(rows.toDF("grp", "v"), "v", Seq("grp"))
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> r).toMap
+    assert(got(50L) == (("g", 50L, 50L, 50L, 0L)))
+    assert(got(100L)._5 == 1000L && got(1L)._5 == -980L)
+  }
+
+  test("robust scale: zero IQR yields NULL scaled values") {
+    val rows = (Seq.fill(10)(7L) :+ 99L).map(("g", _))
+    val nulls = graft.ops.Quantiles.robustScale(rows.toDF("grp", "v"), "v", Seq("grp"))
+      .where(org.apache.spark.sql.functions.col("scaled_permille").isNull).count()
+    assert(nulls == 11L) // p25 = med = p75 = 7 -> iqr 0 for every row
+  }
+
   test("winsorize handles ties deterministically") {
     val rows = (Seq.fill(50)(10L) ++ Seq.fill(50)(20L)).map(("g", _))
     val got = Normalize.winsorizeStats(rows.toDF("flag", "v"), "v", Seq("flag"))
