@@ -829,8 +829,11 @@ object Dedup extends org.apache.spark.internal.Logging {
       .where(col("rn_b") - col("rn_a") >= 1L &&
         col("rn_b") - col("rn_a") <= window.toLong)
       .select(col("id_a"), col("id_b"))
+    // both candidate sides join this table — persist so the corpus is
+    // shingled once, not once per join side
     val sets = shingles(df, idCol, textCol, n)
       .groupBy(col("id")).agg(collect_list(col("shingle")).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val scored = cand
       .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))

@@ -64,8 +64,11 @@ object LmScore {
     */
   def bigramModel(ref: DataFrame, idCol: String,
       textCol: String): DataFrame = {
+    // the bigram count table feeds the first-word rollup AND the join —
+    // persist so the reference corpus is tokenized once per model build
     val bg = bigramRows(ref, idCol, textCol)
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val firsts = bg.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
     bg.join(firsts, Seq("w1"))
   }

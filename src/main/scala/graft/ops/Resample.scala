@@ -44,10 +44,13 @@ object Resample {
     */
   def hourlyProfile(df: DataFrame, groupCol: String,
       tsUsCol: String): DataFrame = {
+    // the 24-row-per-group count table feeds the totals rollup AND the
+    // share join — persist so events are scanned once, not per consumer
     val hours = df.select(col(groupCol).as("grp"),
         pmod((col(tsUsCol).cast("long") / lit(3600000000L)).cast("long"),
           lit(24L)).as("hour"))
       .groupBy("grp", "hour").agg(count(lit(1)).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = hours.groupBy("grp").agg(sum(col("n")).as("tot"))
     hours.join(broadcast(totals), Seq("grp"))
       .select(col("grp"), col("hour"), col("n"),

@@ -34,7 +34,10 @@ object VocabDrift {
         explode(split(col(textCol), " ")).as("tok"))
       .select(col("k"), pmod(graft.functions.functions.hex_to_long(
         substring(md5(col("tok")), 1, 8)), lit(buckets.toLong)).as("b"))
+    // the (slice, bucket) count table feeds the totals rollup AND the
+    // per-mille join — persist so the token stream is scanned once
     val cnts = toks.groupBy("k", "b").agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = cnts.groupBy("k").agg(sum(col("cnt")).as("tot"))
     cnts.join(totals, Seq("k"))
       .select(col("k"), col("b"), col("cnt"),
