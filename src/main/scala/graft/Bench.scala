@@ -34,9 +34,20 @@ object Bench {
     // attempt — r6's events plan-failures showed up as plausible 0.05-0.15 s
     // "times", VERDICT r6 item 2) and the error lands in an `errors` field
     // of the totals JSON so a broken query can never masquerade as fast.
+    // One untimed throwaway rep per query before the timed reps: the
+    // full-run first-rep warmup (codegen + shuffle-service spin-up under
+    // load) poisoned per-query mins in r7 (q_hll_distinct runs
+    // [1.57, 0.57, 0.39] — VERDICT r7 item 8). The warmup still clears
+    // the cache afterwards so timed reps measure the operator, not a
+    // cached subtree the warmup populated.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     val results = SparkEntry.queries.filter(q => wanted(q._1)).map {
       case (name, fn) =>
+        (0 until warmups).foreach { _ =>
+          spark.catalog.clearCache()
+          try fn(spark, sfDir).count() catch { case _: Throwable => }
+        }
         val times = (0 until reps).map { _ =>
           spark.catalog.clearCache()
           val t0 = System.nanoTime()
@@ -62,13 +73,22 @@ object Bench {
     val errJson = errors.map { case (k, v) =>
       "\"" + k + "\":\"" + v.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
-    // Compact totals line FIRST and again LAST: the driver captures a
-    // bounded head/tail of stdout, and round 4's single giant totals-last
-    // line outgrew the captured tail (VERDICT r4 item 1). Whichever end
-    // survives, one complete parseable totals line is present.
+    // TINY totals line FIRST and again LAST: the driver captures a bounded
+    // head/tail of stdout, and at 178 queries even the compact per-query
+    // dict (~5 KB) outgrew the captured tail, leaving BENCH_r07 unparsed
+    // (VERDICT r7 item 1). The summary line therefore carries NO per-query
+    // dict — just total / query count / error count + a capped errors
+    // sample — and is guaranteed to fit any bounded capture. The per-query
+    // dict and per-run spreads live on their own middle lines (full stdout
+    // keeps them; tools/bench_builder records them too).
+    val errSample = errors.take(5).map { case (k, v) =>
+      "\"" + k + "\":\"" +
+        v.take(80).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    }.mkString("{", ",", "}")
     val totalsLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"errors":$errJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"nerr":${errors.size},"errors":$errSample,"sf":"$sfDir"}"""
     println(totalsLine)
+    println(s"""{"metric":"queries","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"runs","runs":$runs,"sf":"$sfDir"}""")
     println(totalsLine)
     spark.stop()

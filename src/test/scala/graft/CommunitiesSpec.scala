@@ -44,6 +44,18 @@ class CommunitiesSpec extends AnyFunSuite {
       assert(lpaSpark(edges, r) == lpaRef(edges, r), s"rounds=$r")
   }
 
+  test("local fast path ≡ distributed loop (gate forced off)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("b", "a"), ("a", "a")) ++ bridged
+    for (r <- 1 to 4) {
+      val local = lpaSpark(edges, r) // default gate: local replay
+      val dist = Communities.labelPropagation(edges.toDF("src", "dst"),
+          "src", "dst", r, maxLocalEdges = 0L)
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      assert(local == dist, s"rounds=$r")
+    }
+  }
+
   test("result is partition-invariant") {
     val df = bridged.toDF("src", "dst").repartition(13)
     val out = Communities.labelPropagation(df, "src", "dst", rounds = 4)

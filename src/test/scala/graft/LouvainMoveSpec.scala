@@ -34,6 +34,43 @@ class LouvainMoveSpec extends AnyFunSuite {
       "x" -> "X", "y" -> "X", "z" -> "X"))
   }
 
+  test("local fast path ≡ distributed step (gate forced off)") {
+    // irregular graph + a partition that forces moves, label gaps (node w
+    // unlabeled, label for a node absent from the graph) to pin the
+    // inner-join semantics on both paths
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("d", "f"), ("f", "a"), ("w", "a")).toDF("src", "dst")
+    val lbl = Seq(("a", "P"), ("b", "Q"), ("c", "P"), ("d", "Q"),
+      ("e", "P"), ("f", "Q"), ("ghost", "Z")).toDF("node", "community")
+    val local = Communities.modularityMoveStep(e, "src", "dst", lbl)
+      .as[(String, String)].collect().toMap
+    val dist = Communities.modularityMoveStep(e, "src", "dst", lbl,
+        maxLocalEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(local == dist)
+    assert(!local.contains("w") && !local.contains("ghost"))
+  }
+
+  test("louvain(rounds=k) ≡ k chained move steps, local ≡ distributed") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("d", "f"), ("f", "a")).toDF("src", "dst")
+    val init = Seq(("a", "A"), ("b", "B"), ("c", "C"), ("d", "D"),
+      ("e", "E"), ("f", "F")).toDF("node", "community")
+    for (k <- 1 to 3) {
+      var chained = init
+      for (_ <- 1 to k)
+        chained = Communities.modularityMoveStep(e, "src", "dst", chained)
+      val want = chained.as[(String, String)].collect().toMap
+      val local = Communities.louvain(e, "src", "dst", init, rounds = k)
+        .as[(String, String)].collect().toMap
+      val dist = Communities.louvain(e, "src", "dst", init, rounds = k,
+          maxLocalEdges = 0L)
+        .as[(String, String)].collect().toMap
+      assert(local == want, s"k=$k local")
+      assert(dist == want, s"k=$k distributed")
+    }
+  }
+
   test("score ties break to the smaller community label") {
     // path b - v - y: both neighbor communities offer identical gain
     val e = Seq(("b", "v"), ("v", "y")).toDF("src", "dst")

@@ -59,4 +59,23 @@ class ShortestPathsSpec extends AnyFunSuite {
     val df = spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
     assert(ShortestPaths.calculateShortestPath(df, "from", "to", "weight").count() == 0)
   }
+
+  test("above the gate, allPairs auto-falls back to Pregel with equal output") {
+    // force the gate to 0: every call takes the distributed path, and the
+    // result must match the broadcast Dijkstra path exactly (same ×1000
+    // quantization, same pair-emission rules) — VERDICT r7 item 2
+    val rows = Seq(
+      ("A", "B", 1.0), ("A", "C", 2.0), ("B", "C", 1.0), ("C", "D", 1.5),
+      ("D", "E", 0.25), ("E", "F", 4.0), ("X", "Y", 7.0))
+    for (directed <- Seq(false, true)) {
+      val df = rows.toDF("from", "to", "weight")
+      val local = ShortestPaths.calculateShortestPath(
+          df, "from", "to", "weight", directed)
+        .as[(String, String, Double)].collect().toSet
+      val fallback = ShortestPaths.calculateShortestPath(
+          df, "from", "to", "weight", directed, maxLocalEdges = 0L)
+        .as[(String, String, Double)].collect().toSet
+      assert(fallback == local, s"directed=$directed")
+    }
+  }
 }
