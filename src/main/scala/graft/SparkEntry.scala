@@ -1898,6 +1898,19 @@ object SparkEntry {
             rounds = 4))
         .orderBy("node")
     },
+    "q_louvain" -> { (s, d) =>
+      // multi-round synchronous Louvain (Communities.louvain, VERDICT r7
+      // item 6): LPA-4 init, then TWO move rounds, each re-scoring every
+      // node against the previous round's partition — the unrolled-CTE
+      // oracle replays both rounds exactly
+      val edges = Tables.coOrderPairEdges(s, d)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Communities.louvain(edges, "src", "dst",
+          graft.ops.Communities.labelPropagation(edges, "src", "dst",
+            rounds = 4),
+          rounds = 2)
+        .orderBy("node")
+    },
     "q_katz" -> { (s, d) =>
       // Katz centrality on the user-journey graph (ops/Katz): integer
       // fixed-point on a 1e9 grid, alpha = 1/8 (max in-degree 5 -> safe
@@ -4312,6 +4325,7 @@ object SparkEntry {
          |         FROM sc)
          |SELECT v AS node, c AS community FROM best WHERE rn = 1
          |ORDER BY node""".stripMargin,
+    "q_louvain" -> louvainOracle(moveRounds = 2),
     "q_user_features" ->
       """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref FROM events)
         |SELECT user_id AS id, COUNT(*) AS n_total,
@@ -4677,6 +4691,45 @@ object SparkEntry {
   private def lpaOracle(rounds: Int): String =
     s"""${lpaCtes(rounds)}
        |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+
+  /** Unrolled multi-round Louvain oracle: LPA-4 init (ml0 = l4), then
+    * `moveRounds` copies of the q_louvain_move CTE block chained
+    * ml0 → ml1 → … — each round's dcc/evc/cand/score tables read the
+    * PREVIOUS round's labels; graph-static tables (adjv, m, degv) are
+    * shared. Mirrors ops.Communities.louvain round for round. */
+  private def louvainOracle(moveRounds: Int): String = {
+    val head =
+      s"""${lpaCtes(4)},
+         |adjv AS MATERIALIZED (SELECT x AS v, y AS n FROM e0
+         |        UNION ALL SELECT y AS v, x AS n FROM e0),
+         |mm AS (SELECT COUNT(*) AS m FROM e0),
+         |degv AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM adjv GROUP BY v),
+         |ml0 AS (SELECT node, lab AS community FROM l4)""".stripMargin
+    val steps = (1 to moveRounds).map { i =>
+      val p = s"ml${i - 1}"
+      s"""dcc$i AS (SELECT community, CAST(SUM(d) AS BIGINT) AS d_c
+         |        FROM degv JOIN $p ON degv.v = $p.node GROUP BY community),
+         |evc$i AS (SELECT adjv.v, $p.community AS c, COUNT(*) AS e_vc
+         |        FROM adjv JOIN $p ON $p.node = adjv.n GROUP BY 1, 2),
+         |ownc$i AS (SELECT node AS v, community AS c, 0 AS e_vc FROM $p),
+         |candc$i AS (SELECT v, c, CAST(MAX(e_vc) AS BIGINT) AS e_vc FROM (
+         |            SELECT * FROM evc$i UNION ALL SELECT * FROM ownc$i)
+         |          GROUP BY v, c),
+         |sc$i AS (SELECT candc$i.v, candc$i.c,
+         |         4 * mm.m * candc$i.e_vc
+         |           - 2 * degv.d * (dcc$i.d_c -
+         |               CASE WHEN candc$i.c = $p.community THEN degv.d ELSE 0 END) AS score
+         |       FROM candc$i CROSS JOIN mm
+         |       JOIN $p ON $p.node = candc$i.v
+         |       JOIN degv ON degv.v = candc$i.v
+         |       JOIN dcc$i ON dcc$i.community = candc$i.c),
+         |ml$i AS MATERIALIZED (SELECT v AS node, c AS community FROM (
+         |         SELECT v, c,
+         |                ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+         |         FROM sc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps\nSELECT node, community FROM ml$moveRounds ORDER BY node"
+  }
 
   /** Unrolled seeded label-spreading oracle over the co-order graph:
     * like [[lpaCtes]] but labels start ONLY on the md5-sampled seed set

@@ -31,6 +31,11 @@ object Verify {
     // failures are also echoed to stdout and collected in _errors.json.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
     selected.foreach { case (name, fn) =>
+      // operators persist internal subtrees (shingle postings, edge sets,
+      // quantized vectors) and hand back lazy DFs, so a 180-query session
+      // otherwise accumulates cache entries until LRU churn (ADVICE r7) —
+      // each query's caches die with the query here
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

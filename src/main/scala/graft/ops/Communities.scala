@@ -374,14 +374,33 @@ object Communities {
     * (node, label) for every labeled node after `rounds` rounds.
     */
   def labelSpreading(edges: DataFrame, srcCol: String, dstCol: String,
-      seeds: DataFrame, rounds: Int): DataFrame = {
+      seeds: DataFrame, rounds: Int,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
     val spark = edges.sparkSession
     import spark.implicits._
     val half = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
       .where($"a".isNotNull && $"b".isNotNull && $"a" =!= $"b")
-    val sym = half.union(half.select($"b".as("a"), $"a".as("b")))
-      .distinct()
+    val symRaw = half.union(half.select($"b".as("a"), $"a".as("b"))).distinct()
+
+    // same gated local replay as [[labelPropagation]]: clamped seeds,
+    // majority-of-labeled-neighbors, min-label tie-break in UTF8-byte
+    // order, node drops back out when no neighbor is labeled this round —
+    // round-for-round identical to the shuffle loop (parity-spec'd)
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val capped = symRaw.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val seedArr = seeds.select(col("node").cast("string"),
+          col("label").cast("string")).as[(String, String)].collect()
+        return spark.createDataFrame(
+            localSpread(capped, seedArr, rounds).toIndexedSeq)
+          .toDF("node", "label")
+      }
+      // over the cap: fall through to the distributed loop
+    }
+
+    val sym = symRaw
       .localCheckpoint(true)
     val seed = seeds.select(col("node"), col("label").as("lab"))
       .localCheckpoint(true)
@@ -398,5 +417,68 @@ object Communities {
       lab = if (i % 2 == 0 || i == rounds) next.localCheckpoint(true) else next
     }
     lab.withColumnRenamed("lab", "label")
+  }
+
+  /** In-memory replay of the EXACT clamped spreading rounds. Seeds keep
+    * their label unconditionally (including seeds naming nodes absent
+    * from the edge list — the distributed union keeps them too); a
+    * non-seed node holds a label only while it has >= 1 labeled neighbor
+    * in the current round.
+    */
+  private def localSpread(sym: Array[(String, String)],
+      seedArr: Array[(String, String)], rounds: Int): Array[(String, String)] = {
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      sym.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    val deg = new Array[Int](n)
+    sym.foreach { case (a, _) => deg(idOf(a)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](sym.length)
+    val cur = off.clone()
+    sym.foreach { case (a, b) =>
+      val ia = idOf(a); nbr(cur(ia)) = idOf(b); cur(ia) += 1
+    }
+    val seedLabel = seedArr.toMap
+    var lab = Array.tabulate(n)(v => seedLabel.getOrElse(names(v), null))
+    var r = 0
+    while (r < rounds) {
+      val next = new Array[String](n)
+      val cnt = new scala.collection.mutable.HashMap[String, Int]
+      var v = 0
+      while (v < n) {
+        val sl = seedLabel.get(names(v))
+        if (sl.isDefined) next(v) = sl.get
+        else {
+          cnt.clear()
+          var j = off(v)
+          while (j < off(v + 1)) {
+            val l = lab(nbr(j))
+            if (l != null) cnt.update(l, cnt.getOrElse(l, 0) + 1)
+            j += 1
+          }
+          var bestLab: String = null
+          var bestCnt = -1
+          cnt.foreach { case (l, c) =>
+            if (c > bestCnt || (c == bestCnt && utf8Lt(l, bestLab)))
+              { bestLab = l; bestCnt = c }
+          }
+          next(v) = bestLab // null when no labeled neighbor this round
+        }
+        v += 1
+      }
+      lab = next
+      r += 1
+    }
+    val offGraphSeeds = seedArr.filter { case (node, _) => !idOf.contains(node) }
+    val onGraph = (0 until n).iterator
+      .filter(v => lab(v) != null)
+      .map(v => (names(v), lab(v))).toArray
+    onGraph ++ offGraphSeeds
   }
 }

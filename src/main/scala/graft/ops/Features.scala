@@ -44,11 +44,14 @@ object Features {
     * (metric, ties by id) — not an interpolated ntile, so the
     * segmentation reproduces in any engine.
     *
-    * The three rank windows run over the per-customer AGGREGATE (one row
-    * per customer), not over orders; they are single-partition windows,
-    * acceptable for dimension-sized customer tables — for
-    * billion-customer tables swap each axis onto
-    * [[Ranks.globalRowNumber]] (same rank semantics, range-partitioned).
+    * Each axis rank runs over the per-customer AGGREGATE (one row per
+    * customer) via [[Ranks.globalRowNumber]] — a range exchange + parallel
+    * numbering, NOT a single-partition `row_number` window (VERDICT r7
+    * item 5: three sequential global sorts of the customer dimension
+    * would bottleneck a billion-customer table through one task each).
+    * Descending axes ride the same machinery on the negated metric; the
+    * unique id tie-break makes every axis a total order, so ranks are
+    * engine-reproducible.
     *
     * Output: (id, recency_days, frequency, monetary_c, r_score, f_score,
     * m_score, rfm) with rfm = 100·r + 10·f + m.
@@ -64,15 +67,24 @@ object Features {
           .as("recency_days"),
         count(lit(1)).as("frequency"),
         sum(col("__amt_c")).as("monetary_c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true) // consumed 4× below (spine + three axis ranks)
     val nRow = base.agg(count(lit(1)).as("__n"))
-    val wr = Window.orderBy(col("recency_days"), col("id"))
-    val wf = Window.orderBy(col("frequency").desc, col("id"))
-    val wm = Window.orderBy(col("monetary_c").desc, col("id"))
+    // row_number() ≡ grn when the sort ends in the unique id; desc axes
+    // sort the negated metric (no nulls: count/sum over non-null amounts)
+    val rr = Ranks.globalRowNumber(
+        base.select(col("id"), col("recency_days")),
+        Seq("recency_days", "id"), "__rr")
+      .select(col("id"), col("__rr"))
+    val rf = Ranks.globalRowNumber(
+        base.select(col("id"), (-col("frequency")).as("__negf")),
+        Seq("__negf", "id"), "__rf")
+      .select(col("id"), col("__rf"))
+    val rm = Ranks.globalRowNumber(
+        base.select(col("id"), (-col("monetary_c")).as("__negm")),
+        Seq("__negm", "id"), "__rm")
+      .select(col("id"), col("__rm"))
     base.crossJoin(broadcast(nRow))
-      .withColumn("__rr", row_number().over(wr).cast("long"))
-      .withColumn("__rf", row_number().over(wf).cast("long"))
-      .withColumn("__rm", row_number().over(wm).cast("long"))
+      .join(rr, "id").join(rf, "id").join(rm, "id")
       .withColumn("r_score", lit(4L) - expr("(4 * (__rr - 1)) div __n"))
       .withColumn("f_score", lit(4L) - expr("(4 * (__rf - 1)) div __n"))
       .withColumn("m_score", lit(4L) - expr("(4 * (__rm - 1)) div __n"))

@@ -87,7 +87,44 @@ object GraphStats {
     * pass complete partitions, e.g. [[Communities.labelPropagation]]).
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
-      labels: DataFrame): DataFrame = {
+      labels: DataFrame, maxLocalEdges: Long = 5000000L): DataFrame = {
+    // Gated driver-local replay (the Scc/LPA pattern): the statistic is
+    // one row derived from integer counts over labeled edges, so under the
+    // cap a capped collect + in-memory tally replaces two edge⋈label
+    // shuffles + three aggregates (parity-spec'd with the gate forced 0)
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = undirected(edges, srcCol, dstCol)
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val labArr = labels.select(col("node").cast("string"),
+          col("community").cast("string")).as[(String, String)].collect()
+        val comm = labArr.toMap
+        // inner-join semantics: only edges with BOTH endpoints labeled
+        var m = 0L
+        val eC = new scala.collection.mutable.HashMap[String, Long]
+        val dC = new scala.collection.mutable.HashMap[String, Long]
+        capped.foreach { case (x, y) =>
+          (comm.get(x), comm.get(y)) match {
+            case (Some(cx), Some(cy)) =>
+              m += 1
+              dC.update(cx, dC.getOrElse(cx, 0L) + 1)
+              dC.update(cy, dC.getOrElse(cy, 0L) + 1)
+              if (cx == cy) eC.update(cx, eC.getOrElse(cx, 0L) + 1)
+            case _ => ()
+          }
+        }
+        val qNum = dC.iterator.map { case (c, d) =>
+          4L * m * eC.getOrElse(c, 0L) - d * d
+        }.sum
+        val qDen = 4L * m * m
+        return spark.createDataFrame(Seq((m, qNum, qDen)))
+          .toDF("m_edges", "q_num", "q_den")
+          .withColumn("modularity",
+            expr("try_divide(cast(q_num as double), cast(q_den as double))"))
+      }
+    }
     val e = undirected(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK)
     val lab = labels.select(col("node"), col("community"))
@@ -162,6 +199,10 @@ object GraphStats {
       .agg(count(lit(1)).as("m_reciprocal"))
       .crossJoin(broadcast(e.agg(count(lit(1)).as("m_edges"))))
       .select(col("m_edges"), col("m_reciprocal"),
-        expr("(m_reciprocal * 1000) div m_edges").as("reciprocity_permille"))
+        // degenerate empty graph: 0, not engine-dependent div-by-zero
+        // (Spark div 0 → NULL, DuckDB // 0 → error)
+        when(col("m_edges") > 0L,
+          expr("(m_reciprocal * 1000) div m_edges")).otherwise(lit(0L))
+          .as("reciprocity_permille"))
   }
 }

@@ -40,7 +40,7 @@ object Harmonic {
 
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, sourceRatePermille: Int = 1000,
-      salt: String = ""): DataFrame = {
+      salt: String = "", maxLocalEdges: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 12,
       s"rounds must be in [1, 12] (lcm stays in Long range), got $rounds")
     require(sourceRatePermille >= 1 && sourceRatePermille <= 1000,
@@ -49,9 +49,33 @@ object Harmonic {
 
     // BFS ignores edge multiplicity and direction: distinct symmetric pairs
     val fwd = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
-    val sym = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+    val symRaw = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
       .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
       .distinct()
+
+    // Gated driver-local replay (the Scc/LPA pattern): `rounds` frontier
+    // rounds cost ~3 shuffles each; under the cap one capped collect + the
+    // IDENTICAL per-source truncated BFS (same md5 source sample — the
+    // JVM MessageDigest replays Sampling.hashSample byte-exactly — same
+    // integer L/d terms) wins by an order of magnitude. Work is
+    // |S|·(V+E); the secondary budget gate keeps an adversarial
+    // dense-sample case off the driver even when the edge list fits.
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = symRaw.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val out = localHarmonic(capped, rounds, sourceRatePermille, salt, scale)
+        if (out != null)
+          return spark.createDataFrame(out.toIndexedSeq)
+            .toDF("node", "n_reached", "harmonic_num")
+            .withColumn("harmonic_den", lit(scale))
+        // budget exceeded: fall through to the distributed loop
+      }
+    }
+
+    val sym = symRaw
       .persist(StorageLevel.MEMORY_AND_DISK) // probed every round
     val nodes = sym.select(col("a").as("node")).distinct()
     val sources = Sampling.hashSample(nodes, "node", sourceRatePermille, salt)
@@ -85,5 +109,69 @@ object Harmonic {
       .agg(count(lit(1)).as("n_reached"),
         sum(expr(s"$scale div d")).as("harmonic_num"))
       .withColumn("harmonic_den", lit(scale))
+  }
+
+  /** In-memory replay: per sampled source, one truncated BFS over the CSR
+    * adjacency, accumulating (n_reached, Σ scale div d) per TARGET node —
+    * identical arithmetic to the distributed aggregation. Returns null
+    * when |S|·(V+E) exceeds the work budget (caller falls through).
+    */
+  private def localHarmonic(sym: Array[(String, String)], rounds: Int,
+      ratePermille: Int, salt: String,
+      scale: Long): Array[(String, Long, Long)] = {
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      sym.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    // Sampling.hashSample byte-exact: md5 hex lane % 1000 < rate
+    def bucket(id: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest((salt + id).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 1000L
+    }
+    val sources = (0 until n).filter(v => bucket(names(v)) < ratePermille)
+    if (sources.length.toLong * (n.toLong + sym.length.toLong) > 2000000000L)
+      return null
+    val deg = new Array[Int](n)
+    sym.foreach { case (a, _) => deg(idOf(a)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](sym.length)
+    val cur = off.clone()
+    sym.foreach { case (a, b) =>
+      val ia = idOf(a); nbr(cur(ia)) = idOf(b); cur(ia) += 1
+    }
+    val nReached = new Array[Long](n)
+    val num = new Array[Long](n)
+    val dist = Array.fill(n)(-1)
+    val queue = new Array[Int](n)
+    sources.foreach { s =>
+      java.util.Arrays.fill(dist, -1)
+      var head = 0; var tail = 0
+      dist(s) = 0; queue(tail) = s; tail += 1
+      while (head < tail) {
+        val v = queue(head); head += 1
+        if (dist(v) < rounds) {
+          var j = off(v)
+          while (j < off(v + 1)) {
+            val w = nbr(j)
+            if (dist(w) < 0) {
+              dist(w) = dist(v) + 1
+              queue(tail) = w; tail += 1
+              nReached(w) += 1
+              num(w) += scale / dist(w) // d >= 1: exact integer term
+            }
+            j += 1
+          }
+        }
+      }
+    }
+    (0 until n).iterator.filter(v => nReached(v) > 0)
+      .map(v => (names(v), nReached(v), num(v))).toArray
   }
 }

@@ -316,25 +316,48 @@ object Sampling {
   * column needed, and the driver query gets a hash-exact DuckDB oracle.
   * A single-row group scales to 0.
   *
-  * Plan shape: ONE group-keyed sort window (rank and the group count
-  * share its partitioning). At 100 TB the per-group sort is the cost —
-  * rank normalization is inherently a per-group order statistic; for
-  * sort-free approximate scaling use [[Quantiles.histogramQuantiles]]
-  * bucket ranks instead.
+  * Plan shape (VERDICT r7 item 4): NO group-keyed sort window — a
+  * low-cardinality group key (the driver query groups by a 3-value flag)
+  * would funnel entire groups through single tasks at scale. Instead the
+  * input is globally numbered by (group…, value) via the
+  * [[Ranks.globalRowNumber]] range-partition + zipWithIndex machinery
+  * (group rows occupy a CONTIGUOUS global-rank range, so per-group row
+  * numbers are just grn − min-grn-of-group), rank()-on-ties comes from the
+  * per-(group, value) min grn, and the per-group count/offset table is a
+  * tiny aggregate that broadcasts back. Every stage is spread across the
+  * cluster; ties are the only co-located rows.
   */
 object Normalize {
-  import org.apache.spark.sql.expressions.Window
 
+  /** `broadcastGroups`: the per-group offset table has one row per group —
+    * broadcast it (default; right whenever rank-normalizing over segments,
+    * flags, categories) unless the group key is high-cardinality, in which
+    * case a plain shuffle join on the then-well-spread key is the safe
+    * shape and broadcasting would not fit.
+    */
   def rankPermille(df: DataFrame, valueCol: String, groupCols: Seq[String],
-      outCol: String = "rank_permille"): DataFrame = {
+      outCol: String = "rank_permille",
+      broadcastGroups: Boolean = true): DataFrame = {
     require(groupCols.nonEmpty, "rankPermille needs at least one group column")
-    val w = Window.partitionBy(groupCols.map(col): _*).orderBy(col(valueCol))
-    val cw = Window.partitionBy(groupCols.map(col): _*)
-    df.withColumn("__rk", rank().over(w))
-      .withColumn("__n", count(lit(1)).over(cw))
+    val keys = groupCols :+ valueCol
+    // materialize the numbering once: three consumers below (spine + two
+    // aggregates), and zipWithIndex otherwise re-runs its count pass per
+    // consumer
+    val numbered = Ranks.globalRowNumber(df, keys, "__grn")
+      .localCheckpoint(true)
+    // rank() semantics: every row of a (group, value) tie class shares the
+    // class's first in-group row number. Both mins are order-invariant
+    // (a tie class's global range start = #rows sorting strictly before it)
+    val tieMin = numbered.groupBy(keys.map(col): _*)
+      .agg(min(col("__grn")).as("__tmin"))
+    val grp = numbered.groupBy(groupCols.map(col): _*)
+      .agg(min(col("__grn")).as("__gmin"), count(lit(1)).as("__n"))
+    numbered
+      .join(tieMin, keys)
+      .join(if (broadcastGroups) broadcast(grp) else grp, groupCols)
       .withColumn(outCol,
-        expr("((__rk - 1) * 1000) div greatest(__n - 1, 1)"))
-      .drop("__rk", "__n")
+        expr("((__tmin - __gmin) * 1000) div greatest(__n - 1, 1)"))
+      .drop("__grn", "__tmin", "__gmin", "__n")
   }
 
   /** Per-group winsorization audit: the exact lower/upper percentile cut

@@ -42,6 +42,10 @@ object SetSketch {
     val b = sketches.select(col(keyCol).as("src_b"), col("sketch").as("sb"))
     a.join(b, col("src_a") < col("src_b"))
       .withColumn("u", array_sort(array_union(col("sa"), col("sb"))))
+      // a pair of two EMPTY sketches has no union hash to threshold on:
+      // element_at(u, 0) errors under ANSI and n_shared div 0 NULLs —
+      // such a pair carries no evidence either way, so it is dropped
+      .where(size(col("u")) > 0)
       .withColumn("k_eff", least(lit(k), size(col("u"))).cast("long"))
       .withColumn("h_k", element_at(col("u"), col("k_eff").cast("int")))
       .withColumn("n_shared",

@@ -30,7 +30,7 @@ object TopoSort {
 
   def longestPathLayers(edges: DataFrame, srcCol: String = "src",
       dstCol: String = "dst", maxRounds: Int = 64,
-      maxLocalEdges: Long = 5_000_000L): DataFrame = {
+      maxLocalEdges: Long = 1_000_000L): DataFrame = {
     require(maxRounds >= 1, s"maxRounds must be >= 1, got $maxRounds")
     val spark0 = edges.sparkSession
     import spark0.implicits._
@@ -41,7 +41,12 @@ object TopoSort {
         col("src") =!= col("dst"))
       .distinct()
 
-    // Gated driver-local fast path (the [[Scc.components]] pattern):
+    // Gated driver-local fast path (the [[Scc.components]] pattern).
+    // The default cap is 1M edges — deliberately tighter than Scc's 5M:
+    // the worst-case driver footprint of the capped collect is cap+1
+    // string pairs held BEFORE the gate can reject (ADVICE r7), and DAG
+    // layering inputs (dependency/condensation graphs) are small; bigger
+    // DAGs belong on the distributed frontier loop below anyway.
     // the depth-round frontier loop below schedules one job per DAG
     // level — dozens of sequential jobs for a graph that fits one task.
     // Longest-path layers are a unique function of the DAG (no

@@ -56,6 +56,22 @@ class CommunitiesSpec extends AnyFunSuite {
     }
   }
 
+  test("labelSpreading: local replay ≡ distributed loop, off-graph seed kept") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
+      ("x", "y"), ("y", "z"), ("z", "x"))
+    val seeds = Seq(("a", "L1"), ("z", "L2"), ("ghost", "L3"))
+    for (r <- 1 to 4) {
+      val local = Communities.labelSpreading(edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("node", "label"), r)
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      val dist = Communities.labelSpreading(edges.toDF("src", "dst"),
+          "src", "dst", seeds.toDF("node", "label"), r, maxLocalEdges = 0L)
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      assert(local == dist, s"rounds=$r")
+      assert(local("ghost") == "L3", s"rounds=$r off-graph seed must survive")
+    }
+  }
+
   test("result is partition-invariant") {
     val df = bridged.toDF("src", "dst").repartition(13)
     val out = Communities.labelPropagation(df, "src", "dst", rounds = 4)

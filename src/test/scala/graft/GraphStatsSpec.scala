@@ -46,4 +46,25 @@ class GraphStatsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Double)].collect().head
     assert(got == ((2L, 0L, 16L, 0.0)))
   }
+
+  test("modularity: local tally ≡ distributed aggregate (gate forced off)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"),
+      ("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")
+    // partial labels: z unlabeled — pins the inner-join semantics
+    val labels = Seq(("a", "A"), ("b", "A"), ("c", "A"),
+      ("x", "X"), ("y", "X")).toDF("node", "community")
+    val local = GraphStats.modularity(edges, "src", "dst", labels)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    val dist = GraphStats.modularity(edges, "src", "dst", labels,
+        maxLocalEdges = 0L)
+      .as[(Long, Long, Long, Option[Double])].collect().head
+    assert(local == dist)
+  }
+
+  test("reciprocity of an empty graph is (0, 0, 0), not NULL (ADVICE r7)") {
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    val got = GraphStats.reciprocity(empty, "src", "dst")
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((0L, 0L, 0L)))
+  }
 }

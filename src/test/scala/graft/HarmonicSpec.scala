@@ -47,4 +47,21 @@ class HarmonicSpec extends AnyFunSuite {
     assert(out("1") == 9L)
     assert(out("2") == 12L)
   }
+
+  test("local replay ≡ distributed frontier BFS (gate forced off)") {
+    // branching + a disconnected pair + sampled sources: pins the md5
+    // source sample AND the truncated integer terms across both paths
+    val edges = (Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("b", "f"), ("f", "g"), ("g", "a"), ("x", "y")) ++
+      (1 to 40).map(i => (s"n$i", s"n${i + 1}"))).toDF("src", "dst")
+    for (rate <- Seq(1000, 500, 200); rounds <- Seq(2, 4)) {
+      val local = Harmonic.harmonicCentrality(edges, "src", "dst",
+          rounds, rate, salt = "s8")
+        .as[(String, Long, Long, Long)].collect().toSet
+      val dist = Harmonic.harmonicCentrality(edges, "src", "dst",
+          rounds, rate, salt = "s8", maxLocalEdges = 0L)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(local == dist, s"rate=$rate rounds=$rounds")
+    }
+  }
 }

@@ -48,4 +48,19 @@ class KCoreSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSet
     assert(fixed == fix)
   }
+
+  test("local replay ≡ distributed peeling (gate forced off), partial too") {
+    // chain into a triangle: partial (iters=1,2) fixpoints differ from the
+    // converged core, so this pins the ROUND-for-round replay, not just
+    // the limit
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("f", "d")).toDF("src", "dst")
+    for (iters <- 1 to 4; k <- Seq(1, 2, 3)) {
+      val local = KCore.kCore(edges, "src", "dst", k, iters)
+        .as[(String, Long)].collect().toSet
+      val dist = KCore.kCore(edges, "src", "dst", k, iters, maxLocalEdges = 0L)
+        .as[(String, Long)].collect().toSet
+      assert(local == dist, s"k=$k iters=$iters")
+    }
+  }
 }

@@ -38,4 +38,21 @@ class MergeSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
     assert(got == Set((1L, "a", 10L)))
   }
+
+  test("a change batch with two rows for one key fails loudly, not fans out") {
+    val base = Seq((1L, "a", 10L), (2L, "b", 20L)).toDF("k", "s", "v")
+    val dupes = Seq((1L, "U", "a1", 11L), (1L, "U", "a2", 12L))
+      .toDF("k", "op", "s", "v")
+    val ex = intercept[Exception] {
+      Merge.applyChanges(base, "k", dupes, "op", Seq("s", "v")).collect()
+    }
+    def messages(t: Throwable): List[String] =
+      Option(t).toList.flatMap(e =>
+        Option(e.getMessage).toList ++ messages(e.getCause))
+    assert(messages(ex).exists(_.contains("multiple rows for key")))
+    // guard off: documented caller-enforces-uniqueness mode, join fans out
+    val fanned = Merge.applyChanges(base, "k", dupes, "op", Seq("s", "v"),
+      enforceUniqueChanges = false).collect()
+    assert(fanned.length == 3) // 2 dup rows for k=1 + untouched k=2
+  }
 }

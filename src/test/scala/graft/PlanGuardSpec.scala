@@ -87,6 +87,21 @@ class PlanGuardSpec extends AnyFunSuite {
       s"both RANGE aggregates must share one Window, plan:\n${p.take(2000)}")
   }
 
+  test("q_rank_normalize and q_rfm rank without any Window operator") {
+    // VERDICT r7 items 4-5: per-group/global ranks ride the range-partition
+    // + zipWithIndex machinery (Ranks.globalRowNumber), so no WindowExec —
+    // in particular no single-giant-partition window over a low-cardinality
+    // group key — may appear anywhere in either physical tree
+    for (q <- Seq("q_rank_normalize", "q_rfm")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty,
+        s"$q must not plan a Window, found: ${windows.map(_.partitionSpec)}")
+    }
+  }
+
   test("q_kmv_jaccard's pairwise stage joins sketch rows, not token rows") {
     val p = physical("q_kmv_jaccard")
     // token scan feeds the sketch agg twice (a/b sides of the self-join);

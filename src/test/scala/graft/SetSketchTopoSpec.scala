@@ -35,6 +35,16 @@ class SetSketchTopoSpec extends AnyFunSuite {
     assert(got == (("A", "B", 12L, 12L, 4L, 333L)))
   }
 
+  test("pairs with an empty union are dropped, others unaffected (ADVICE r7)") {
+    // an empty-empty pair has no union hash to threshold on: under ANSI
+    // element_at(u, 0) would error — the pair must be absent, not a crash
+    val sk = Seq(("A", Seq(1L, 2L)), ("B", Seq.empty[Long]),
+      ("C", Seq.empty[Long])).toDF("k", "sketch")
+    val got = SetSketch.pairwiseJaccard(sk, "k", k = 4)
+      .select("src_a", "src_b").as[(String, String)].collect().toSet
+    assert(got == Set(("A", "B"), ("A", "C")))
+  }
+
   test("Jaccard estimate uses only the bottom-k union threshold") {
     // k = 4: union bottom-4 = {1,2,3,4}, threshold 4; shared ≤ 4 = {3,4}
     val rows = Seq(("A", 1L), ("A", 3L), ("A", 4L), ("A", 9L),

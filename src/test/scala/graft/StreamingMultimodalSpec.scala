@@ -7,6 +7,21 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
+/** A fake "real codec" for the decoder-injection spec: fixed dimensions,
+  * format derived from payload length. Top-level (not an inner object) so
+  * task serialization ships only the decoder, never the spec class; each
+  * task's deserialized copy starts un-opened, so the decode-side check
+  * proves open() ran on THAT copy before any decode.
+  */
+class FixedTestDecoder extends Multimodal.AssetDecoder {
+  @volatile private var opened = false
+  override def open(): Unit = { opened = true }
+  def decode(payload: Array[Byte], kind: String): (Int, Int, String) = {
+    if (!opened) throw new IllegalStateException("open() must run before decode()")
+    (320, 200, s"len${payload.length % 10}")
+  }
+}
+
 class StreamingMultimodalSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -292,6 +307,21 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     val frames = Multimodal.sampleFrames(assets, n = 4)
     val videos = assets.where(col("kind") === "video").count()
     assert(frames.count() == videos * 4)
+  }
+
+  test("multimodal: a custom AssetDecoder injects through decodeAssets") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val packed = Multimodal.packAssets(docs, "doc_id", "text")
+    val got = Multimodal.decodeAssets(packed, new FixedTestDecoder)
+    assert(got.schema == Multimodal.assetSchema) // schema contract survives
+    val metas = got.select("meta.width", "meta.height", "meta.format")
+      .as[(Int, Int, String)].collect()
+    assert(metas.length == 20)
+    assert(metas.forall { case (w, h, f) => w == 320 && h == 200 && f.startsWith("len") })
+    // default decoder unchanged: same inputs still give the stub's metadata
+    val stub = Multimodal.decodeAssets(packed)
+      .select("meta.width").as[Int].collect()
+    assert(stub.forall(_ >= 64))
   }
 
   test("multimodal resize: bounded box, aspect kept, audio passthrough, no upscale") {
