@@ -48,7 +48,36 @@ object GraphStats {
     * double casts. −1 = perfectly disassortative (stars), +1 = assortative.
     */
   def degreeAssortativity(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, maxLocalEdges: Long = 5000000L): DataFrame = {
+    // Gated driver-local tally (the Scc/LPA pattern): the statistic is one
+    // row of integer sufficient sums, so under the cap a capped collect
+    // replaces a degree aggregate + two edge⋈degree shuffles; the double
+    // coefficient is derived by the IDENTICAL SQL expression on the 1-row
+    // result either way (parity-spec'd with the gate forced to 0)
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = undirected(edges, srcCol, dstCol)
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val deg = new scala.collection.mutable.HashMap[String, Long]
+        capped.foreach { case (x, y) =>
+          deg.update(x, deg.getOrElse(x, 0L) + 1)
+          deg.update(y, deg.getOrElse(y, 0L) + 1)
+        }
+        var mEnds = 0L; var sXy = 0L; var sX = 0L; var sX2 = 0L
+        capped.foreach { case (x, y) =>
+          val dx = deg(x); val dy = deg(y)
+          mEnds += 2
+          sXy += 2 * dx * dy
+          sX += dx + dy
+          sX2 += dx * dx + dy * dy
+        }
+        return spark.createDataFrame(Seq((mEnds, sXy, sX, sX2)))
+          .toDF("m_ends", "s_xy", "s_x", "s_x2")
+          .withColumn("assortativity", assortativityExpr)
+      }
+    }
     val e = undirected(edges, srcCol, dstCol)
       .persist(StorageLevel.MEMORY_AND_DISK) // degree agg + two end joins
     val deg = e.select(col("x").as("node")).union(e.select(col("y").as("node")))
@@ -63,16 +92,20 @@ object GraphStats {
         sum(col("dx") * col("dy")).as("s_xy"),
         sum(col("dx")).as("s_x"),
         sum(col("dx") * col("dx")).as("s_x2"))
-      .withColumn("assortativity",
-        // try_divide: a REGULAR graph has zero degree variance — the
-        // coefficient is undefined and comes back NULL (DuckDB's plain
-        // division returns NULL on zero divisors, so the oracle matches)
-        expr("""try_divide(
-            cast(m_ends as double) * cast(s_xy as double)
-              - cast(s_x as double) * cast(s_x as double),
-            cast(m_ends as double) * cast(s_x2 as double)
-              - cast(s_x as double) * cast(s_x as double))"""))
+      .withColumn("assortativity", assortativityExpr)
   }
+
+  // try_divide: a REGULAR graph has zero degree variance — the
+  // coefficient is undefined and comes back NULL (DuckDB's plain
+  // division returns NULL on zero divisors, so the oracle matches).
+  // Shared by the local and distributed paths so the double derivation
+  // is the same codegen expression bit for bit.
+  private def assortativityExpr =
+    expr("""try_divide(
+        cast(m_ends as double) * cast(s_xy as double)
+          - cast(s_x as double) * cast(s_x as double),
+        cast(m_ends as double) * cast(s_x2 as double)
+          - cast(s_x as double) * cast(s_x as double))""")
 
   /** Newman-Girvan modularity of a (node, community) partition over the
     * undirected graph:

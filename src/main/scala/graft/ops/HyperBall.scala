@@ -58,9 +58,36 @@ object HyperBall {
     * estimator; callers wanting only the final ball take `r = rounds`.
     */
   def ballRegistersByRound(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, p: Int = 6, hashBits: Int = 60): DataFrame = {
+      rounds: Int, p: Int = 6, hashBits: Int = 60,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
     require(rounds >= 1 && rounds <= 32, s"rounds must be in [1, 32], got $rounds")
     require(p >= 2 && p <= 14, s"p must be in [2, 14], got $p")
+
+    // Gated driver-local replay (the Scc/LPA pattern): rounds of edge-join
+    // + max-merge cost ~2 shuffles each; under the cap the IDENTICAL
+    // register evolution (same md5 lane, same trailing-zero rank — pure
+    // integer math) replays over dense per-node register arrays. The
+    // V·2^p state budget keeps a high-p case off the driver even when the
+    // edge list fits. Parity-spec'd with the gate forced to 0.
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val fwd0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      val symD = fwd0.union(fwd0.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .distinct()
+      val capped = symD.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val out = localBallRegisters(capped, rounds, p, hashBits,
+          fromRadius = 0)
+        if (out != null)
+          return spark.createDataFrame(out.toIndexedSeq)
+            .toDF("r", "node", "idx", "rho")
+        // state budget exceeded: fall through to the distributed loop
+      }
+    }
+
     val sym = symEdges(edges, srcCol, dstCol)
     val nodes = sym.select(col("a").as("node")).distinct()
     var state = baseRegisters(nodes, p, hashBits).localCheckpoint(true)
@@ -80,12 +107,117 @@ object HyperBall {
       .select(col("r"), col("node"), col("idx"), col("rho"))
   }
 
+  /** In-memory replay: dense per-node register arrays, per round
+    * new[v] = elementwise-max(old[v], old[neighbors of v]) — identical to
+    * the distributed union + max aggregate. Emits the SPARSE rows (rho >
+    * 0 only, and every register starts at rho >= 1 for its own node) per
+    * radius 0..rounds. Returns null when V·2^p exceeds the state budget.
+    */
+  private def localBallRegisters(sym: Array[(String, String)], rounds: Int,
+      p: Int, hashBits: Int, fromRadius: Int): Array[(Int, String, Int, Int)] = {
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      sym.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    val m = 1 << p
+    if (n.toLong * m > 16000000L) return null
+    val deg = new Array[Int](n)
+    sym.foreach { case (a, _) => deg(idOf(a)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](sym.length)
+    val cur = off.clone()
+    sym.foreach { case (a, b) =>
+      val ia = idOf(a); nbr(cur(ia)) = idOf(b); cur(ia) += 1
+    }
+    // base: each node's own md5 lane → (idx, rho)
+    var reg = new Array[Int](n * m)
+    i = 0
+    while (i < n) {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(names(i).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val hex = d.take(8).map(b => f"$b%02x").mkString.take(15)
+      val h = java.lang.Long.parseLong(hex, 16)
+      val idx = (h % m).toInt
+      val w = h >> p
+      val rho =
+        if (w == 0L) hashBits - p + 1
+        else java.lang.Long.numberOfTrailingZeros(w) + 1
+      reg(i * m + idx) = rho
+      i += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Int)]
+    // emitting only the tail radii matters: the driver-side row conversion
+    // of ~V·2^p tuples PER RADIUS is the local path's dominant cost, and
+    // ballRegisters needs just the final slice
+    def emit(r: Int): Unit = if (r >= fromRadius) {
+      var v = 0
+      while (v < n) {
+        var j = 0
+        while (j < m) {
+          if (reg(v * m + j) > 0) out += ((r, names(v), j, reg(v * m + j)))
+          j += 1
+        }
+        v += 1
+      }
+    }
+    emit(0)
+    var r = 1
+    while (r <= rounds) {
+      val next = reg.clone()
+      var v = 0
+      while (v < n) {
+        var e = off(v)
+        while (e < off(v + 1)) {
+          val u = nbr(e)
+          var j = 0
+          while (j < m) {
+            if (reg(u * m + j) > next(v * m + j)) next(v * m + j) = reg(u * m + j)
+            j += 1
+          }
+          e += 1
+        }
+        v += 1
+      }
+      reg = next
+      emit(r)
+      r += 1
+    }
+    out.toArray
+  }
+
   /** Final-radius sparse registers: (node, idx, rho) — the oracle
-    * surface. */
+    * surface. Gates its own local replay emitting ONLY the final slice
+    * (the per-radius driver row conversion is the local path's cost). */
   def ballRegisters(edges: DataFrame, srcCol: String, dstCol: String,
-      rounds: Int, p: Int = 6, hashBits: Int = 60): DataFrame =
-    ballRegistersByRound(edges, srcCol, dstCol, rounds, p, hashBits)
+      rounds: Int, p: Int = 6, hashBits: Int = 60,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val fwd0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+      val symD = fwd0.union(fwd0.select(col("b").as("a"), col("a").as("b")))
+        .where(col("a").isNotNull && col("b").isNotNull && col("a") =!= col("b"))
+        .distinct()
+      val capped = symD.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val out = localBallRegisters(capped, rounds, p, hashBits,
+          fromRadius = rounds)
+        if (out != null)
+          return spark.createDataFrame(
+              out.map(t => (t._2, t._3, t._4)).toIndexedSeq)
+            .toDF("node", "idx", "rho")
+      }
+    }
+    ballRegistersByRound(edges, srcCol, dstCol, rounds, p, hashBits,
+        maxLocalEdges)
       .where(col("r") === rounds).drop("r")
+  }
 
   /** Per-node truncated harmonic centrality estimate:
     * Ĥ(v) = Σ_{r=1..rounds} (|B̂(v,r)| - |B̂(v,r-1)|) / r, with |B̂| the

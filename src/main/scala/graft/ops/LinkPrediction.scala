@@ -24,11 +24,114 @@ object LinkPrediction {
 
   private val Scale = 1000000000L
 
+  private def canonicalEdges(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .distinct()
+
+  /** In-memory replay of the capped-center wedge pipeline. Per center w
+    * with deg(w) <= cap, every UTF8-ordered pair of distinct neighbors
+    * accumulates (count, Σ Scale div deg(w)); existing edges and pairs
+    * below `minCommon` drop. Returns (a, b, n_common, ra_q, 0) when
+    * `withRa`, else (a, b, n_common, deg_a, deg_b) with the EXACT uncapped
+    * degrees. Null when Σ capped-deg² exceeds the work budget.
+    */
+  private def localWedgeScores(canon: Array[(String, String)],
+      maxCenterDegree: Int, minCommon: Int,
+      withRa: Boolean): Array[(String, String, Long, Long, Long)] = {
+    import graft.core.Utf8Order
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      canon.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    val ex = canon.map { case (a, b) => (idOf(a), idOf(b)) }
+    val deg = new Array[Long](n)
+    ex.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    var budget = 0L
+    var v = 0
+    while (v < n) {
+      if (deg(v) <= maxCenterDegree) budget += deg(v) * deg(v)
+      v += 1
+    }
+    if (budget > 2000000000L) return null
+    // adjacency CSR (both directions)
+    val off = new Array[Int](n + 1)
+    v = 0
+    while (v < n) { off(v + 1) = off(v) + deg(v).toInt; v += 1 }
+    val nbr = new Array[Int](2 * ex.length)
+    val cur = off.clone()
+    ex.foreach { case (a, b) =>
+      nbr(cur(a)) = b; cur(a) += 1
+      nbr(cur(b)) = a; cur(b) += 1
+    }
+    val edgeSet = new java.util.HashSet[Long](ex.length * 2)
+    def key(i: Int, j: Int): Long =
+      if (Utf8Order.lt(names(i), names(j))) i.toLong * n + j
+      else j.toLong * n + i
+    ex.foreach { case (a, b) => edgeSet.add(key(a, b)) }
+    val cnt = new scala.collection.mutable.HashMap[Long, Long]
+    val raq = new scala.collection.mutable.HashMap[Long, Long]
+    v = 0
+    while (v < n) {
+      if (deg(v) <= maxCenterDegree) {
+        val share = Scale / deg(v)
+        var i = off(v)
+        while (i < off(v + 1)) {
+          var j = i + 1
+          while (j < off(v + 1)) {
+            val k = key(nbr(i), nbr(j))
+            cnt.update(k, cnt.getOrElse(k, 0L) + 1)
+            if (withRa) raq.update(k, raq.getOrElse(k, 0L) + share)
+            j += 1
+          }
+          i += 1
+        }
+      }
+      v += 1
+    }
+    cnt.iterator
+      .filter { case (k, c) => c >= minCommon && !edgeSet.contains(k) }
+      .map { case (k, c) =>
+        val i = (k / n).toInt; val j = (k % n).toInt
+        if (withRa) (names(i), names(j), c, raq(k), 0L)
+        else (names(i), names(j), c, deg(i), deg(j))
+      }
+      .toArray
+  }
+
   /** Candidate (a, b) non-edges with >= `minCommon` common neighbors:
     * (a, b, n_common, ra_q) where ra_q = Σ floor(1e9 / deg(w)). */
   def resourceAllocation(edges: DataFrame, srcCol: String, dstCol: String,
-      maxCenterDegree: Int = 1024, minCommon: Int = 1): DataFrame = {
+      maxCenterDegree: Int = 1024, minCommon: Int = 1,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
     require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+
+    // Gated driver-local replay (the Scc/LPA pattern): the capped-center
+    // wedge work is Σ_{deg(w)<=cap} deg(w)² — bounded and budget-gated —
+    // so under the edge cap the whole wedge+score+anti-join pipeline
+    // replays in memory with identical integer arithmetic (parity-spec'd
+    // with the gate forced to 0)
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = canonicalEdges(edges, srcCol, dstCol)
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val out = localWedgeScores(capped, maxCenterDegree, minCommon,
+          withRa = true)
+        if (out != null)
+          return spark.createDataFrame(
+              out.map(r => (r._1, r._2, r._3, r._4)).toIndexedSeq)
+            .toDF("a", "b", "n_common", "ra_q")
+        // wedge budget exceeded: fall through to the distributed joins
+      }
+    }
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("x"),
         greatest(col(srcCol), col(dstCol)).as("y"))
@@ -67,8 +170,28 @@ object LinkPrediction {
     * (a, b, n_common, deg_a, deg_b, jaccard_permille).
     */
   def neighborJaccard(edges: DataFrame, srcCol: String, dstCol: String,
-      maxCenterDegree: Int = 1024, minCommon: Int = 1): DataFrame = {
+      maxCenterDegree: Int = 1024, minCommon: Int = 1,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
     require(maxCenterDegree >= 2, s"maxCenterDegree must be >= 2, got $maxCenterDegree")
+
+    // same gated local replay as [[resourceAllocation]] (shared wedge
+    // core; denominator degrees stay the exact uncapped ones)
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = canonicalEdges(edges, srcCol, dstCol)
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val out = localWedgeScores(capped, maxCenterDegree, minCommon,
+          withRa = false)
+        if (out != null)
+          return spark.createDataFrame(out.toIndexedSeq)
+            .toDF("a", "b", "n_common", "deg_a", "deg_b")
+            .withColumn("jaccard_permille",
+              expr("(1000 * n_common) div (deg_a + deg_b - n_common)"))
+        // wedge budget exceeded: fall through to the distributed joins
+      }
+    }
     val e = edges.select(
         least(col(srcCol), col(dstCol)).as("x"),
         greatest(col(srcCol), col(dstCol)).as("y"))

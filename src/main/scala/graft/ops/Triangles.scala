@@ -37,7 +37,97 @@ object Triangles {
 
   /** All triangles of the undirected simple graph, one row each, corners
     * sorted: (a < b < c). */
-  def triangleList(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+  def triangleList(edges: DataFrame, srcCol: String, dstCol: String,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
+    // Gated driver-local replay (the Scc/LPA pattern): the triangle SET is
+    // a pure function of the graph (no tie-breaks to replicate), so under
+    // the cap one capped collect + the same compact-forward enumeration in
+    // memory replaces ~6 shuffle stages. The wedge-work budget inside
+    // localTriangles keeps an adversarial dense case off the driver even
+    // when the edge list fits; parity-spec'd with the gate forced to 0.
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = canonical(edges, srcCol, dstCol)
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val out = localTriangles(capped)
+        if (out != null)
+          return spark.createDataFrame(out.toIndexedSeq).toDF("a", "b", "c")
+        // wedge budget exceeded: fall through to the distributed joins
+      }
+    }
+    triangleListDistributed(edges, srcCol, dstCol)
+  }
+
+  /** In-memory compact-forward enumeration over the collected canonical
+    * edge list: orient low (deg, id-utf8) → high, enumerate each out-
+    * neighbor pair once, close against the oriented edge set. Corners
+    * emitted in UTF8 order (= array_sort on strings). Returns null when
+    * Σ out-degree² exceeds the work budget.
+    */
+  private def localTriangles(
+      canon: Array[(String, String)]): Array[(String, String, String)] = {
+    import graft.core.Utf8Order
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      canon.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    val deg = new Array[Int](n)
+    val ex = canon.map { case (a, b) => (idOf(a), idOf(b)) }
+    ex.foreach { case (a, b) => deg(a) += 1; deg(b) += 1 }
+    // total order for orientation: (deg, id) with UTF8 string ties
+    def lowFirst(a: Int, b: Int): Boolean =
+      deg(a) < deg(b) || (deg(a) == deg(b) && Utf8Order.lt(names(a), names(b)))
+    val outDeg = new Array[Int](n)
+    ex.foreach { case (a, b) =>
+      if (lowFirst(a, b)) outDeg(a) += 1 else outDeg(b) += 1
+    }
+    var budget = 0L
+    var v = 0
+    while (v < n) { budget += outDeg(v).toLong * outDeg(v); v += 1 }
+    if (budget > 2000000000L) return null
+    val off = new Array[Int](n + 1)
+    v = 0
+    while (v < n) { off(v + 1) = off(v) + outDeg(v); v += 1 }
+    val out = new Array[Int](ex.length)
+    val cur = off.clone()
+    val oriented = new java.util.HashSet[Long](ex.length * 2)
+    ex.foreach { case (a, b) =>
+      val (u, w) = if (lowFirst(a, b)) (a, b) else (b, a)
+      out(cur(u)) = w; cur(u) += 1
+      oriented.add(u.toLong * n + w)
+    }
+    val tris = scala.collection.mutable.ArrayBuffer.empty[(String, String, String)]
+    v = 0
+    while (v < n) {
+      var i = off(v)
+      while (i < off(v + 1)) {
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val v1 = out(i); val v2 = out(j)
+          // wedge order (dv1, v1) < (dv2, v2) under the same total order,
+          // closing edge oriented exactly v1 → v2
+          if (lowFirst(v1, v2) && oriented.contains(v1.toLong * n + v2)) {
+            val t = Array(names(v), names(v1), names(v2))
+              .sorted(Utf8Order.ordering)
+            tris += ((t(0), t(1), t(2)))
+          }
+          j += 1
+        }
+        i += 1
+      }
+      v += 1
+    }
+    tris.toArray
+  }
+
+  /** The distributed compact-forward joins — the above-the-gate path. */
+  private def triangleListDistributed(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
     // persisted: e feeds the degree agg AND the orientation join, and
     // oriented feeds both wedge sides AND the closing semi-join — without
     // a persist the upstream edge derivation (often an expensive
@@ -91,7 +181,42 @@ object Triangles {
     * of [[perNodeCounts]]; zero-triangle nodes report 0.
     */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
-      dstCol: String): DataFrame = {
+      dstCol: String, maxLocalEdges: Long = 2000000L): DataFrame = {
+    // gated local replay sharing ONE collect for degrees AND triangles —
+    // composing the degree aggregate with triangleList's own gate would
+    // run the (often expensive) upstream edge derivation twice; integer
+    // (deg, n_triangles) pairs feed the IDENTICAL coef_pm expression
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = canonical(edges, srcCol, dstCol)
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        val tris = localTriangles(capped)
+        if (tris != null) {
+          val deg = new scala.collection.mutable.HashMap[String, Long]
+          capped.foreach { case (x, y) =>
+            deg.update(x, deg.getOrElse(x, 0L) + 1)
+            deg.update(y, deg.getOrElse(y, 0L) + 1)
+          }
+          val nt = new scala.collection.mutable.HashMap[String, Long]
+          tris.foreach { case (a, b, c) =>
+            nt.update(a, nt.getOrElse(a, 0L) + 1)
+            nt.update(b, nt.getOrElse(b, 0L) + 1)
+            nt.update(c, nt.getOrElse(c, 0L) + 1)
+          }
+          val rows = deg.iterator.filter(_._2 >= 2L)
+            .map { case (node, d) => (node, d, nt.getOrElse(node, 0L)) }
+            .toIndexedSeq
+          return spark.createDataFrame(rows)
+            .toDF("node", "deg", "n_triangles")
+            .withColumn("coef_pm",
+              floor(lit(2000L) * col("n_triangles") /
+                (col("deg") * (col("deg") - 1))).cast("long"))
+            .select(col("node"), col("deg"), col("n_triangles"), col("coef_pm"))
+        }
+      }
+    }
     val e = canonical(edges, srcCol, dstCol)
     val deg = e.select(col("x").as("node"))
       .union(e.select(col("y").as("node")))

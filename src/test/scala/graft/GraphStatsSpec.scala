@@ -47,6 +47,17 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(got == ((2L, 0L, 16L, 0.0)))
   }
 
+  test("assortativity: local tally ≡ distributed aggregate (gate forced off)") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("e", "a"), ("e", "f")).toDF("src", "dst")
+    val local = GraphStats.degreeAssortativity(edges, "src", "dst")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    val dist = GraphStats.degreeAssortativity(edges, "src", "dst",
+        maxLocalEdges = 0L)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().head
+    assert(local == dist)
+  }
+
   test("modularity: local tally ≡ distributed aggregate (gate forced off)") {
     val edges = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "x"),
       ("x", "y"), ("y", "z"), ("x", "z")).toDF("src", "dst")

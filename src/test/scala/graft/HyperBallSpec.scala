@@ -61,4 +61,26 @@ class HyperBallSpec extends AnyFunSuite {
       assert(math.abs(num.toDouble / den - exact) < 1e-12)
     }
   }
+
+  test("local register replay ≡ distributed max-merge (gate forced off)") {
+    // branching + disconnected pair: register flow differs per component;
+    // every (r, node, idx, rho) row must agree across paths
+    val edges = (Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"),
+      ("e", "f"), ("x", "y")) ++ (1 to 30).map(i => (s"m$i", s"m${i + 1}")))
+      .toDF("src", "dst")
+    for (rounds <- Seq(1, 3); p <- Seq(4, 6)) {
+      val local = HyperBall.ballRegistersByRound(edges, "src", "dst",
+          rounds, p)
+        .as[(Int, String, Int, Int)].collect().toSet
+      val dist = HyperBall.ballRegistersByRound(edges, "src", "dst",
+          rounds, p, maxLocalEdges = 0L)
+        .as[(Int, String, Int, Int)].collect().toSet
+      assert(local == dist, s"rounds=$rounds p=$p")
+      // final-slice entry point: same rows as the full table at r=rounds
+      val fin = HyperBall.ballRegisters(edges, "src", "dst", rounds, p)
+        .as[(String, Int, Int)].collect().toSet
+      assert(fin == dist.filter(_._1 == rounds).map(t => (t._2, t._3, t._4)),
+        s"ballRegisters rounds=$rounds p=$p")
+    }
+  }
 }

@@ -76,4 +76,27 @@ class LinkPredictionSpec extends AnyFunSuite {
     assert(capped(("l0", "l1")) == ("l0", "l1", 1L, 2L, 2L, 1000L * 1 / 3))
     assert(capped(("h", "m")) == ("h", "m", 2L, 10L, 2L, 1000L * 2 / 10))
   }
+
+  test("RA and Jaccard: local wedge replay ≡ distributed (gate forced off)") {
+    // hub above the cap + shared-neighbor pairs + existing closing edges
+    val hub = (0 until 8).map(i => ("h", s"l$i"))
+    val edges = (hub ++ Seq(("m", "l0"), ("m", "l1"), ("l0", "l1"),
+      ("l2", "l3"), ("m", "l2"), ("p", "l0"), ("p", "m"))).toDF("src", "dst")
+    for (cap <- Seq(5, 1024); minC <- Seq(1, 2)) {
+      val raL = LinkPrediction.resourceAllocation(edges, "src", "dst",
+          maxCenterDegree = cap, minCommon = minC)
+        .as[(String, String, Long, Long)].collect().toSet
+      val raD = LinkPrediction.resourceAllocation(edges, "src", "dst",
+          maxCenterDegree = cap, minCommon = minC, maxLocalEdges = 0L)
+        .as[(String, String, Long, Long)].collect().toSet
+      assert(raL == raD, s"RA cap=$cap minCommon=$minC")
+      val jL = LinkPrediction.neighborJaccard(edges, "src", "dst",
+          maxCenterDegree = cap, minCommon = minC)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      val jD = LinkPrediction.neighborJaccard(edges, "src", "dst",
+          maxCenterDegree = cap, minCommon = minC, maxLocalEdges = 0L)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+      assert(jL == jD, s"Jaccard cap=$cap minCommon=$minC")
+    }
+  }
 }

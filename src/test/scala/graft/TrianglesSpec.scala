@@ -54,4 +54,24 @@ class TrianglesSpec extends AnyFunSuite {
     val want = naive.as[(String, String, String)].collect().toSet
     assert(got == want && got.nonEmpty)
   }
+
+  test("local enumeration ≡ distributed joins (gate forced off)") {
+    // overlapping cliques + bridges: triangles sharing edges, mixed degrees
+    val k4a = for (a <- Seq("a", "b", "c", "d"); b <- Seq("a", "b", "c", "d")
+      if a < b) yield (a, b)
+    val k4b = for (a <- Seq("c", "d", "e", "f"); b <- Seq("c", "d", "e", "f")
+      if a < b) yield (a, b)
+    val edges = (k4a ++ k4b ++ Seq(("f", "g"), ("g", "a"))).toDF("src", "dst")
+    val local = Triangles.triangleList(edges, "src", "dst")
+      .as[(String, String, String)].collect().toSet
+    val dist = Triangles.triangleList(edges, "src", "dst", maxLocalEdges = 0L)
+      .as[(String, String, String)].collect().toSet
+    assert(local == dist && local.nonEmpty)
+    val ccL = Triangles.clusteringCoefficients(edges, "src", "dst")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val ccD = Triangles.clusteringCoefficients(edges, "src", "dst",
+        maxLocalEdges = 0L)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(ccL == ccD && ccL.nonEmpty)
+  }
 }
