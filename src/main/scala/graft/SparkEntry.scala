@@ -342,6 +342,22 @@ object SparkEntry {
       Tokenizer.tokenFrequencies(Tables.documents(s, d), "doc_id", "text")
         .orderBy("tok")
     },
+    "q_token_gini" -> { (s, d) =>
+      // per-source token concentration (TextStats.tokenConcentration):
+      // integer HHI/Gini over whitespace-token counts — the boilerplate/
+      // spam diversity screen, no libm entropy
+      graft.ops.TextStats.tokenConcentration(Tables.documents(s, d),
+          "source", "text")
+        .orderBy("key")
+    },
+    "q_target_encode" -> { (s, d) =>
+      // smoothed target encoding of order priority against a high-value
+      // flag (ops/TargetEncode): ppm integer shrinkage toward the global
+      // rate, m = 20 pseudo-counts
+      graft.ops.TargetEncode.encoderTable(Tables.orders(s, d),
+          "o_orderpriority", col("o_totalprice") > 150000.0, smoothing = 20L)
+        .orderBy("category")
+    },
     "q_tfidf" -> { (s, d) =>
       // top-3 TF-IDF terms per doc over the real token stream; integer
       // per-mille idf (no ln — not oracle-portable), k-slot aggregate
@@ -2498,6 +2514,30 @@ object SparkEntry {
          |SELECT t.tok, CAST(SUM(wn.n_w) AS BIGINT) AS n_occurrences
          |FROM wt t JOIN wn ON wn.w = t.w
          |GROUP BY t.tok ORDER BY t.tok""".stripMargin,
+    "q_token_gini" ->
+      """WITH tok AS (SELECT source AS key, t.tok
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |             WHERE length(t.tok) > 0),
+        |c AS (SELECT key, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+        |s AS (SELECT key, CAST(SUM(c) AS BIGINT) AS n_tokens,
+        |        COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS top_count,
+        |        CAST(SUM(c * c) AS BIGINT) AS sq
+        |      FROM c GROUP BY key)
+        |SELECT key, n_tokens, n_distinct, top_count,
+        |  (1000000 * sq) // (n_tokens * n_tokens) AS hhi_ppm,
+        |  1000000 - (1000000 * sq) // (n_tokens * n_tokens) AS gini_ppm
+        |FROM s ORDER BY key""".stripMargin,
+    "q_target_encode" ->
+      """WITH base AS (SELECT o_orderpriority AS category,
+        |         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS t
+        |       FROM orders),
+        |g AS (SELECT (1000000 * CAST(SUM(t) AS BIGINT)) // COUNT(*) AS gppm
+        |      FROM base),
+        |per AS (SELECT category, COUNT(*) AS n, CAST(SUM(t) AS BIGINT) AS n_pos
+        |        FROM base GROUP BY category)
+        |SELECT category, n, n_pos,
+        |  (1000000 * n_pos + 20 * g.gppm) // (n + 20) AS enc_ppm
+        |FROM per, g ORDER BY category""".stripMargin,
     "q_bpe_merges" ->
       s"""WITH ${bpeCtes(rounds = 3)}
          |${(1 to 3).map(r =>

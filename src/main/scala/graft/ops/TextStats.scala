@@ -43,6 +43,46 @@ object TextStats {
       lit(0.4) * (col("n_distinct").cast("double") / col("n_tokens")) +
       lit(0.2) * least(col("n_stop").cast("double") * lit(5.0) / col("n_tokens"), lit(1.0))
 
+  /** Per-key token CONCENTRATION profile — the diversity screen of a
+    * training-data mix (a source whose token mass sits in a handful of
+    * types is boilerplate/spam; a diffuse one is natural text): for each
+    * group key,
+    *
+    *   hhi_ppm  = (1000000 · Σ c_t²) div n²      (Herfindahl–Hirschman)
+    *   gini_ppm = 1000000 − hhi_ppm              (Gini impurity 1 − Σ p²)
+    *
+    * over whitespace-token counts c_t, n = Σ c_t — all truncating integer
+    * arithmetic, so the profile is hash-exact in any engine (no entropy:
+    * log is libm and not oracle-portable; Σp² ranks concentration the
+    * same way). ANSI overflow bounds the exact form at ~3·10⁶ tokens per
+    * key (1e6·n² must fit a long) and fails LOUDLY beyond — for
+    * corpus-scale keys aggregate per (key, shard) first or feed the
+    * Count-Min heavy-hitter path instead.
+    *
+    * Scale shape: two partial-aggregated groupBys — (key, token) counts,
+    * then per-key sufficient sums. No window, no collect.
+    *
+    * Output: (key, n_tokens, n_distinct, top_count, hhi_ppm, gini_ppm).
+    */
+  def tokenConcentration(df: DataFrame, keyCol: String,
+      textCol: String): DataFrame = {
+    val tok = df.select(col(keyCol).as("key"),
+        explode(split(col(textCol), " ")).as("tok"))
+      .where(length(col("tok")) > 0)
+    val counts = tok.groupBy(col("key"), col("tok"))
+      .agg(count(lit(1)).as("c"))
+    counts.groupBy(col("key"))
+      .agg(sum(col("c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        max(col("c")).as("top_count"),
+        sum(col("c") * col("c")).as("__sq"))
+      .withColumn("hhi_ppm",
+        expr("(1000000 * __sq) div (n_tokens * n_tokens)"))
+      .withColumn("gini_ppm", lit(1000000L) - col("hhi_ppm"))
+      .select(col("key"), col("n_tokens"), col("n_distinct"),
+        col("top_count"), col("hhi_ppm"), col("gini_ppm"))
+  }
+
   /** BPE-ish subword token count: alphabetic runs and digit runs each
     * count as one token (punctuation/whitespace excluded) — the standard
     * cheap proxy for tokenizer cost when the real BPE vocab isn't on the
