@@ -350,6 +350,14 @@ object SparkEntry {
           "source", "text")
         .orderBy("key")
     },
+    "q_gopher_rules" -> { (s, d) =>
+      // Gopher-style quality rule battery (ops/GopherRules): per-doc
+      // integer evidence + 0/1 flags, scan-speed column algebra —
+      // replace-length symbol counting, no libm, no UDF
+      graft.ops.GopherRules.ruleFlags(Tables.documents(s, d),
+          "doc_id", "text")
+        .orderBy("id")
+    },
     "q_target_encode" -> { (s, d) =>
       // smoothed target encoding of order priority against a high-value
       // flag (ops/TargetEncode): ppm integer shrinkage toward the global
@@ -2527,6 +2535,36 @@ object SparkEntry {
         |  (1000000 * sq) // (n_tokens * n_tokens) AS hhi_ppm,
         |  1000000 - (1000000 * sq) // (n_tokens * n_tokens) AS gini_ppm
         |FROM s ORDER BY key""".stripMargin,
+    "q_gopher_rules" ->
+      """WITH w AS (SELECT doc_id AS id, text,
+        |         list_filter(string_split(text, ' '), x -> length(x) > 0) AS toks
+        |       FROM documents),
+        |b AS (SELECT id, CAST(len(toks) AS BIGINT) AS n_words,
+        |        CAST(list_sum(list_transform(toks, x -> length(x))) AS BIGINT) AS sumlen,
+        |        CAST(length(text) - length(replace(text, '#', ''))
+        |          + (length(text) - length(replace(text, '...', ''))) // 3
+        |          AS BIGINT) AS n_symbols,
+        |        CAST(len(list_filter(toks, x -> regexp_matches(x, '[A-Za-z]')))
+        |          AS BIGINT) AS n_alpha_words,
+        |        CAST(len(list_filter(toks, x -> x IN ('the', 'a', 'of', 'and', 'in')))
+        |          AS BIGINT) AS n_stop_hits
+        |      FROM w),
+        |f AS (SELECT id, n_words,
+        |        CASE WHEN n_words > 0 THEN (10 * sumlen) // n_words ELSE 0 END AS mwl_x10,
+        |        n_symbols, n_alpha_words, n_stop_hits
+        |      FROM b)
+        |SELECT id, n_words, mwl_x10, n_symbols, n_alpha_words, n_stop_hits,
+        |  CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS words_ok,
+        |  CASE WHEN mwl_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END AS mwl_ok,
+        |  CASE WHEN n_symbols * 10 <= n_words THEN 1 ELSE 0 END AS sym_ok,
+        |  CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END AS alpha_ok,
+        |  CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END AS stop_ok,
+        |  (CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN mwl_x10 BETWEEN 30 AND 100 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN n_symbols * 10 <= n_words THEN 1 ELSE 0 END)
+        |    * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
+        |    * (CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END) AS pass
+        |FROM f ORDER BY id""".stripMargin,
     "q_target_encode" ->
       """WITH base AS (SELECT o_orderpriority AS category,
         |         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS t
