@@ -358,6 +358,22 @@ object SparkEntry {
           "doc_id", "text")
         .orderBy("id")
     },
+    "q_k_anonymity" -> { (s, d) =>
+      // k-anonymity audit over (nation, segment) quasi-identifiers
+      // (ops/KAnonymity): one partial-aggregated groupBy, class sizes +
+      // at-risk flags — the pre-release privacy hygiene check
+      graft.ops.KAnonymity.classSizes(Tables.customer(s, d),
+          Seq("c_nationkey", "c_mktsegment"), k = 10L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
+    "q_length_batches" -> { (s, d) =>
+      // length-bucketed batching (Features.lengthBucketedBatches): pad-
+      // waste-bounded training batches via ONE global range exchange —
+      // bucket-leading sort + per-bucket offsets, no per-bucket window
+      graft.ops.Features.lengthBucketedBatches(Tables.documents(s, d),
+          "doc_id", "n_chars", bucketWidth = 64, batchSize = 16)
+        .orderBy("id")
+    },
     "q_target_encode" -> { (s, d) =>
       // smoothed target encoding of order priority against a high-value
       // flag (ops/TargetEncode): ppm integer shrinkage toward the global
@@ -2565,6 +2581,20 @@ object SparkEntry {
         |    * (CASE WHEN n_alpha_words * 10 >= n_words * 8 THEN 1 ELSE 0 END)
         |    * (CASE WHEN n_stop_hits >= 2 THEN 1 ELSE 0 END) AS pass
         |FROM f ORDER BY id""".stripMargin,
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, COUNT(*) AS n,
+        |  CASE WHEN COUNT(*) < 10 THEN 1 ELSE 0 END AS at_risk
+        |FROM customer GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+    "q_length_batches" ->
+      """WITH b AS (SELECT doc_id AS id, CAST(n_chars AS BIGINT) AS len,
+        |         n_chars // 64 AS bucket
+        |       FROM documents WHERE n_chars IS NOT NULL),
+        |r AS (SELECT id, len, bucket,
+        |        ROW_NUMBER() OVER (PARTITION BY bucket ORDER BY len, id) - 1 AS pos0
+        |      FROM b)
+        |SELECT id, len, bucket, pos0 // 16 AS batch_id, pos0 % 16 AS pos_in_batch
+        |FROM r ORDER BY id""".stripMargin,
     "q_target_encode" ->
       """WITH base AS (SELECT o_orderpriority AS category,
         |         CASE WHEN o_totalprice > 150000.0 THEN 1 ELSE 0 END AS t

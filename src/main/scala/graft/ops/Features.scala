@@ -122,4 +122,40 @@ object Features {
         expr(s"__pos0 div $batchSize").as("batch_id"),
         expr(s"__pos0 % $batchSize").as("pos_in_batch"))
   }
+
+  /** Length-bucketed batching — the padding-waste killer of a training
+    * reader: group sequences into `bucketWidth`-wide length buckets and
+    * batch WITHIN a bucket (ordered by exact length, id tie-break), so a
+    * batch's members have near-equal lengths and pad-to-max waste is
+    * bounded by the bucket width instead of the corpus max.
+    *
+    * Same machinery as [[epochBatches]]: ONE [[Ranks.globalRowNumber]]
+    * range exchange over (bucket, len, id) — bucket leads the sort, so
+    * each bucket occupies a contiguous global-rank block and the
+    * in-bucket position is grn minus the bucket's min grn (a tiny
+    * per-bucket offset aggregate broadcast back; the rankPermille trick).
+    * No per-bucket window, no skew from popular lengths.
+    *
+    * Output: (id, len, bucket, batch_id, pos_in_batch) — batch_id is
+    * per-bucket, 0-based; the final (possibly short) batch per bucket is
+    * the caller's drop/keep policy.
+    */
+  def lengthBucketedBatches(df: DataFrame, idCol: String, lenCol: String,
+      bucketWidth: Int, batchSize: Int): DataFrame = {
+    require(bucketWidth >= 1 && batchSize >= 1,
+      s"need bucketWidth >= 1 and batchSize >= 1, got $bucketWidth/$batchSize")
+    val keyed = df.select(col(idCol).as("id"),
+        col(lenCol).cast("long").as("len"))
+      .where(col("len").isNotNull)
+      .withColumn("bucket", expr(s"len div $bucketWidth"))
+    val numbered = Ranks.globalRowNumber(keyed, Seq("bucket", "len", "id"))
+      .localCheckpoint(true) // spine + offset aggregate both read it
+    val offsets = numbered.groupBy(col("bucket"))
+      .agg(min(col("grn")).as("__gmin"))
+    numbered.join(broadcast(offsets), Seq("bucket"))
+      .withColumn("__pos0", col("grn") - col("__gmin"))
+      .select(col("id"), col("len"), col("bucket"),
+        expr(s"__pos0 div $batchSize").as("batch_id"),
+        expr(s"__pos0 % $batchSize").as("pos_in_batch"))
+  }
 }
