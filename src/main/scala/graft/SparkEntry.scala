@@ -812,6 +812,14 @@ object SparkEntry {
           rounds = 4, sourceRatePermille = 10, salt = "harmonic")
         .orderBy("node")
     },
+    "q_coreness" -> { (s, d) =>
+      // FULL k-core decomposition in one run (ops/Coreness): h-index
+      // fixpoint, 4 fixed rounds — upper-bounding partial fixpoint both
+      // engines replay exactly; windowless h-index via zip_with/least
+      graft.ops.Coreness.hIndexRounds(Tables.coOrderPairEdges(s, d),
+          "src", "dst", rounds = 4)
+        .orderBy("node")
+    },
     "q_kcore" -> { (s, d) =>
       // k-core of the co-order part graph: exactly 8 synchronized peeling
       // rounds (ops/KCore) — fixed rounds so the unrolled-CTE oracle
@@ -3110,6 +3118,7 @@ object SparkEntry {
         |WHERE e.x IS NULL
         |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
+    "q_coreness" -> corenessOracle(rounds = 4),
     "q_communities" -> lpaOracle(rounds = 4),
     "q_harmonic" -> harmonicOracle(rounds = 4, ratePermille = 10,
       salt = "harmonic"),
@@ -4799,6 +4808,35 @@ object SparkEntry {
   private def lpaOracle(rounds: Int): String =
     s"""${lpaCtes(rounds)}
        |SELECT node, lab AS community FROM l$rounds ORDER BY node""".stripMargin
+
+  /** Unrolled h-index coreness oracle over the co-order graph: c0 =
+    * degree, then `rounds` rounds of c(v) = h-index of neighbor values,
+    * h-index in SQL as MAX(LEAST(rank-desc, value)) — tie order in the
+    * ROW_NUMBER is irrelevant (the multiset fixes the h-index). Mirrors
+    * ops.Coreness.hIndexRounds round for round. */
+  private def corenessOracle(rounds: Int): String = {
+    val head =
+      """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
+        |               FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e0 AS MATERIALIZED (SELECT DISTINCT a.item AS x, b.item AS y
+        |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |se AS MATERIALIZED (SELECT x AS a, y AS b FROM e0
+        |       UNION ALL SELECT y AS a, x AS b FROM e0),
+        |c0 AS MATERIALIZED (SELECT a AS node, CAST(COUNT(*) AS BIGINT) AS core
+        |       FROM se GROUP BY a)""".stripMargin
+    val steps = (1 to rounds).map { i =>
+      s"""nv$i AS (SELECT s.a AS node, c.core AS nc
+         |        FROM se s JOIN c${i - 1} c ON c.node = s.b),
+         |rk$i AS (SELECT node, nc,
+         |          ROW_NUMBER() OVER (PARTITION BY node ORDER BY nc DESC) AS rn
+         |        FROM nv$i),
+         |c$i AS MATERIALIZED (SELECT node, CAST(MAX(LEAST(rn, nc)) AS BIGINT) AS core
+         |        FROM rk$i GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"$head,\n$steps\nSELECT node, core FROM c$rounds ORDER BY node"
+  }
 
   /** Unrolled multi-round Louvain oracle: LPA-4 init (ml0 = l4), then
     * `moveRounds` copies of the q_louvain_move CTE block chained
