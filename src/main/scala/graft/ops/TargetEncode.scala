@@ -32,18 +32,35 @@ import org.apache.spark.sql.functions._
   */
 object TargetEncode {
 
-  def encoderTable(df: DataFrame, categoryCol: String, target: Column,
-      smoothing: Long = 20L): DataFrame = {
-    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
-    val base = df.select(col(categoryCol).as("category"),
-      when(target, 1L).otherwise(0L).as("__t"))
-    val per = base.groupBy(col("category"))
+  /** (category, n, n_pos) sufficient statistics — the part of the fit
+    * that touches data. Also the streaming state shape
+    * ([[graft.streaming.StreamTargetEncode]] maintains exactly this table
+    * incrementally); [[encoderFromCounts]] derives the encoder from it,
+    * so batch and stream share one derivation.
+    */
+  def categoryCounts(df: DataFrame, categoryCol: String,
+      target: Column): DataFrame =
+    df.select(col(categoryCol).as("category"),
+        when(target, 1L).otherwise(0L).as("__t"))
+      .groupBy(col("category"))
       .agg(count(lit(1)).as("n"), sum(col("__t")).as("n_pos"))
-    val global = base.agg(
-      expr("(1000000 * sum(__t)) div count(1)").as("__gppm"))
-    per.crossJoin(broadcast(global))
+
+  /** Encoder derivation over a (category, n, n_pos) table. The global
+    * rate recomputes from the counts (Σ n_pos / Σ n — identical integers
+    * to a row-level pass), so the input can be a live streaming-state
+    * snapshot just as well as a fresh batch fit.
+    */
+  def encoderFromCounts(counts: DataFrame, smoothing: Long = 20L): DataFrame = {
+    require(smoothing >= 0, s"smoothing must be >= 0, got $smoothing")
+    val global = counts.agg(
+      expr("(1000000 * sum(n_pos)) div sum(n)").as("__gppm"))
+    counts.crossJoin(broadcast(global))
       .withColumn("enc_ppm",
         expr(s"(1000000 * n_pos + $smoothing * __gppm) div (n + $smoothing)"))
       .select(col("category"), col("n"), col("n_pos"), col("enc_ppm"))
   }
+
+  def encoderTable(df: DataFrame, categoryCol: String, target: Column,
+      smoothing: Long = 20L): DataFrame =
+    encoderFromCounts(categoryCounts(df, categoryCol, target), smoothing)
 }

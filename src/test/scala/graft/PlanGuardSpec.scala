@@ -102,6 +102,27 @@ class PlanGuardSpec extends AnyFunSuite {
     }
   }
 
+  test("q_length_batches buckets without any Window; q_coreness without sort windows") {
+    // both new ops claim windowless plans: length batching rides the
+    // Ranks range-exchange machinery, coreness computes per-node h-index
+    // from zip_with over a degree-bounded collect_list
+    for (q <- Seq("q_length_batches", "q_coreness")) {
+      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }
+      assert(windows.isEmpty, s"$q must not plan a Window")
+    }
+  }
+
+  test("q_k_anonymity is one partial-aggregated exchange, no join") {
+    val p = physical("q_k_anonymity")
+    assert(scans(p) == 1)
+    assert(shuffles(p) <= 2, s"expected scan + one agg exchange (+ sort), plan:\n$p")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"),
+      "map-side combine must precede the exchange")
+  }
+
   test("q_kmv_jaccard's pairwise stage joins sketch rows, not token rows") {
     val p = physical("q_kmv_jaccard")
     // token scan feeds the sketch agg twice (a/b sides of the self-join);

@@ -1,6 +1,8 @@
 package graft
 
 import graft.ops.{TargetEncode, TextStats}
+import graft.streaming.StreamTargetEncode
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -38,6 +40,43 @@ class TargetEncodeSpec extends AnyFunSuite {
       .map(r => r._1 -> r).toMap
     assert(got("k1") == (("k1", 3L, 2L, 2L, 555555L, 444445L)))
     assert(got("k2") == (("k2", 2L, 1L, 2L, 1000000L, 0L)))
+  }
+
+  test("streaming running counts ≡ batch fit after EVERY prefix") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val out = StreamTargetEncode.runningCategoryCounts(
+      input.toDF().toDF("cat", "t"), "cat", col("t") === 1L)
+    val q = out.writeStream.outputMode("update")
+      .format("memory").queryName("te_state").start()
+    val batches = Seq(
+      Seq(("A", 1L), ("B", 0L)),
+      Seq(("A", 0L), ("A", 1L), ("C", 1L)),
+      Seq(("B", 0L), ("C", 0L), ("A", 1L)))
+    var fed = Seq.empty[(String, Long)]
+    batches.foreach { b =>
+      fed = fed ++ b
+      input.addData(b: _*)
+      q.processAllAvailable()
+      // update log → latest snapshot per category: n is monotone, max-n wins
+      val latest = spark.table("te_state")
+        .groupBy("category")
+        .agg(max(struct(col("n"), col("n_pos"))).as("m"))
+        .select(col("category"), col("m.n").as("n"), col("m.n_pos").as("n_pos"))
+      val got = latest.as[(String, Long, Long)].collect().toSet
+      val want = TargetEncode.categoryCounts(fed.toDF("cat", "t"),
+          "cat", col("t") === 1L)
+        .as[(String, Long, Long)].collect().toSet
+      assert(got == want, s"after ${fed.length} rows")
+      // shared derivation: encoder from the stream snapshot == batch fit
+      val encS = TargetEncode.encoderFromCounts(latest, smoothing = 5L)
+        .as[(String, Long, Long, Long)].collect().toSet
+      val encB = TargetEncode.encoderTable(fed.toDF("cat", "t"), "cat",
+          col("t") === 1L, smoothing = 5L)
+        .as[(String, Long, Long, Long)].collect().toSet
+      assert(encS == encB, s"encoder after ${fed.length} rows")
+    }
+    q.stop()
   }
 
   test("concentration orders boilerplate above diverse text") {
