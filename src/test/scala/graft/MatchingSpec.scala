@@ -46,4 +46,18 @@ class MatchingSpec extends AnyFunSuite {
       assert(mvSet(a) || mvSet(b), s"unmatched addable edge ($a,$b): not maximal")
     }
   }
+
+  test("local replay ≡ distributed rounds (gate forced off), rounds kept") {
+    val rnd = new scala.util.Random(11)
+    val es = (1 to 80).map(_ => (s"n${rnd.nextInt(25)}", s"n${rnd.nextInt(25)}"))
+    val df = es.toDF("src", "dst")
+    for (r <- Seq(1, 3, 6)) {
+      val local = Matching.greedyMatching(df, "src", "dst", rounds = r)
+        .as[(String, String, Long)].collect().toSet
+      val dist = Matching.greedyMatching(df, "src", "dst", rounds = r,
+          maxLocalEdges = 0L)
+        .as[(String, String, Long)].collect().toSet
+      assert(local == dist, s"rounds=$r") // including the round each fell
+    }
+  }
 }
