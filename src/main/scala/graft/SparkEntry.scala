@@ -1939,24 +1939,18 @@ object SparkEntry {
       // one synchronous Louvain move step over the LPA-4 partition
       // (Communities.modularityMoveStep): exact integer ΔQ comparison,
       // argmax via min-struct — deterministic unlike sequential Louvain
-      val edges = Tables.coOrderPairEdges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.ops.Communities.modularityMoveStep(edges, "src", "dst",
-          graft.ops.Communities.labelPropagation(edges, "src", "dst",
-            rounds = 4))
+      graft.ops.Communities.lpaLouvain(Tables.coOrderPairEdges(s, d),
+          "src", "dst", lpaRounds = 4, moveRounds = 1)
         .orderBy("node")
     },
     "q_louvain" -> { (s, d) =>
-      // multi-round synchronous Louvain (Communities.louvain, VERDICT r7
-      // item 6): LPA-4 init, then TWO move rounds, each re-scoring every
-      // node against the previous round's partition — the unrolled-CTE
-      // oracle replays both rounds exactly
-      val edges = Tables.coOrderPairEdges(s, d)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.ops.Communities.louvain(edges, "src", "dst",
-          graft.ops.Communities.labelPropagation(edges, "src", "dst",
-            rounds = 4),
-          rounds = 2)
+      // multi-round synchronous Louvain (Communities.lpaLouvain, VERDICT
+      // r7 item 6): LPA-4 init, then TWO move rounds, each re-scoring
+      // every node against the previous round's partition — the
+      // unrolled-CTE oracle replays both rounds exactly; one derivation
+      // pass feeds both replays
+      graft.ops.Communities.lpaLouvain(Tables.coOrderPairEdges(s, d),
+          "src", "dst", lpaRounds = 4, moveRounds = 2)
         .orderBy("node")
     },
     "q_katz" -> { (s, d) =>

@@ -309,6 +309,43 @@ object Communities {
     out.toArray
   }
 
+  /** LPA init + Louvain refinement over ONE collected edge list: the
+    * fused form of `louvain(edges, labelPropagation(edges, …), …)`, which
+    * would collect the symmetric list for LPA and the canonical list for
+    * the move rounds separately — one derivation pass feeds both replays
+    * here (the canonical pairs are exactly the UTF8-ordered half of the
+    * symmetric set). Above the gate: the distributed forms, unchanged.
+    */
+  def lpaLouvain(edges: DataFrame, srcCol: String, dstCol: String,
+      lpaRounds: Int, moveRounds: Int,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
+    require(lpaRounds >= 1 && lpaRounds <= 64,
+      s"lpaRounds must be in [1, 64], got $lpaRounds")
+    require(moveRounds >= 1 && moveRounds <= 32,
+      s"moveRounds must be in [1, 32], got $moveRounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val half = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .where($"a".isNotNull && $"b".isNotNull && $"a" =!= $"b")
+      val symRaw = half.union(half.select($"b".as("a"), $"a".as("b"))).distinct()
+      val capped = symRaw.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, String)].toDF("node", "community")
+        val canon = capped.filter { case (a, b) => utf8Lt(a, b) }
+        var labArr = localLpa(capped, lpaRounds)
+        for (_ <- 1 to moveRounds) labArr = localMoveStep(canon, labArr)
+        return spark.createDataFrame(labArr.toIndexedSeq)
+          .toDF("node", "community")
+      }
+    }
+    louvain(edges, srcCol, dstCol,
+      labelPropagation(edges, srcCol, dstCol, lpaRounds, maxLocalEdges = 0L),
+      moveRounds, maxLocalEdges = 0L)
+  }
+
   /** Multi-round synchronous Louvain refinement (VERDICT r7 item 6): start
     * from `labels` and apply [[modularityMoveStep]] exactly `rounds` times,
     * each round re-evaluating every node against the partition the previous

@@ -71,6 +71,23 @@ class LouvainMoveSpec extends AnyFunSuite {
     }
   }
 
+  test("lpaLouvain fused ≡ LPA then louvain, local ≡ distributed") {
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
+      ("e", "f"), ("d", "f"), ("f", "a"), ("g", "a"), ("b", "a")).toDF("src", "dst")
+    for (lpa <- Seq(2, 4); mv <- Seq(1, 2)) {
+      val want = Communities.louvain(e, "src", "dst",
+          Communities.labelPropagation(e, "src", "dst", lpa), mv)
+        .as[(String, String)].collect().toMap
+      val fusedLocal = Communities.lpaLouvain(e, "src", "dst", lpa, mv)
+        .as[(String, String)].collect().toMap
+      val fusedDist = Communities.lpaLouvain(e, "src", "dst", lpa, mv,
+          maxLocalEdges = 0L)
+        .as[(String, String)].collect().toMap
+      assert(fusedLocal == want, s"lpa=$lpa mv=$mv local")
+      assert(fusedDist == want, s"lpa=$lpa mv=$mv distributed")
+    }
+  }
+
   test("score ties break to the smaller community label") {
     // path b - v - y: both neighbor communities offer identical gain
     val e = Seq(("b", "v"), ("v", "y")).toDF("src", "dst")
