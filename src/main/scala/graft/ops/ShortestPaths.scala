@@ -32,10 +32,22 @@ import scala.collection.mutable
   */
 object ShortestPaths {
 
+  /** `directedDoubleEmit` replicates the reference's literal directed
+    * output byte for byte: its i/j loop runs j over ALL nodes and emits
+    * BOTH dist(i→j) and the mirrored dist(j→i) per iteration
+    * (rs:164-196), so every reachable ordered pair appears exactly TWICE
+    * (identical duplicate rows). Off by default — the once-per-pair form
+    * is the useful relation and the oracle surface (SURVEY §2.2.3 / §7.8
+    * decision); turn it on when diffing row-for-row against the
+    * reference on a directed graph.
+    */
   def calculateShortestPath(df: DataFrame, from: String, to: String,
       weight: String, directed: Boolean = false,
-      maxLocalEdges: Long = 50000000L): DataFrame = {
-    allPairs(Ingest.weightedEdges(df, from, to, weight), directed, maxLocalEdges)
+      maxLocalEdges: Long = 50000000L,
+      directedDoubleEmit: Boolean = false): DataFrame = {
+    val once = allPairs(Ingest.weightedEdges(df, from, to, weight), directed,
+      maxLocalEdges)
+    if (directed && directedDoubleEmit) once.union(once) else once
   }
 
   /** edges: (src string, dst string, weight double), nulls already dropped. */

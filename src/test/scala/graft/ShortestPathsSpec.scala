@@ -60,6 +60,25 @@ class ShortestPathsSpec extends AnyFunSuite {
     assert(ShortestPaths.calculateShortestPath(df, "from", "to", "weight").count() == 0)
   }
 
+  test("directedDoubleEmit replicates the reference's duplicate rows (rs:164-196)") {
+    val df = Seq(("A", "B", 1.0), ("B", "C", 2.0), ("C", "A", 4.0))
+      .toDF("from", "to", "weight")
+    val once = ShortestPaths.calculateShortestPath(df, "from", "to", "weight",
+        directed = true)
+      .as[(String, String, Double)].collect()
+    val twice = ShortestPaths.calculateShortestPath(df, "from", "to", "weight",
+        directed = true, directedDoubleEmit = true)
+      .as[(String, String, Double)].collect()
+    assert(twice.length == 2 * once.length)
+    val counts = twice.groupBy(identity).view.mapValues(_.length).toMap
+    assert(once.forall(r => counts(r) == 2), "every ordered pair exactly twice")
+    // undirected mode is untouched by the flag
+    val und = ShortestPaths.calculateShortestPath(df, "from", "to", "weight",
+        directed = false, directedDoubleEmit = true)
+      .as[(String, String, Double)].collect()
+    assert(und.length == und.distinct.length)
+  }
+
   test("above the gate, allPairs auto-falls back to Pregel with equal output") {
     // force the gate to 0: every call takes the distributed path, and the
     // result must match the broadcast Dijkstra path exactly (same ×1000
