@@ -179,26 +179,7 @@ object Betweenness {
           .select(col("node").as("s")), n.toDouble / sampleSize)
 
     // ---- forward: level-synchronous multi-source BFS ----
-    val levels = mutable.ArrayBuffer.empty[DataFrame] // (s, v, sigma) per dist
-    var frontier = srcDf
-      .select(col("s"), col("s").as("v"), lit(1L).cast("double").as("sigma"))
-      .localCheckpoint(true)
-    var visited = frontier.select(col("s"), col("v")).localCheckpoint(true)
-    levels += frontier
-    var growing = true
-    while (growing) {
-      val nxt = frontier.join(e, frontier("v") === e("u"))
-        .select(col("s"), col("w").as("v"), col("sigma"))
-        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
-        .join(visited, Seq("s", "v"), "left_anti")
-        .localCheckpoint(true)
-      if (nxt.isEmpty) growing = false
-      else {
-        levels += nxt
-        visited = visited.union(nxt.select(col("s"), col("v"))).localCheckpoint(true)
-        frontier = nxt
-      }
-    }
+    val levels = forwardLevels(e, srcDf)
 
     // ---- backward: dependency accumulation, deepest level first ----
     // `delta` always holds the COMPLETE level (every (s,v) of that BFS
@@ -241,6 +222,74 @@ object Betweenness {
         .as("centrality"))
   }
 
+  /** Level-synchronous multi-source BFS with path counting: one
+    * (s, v, sigma) DataFrame per distance, starting from `srcDf` (column
+    * `s`). `e` must be the (u, w) edge rows with duplicates KEPT — the
+    * frontier⋈edge join then multiplies sigma by edge multiplicity,
+    * matching the broadcast adjacency semantics. Shared by the
+    * distributed Brandes backward stage and the distributed
+    * [[allPairsSigma]] fallback.
+    */
+  private def forwardLevels(e: DataFrame,
+      srcDf: DataFrame): mutable.ArrayBuffer[DataFrame] = {
+    val levels = mutable.ArrayBuffer.empty[DataFrame] // (s, v, sigma) per dist
+    var frontier = srcDf
+      .select(col("s"), col("s").as("v"), lit(1L).cast("double").as("sigma"))
+      .localCheckpoint(true)
+    var visited = frontier.select(col("s"), col("v")).localCheckpoint(true)
+    levels += frontier
+    var growing = true
+    while (growing) {
+      val nxt = frontier.join(e, frontier("v") === e("u"))
+        .select(col("s"), col("w").as("v"), col("sigma"))
+        .groupBy(col("s"), col("v")).agg(sum(col("sigma")).as("sigma"))
+        .join(visited, Seq("s", "v"), "left_anti")
+        .localCheckpoint(true)
+      if (nxt.isEmpty) growing = false
+      else {
+        levels += nxt
+        visited = visited.union(nxt.select(col("s"), col("v"))).localCheckpoint(true)
+        frontier = nxt
+      }
+    }
+    levels
+  }
+
+  /** Fully distributed all-pairs sigma — the automatic fallback of
+    * [[allPairsSigma]] above its broadcast gate: every vertex seeds the
+    * level-synchronous BFS, each level l contributes its (s, v, sigma)
+    * rows at dist = l. Sigma rides the forward stage as a double (sums of
+    * integer path counts are exact below 2^53) and lands back as the long
+    * the local path emits.
+    */
+  def allPairsSigmaDistributed(df: DataFrame, from: String, to: String,
+      directed: Boolean = false): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val spark = df.sparkSession
+    val e0 = Ingest.edges(df, from, to)
+    val e = (if (directed) e0
+             else e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))))
+      .select(col("src").as("u"), col("dst").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("u").as("node"))
+      .union(e.select(col("w").as("node"))).distinct()
+    if (nodes.isEmpty) {
+      import spark.implicits._
+      return spark.emptyDataset[(String, String, Int, Long)]
+        .toDF("s", "t", "dist", "sigma")
+    }
+    val levels = forwardLevels(e, nodes.select(col("node").as("s")))
+    if (levels.size == 1) { // nothing reachable beyond the sources
+      import spark.implicits._
+      return spark.emptyDataset[(String, String, Int, Long)]
+        .toDF("s", "t", "dist", "sigma")
+    }
+    levels.zipWithIndex.drop(1).map { case (lev, d) =>
+      lev.select(col("s"), col("v").as("t"), lit(d).cast("int").as("dist"),
+        col("sigma").cast("long").as("sigma"))
+    }.reduce(_ union _)
+  }
+
   /** All-pairs BFS distances and shortest-path counts over the broadcast
     * adjacency: one row per ordered reachable pair, (s, t, dist, sigma)
     * with sigma = number of distinct shortest s→t paths (multi-edges count
@@ -252,9 +301,12 @@ object Betweenness {
     val spark = df.sparkSession
     import spark.implicits._
     val e = Ingest.edges(df, from, to)
+    // cheap COUNT probe; above the broadcast gate fall through to the
+    // fully distributed level-synchronous form (VERDICT r7 item 2 — the
+    // last hard require on an oracle-feeding path), spec-pinned equal
     val nEdges = e.count()
-    require(nEdges <= maxLocalEdges,
-      s"betweenness broadcast fast path supports <= $maxLocalEdges edges (got $nEdges)")
+    if (nEdges > maxLocalEdges)
+      return allPairsSigmaDistributed(df, from, to, directed)
     val rows = e.as[(String, String)].collect().map { case (f, t) => (f, t, 1L) }
     val graph = LocalGraph.fromEdges(rows.toSeq, directed)
     val n = graph.numNodes

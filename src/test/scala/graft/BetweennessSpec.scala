@@ -106,6 +106,18 @@ class BetweennessSpec extends AnyFunSuite {
     }
   }
 
+  test("allPairsSigma falls back distributed with equal (s,t,dist,sigma)") {
+    val df = fixtureEdges.toDF("from", "to")
+    for (directed <- Seq(false, true)) {
+      val local = Betweenness.allPairsSigma(df, "from", "to", directed)
+        .as[(String, String, Int, Long)].collect().toSet
+      val dist = Betweenness.allPairsSigma(df, "from", "to", directed,
+          maxLocalEdges = 0L)
+        .as[(String, String, Int, Long)].collect().toSet
+      assert(dist == local, s"directed=$directed")
+    }
+  }
+
   test("sampled estimators stay within the Brandes-Pich bound at several k") {
     // Unbiased source-sampling estimator (Brandes & Pich 2007): with k
     // uniform sources, bc_hat(v) = (n/k)·Σ_{s∈S} contrib_s(v). Each scaled
