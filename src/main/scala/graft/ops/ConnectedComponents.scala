@@ -45,7 +45,29 @@ object ConnectedComponents {
     * default). Beyond the gate, GraphX Pregel min-id propagation keeps
     * every structure distributed — the 100 TB path.
     */
-  def components(edges: DataFrame, maxAggVertices: Long = 4_000_000L): DataFrame = {
+  def components(edges: DataFrame, maxAggVertices: Long = 4_000_000L,
+      maxLocalEdges: Long = 5_000_000L): DataFrame = {
+    // Gated driver-local fast path (the Scc.components pattern): component
+    // membership is a pure function of the graph and the label is the min
+    // member name, so a capped collect + one union-find pass is exact —
+    // no tie-breaks to replicate — and skips the vertex-dictionary
+    // zipWithIndex jobs + id joins that dominate small/derived pair
+    // graphs (dedup clusters, bipartite parity graphs). Distinct before
+    // the limit only shrinks the collect; CC is duplicate-invariant.
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val capped = edges.select(col("src"), col("dst")).distinct()
+        .limit(maxLocalEdges.toInt + 1).as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, String)].toDF("node", "component")
+        return spark.createDataFrame(localUnionFind(capped).toIndexedSeq)
+          .toDF("node", "component")
+      }
+      // over the cap: fall through to the distributed strategies
+    }
+
     // Persisted for the id-assignment count + endpoint joins; left to LRU
     // eviction because the returned plan is lazy — an eager unpersist here
     // would force the edge subtree to recompute 2-3× at execution time
@@ -59,6 +81,44 @@ object ConnectedComponents {
     // component label = min node name per cc id: order-insensitive, exact.
     val labels = nodeCc.groupBy(col("cc")).agg(min(col("node")).as("component"))
     nodeCc.join(labels, "cc").select(col("node"), col("component"))
+  }
+
+  /** Union-find with path halving over a collected edge list; labels are
+    * the UTF8-minimal member per component (= Spark's min(string)). Edges
+    * with a null endpoint drop whole, like the distributed id joins. */
+  private def localUnionFind(
+      ed: Array[(String, String)]): Array[(String, String)] = {
+    val clean = ed.filter { case (a, b) => a != null && b != null }
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      clean.foreach { case (a, b) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    val parent = Array.tabulate(n)(identity)
+    def find(x0: Int): Int = {
+      var x = x0
+      while (parent(x) != x) {
+        parent(x) = parent(parent(x)) // path halving
+        x = parent(x)
+      }
+      x
+    }
+    clean.foreach { case (a, b) =>
+      val ra = find(idOf(a)); val rb = find(idOf(b))
+      if (ra != rb) parent(rb) = ra
+    }
+    val minOf = new scala.collection.mutable.HashMap[Int, String]
+    var v = 0
+    while (v < n) {
+      val r = find(v)
+      val cur = minOf.get(r)
+      if (cur.isEmpty || graft.core.Utf8Order.lt(names(v), cur.get))
+        minOf.update(r, names(v))
+      v += 1
+    }
+    Array.tabulate(n)(v => (names(v), minOf(find(v))))
   }
 
   /** GraphX-only variant (the unconditional scale path), kept callable for

@@ -29,14 +29,18 @@ class ScalePathsSpec extends AnyFunSuite {
     assert(viaAgg.nonEmpty)
   }
 
-  test("components() strategy gate: both sides of the vertex gate agree") {
+  test("components() strategy gate: all three strategy tiers agree") {
     val edges = randomEdges(300, 80, 11)
-    val small = ConnectedComponents.components(edges) // agg path (n <= gate)
+    val local = ConnectedComponents.components(edges) // driver-local union-find
       .as[(String, String)].collect().toSet
-    val large = ConnectedComponents.components(edges, maxAggVertices = 0) // GraphX path
+    val agg = ConnectedComponents.components(edges, maxLocalEdges = 0) // UnionFindAgg
       .as[(String, String)].collect().toSet
-    assert(small == large)
-    assert(small.nonEmpty)
+    val graphx = ConnectedComponents.components(edges, maxAggVertices = 0,
+        maxLocalEdges = 0) // GraphX path
+      .as[(String, String)].collect().toSet
+    assert(local == agg)
+    assert(agg == graphx)
+    assert(local.nonEmpty)
   }
 
   test("fixed-point PageRank: local and distributed paths are bit-identical") {
