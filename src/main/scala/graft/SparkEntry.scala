@@ -812,6 +812,17 @@ object SparkEntry {
           rounds = 4, sourceRatePermille = 10, salt = "harmonic")
         .orderBy("node")
     },
+    "q_bipartite_proj" -> { (s, d) =>
+      // weighted bipartite projection (GraphStats.bipartiteProjection):
+      // orders × parts → co-order item pairs with co-occurrence weights,
+      // memberships deduped, 8-item group cap BEFORE any pair blowup
+      graft.ops.GraphStats.bipartiteProjection(
+          Tables.lineitem(s, d).where(col("l_quantity") <= 15)
+            .select(col("l_orderkey").as("oid"),
+              concat(lit("P"), col("l_partkey")).as("item")),
+          "oid", "item", maxGroupSize = 8)
+        .orderBy("a", "b")
+    },
     "q_coreness" -> { (s, d) =>
       // FULL k-core decomposition in one run (ops/Coreness): h-index
       // fixpoint, 4 fixed rounds — upper-bounding partial fixpoint both
@@ -3113,6 +3124,16 @@ object SparkEntry {
         |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
     "q_coreness" -> corenessOracle(rounds = 4),
+    "q_bipartite_proj" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |b AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid))
+        |SELECT x.item AS a, y.item AS b, COUNT(*) AS weight
+        |FROM b x JOIN b y ON x.tid = y.tid AND x.item < y.item
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
     "q_communities" -> lpaOracle(rounds = 4),
     "q_harmonic" -> harmonicOracle(rounds = 4, ratePermille = 10,
       salt = "harmonic"),

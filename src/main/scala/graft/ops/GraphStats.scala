@@ -213,6 +213,38 @@ object GraphStats {
           .otherwise(0L))
   }
 
+  /** Weighted bipartite projection — the co-occurrence graph builder
+    * behind baskets→item-graph, users→content-graph, docs→entity-graph
+    * pipelines: groups sharing an item side project onto item pairs with
+    * weight = number of groups containing both.
+    *
+    * Scale levers, both non-negotiable at 100 TB:
+    *   - memberships dedupe FIRST (a group listing an item twice is one
+    *     membership), keyed by (group, item) — partial-aggregated;
+    *   - groups larger than `maxGroupSize` are EXCLUDED (a k-item group
+    *     emits k² pairs — one celebrity basket otherwise dominates the
+    *     whole job; same hot-key cap pattern as LSH buckets and RA
+    *     centers), and the size filter runs BEFORE collect_list so no
+    *     buffer ever holds an excluded group.
+    *
+    * Output: (a, b, weight) with a < b, weight >= 1.
+    */
+  def bipartiteProjection(df: DataFrame, groupCol: String, itemCol: String,
+      maxGroupSize: Int = 64): DataFrame = {
+    require(maxGroupSize >= 2, s"maxGroupSize must be >= 2, got $maxGroupSize")
+    val base = df.select(col(groupCol).as("tid"), col(itemCol).as("item"))
+      .where(col("tid").isNotNull && col("item").isNotNull)
+      .distinct()
+    val ok = base.groupBy("tid").agg(count(lit(1)).as("n"))
+      .where(col("n") <= maxGroupSize).select("tid")
+    base.join(ok, Seq("tid"), "left_semi")
+      .groupBy("tid").agg(collect_list(col("item")).as("items"))
+      .select(explode(col("items")).as("a"), col("items"))
+      .select(col("a"), explode(col("items")).as("b"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("weight"))
+  }
+
   /** Directed-graph reciprocity: the fraction of directed edges whose
     * reverse edge also exists (how conversational is the interaction
     * graph — near 1 for mutual-follow networks, near 0 for broadcast

@@ -72,6 +72,21 @@ class GraphStatsSpec extends AnyFunSuite {
     assert(local == dist)
   }
 
+  test("bipartite projection: weights, dedup, and the group-size cap") {
+    val rows = Seq(
+      (1L, "x"), (1L, "y"), (1L, "x"),          // dup membership: one vote
+      (2L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "big1"), (3L, "big2"), (3L, "big3"), // at cap 3, over cap 2
+      (4L, "y"), (4L, "z")).toDF("g", "i")
+    val got = GraphStats.bipartiteProjection(rows, "g", "i", maxGroupSize = 3)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("x", "y", 2L), ("x", "z", 1L), ("y", "z", 2L),
+      ("big1", "big2", 1L), ("big1", "big3", 1L), ("big2", "big3", 1L)))
+    val capped = GraphStats.bipartiteProjection(rows, "g", "i", maxGroupSize = 2)
+      .as[(String, String, Long)].collect().toSet
+    assert(capped == Set(("x", "y", 1L), ("y", "z", 1L))) // only groups 1 & 4
+  }
+
   test("reciprocity of an empty graph is (0, 0, 0), not NULL (ADVICE r7)") {
     val empty = Seq.empty[(String, String)].toDF("src", "dst")
     val got = GraphStats.reciprocity(empty, "src", "dst")
