@@ -812,6 +812,22 @@ object SparkEntry {
           rounds = 4, sourceRatePermille = 10, salt = "harmonic")
         .orderBy("node")
     },
+    "q_louvain_weighted" -> { (s, d) =>
+      // weighted Louvain move over the weighted co-order projection
+      // (Communities.modularityMoveStepWeighted): strengths replace
+      // degrees, co-occurrence counts are the integer weights, LPA-2 on
+      // the same pair set seeds the partition
+      val proj = graft.ops.GraphStats.bipartiteProjection(
+          Tables.lineitem(s, d).where(col("l_quantity") <= 15)
+            .select(col("l_orderkey").as("oid"),
+              concat(lit("P"), col("l_partkey")).as("item")),
+          "oid", "item", maxGroupSize = 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.ops.Communities.modularityMoveStepWeighted(proj, "a", "b",
+          "weight",
+          graft.ops.Communities.labelPropagation(proj, "a", "b", rounds = 2))
+        .orderBy("node")
+    },
     "q_bipartite_proj" -> { (s, d) =>
       // weighted bipartite projection (GraphStats.bipartiteProjection):
       // orders × parts → co-order item pairs with co-occurrence weights,
@@ -3124,6 +3140,58 @@ object SparkEntry {
         |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
     "q_coreness" -> corenessOracle(rounds = 4),
+    "q_louvain_weighted" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |ew AS MATERIALIZED (SELECT x.item AS x, y.item AS y,
+        |        CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item
+        |      GROUP BY 1, 2),
+        |se AS MATERIALIZED (SELECT x AS a, y AS b FROM ew
+        |      UNION ALL SELECT y AS a, x AS b FROM ew),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM se),
+        |c1 AS MATERIALIZED (SELECT s.a, l.lab, COUNT(*) AS c
+        |      FROM se s JOIN l0 l ON l.node = s.b GROUP BY s.a, l.lab),
+        |l1 AS MATERIALIZED (SELECT a AS node, lab FROM (
+        |      SELECT a, lab,
+        |             ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+        |      FROM c1) WHERE rn = 1),
+        |c2 AS MATERIALIZED (SELECT s.a, l.lab, COUNT(*) AS c
+        |      FROM se s JOIN l1 l ON l.node = s.b GROUP BY s.a, l.lab),
+        |l2 AS MATERIALIZED (SELECT a AS node, lab FROM (
+        |      SELECT a, lab,
+        |             ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+        |      FROM c2) WHERE rn = 1),
+        |adjw AS (SELECT x AS v, y AS n, w FROM ew
+        |      UNION ALL SELECT y AS v, x AS n, w FROM ew),
+        |ww AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM ew),
+        |strv AS (SELECT v, CAST(SUM(w) AS BIGINT) AS s FROM adjw GROUP BY v),
+        |labv AS (SELECT node, lab AS community FROM l2),
+        |sccw AS (SELECT community, CAST(SUM(s) AS BIGINT) AS s_c
+        |      FROM strv JOIN labv ON strv.v = labv.node GROUP BY community),
+        |wvc AS (SELECT adjw.v, labv.community AS c,
+        |        CAST(SUM(adjw.w) AS BIGINT) AS w_vc
+        |      FROM adjw JOIN labv ON labv.node = adjw.n GROUP BY 1, 2),
+        |ownc AS (SELECT node AS v, community AS c, 0 AS w_vc FROM labv),
+        |candc AS (SELECT v, c, CAST(MAX(w_vc) AS BIGINT) AS w_vc FROM (
+        |        SELECT * FROM wvc UNION ALL SELECT * FROM ownc)
+        |      GROUP BY v, c),
+        |scw AS (SELECT candc.v, candc.c,
+        |        4 * ww.wsum * candc.w_vc
+        |          - 2 * strv.s * (sccw.s_c -
+        |              CASE WHEN candc.c = labv.community THEN strv.s ELSE 0 END) AS score
+        |      FROM candc CROSS JOIN ww
+        |      JOIN labv ON labv.node = candc.v
+        |      JOIN strv ON strv.v = candc.v
+        |      JOIN sccw ON sccw.community = candc.c),
+        |best AS (SELECT v, c,
+        |        ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+        |      FROM scw)
+        |SELECT v AS node, c AS community FROM best WHERE rn = 1
+        |ORDER BY node""".stripMargin,
     "q_bipartite_proj" ->
       """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
         |         'P' || CAST(l_partkey AS VARCHAR) AS item

@@ -309,6 +309,143 @@ object Communities {
     out.toArray
   }
 
+  /** Weighted synchronous Louvain move step — [[modularityMoveStep]] for
+    * a weighted undirected graph (the production norm: co-occurrence
+    * projections, similarity graphs): with W = Σw, strength
+    * s_v = Σ_incident w, community strength s_c, and w_{v,c} the weight
+    * from v into c, the exact integer-scaled gain is
+    *
+    *   score(v, c) = 4W·w_{v,c} − 2·s_v·(s_c − [c = c(v)]·s_v)
+    *
+    * — same argmax/tie-break contract as the unweighted form (min-struct,
+    * ties to the smaller community label), all integer (weights must be
+    * POSITIVE integers; ANSI overflow is the loud bound). Parallel
+    * canonical pairs merge by summing weights first. Gated driver-local
+    * replay under `maxLocalEdges`, distributed shuffle algebra above —
+    * parity-spec'd gate-off.
+    */
+  def modularityMoveStepWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, labels: DataFrame,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val eRaw = edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"),
+        col(weightCol).cast("long").as("w"))
+      .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y" && $"w" > 0L)
+      .groupBy($"x", $"y").agg(sum($"w").as("w"))
+
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val capped = eRaw.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String, Long)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, String)].toDF("node", "community")
+        val labArr = labels.select(col("node").cast("string"),
+          col("community").cast("string")).as[(String, String)].collect()
+        return spark.createDataFrame(
+            localMoveStepWeighted(capped, labArr).toIndexedSeq)
+          .toDF("node", "community")
+      }
+    }
+
+    val e = eRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val adj = e.select($"x".as("v"), $"y".as("n"), $"w")
+      .union(e.select($"y".as("v"), $"x".as("n"), $"w"))
+    val lab = labels.select(col("node"), col("community"))
+      .localCheckpoint(true)
+    val bigW = e.agg(sum($"w")).as[Long].head()
+    val str = adj.groupBy($"v").agg(sum($"w").as("s"))
+    val sc = str.join(lab, str("v") === lab("node"))
+      .groupBy($"community").agg(sum($"s").as("s_c"))
+    val wvc = adj.join(lab.select($"node".as("n"), $"community".as("c")), "n")
+      .groupBy($"v", $"c").agg(sum($"w").as("w_vc"))
+    val own = lab.select($"node".as("v"), $"community".as("c"),
+      lit(0L).as("w_vc"))
+    // positive weights: max(w_vc, 0) = w_vc, so the union+max trick from
+    // the unweighted form carries over unchanged
+    val cand = wvc.union(own)
+      .groupBy($"v", $"c").agg(max($"w_vc").as("w_vc"))
+    val vinfo = str.join(lab, str("v") === lab("node"))
+      .select($"v", $"s", $"community".as("home"))
+    val scored = cand
+      .join(vinfo, "v")
+      .join(sc.select($"community".as("c"), $"s_c"), "c")
+      .withColumn("s_excl",
+        $"s_c" - when($"c" === $"home", $"s").otherwise(lit(0L)))
+      .withColumn("score",
+        lit(4L) * bigW * $"w_vc" - lit(2L) * $"s" * $"s_excl")
+    scored.groupBy($"v")
+      .agg(min(struct((lit(0L) - $"score").as("ns"), $"c".as("c"))).as("b"))
+      .select($"v".as("node"), $"b.c".as("community"))
+  }
+
+  /** In-memory replay of the exact weighted move step. */
+  private def localMoveStepWeighted(e: Array[(String, String, Long)],
+      labArr: Array[(String, String)]): Array[(String, String)] = {
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      e.foreach { case (a, b, _) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    var bigW = 0L
+    e.foreach { case (_, _, w) => bigW += w }
+    val deg = new Array[Int](n)
+    e.foreach { case (a, b, _) => deg(idOf(a)) += 1; deg(idOf(b)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](2 * e.length)
+    val nw = new Array[Long](2 * e.length)
+    val cur = off.clone()
+    val strength = new Array[Long](n)
+    e.foreach { case (a, b, w) =>
+      val ia = idOf(a); val ib = idOf(b)
+      nbr(cur(ia)) = ib; nw(cur(ia)) = w; cur(ia) += 1
+      nbr(cur(ib)) = ia; nw(cur(ib)) = w; cur(ib) += 1
+      strength(ia) += w; strength(ib) += w
+    }
+    val comm = new Array[String](n)
+    labArr.foreach { case (node, c) => idOf.get(node).foreach(v => comm(v) = c) }
+    val sC = new scala.collection.mutable.HashMap[String, Long]
+    var v = 0
+    while (v < n) {
+      if (comm(v) != null)
+        sC.update(comm(v), sC.getOrElse(comm(v), 0L) + strength(v))
+      v += 1
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val wvc = new scala.collection.mutable.HashMap[String, Long]
+    v = 0
+    while (v < n) {
+      if (comm(v) != null) {
+        wvc.clear()
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val c = comm(nbr(j))
+          if (c != null) wvc.update(c, wvc.getOrElse(c, 0L) + nw(j))
+          j += 1
+        }
+        if (!wvc.contains(comm(v))) wvc.update(comm(v), 0L)
+        val s = strength(v)
+        var bestC: String = null
+        var bestScore = Long.MinValue
+        wvc.foreach { case (c, w) =>
+          val sExcl = sC(c) - (if (c == comm(v)) s else 0L)
+          val score = 4L * bigW * w - 2L * s * sExcl
+          if (score > bestScore || (score == bestScore && utf8Lt(c, bestC)))
+            { bestC = c; bestScore = score }
+        }
+        out += ((names(v), bestC))
+      }
+      v += 1
+    }
+    out.toArray
+  }
+
   /** LPA init + Louvain refinement over ONE collected edge list: the
     * fused form of `louvain(edges, labelPropagation(edges, …), …)`, which
     * would collect the symmetric list for LPA and the canonical list for

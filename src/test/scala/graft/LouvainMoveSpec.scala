@@ -71,6 +71,30 @@ class LouvainMoveSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted move step: weights flip the argmax; local ≡ distributed") {
+    // v touches community B via ONE heavy edge and community Y via two
+    // light ones: unweighted counting would pull v to Y, the weighted
+    // gain pulls it to B
+    val e = Seq(("b", "v", 10L), ("v", "y1", 1L), ("v", "y2", 1L),
+      ("y1", "y2", 1L), ("b", "b2", 3L)).toDF("src", "dst", "w")
+    val lbl = Seq(("b", "B"), ("b2", "B"), ("v", "V"),
+      ("y1", "Y"), ("y2", "Y")).toDF("node", "community")
+    val got = Communities.modularityMoveStepWeighted(e, "src", "dst", "w", lbl)
+      .as[(String, String)].collect().toMap
+    assert(got("v") == "B")
+    val dist = Communities.modularityMoveStepWeighted(e, "src", "dst", "w",
+        lbl, maxLocalEdges = 0L)
+      .as[(String, String)].collect().toMap
+    assert(got == dist)
+    // all-equal weights degenerate to the unweighted step
+    val e1 = e.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    val wq = Communities.modularityMoveStepWeighted(e1, "src", "dst", "w", lbl)
+      .as[(String, String)].collect().toMap
+    val uq = Communities.modularityMoveStep(e1, "src", "dst", lbl)
+      .as[(String, String)].collect().toMap
+    assert(wq == uq)
+  }
+
   test("lpaLouvain fused ≡ LPA then louvain, local ≡ distributed") {
     val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"),
       ("e", "f"), ("d", "f"), ("f", "a"), ("g", "a"), ("b", "a")).toDF("src", "dst")
