@@ -812,6 +812,19 @@ object SparkEntry {
           rounds = 4, sourceRatePermille = 10, salt = "harmonic")
         .orderBy("node")
     },
+    "q_lpa_weighted" -> { (s, d) =>
+      // weighted label propagation (Communities.labelPropagationWeighted):
+      // neighbors vote with co-occurrence weight, 3 fixed rounds over the
+      // weighted co-order projection — unrolled weighted-majority oracle
+      graft.ops.Communities.labelPropagationWeighted(
+          graft.ops.GraphStats.bipartiteProjection(
+            Tables.lineitem(s, d).where(col("l_quantity") <= 15)
+              .select(col("l_orderkey").as("oid"),
+                concat(lit("P"), col("l_partkey")).as("item")),
+            "oid", "item", maxGroupSize = 8),
+          "a", "b", "weight", rounds = 3)
+        .orderBy("node")
+    },
     "q_louvain_weighted" -> { (s, d) =>
       // weighted Louvain move over the weighted co-order projection
       // (Communities.modularityMoveStepWeighted): strengths replace
@@ -3140,6 +3153,38 @@ object SparkEntry {
         |ORDER BY c.a, c.b""".stripMargin,
     "q_kcore" -> kcoreOracle(k = 3, iters = 8),
     "q_coreness" -> corenessOracle(rounds = 4),
+    "q_lpa_weighted" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |ew AS MATERIALIZED (SELECT x.item AS x, y.item AS y,
+        |        CAST(COUNT(*) AS BIGINT) AS w
+        |      FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item
+        |      GROUP BY 1, 2),
+        |sew AS MATERIALIZED (SELECT x AS a, y AS b, w FROM ew
+        |      UNION ALL SELECT y AS a, x AS b, w FROM ew),
+        |wl0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS lab FROM sew),
+        |wc1 AS (SELECT s.a, l.lab, CAST(SUM(s.w) AS BIGINT) AS c
+        |      FROM sew s JOIN wl0 l ON l.node = s.b GROUP BY s.a, l.lab),
+        |wl1 AS MATERIALIZED (SELECT a AS node, lab FROM (
+        |      SELECT a, lab,
+        |             ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+        |      FROM wc1) WHERE rn = 1),
+        |wc2 AS (SELECT s.a, l.lab, CAST(SUM(s.w) AS BIGINT) AS c
+        |      FROM sew s JOIN wl1 l ON l.node = s.b GROUP BY s.a, l.lab),
+        |wl2 AS MATERIALIZED (SELECT a AS node, lab FROM (
+        |      SELECT a, lab,
+        |             ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+        |      FROM wc2) WHERE rn = 1),
+        |wc3 AS (SELECT s.a, l.lab, CAST(SUM(s.w) AS BIGINT) AS c
+        |      FROM sew s JOIN wl2 l ON l.node = s.b GROUP BY s.a, l.lab),
+        |wl3 AS MATERIALIZED (SELECT a AS node, lab FROM (
+        |      SELECT a, lab,
+        |             ROW_NUMBER() OVER (PARTITION BY a ORDER BY c DESC, lab ASC) AS rn
+        |      FROM wc3) WHERE rn = 1)
+        |SELECT node, lab AS community FROM wl3 ORDER BY node""".stripMargin,
     "q_louvain_weighted" ->
       """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
         |         'P' || CAST(l_partkey AS VARCHAR) AS item

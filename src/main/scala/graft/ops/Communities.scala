@@ -74,6 +74,108 @@ object Communities {
     lab.withColumnRenamed("lab", "community")
   }
 
+  /** Weighted synchronous label propagation: neighbors vote with their
+    * EDGE WEIGHT instead of one vote each — the form that respects a
+    * co-occurrence/similarity graph's strengths (a heavy edge outvotes
+    * many light ones; spec'd). Same determinism contract as
+    * [[labelPropagation]]: synchronous update, min-label tie-break (by
+    * UTF8 byte order), fixed rounds = engine-reproducible partial
+    * fixpoint. Parallel canonical pairs merge by weight sum first;
+    * weights must be positive integers (non-positive rows drop).
+    * Gated local replay under `maxLocalEdges`, shuffle loop above.
+    */
+  def labelPropagationWeighted(edges: DataFrame, srcCol: String,
+      dstCol: String, weightCol: String, rounds: Int,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 64, s"rounds must be in [1, 64], got $rounds")
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"),
+        col(weightCol).cast("long").as("w"))
+      .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y" && $"w" > 0L)
+      .groupBy($"x", $"y").agg(sum($"w").as("w"))
+    val symRaw = canon.select($"x".as("a"), $"y".as("b"), $"w")
+      .union(canon.select($"y".as("a"), $"x".as("b"), $"w"))
+
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val capped = symRaw.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String, Long)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, String)].toDF("node", "community")
+        return spark.createDataFrame(localLpaWeighted(capped, rounds).toIndexedSeq)
+          .toDF("node", "community")
+      }
+    }
+
+    val sym = symRaw.localCheckpoint(true)
+    var lab = sym.select($"a".as("node")).distinct()
+      .select($"node", $"node".as("lab"))
+      .localCheckpoint(true)
+    for (i <- 1 to rounds) {
+      val cnt = sym
+        .join(lab.select($"node".as("b"), $"lab".as("nlab")), "b")
+        .groupBy($"a", $"nlab").agg(sum($"w").as("c"))
+      val next = cnt.groupBy($"a")
+        .agg(min(struct((lit(0L) - $"c").as("nc"), $"nlab".as("lab"))).as("m"))
+        .select($"a".as("node"), $"m.lab".as("lab"))
+      lab = if (i % 2 == 0 || i == rounds) next.localCheckpoint(true) else next
+    }
+    lab.withColumnRenamed("lab", "community")
+  }
+
+  /** In-memory replay of the exact weighted LPA rounds. */
+  private def localLpaWeighted(sym: Array[(String, String, Long)],
+      rounds: Int): Array[(String, String)] = {
+    val names = {
+      val s = new scala.collection.mutable.LinkedHashSet[String]
+      sym.foreach { case (a, b, _) => s += a; s += b }
+      s.toArray
+    }
+    val idOf = names.zipWithIndex.toMap
+    val n = names.length
+    val deg = new Array[Int](n)
+    sym.foreach { case (a, _, _) => deg(idOf(a)) += 1 }
+    val off = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { off(i + 1) = off(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](sym.length)
+    val nw = new Array[Long](sym.length)
+    val cur = off.clone()
+    sym.foreach { case (a, b, w) =>
+      val ia = idOf(a); nbr(cur(ia)) = idOf(b); nw(cur(ia)) = w; cur(ia) += 1
+    }
+    var lab = Array.tabulate(n)(identity)
+    var r = 0
+    while (r < rounds) {
+      val next = new Array[Int](n)
+      val cnt = new scala.collection.mutable.HashMap[Int, Long]
+      var v = 0
+      while (v < n) {
+        cnt.clear()
+        var j = off(v)
+        while (j < off(v + 1)) {
+          val l = lab(nbr(j))
+          cnt.update(l, cnt.getOrElse(l, 0L) + nw(j))
+          j += 1
+        }
+        var bestLab = -1
+        var bestW = -1L
+        cnt.foreach { case (l, w) =>
+          if (w > bestW || (w == bestW && utf8Lt(names(l), names(bestLab))))
+            { bestLab = l; bestW = w }
+        }
+        next(v) = bestLab
+        v += 1
+      }
+      lab = next
+      r += 1
+    }
+    Array.tabulate(n)(v => (names(v), names(lab(v))))
+  }
+
   /** Unsigned byte-wise UTF-8 comparison — Spark SQL's string ordering
     * (UTF8String.compareTo), which the local replays must match exactly
     * for tie-breaks to agree with the distributed min-struct aggregates.

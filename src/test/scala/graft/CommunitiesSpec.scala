@@ -56,6 +56,32 @@ class CommunitiesSpec extends AnyFunSuite {
     }
   }
 
+  test("weighted LPA: a heavy edge outvotes many light ones; parity; 1s ≡ unweighted") {
+    // v: one weight-10 edge into the {a,b} clique vs two weight-1 edges
+    // into the {x,y} clique — weighted majority goes heavy
+    val e = Seq(("a", "b", 10L), ("a", "v", 10L), ("v", "x", 1L),
+      ("v", "y", 1L), ("x", "y", 10L)).toDF("src", "dst", "w")
+    val got = Communities.labelPropagationWeighted(e, "src", "dst", "w", 2)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val dist = Communities.labelPropagationWeighted(e, "src", "dst", "w", 2,
+        maxLocalEdges = 0L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(got == dist)
+    // round 1: v's weighted votes are a:10 vs x:1 + y:1 → a's label
+    val r1 = Communities.labelPropagationWeighted(e, "src", "dst", "w", 1)
+      .collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(r1("v") == "a")
+    // all-1 weights degenerate to the unweighted operator, round by round
+    val e1 = e.withColumn("w", org.apache.spark.sql.functions.lit(1L))
+    for (r <- 1 to 3) {
+      val w1 = Communities.labelPropagationWeighted(e1, "src", "dst", "w", r)
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      val u1 = Communities.labelPropagation(e1, "src", "dst", r)
+        .collect().map(x => (x.getString(0), x.getString(1))).toMap
+      assert(w1 == u1, s"rounds=$r")
+    }
+  }
+
   test("labelSpreading: local replay ≡ distributed loop, off-graph seed kept") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("e", "f"),
       ("x", "y"), ("y", "z"), ("z", "x"))
