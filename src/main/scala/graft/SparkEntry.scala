@@ -1804,6 +1804,170 @@ object SparkEntry {
         .agg(count(lit(1)).as("numcust"), sum(col("bal_c")).as("totbal_c"))
         .orderBy("n_name")
     },
+    "q_tpch_q2" -> { (s, d) =>
+      // TPC-H Q2 shape (minimum-cost supplier) adapted: this schema has
+      // no partsupp, so the part-supplier catalog is derived from
+      // lineitem — supply cost per (part, supplier) is the minimum
+      // observed unit price in exact integer cents (cents div
+      // whole-unit quantity, both non-negative so Spark/DuckDB integer
+      // division agree). The correlated MIN subquery becomes a per-part
+      // aggregate joined back on equality; all dims broadcast.
+      val pf = broadcast(Tables.part(s, d)
+        .where(col("p_size") <= 15 && col("p_type") === "LARGE")
+        .select(col("p_partkey"), col("p_name")))
+      val eur = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name"),
+          floor(col("s_acctbal") * lit(100.0)).cast("long").as("bal_c")))
+      val ps = Tables.lineitem(s, d)
+        .join(pf.select("p_partkey"),
+          col("l_partkey") === col("p_partkey"), "left_semi")
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr(
+          "floor(l_extendedprice * 100.0) div cast(l_quantity as bigint)"))
+          .as("supplycost_c"))
+      val eps = ps.join(eur, col("l_suppkey") === col("s_suppkey"))
+      val mc = eps.groupBy(col("l_partkey").as("mp"))
+        .agg(min(col("supplycost_c")).as("min_c"))
+      eps.join(mc, col("l_partkey") === col("mp") &&
+          col("supplycost_c") === col("min_c"))
+        .join(pf, col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"), col("p_name"), col("s_suppkey"),
+          col("s_name"), col("n_name"), col("bal_c"), col("supplycost_c"))
+        .orderBy("p_partkey", "s_suppkey")
+    },
+    "q_tpch_q9" -> { (s, d) =>
+      // TPC-H Q9 shape (product-type profit) adapted: the supply-cost
+      // stand-in is half the part's retail price in cents (no
+      // partsupp); profit = revenue cents − qty·cost_c as exact signed
+      // integers (subtraction only, no signed division), grouped by
+      // supplier nation × ship year — lineitem shuffles once on the
+      // tiny group key, both dims broadcast
+      val pt = broadcast(Tables.part(s, d)
+        .where(col("p_name").like("%gear%"))
+        .select(col("p_partkey"),
+          expr("floor(p_retailprice * 100.0) div 2").as("cost_c")))
+      val sn = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      Tables.lineitem(s, d)
+        .join(pt, col("l_partkey") === col("p_partkey"))
+        .join(sn, col("l_suppkey") === col("s_suppkey"))
+        .select(col("n_name"), year(col("l_shipdate")).cast("long").as("o_year"),
+          (floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * lit(100.0)).cast("long") -
+            col("cost_c") * col("l_quantity").cast("long")).as("amount_c"))
+        .groupBy("n_name", "o_year")
+        .agg(count(lit(1)).as("n_items"), sum(col("amount_c")).as("profit_c"))
+        .orderBy("n_name", "o_year")
+    },
+    "q_tpch_q11" -> { (s, d) =>
+      // TPC-H Q11 shape (important stock) adapted: per-part inventory
+      // value = revenue cents contributed by ASIA suppliers' lineitems;
+      // the "fraction of the total" predicate is cross-multiplied exact
+      // integers (2000·value_c > total_c, i.e. >0.05% share) against a
+      // broadcast 1-row global sum — no doubles, no second scan
+      val asia = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).where(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey")))
+      val vals = Tables.lineitem(s, d)
+        .join(asia, col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .groupBy(col("l_partkey"))
+        .agg(sum(floor(col("l_extendedprice") * lit(100.0)).cast("long"))
+          .as("value_c"))
+      vals.crossJoin(broadcast(vals.agg(sum(col("value_c")).as("total_c"))))
+        .where(col("value_c") * lit(2000L) > col("total_c"))
+        .select(col("l_partkey"), col("value_c"))
+        .orderBy(col("value_c").desc, col("l_partkey"))
+    },
+    "q_tpch_q16" -> { (s, d) =>
+      // TPC-H Q16 shape (part/supplier relationship) adapted: the
+      // catalog is the distinct (part, supplier) pairs in lineitem; the
+      // "customer complaints" exclusion becomes negative account
+      // balance (left-anti on a broadcast handful); exact distinct
+      // supplier counts per (brand, type, size) bucket
+      val badSupp = broadcast(Tables.supplier(s, d)
+        .where(col("s_acctbal") < 0.0).select(col("s_suppkey")))
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(badSupp, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+          .where(col("p_brand") =!= "Brand#13" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+          .select(col("p_partkey"), col("p_brand"), col("p_type"),
+            col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    "q_tpch_q20" -> { (s, d) =>
+      // TPC-H Q20 shape (potential part promotion) adapted: no
+      // ps_availqty, so a supplier qualifies when it shipped MORE than
+      // half of a bolt-part's total 1997 volume (2·supp_qty > part_qty,
+      // exact integer cross-multiplication), restricted to AMERICA
+      // suppliers; the shipdate filter reaches the scan, the part
+      // filter arrives as a broadcast semi join
+      val bolts = broadcast(Tables.part(s, d)
+        .where(col("p_name").like("%bolt%")).select(col("p_partkey")))
+      val li97 = Tables.lineitem(s, d)
+        .where(col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+          col("l_shipdate") < to_timestamp(lit("1998-01-01")))
+        .join(bolts, col("l_partkey") === col("p_partkey"), "left_semi")
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+      val perSupp = li97.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("qty")).as("supp_qty"))
+      val perPart = li97.groupBy(col("l_partkey").as("pp"))
+        .agg(sum(col("qty")).as("part_qty"))
+      val amer = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).where(col("r_name") === "AMERICA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name")))
+      perSupp.join(perPart, col("l_partkey") === col("pp"))
+        .where(col("supp_qty") * lit(2L) > col("part_qty"))
+        .join(amer, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name")).distinct()
+        .orderBy("s_suppkey")
+    },
+    "q_tpch_q21" -> { (s, d) =>
+      // TPC-H Q21 shape (suppliers who kept orders waiting) adapted:
+      // lateness = shipped > 90 days after order date (no
+      // receipt/commit dates), scope = EUROPE suppliers. For finished
+      // orders, a supplier's late lineitem counts when the order has
+      // another supplier (EXISTS → n_supp ≥ 2) but no OTHER late
+      // supplier (NOT EXISTS → n_late_supp = 1 — this row's supplier IS
+      // that one late supplier). Both correlated subqueries collapse
+      // into ONE per-order aggregate joined back on the order key.
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d).where(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAY"))
+            .as("late"))
+      val stats = li.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
+      val eur = broadcast(Tables.supplier(s, d)
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d).where(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name")))
+      li.where(col("late"))
+        .join(eur, col("l_suppkey") === col("s_suppkey"))
+        .join(stats, col("l_orderkey") === col("ok"))
+        .where(col("n_supp") >= 2L && col("n_late_supp") === 1L)
+        .groupBy("s_suppkey", "s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_suppkey"))
+    },
     "q_window_range" -> { (s, d) =>
       // RANGE-frame window (the frame family q_window_running's ROWS
       // frame doesn't cover): per-user trailing-1h event count + value
@@ -4342,6 +4506,115 @@ object SparkEntry {
         |  AND NOT EXISTS (SELECT 1 FROM r WHERE r.o_custkey = cust.c_custkey)
         |GROUP BY n_name
         |ORDER BY n_name""".stripMargin,
+    "q_tpch_q2" ->
+      """WITH pf AS (SELECT p_partkey, p_name FROM part
+        |            WHERE p_size <= 15 AND p_type = 'LARGE'),
+        |eur AS (SELECT s_suppkey, s_name, n_name,
+        |          CAST(FLOOR(s_acctbal * 100.0) AS BIGINT) AS bal_c
+        |        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey
+        |        WHERE r_name = 'EUROPE'),
+        |ps AS (SELECT l_partkey, l_suppkey,
+        |         MIN(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)
+        |             // CAST(l_quantity AS BIGINT)) AS supplycost_c
+        |       FROM lineitem
+        |       WHERE l_partkey IN (SELECT p_partkey FROM pf)
+        |       GROUP BY 1, 2),
+        |eps AS (SELECT l_partkey, s_suppkey, s_name, n_name, bal_c,
+        |          supplycost_c
+        |        FROM ps JOIN eur ON l_suppkey = s_suppkey),
+        |mc AS (SELECT l_partkey AS mp, MIN(supplycost_c) AS min_c
+        |       FROM eps GROUP BY 1)
+        |SELECT p_partkey, p_name, s_suppkey, s_name, n_name, bal_c,
+        |  supplycost_c
+        |FROM eps JOIN mc ON l_partkey = mp AND supplycost_c = min_c
+        |JOIN pf ON l_partkey = p_partkey
+        |ORDER BY p_partkey, s_suppkey""".stripMargin,
+    "q_tpch_q9" ->
+      """SELECT n_name, CAST(year(l_shipdate) AS BIGINT) AS o_year,
+        |  COUNT(*) AS n_items,
+        |  CAST(SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0)
+        |                AS BIGINT)
+        |           - (CAST(FLOOR(p_retailprice * 100.0) AS BIGINT) // 2)
+        |             * CAST(l_quantity AS BIGINT)) AS BIGINT) AS profit_c
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE p_name LIKE '%gear%'
+        |GROUP BY 1, 2
+        |ORDER BY n_name, o_year""".stripMargin,
+    "q_tpch_q11" ->
+      """WITH asia AS (SELECT s_suppkey
+        |              FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |              JOIN region ON n_regionkey = r_regionkey
+        |              WHERE r_name = 'ASIA'),
+        |vals AS (SELECT l_partkey,
+        |           CAST(SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT))
+        |                AS BIGINT) AS value_c
+        |         FROM lineitem
+        |         WHERE l_suppkey IN (SELECT s_suppkey FROM asia)
+        |         GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(value_c) AS BIGINT) AS total_c FROM vals)
+        |SELECT l_partkey, value_c
+        |FROM vals CROSS JOIN tot
+        |WHERE value_c * 2000 > total_c
+        |ORDER BY value_c DESC, l_partkey""".stripMargin,
+    "q_tpch_q16" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |ok AS (SELECT l_partkey, l_suppkey FROM pairs
+        |       WHERE l_suppkey NOT IN
+        |         (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0))
+        |SELECT p_brand, p_type, p_size,
+        |  COUNT(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM ok JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        |GROUP BY 1, 2, 3
+        |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin,
+    "q_tpch_q20" ->
+      """WITH li97 AS (SELECT l_partkey, l_suppkey,
+        |                CAST(l_quantity AS BIGINT) AS qty
+        |              FROM lineitem
+        |              WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |                AND l_shipdate < TIMESTAMP '1998-01-01'
+        |                AND l_partkey IN (SELECT p_partkey FROM part
+        |                                  WHERE p_name LIKE '%bolt%')),
+        |per_supp AS (SELECT l_partkey, l_suppkey,
+        |               CAST(SUM(qty) AS BIGINT) AS supp_qty
+        |             FROM li97 GROUP BY 1, 2),
+        |per_part AS (SELECT l_partkey AS pp,
+        |               CAST(SUM(qty) AS BIGINT) AS part_qty
+        |             FROM li97 GROUP BY 1),
+        |amer AS (SELECT s_suppkey, s_name
+        |         FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |         JOIN region ON n_regionkey = r_regionkey
+        |         WHERE r_name = 'AMERICA')
+        |SELECT DISTINCT s_suppkey, s_name
+        |FROM per_supp JOIN per_part ON l_partkey = pp
+        |JOIN amer ON l_suppkey = s_suppkey
+        |WHERE supp_qty * 2 > part_qty
+        |ORDER BY s_suppkey""".stripMargin,
+    "q_tpch_q21" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+        |              l_shipdate > o_orderdate + INTERVAL 90 DAY AS late
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |            WHERE o_orderstatus = 'F'),
+        |stats AS (SELECT l_orderkey AS ok,
+        |            COUNT(DISTINCT l_suppkey) AS n_supp,
+        |            COUNT(DISTINCT CASE WHEN late THEN l_suppkey END)
+        |              AS n_late_supp
+        |          FROM li GROUP BY 1),
+        |eur AS (SELECT s_suppkey, s_name
+        |        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |        JOIN region ON n_regionkey = r_regionkey
+        |        WHERE r_name = 'EUROPE')
+        |SELECT s_suppkey, s_name, COUNT(*) AS numwait
+        |FROM li JOIN eur ON l_suppkey = s_suppkey
+        |JOIN stats ON l_orderkey = ok
+        |WHERE late AND n_supp >= 2 AND n_late_supp = 1
+        |GROUP BY 1, 2
+        |ORDER BY numwait DESC, s_suppkey""".stripMargin,
     "q_window_range" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_us,
