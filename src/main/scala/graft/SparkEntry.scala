@@ -1968,6 +1968,51 @@ object SparkEntry {
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_suppkey"))
     },
+    "q_hits" -> { (s, d) =>
+      // HITS hubs & authorities (ops/Hits): two exact integer a/h
+      // rounds over the directed user-journey graph — a_1 is in-degree,
+      // the unrolled-CTE oracle replays every walk count bit for bit
+      graft.ops.Hits.hubsAuthorities(Tables.userSequenceEdges(s, d),
+          "src", "dst", iterations = 2)
+        .orderBy("node")
+    },
+    "q_chi2_tokens" -> { (s, d) =>
+      // χ² token–language association (ops/ChiSquare): which tokens
+      // predict lang='en'? φ² in exact ppm via digit-carried long
+      // division — the feature-selection pass of a quality classifier
+      graft.ops.ChiSquare.tokenLabel(
+        Tables.documents(s, d).select(
+          split(col("text"), " ").as("toks"),
+          (col("lang") === "en").as("label")),
+        "toks", "label")
+    },
+    "q_feature_hash" -> { (s, d) =>
+      // signed feature hashing (ops/FeatureHash): 64-bucket hashing-
+      // trick vectors per document, no vocabulary state anywhere
+      graft.ops.FeatureHash.hashFeatures(
+          Tables.documents(s, d).select(col("doc_id"),
+            split(col("text"), " ").as("toks")),
+          "doc_id", "toks", bits = 6)
+        .orderBy("doc_id", "bucket")
+    },
+    "q_f2_sketch" -> { (s, d) =>
+      // AMS F₂ sketch (ops/AmsSketch): 16 ±1-lane sums estimating the
+      // user-frequency second moment, exact F₂ riding along as the
+      // estimator-quality check
+      graft.ops.AmsSketch.f2Lanes(Tables.events(s, d), "user_id",
+        lanes = 16)
+    },
+    "q_cusum" -> { (s, d) =>
+      // CUSUM changepoint (ops/Changepoint): the day each event type's
+      // daily rate shifted — n·S_i drift maximized in exact integers
+      // over the dimension-sized daily series
+      val daily = Tables.events(s, d)
+        .select(col("event_type").as("grp"),
+          expr("ts_us div 86400000000").as("day"))
+        .groupBy("grp", "day").agg(count(lit(1)).as("cnt"))
+      graft.ops.Changepoint.cusumMaxShift(daily, "grp", "day", "cnt")
+        .orderBy("grp")
+    },
     "q_window_range" -> { (s, d) =>
       // RANGE-frame window (the frame family q_window_running's ROWS
       // frame doesn't cover): per-user trailing-1h event count + value
@@ -4615,6 +4660,92 @@ object SparkEntry {
         |WHERE late AND n_supp >= 2 AND n_late_supp = 1
         |GROUP BY 1, 2
         |ORDER BY numwait DESC, s_suppkey""".stripMargin,
+    "q_hits" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |              lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |            FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |a1 AS (SELECT dst AS node, COUNT(*) AS sc FROM e GROUP BY 1),
+        |h1 AS (SELECT src AS node, CAST(SUM(a1.sc) AS BIGINT) AS sc
+        |       FROM e JOIN a1 ON e.dst = a1.node GROUP BY 1),
+        |a2 AS (SELECT dst AS node, CAST(SUM(h1.sc) AS BIGINT) AS sc
+        |       FROM e JOIN h1 ON e.src = h1.node GROUP BY 1),
+        |h2 AS (SELECT src AS node, CAST(SUM(a2.sc) AS BIGINT) AS sc
+        |       FROM e JOIN a2 ON e.dst = a2.node GROUP BY 1)
+        |SELECT n.node, COALESCE(a2.sc, 0) AS auth_fp,
+        |  COALESCE(h2.sc, 0) AS hub_fp
+        |FROM n LEFT JOIN a2 ON n.node = a2.node
+        |LEFT JOIN h2 ON n.node = h2.node
+        |ORDER BY n.node""".stripMargin,
+    "q_chi2_tokens" ->
+      s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
+         |tokd AS (SELECT DISTINCT doc_id, lab, t.tok
+         |         FROM docs, UNNEST(string_split(text, ' ')) AS t(tok)
+         |         WHERE length(t.tok) > 0),
+         |tot AS (SELECT COUNT(*) AS n,
+         |          CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+         |        FROM docs),
+         |pt AS (SELECT tok, COUNT(*) AS df,
+         |         CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS pos_df
+         |       FROM tokd GROUP BY 1),
+         |j AS (SELECT tok, df, pos_df, n, n_pos FROM pt CROSS JOIN tot),
+         |${graft.ops.ChiSquare.oracleDigitSql("j")}
+         |SELECT tok, df, pos_df, phi2_ppm,
+         |  CAST(phi2_ppm * n AS BIGINT) AS chi2_ppm
+         |FROM chi
+         |ORDER BY phi2_ppm DESC, tok""".stripMargin,
+    "q_feature_hash" ->
+      """WITH tok AS (SELECT doc_id, t.tok
+        |             FROM documents, UNNEST(string_split(text, ' ')) AS t(tok)
+        |             WHERE length(t.tok) > 0),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |      FROM tok),
+        |f AS (SELECT doc_id, h % 64 AS bucket,
+        |        1 - 2 * ((h // 64) % 2) AS sign
+        |      FROM h)
+        |SELECT doc_id, bucket, CAST(SUM(sign) AS BIGINT) AS feat_val,
+        |  COUNT(*) AS n_tokens
+        |FROM f GROUP BY 1, 2
+        |ORDER BY doc_id, bucket""".stripMargin,
+    "q_f2_sketch" ->
+      """WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |           WHERE user_id IS NOT NULL),
+        |s AS (SELECT lane,
+        |        CAST(SUM(1 - 2 * ((('0x' || substr(md5(
+        |          CAST(lane AS VARCHAR) || '#' || k), 1, 15))::BIGINT) % 2))
+        |          AS BIGINT) AS lane_sum
+        |      FROM k CROSS JOIN range(16) t(lane)
+        |      GROUP BY lane),
+        |ex AS (SELECT CAST(SUM(f * f) AS BIGINT) AS f2_exact
+        |       FROM (SELECT COUNT(*) AS f FROM k GROUP BY k))
+        |SELECT lane, lane_sum, lane_sum * lane_sum AS f2_est, f2_exact
+        |FROM s CROSS JOIN ex
+        |ORDER BY lane""".stripMargin,
+    "q_cusum" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |                 epoch_us(ts) // 86400000000 AS day,
+        |                 COUNT(*) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |b AS (SELECT grp, day, cnt, ROW_NUMBER() OVER w AS i,
+        |        CAST(SUM(cnt) OVER w AS BIGINT) AS prefix
+        |      FROM daily WINDOW w AS (PARTITION BY grp ORDER BY day)),
+        |st AS (SELECT grp, COUNT(*) AS nb, CAST(SUM(cnt) AS BIGINT) AS total
+        |       FROM daily GROUP BY 1),
+        |dv AS (SELECT b.grp, day, nb, total,
+        |         nb * prefix - i * total AS dev,
+        |         abs(nb * prefix - i * total) AS absdev
+        |       FROM b JOIN st ON b.grp = st.grp),
+        |r AS (SELECT *, ROW_NUMBER() OVER
+        |        (PARTITION BY grp ORDER BY absdev DESC, day) AS rk
+        |      FROM dv)
+        |SELECT grp, nb AS n_buckets, total, day AS cp_bucket,
+        |  absdev AS cusum_max_scaled,
+        |  CASE WHEN dev >= 0 THEN 1 ELSE -1 END AS dir_sign
+        |FROM r WHERE rk = 1
+        |ORDER BY grp""".stripMargin,
     "q_window_range" ->
       """SELECT user_id, event_id, epoch_us(ts) AS ts_us,
         |  CAST(FLOOR(value * 1000000.0) AS BIGINT) AS v_us,

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.functions.hex_to_long
+
+/** AMS (Alon–Matias–Szegedy) F₂ sketch — the second frequency moment
+  * Σ f_k² of a key stream estimated in O(lanes) space: each lane
+  * assigns every key a ±1 sign from an independent md5 lane, keeps the
+  * running signed sum Z = Σ_items sign(key), and E[Z²] = F₂ exactly.
+  * F₂ is the self-join size / repeat-rate statistic — the quantity that
+  * prices a shuffle join or dedup pass before running it.
+  *
+  * The sketch state is ONE long per lane and merges by addition, so the
+  * aggregation partial-combines map-side and the shuffle carries
+  * `lanes` rows total regardless of stream size — the same mergeable-
+  * register posture as the HLL/KMV/CMS family here.
+  *
+  * Portability: sign(key, lane) = 1 − 2·(md5("lane#key") lane-long
+  * mod 2), the shared [[graft.functions.HexToLong]] convention; the
+  * DuckDB oracle reproduces every lane sum exactly, and the exact F₂
+  * rides along from the same scan for an estimator-quality check.
+  */
+object AmsSketch {
+
+  /** (lane, lane_sum, f2_est, f2_exact): one row per lane; f2_est is
+    * the lane's Z², f2_exact the true Σ f_k² (computed once, joined to
+    * every row — a second aggregate over the same scan, not a second
+    * scan of the source).
+    */
+  def f2Lanes(df: DataFrame, keyCol: String, lanes: Int = 16): DataFrame = {
+    require(lanes >= 1 && lanes <= 64, s"lanes must be in [1, 64], got $lanes")
+    val keyed = df.select(col(keyCol).cast("string").as("k"))
+      .where(col("k").isNotNull)
+    val lane = keyed.select(col("k"),
+        explode(sequence(lit(0), lit(lanes - 1))).as("lane"))
+      .withColumn("sign", lit(1L) - lit(2L) *
+        (hex_to_long(substring(md5(concat(col("lane").cast("string"),
+          lit("#"), col("k"))), 1, 15)) % 2L))
+      .groupBy("lane")
+      .agg(sum(col("sign")).as("lane_sum"))
+    val exact = keyed.groupBy("k").agg(count(lit(1)).as("f"))
+      .agg(sum(col("f") * col("f")).as("f2_exact"))
+    lane.crossJoin(broadcast(exact))
+      .select(col("lane").cast("long").as("lane"), col("lane_sum"),
+        (col("lane_sum") * col("lane_sum")).as("f2_est"), col("f2_exact"))
+      .orderBy("lane")
+  }
+}
