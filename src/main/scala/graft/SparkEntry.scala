@@ -1976,6 +1976,21 @@ object SparkEntry {
           "src", "dst", iterations = 2)
         .orderBy("node")
     },
+    "q_bridges" -> { (s, d) =>
+      // bridge edges of the undirected user-journey graph (ops/Bridges):
+      // gated local Tarjan under the cap, BFS-forest XOR-labeling
+      // distributed path above it — the oracle re-derives every bridge
+      // by per-edge-removal reachability
+      graft.ops.Bridges.bridges(Tables.userSequenceEdges(s, d),
+        "src", "dst")
+    },
+    "q_articulation" -> { (s, d) =>
+      // articulation points of the same graph (Bridges.articulationPoints,
+      // gated local Tarjan): the oracle re-derives each one by per-node
+      // removal — BFS from one neighbor must reach every other neighbor
+      graft.ops.Bridges.articulationPoints(Tables.userSequenceEdges(s, d),
+        "src", "dst")
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -4679,6 +4694,50 @@ object SparkEntry {
         |FROM n LEFT JOIN a2 ON n.node = a2.node
         |LEFT JOIN h2 ON n.node = h2.node
         |ORDER BY n.node""".stripMargin,
+    "q_bridges" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM e),
+        |eid AS (SELECT x, y, x || '|' || y AS id FROM und),
+        |sym AS (SELECT id, x AS a, y AS b FROM eid
+        |        UNION ALL SELECT id, y AS a, x AS b FROM eid),
+        |reach AS (SELECT id AS rm, x AS node FROM eid
+        |          UNION
+        |          SELECT r.rm, s2.b
+        |          FROM reach r JOIN sym s2
+        |            ON s2.a = r.node AND s2.id <> r.rm)
+        |SELECT x AS src, y AS dst
+        |FROM eid
+        |WHERE NOT EXISTS (SELECT 1 FROM reach r
+        |                  WHERE r.rm = eid.id AND r.node = eid.y)
+        |ORDER BY src, dst""".stripMargin,
+    "q_articulation" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM e),
+        |sym AS (SELECT x AS a, y AS b FROM und
+        |        UNION ALL SELECT y AS a, x AS b FROM und),
+        |start AS (SELECT a AS v, MIN(b) AS s FROM sym GROUP BY a),
+        |reach AS (SELECT v, s AS node FROM start
+        |          UNION
+        |          SELECT r.v, s2.b
+        |          FROM reach r JOIN sym s2 ON s2.a = r.node
+        |          WHERE s2.b <> r.v AND s2.a <> r.v)
+        |SELECT DISTINCT sym.a AS node
+        |FROM sym
+        |WHERE NOT EXISTS (SELECT 1 FROM reach r
+        |                  WHERE r.v = sym.a AND r.node = sym.b)
+        |ORDER BY node""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok
