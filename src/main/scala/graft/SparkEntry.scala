@@ -1991,6 +1991,31 @@ object SparkEntry {
       graft.ops.Bridges.articulationPoints(Tables.userSequenceEdges(s, d),
         "src", "dst")
     },
+    "q_2ecc" -> { (s, d) =>
+      // 2-edge-connected components (Bridges.twoEdgeConnectedComponents):
+      // drop every bridge, CC-label what survives — min-member labels,
+      // bridge-stranded nodes become singletons
+      graft.ops.Bridges.twoEdgeConnectedComponents(
+        Tables.userSequenceEdges(s, d), "src", "dst")
+    },
+    "q_join_size_est" -> { (s, d) =>
+      // AMS cross-moment join sizing (AmsSketch.crossMomentLanes): price
+      // the click⋈view user join from two 16-long sketches; the exact
+      // join size rides along as the estimator check
+      val ev = Tables.events(s, d)
+      graft.ops.AmsSketch.crossMomentLanes(
+        ev.where(col("event_type") === "click").select(col("user_id")),
+        "user_id",
+        ev.where(col("event_type") === "view").select(col("user_id")),
+        "user_id", lanes = 16)
+    },
+    "q_source_overlap" -> { (s, d) =>
+      // source-level corpus overlap (ops/SourceOverlap): df-capped
+      // 5-gram inverted index rolled up to source pairs — which feeds
+      // mirror each other, in containment permille of the smaller side
+      graft.ops.SourceOverlap.pairOverlap(Tables.documents(s, d),
+        "source", "text", n = 5, maxDf = 16)
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -4738,6 +4763,79 @@ object SparkEntry {
         |WHERE NOT EXISTS (SELECT 1 FROM reach r
         |                  WHERE r.v = sym.a AND r.node = sym.b)
         |ORDER BY node""".stripMargin,
+    "q_2ecc" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM e),
+        |eid AS (SELECT x, y, x || '|' || y AS id FROM und),
+        |sym AS (SELECT id, x AS a, y AS b FROM eid
+        |        UNION ALL SELECT id, y AS a, x AS b FROM eid),
+        |reach AS (SELECT id AS rm, x AS node FROM eid
+        |          UNION
+        |          SELECT r.rm, s2.b
+        |          FROM reach r JOIN sym s2
+        |            ON s2.a = r.node AND s2.id <> r.rm),
+        |bridges AS (SELECT x, y FROM eid
+        |            WHERE NOT EXISTS (SELECT 1 FROM reach r
+        |                              WHERE r.rm = eid.id AND r.node = eid.y)),
+        |res AS (SELECT u.x, u.y FROM und u
+        |        WHERE NOT EXISTS (SELECT 1 FROM bridges b
+        |                          WHERE b.x = u.x AND b.y = u.y)),
+        |rsym AS (SELECT x AS a, y AS b FROM res
+        |         UNION ALL SELECT y AS a, x AS b FROM res),
+        |n AS (SELECT x AS node FROM und UNION SELECT y FROM und),
+        |reach2 AS (SELECT node AS a, node AS b FROM n
+        |           UNION
+        |           SELECT r.a, s2.b FROM reach2 r JOIN rsym s2 ON s2.a = r.b)
+        |SELECT a AS node, MIN(b) AS component
+        |FROM reach2 GROUP BY a ORDER BY node""".stripMargin,
+    "q_join_size_est" ->
+      """WITH ka AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |            WHERE event_type = 'click' AND user_id IS NOT NULL),
+        |kb AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events
+        |       WHERE event_type = 'view' AND user_id IS NOT NULL),
+        |za AS (SELECT lane,
+        |         CAST(SUM(1 - 2 * ((('0x' || substr(md5(
+        |           CAST(lane AS VARCHAR) || '#' || k), 1, 15))::BIGINT) % 2))
+        |           AS BIGINT) AS z_a
+        |       FROM ka CROSS JOIN range(16) t(lane) GROUP BY lane),
+        |zb AS (SELECT lane,
+        |         CAST(SUM(1 - 2 * ((('0x' || substr(md5(
+        |           CAST(lane AS VARCHAR) || '#' || k), 1, 15))::BIGINT) % 2))
+        |           AS BIGINT) AS z_b
+        |       FROM kb CROSS JOIN range(16) t(lane) GROUP BY lane),
+        |ex AS (SELECT COALESCE(CAST(SUM(fa * fb) AS BIGINT), 0)
+        |         AS join_size_exact
+        |       FROM (SELECT k, COUNT(*) AS fa FROM ka GROUP BY k) a
+        |       JOIN (SELECT k, COUNT(*) AS fb FROM kb GROUP BY k) b
+        |         USING (k))
+        |SELECT za.lane, z_a, z_b, z_a * z_b AS est_prod, join_size_exact
+        |FROM za JOIN zb USING (lane) CROSS JOIN ex
+        |ORDER BY za.lane""".stripMargin,
+    "q_source_overlap" ->
+      """WITH toks AS (SELECT source, string_split(text, ' ') AS w
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT source AS src,
+        |         array_to_string(w[i:i+4], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+        |       WHERE len(w) >= 5),
+        |kept AS (SELECT shingle FROM sh GROUP BY shingle
+        |         HAVING COUNT(*) <= 16),
+        |cs AS (SELECT src, shingle FROM sh JOIN kept USING (shingle)),
+        |tot AS (SELECT src, COUNT(*) AS n_sh FROM cs GROUP BY src),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b, COUNT(*) AS shared
+        |      FROM cs a JOIN cs b ON a.shingle = b.shingle AND a.src < b.src
+        |      GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared, ta.n_sh AS n_a, tb.n_sh AS n_b,
+        |  (1000 * shared) // least(ta.n_sh, tb.n_sh) AS contain_permille
+        |FROM p JOIN tot ta ON ta.src = src_a
+        |JOIN tot tb ON tb.src = src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

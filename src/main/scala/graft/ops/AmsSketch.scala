@@ -30,15 +30,8 @@ object AmsSketch {
     */
   def f2Lanes(df: DataFrame, keyCol: String, lanes: Int = 16): DataFrame = {
     require(lanes >= 1 && lanes <= 64, s"lanes must be in [1, 64], got $lanes")
-    val keyed = df.select(col(keyCol).cast("string").as("k"))
-      .where(col("k").isNotNull)
-    val lane = keyed.select(col("k"),
-        explode(sequence(lit(0), lit(lanes - 1))).as("lane"))
-      .withColumn("sign", lit(1L) - lit(2L) *
-        (hex_to_long(substring(md5(concat(col("lane").cast("string"),
-          lit("#"), col("k"))), 1, 15)) % 2L))
-      .groupBy("lane")
-      .agg(sum(col("sign")).as("lane_sum"))
+    val keyed = keys(df, keyCol)
+    val lane = laneSums(keyed, lanes)
     val exact = keyed.groupBy("k").agg(count(lit(1)).as("f"))
       .agg(sum(col("f") * col("f")).as("f2_exact"))
     lane.crossJoin(broadcast(exact))
@@ -46,4 +39,43 @@ object AmsSketch {
         (col("lane_sum") * col("lane_sum")).as("f2_est"), col("f2_exact"))
       .orderBy("lane")
   }
+
+  /** AMS cross-moment join-size estimation: for two key streams A and B
+    * the SAME ±1 lanes give E[Z_A·Z_B] = Σ_k f_A(k)·f_B(k) — the exact
+    * row count of the equi-join A ⋈ B. This prices a join from two
+    * O(lanes) sketches built in separate passes (even separate jobs:
+    * the lane sums are additive, shippable summaries). Output one row
+    * per lane with both sums, the product estimate, and the exact join
+    * size computed alongside as the quality check.
+    */
+  def crossMomentLanes(a: DataFrame, aKeyCol: String, b: DataFrame,
+      bKeyCol: String, lanes: Int = 16): DataFrame = {
+    require(lanes >= 1 && lanes <= 64, s"lanes must be in [1, 64], got $lanes")
+    val ka = keys(a, aKeyCol)
+    val kb = keys(b, bKeyCol)
+    val za = laneSums(ka, lanes).withColumnRenamed("lane_sum", "z_a")
+    val zb = laneSums(kb, lanes).withColumnRenamed("lane_sum", "z_b")
+    val exact = ka.groupBy("k").agg(count(lit(1)).as("fa"))
+      .join(kb.groupBy("k").agg(count(lit(1)).as("fb")), Seq("k"))
+      .agg(coalesce(sum(col("fa") * col("fb")), lit(0L))
+        .as("join_size_exact"))
+    za.join(zb, Seq("lane"))
+      .crossJoin(broadcast(exact))
+      .select(col("lane").cast("long").as("lane"), col("z_a"), col("z_b"),
+        (col("z_a") * col("z_b")).as("est_prod"), col("join_size_exact"))
+      .orderBy("lane")
+  }
+
+  private def keys(df: DataFrame, keyCol: String): DataFrame =
+    df.select(col(keyCol).cast("string").as("k")).where(col("k").isNotNull)
+
+  /** Per-lane signed sums under the shared md5("lane#key") convention. */
+  private def laneSums(keyed: DataFrame, lanes: Int): DataFrame =
+    keyed.select(col("k"),
+        explode(sequence(lit(0), lit(lanes - 1))).as("lane"))
+      .withColumn("sign", lit(1L) - lit(2L) *
+        (hex_to_long(substring(md5(concat(col("lane").cast("string"),
+          lit("#"), col("k"))), 1, 15)) % 2L))
+      .groupBy("lane")
+      .agg(sum(col("sign")).as("lane_sum"))
 }

@@ -69,6 +69,37 @@ object Bridges {
     distributedBridges(spark, canonical, maxBfsRounds)
   }
 
+  /** 2-edge-connected components — the quotient [[bridges]] induces:
+    * delete every bridge and the surviving connected components are
+    * exactly the maximal subgraphs that tolerate any single edge
+    * failure. Labels are the min member name (the CC convention), and a
+    * node ALL of whose edges were bridges becomes its own singleton.
+    * Cost: one bridges pass + one anti-join + one CC pass — every piece
+    * inherits its own local/distributed gating.
+    */
+  def twoEdgeConnectedComponents(edges: DataFrame, srcCol: String,
+      dstCol: String, maxLocalEdges: Long = 2_000_000L,
+      maxBfsRounds: Int = 64): DataFrame = {
+    val canonical = edges.select(
+        least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("x"),
+        greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
+          .as("y"))
+      .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
+      .distinct()
+    val br = bridges(canonical, "x", "y", maxLocalEdges, maxBfsRounds)
+      .select(col("src").as("x"), col("dst").as("y"))
+    val residual = canonical.join(br, Seq("x", "y"), "left_anti")
+    val cc = ConnectedComponents.components(
+      residual.select(col("x").as("src"), col("y").as("dst")),
+      maxLocalEdges = maxLocalEdges)
+    canonical.select(col("x").as("node"))
+      .union(canonical.select(col("y").as("node"))).distinct()
+      .join(cc, Seq("node"), "left")
+      .select(col("node"), coalesce(col("component"), col("node"))
+        .as("component"))
+      .orderBy("node")
+  }
+
   /** Articulation points — the vertex version of [[bridges]]: nodes
     * whose removal disconnects their component. Gated local Tarjan ONLY
     * (root ⟺ ≥2 DFS children; non-root v ⟺ some child's low ≥ disc(v)):

@@ -39,6 +39,38 @@ class AmsSketchSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("f2_exact") == 25L))
   }
 
+  test("cross moment: exact join size and per-lane product identity") {
+    // A: a×2, b×1 ; B: a×3, c×2 -> join size = 2*3 = 6
+    val a = Seq("a", "a", "b").toDF("k")
+    val b = Seq("a", "a", "a", "c", "c").toDF("k")
+    val out = graft.ops.AmsSketch.crossMomentLanes(a, "k", b, "k", lanes = 8)
+      .collect()
+    assert(out.length == 8)
+    assert(out.forall(_.getAs[Long]("join_size_exact") == 6L))
+    out.foreach { r =>
+      assert(r.getAs[Long]("est_prod") ==
+        r.getAs[Long]("z_a") * r.getAs[Long]("z_b"))
+    }
+  }
+
+  test("cross moment: disjoint key sets join to zero exactly") {
+    val out = graft.ops.AmsSketch.crossMomentLanes(
+      Seq("a", "b").toDF("k"), "k", Seq("x", "y").toDF("k"), "k", lanes = 4)
+      .collect()
+    assert(out.forall(_.getAs[Long]("join_size_exact") == 0L))
+  }
+
+  test("cross moment of a stream with itself degenerates to F2") {
+    val df = Seq("a", "a", "b", "c").toDF("k")
+    val cross = graft.ops.AmsSketch.crossMomentLanes(df, "k", df, "k", 6)
+      .collect().map(r => r.getAs[Long]("lane") ->
+        (r.getAs[Long]("est_prod"), r.getAs[Long]("join_size_exact"))).toMap
+    val f2 = graft.ops.AmsSketch.f2Lanes(df, "k", 6)
+      .collect().map(r => r.getAs[Long]("lane") ->
+        (r.getAs[Long]("f2_est"), r.getAs[Long]("f2_exact"))).toMap
+    assert(cross == f2)
+  }
+
   test("the mean lane estimate lands near F2 on a spread stream") {
     val df = (1 to 200).map(i => s"k${i % 50}").toDF("k")
     val out = graft.ops.AmsSketch.f2Lanes(df, "k", lanes = 16).collect()

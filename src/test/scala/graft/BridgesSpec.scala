@@ -99,6 +99,30 @@ class BridgesSpec extends AnyFunSuite {
     assert(arts(Seq(("m", "a"), ("m", "b"), ("m", "c"))) == Set("m"))
   }
 
+  private def tecc(edges: Seq[(String, String)], localCap: Long = 2_000_000L) =
+    graft.ops.Bridges.twoEdgeConnectedComponents(edges.toDF("src", "dst"),
+        "src", "dst", maxLocalEdges = localCap)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+
+  test("2ecc: two triangles joined by a bridge split into two blocks") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("x", "y"), ("y", "z"), ("z", "x"), ("c", "x"))
+    val m = tecc(g)
+    assert(m("a") == "a" && m("b") == "a" && m("c") == "a")
+    assert(m("x") == "x" && m("y") == "x" && m("z") == "x")
+  }
+
+  test("2ecc: a pure path is all singletons") {
+    val m = tecc(Seq(("a", "b"), ("b", "c")))
+    assert(m == Map("a" -> "a", "b" -> "b", "c" -> "c"))
+  }
+
+  test("2ecc: a cycle is one block, local and distributed agree") {
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    assert(tecc(g).values.toSet == Set("a"))
+    assert(tecc(g) == tecc(g, localCap = 0L))
+  }
+
   test("articulation cap is a loud contract") {
     intercept[IllegalArgumentException] {
       graft.ops.Bridges.articulationPoints(
