@@ -2016,6 +2016,50 @@ object SparkEntry {
       graft.ops.SourceOverlap.pairOverlap(Tables.documents(s, d),
         "source", "text", n = 5, maxDf = 16)
     },
+    "q_coloring" -> { (s, d) =>
+      // Jones–Plassmann greedy coloring (ops/Coloring): md5-priority
+      // parallel rounds, mex colors, 12-round truncation replayed
+      // exactly by the unrolled oracle
+      graft.ops.Coloring.greedyColoring(Tables.userSequenceEdges(s, d),
+        "src", "dst", rounds = 12)
+    },
+    "q_wl_colors" -> { (s, d) =>
+      // 1-WL color refinement (ops/WlRefinement): 3 rounds of
+      // (own color, sorted neighbor multiset) hashing — structural
+      // fingerprints; the oracle replays each round via string_agg
+      graft.ops.WlRefinement.wlColors(Tables.userSequenceEdges(s, d),
+        "src", "dst", rounds = 3)
+    },
+    "q_euler" -> { (s, d) =>
+      // Eulerian feasibility per component (GraphChecks.eulerian):
+      // degree parity + CC, no traversal
+      graft.ops.GraphChecks.eulerian(Tables.userSequenceEdges(s, d),
+        "src", "dst")
+    },
+    "q_rich_club" -> { (s, d) =>
+      // rich-club profile of the co-order graph (GraphChecks.richClub):
+      // hub-to-hub density per degree threshold in exact permille
+      graft.ops.GraphChecks.richClub(Tables.coOrderPairEdges(s, d),
+        "src", "dst", maxK = 16)
+    },
+    "q_kappa" -> { (s, d) =>
+      // Cohen's kappa between two labeling heuristics over documents
+      // (Agreement.cohensKappa): length rule vs type-token-ratio rule,
+      // chance-corrected agreement in signed permille
+      val rated = Tables.documents(s, d).select(
+        (size(split(col("text"), " ")) >= 30).as("ra"),
+        (size(array_distinct(split(col("text"), " "))) * 5 >=
+          size(split(col("text"), " ")) * 3).as("rb"))
+      graft.ops.Agreement.cohensKappa(rated, "ra", "rb")
+    },
+    "q_temporal_triangles" -> { (s, d) =>
+      // cyclic temporal triangles (ops/TemporalMotifs): u→v→w→u with
+      // strictly increasing times inside a 6h window — information-flow
+      // loops, not static structure
+      graft.ops.TemporalMotifs.cyclicTriangles(
+        Tables.userTemporalEdges(s, d), "src", "dst", "t",
+        windowUs = 21600000000L)
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -4836,6 +4880,147 @@ object SparkEntry {
         |FROM p JOIN tot ta ON ta.src = src_a
         |JOIN tot tb ON tb.src = src_b
         |ORDER BY src_a, src_b""".stripMargin,
+    "q_coloring" ->
+      s"""WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id,
+         |       lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+         |     FROM events WHERE event_type = 'click' AND value < 2.0),
+         |e AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+         |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+         |        FROM e),
+         |symg AS MATERIALIZED (SELECT x AS a, y AS b FROM und
+         |         UNION ALL SELECT y AS a, x AS b FROM und),
+         |${graft.ops.Coloring.oracleRoundCtes(12)}
+         |SELECT n.v AS node, COALESCE(c.color, -1) AS color,
+         |  COALESCE(c.round, -1) AS round
+         |FROM nodesg n LEFT JOIN c12 c ON c.v = n.v
+         |ORDER BY node""".stripMargin,
+    "q_wl_colors" ->
+      """WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id,
+        |       lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |     FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM e),
+        |symg AS MATERIALIZED (SELECT x AS a, y AS b FROM und
+        |         UNION ALL SELECT y AS a, x AS b FROM und),
+        |c0 AS MATERIALIZED (SELECT a AS v, md5(CAST(COUNT(*) AS VARCHAR)) AS c
+        |      FROM symg GROUP BY a),
+        |m1 AS (SELECT s.a AS v, string_agg(c.c, ',' ORDER BY c.c) AS ms
+        |       FROM symg s JOIN c0 c ON c.v = s.b GROUP BY s.a),
+        |c1 AS MATERIALIZED (SELECT p.v, md5(p.c || '#' || m.ms) AS c
+        |      FROM c0 p JOIN m1 m ON m.v = p.v),
+        |m2 AS (SELECT s.a AS v, string_agg(c.c, ',' ORDER BY c.c) AS ms
+        |       FROM symg s JOIN c1 c ON c.v = s.b GROUP BY s.a),
+        |c2 AS MATERIALIZED (SELECT p.v, md5(p.c || '#' || m.ms) AS c
+        |      FROM c1 p JOIN m2 m ON m.v = p.v),
+        |m3 AS (SELECT s.a AS v, string_agg(c.c, ',' ORDER BY c.c) AS ms
+        |       FROM symg s JOIN c2 c ON c.v = s.b GROUP BY s.a),
+        |c3 AS MATERIALIZED (SELECT p.v, md5(p.c || '#' || m.ms) AS c
+        |      FROM c2 p JOIN m3 m ON m.v = p.v),
+        |sz AS (SELECT c, COUNT(*) AS color_size FROM c3 GROUP BY c)
+        |SELECT c3.v AS node, c3.c AS wl_color, sz.color_size
+        |FROM c3 JOIN sz ON sz.c = c3.c
+        |ORDER BY node""".stripMargin,
+    "q_euler" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM e),
+        |sym AS (SELECT x AS a, y AS b FROM und
+        |        UNION ALL SELECT y AS a, x AS b FROM und),
+        |deg AS (SELECT a AS node, COUNT(*) AS deg FROM sym GROUP BY a),
+        |n AS (SELECT x AS node FROM und UNION SELECT y FROM und),
+        |reach AS (SELECT node AS a, node AS b FROM n
+        |          UNION
+        |          SELECT r.a, s2.b FROM reach r JOIN sym s2 ON s2.a = r.b),
+        |comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a)
+        |SELECT component, COUNT(*) AS n_nodes,
+        |  CAST(SUM(deg) // 2 AS BIGINT) AS m_edges,
+        |  CAST(SUM(CASE WHEN deg % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_odd,
+        |  (SUM(CASE WHEN deg % 2 = 1 THEN 1 ELSE 0 END) = 0) AS has_circuit,
+        |  (SUM(CASE WHEN deg % 2 = 1 THEN 1 ELSE 0 END) <= 2) AS has_path
+        |FROM deg JOIN comp USING (node)
+        |GROUP BY component
+        |ORDER BY component""".stripMargin,
+    "q_rich_club" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |und AS MATERIALIZED (SELECT DISTINCT x.item AS x, y.item AS y
+        |        FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item),
+        |deg AS MATERIALIZED (SELECT node, COUNT(*) AS deg
+        |      FROM (SELECT x AS node FROM und
+        |            UNION ALL SELECT y FROM und)
+        |      GROUP BY node),
+        |nk AS (SELECT t.k, COUNT(*) AS n_k
+        |       FROM deg, UNNEST(range(1, CAST(least(deg - 1, 16) AS BIGINT) + 1)) AS t(k)
+        |       WHERE deg >= 2
+        |       GROUP BY t.k),
+        |ek AS (SELECT t.k, COUNT(*) AS e_k
+        |       FROM (SELECT least(dx.deg, dy.deg) AS dmin
+        |             FROM und JOIN deg dx ON dx.node = und.x
+        |             JOIN deg dy ON dy.node = und.y) m,
+        |         UNNEST(range(1, CAST(least(dmin - 1, 16) AS BIGINT) + 1)) AS t(k)
+        |       WHERE dmin >= 2
+        |       GROUP BY t.k)
+        |SELECT nk.k, nk.n_k, COALESCE(ek.e_k, 0) AS e_k,
+        |  (1000 * 2 * COALESCE(ek.e_k, 0)) // (nk.n_k * (nk.n_k - 1))
+        |    AS phi_permille
+        |FROM nk LEFT JOIN ek ON ek.k = nk.k
+        |WHERE nk.n_k >= 2
+        |ORDER BY nk.k""".stripMargin,
+    "q_kappa" ->
+      """WITH rated AS (SELECT
+        |    len(string_split(text, ' ')) >= 30 AS a,
+        |    len(list_distinct(string_split(text, ' '))) * 5 >=
+        |      len(string_split(text, ' ')) * 3 AS b
+        |  FROM documents),
+        |agg AS (SELECT COUNT(*) AS n,
+        |    CAST(SUM(CASE WHEN a = b THEN 1 ELSE 0 END) AS BIGINT) AS agree,
+        |    CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS a_pos,
+        |    CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS b_pos
+        |  FROM rated),
+        |ch AS (SELECT *, a_pos * b_pos + (n - a_pos) * (n - b_pos) AS chance
+        |       FROM agg),
+        |nd AS (SELECT n, agree, a_pos, b_pos,
+        |         n * agree - chance AS num, n * n - chance AS den
+        |       FROM ch)
+        |SELECT n, agree, a_pos, b_pos, num, den,
+        |  CASE WHEN den = 0 THEN 0
+        |       WHEN num >= 0 THEN (1000 * num) // den
+        |       ELSE -((1000 * (-num)) // den) END AS kappa_permille
+        |FROM nd""".stripMargin,
+    "q_temporal_triangles" ->
+      """WITH ev AS (SELECT user_id, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS nxt,
+        |         lead(epoch_us(ts)) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS nxt_us
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |te AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS s,
+        |         CAST(nxt AS VARCHAR) AS d, CAST(nxt_us AS BIGINT) AS t
+        |       FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |w AS MATERIALIZED (SELECT a.s AS u, a.d AS v, b.d AS w,
+        |         a.t AS t1, b.t AS t2
+        |       FROM te a JOIN te b ON b.s = a.d
+        |       WHERE b.t > a.t AND b.t - a.t <= 21600000000
+        |         AND b.d <> a.s),
+        |tri AS (SELECT COUNT(*) AS n_triangles
+        |        FROM w JOIN te c ON c.s = w.w AND c.d = w.u
+        |        WHERE c.t > w.t2 AND c.t - w.t1 <= 21600000000)
+        |SELECT (SELECT COUNT(*) FROM te) AS n_edges,
+        |  (SELECT COUNT(*) FROM w) AS n_wedges,
+        |  n_triangles
+        |FROM tri""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

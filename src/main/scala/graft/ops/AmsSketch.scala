@@ -66,6 +66,14 @@ object AmsSketch {
       .orderBy("lane")
   }
 
+  /** The bare mergeable state: per-lane signed sums. Public because it
+    * is exactly what a streaming aggregation or a cross-job shipper
+    * materializes — additive under union, so `complete`-mode streaming
+    * output equals the batch sketch over the same rows (spec'd).
+    */
+  def laneSumsOf(df: DataFrame, keyCol: String, lanes: Int): DataFrame =
+    laneSums(keys(df, keyCol), lanes)
+
   private def keys(df: DataFrame, keyCol: String): DataFrame =
     df.select(col(keyCol).cast("string").as("k")).where(col("k").isNotNull)
 
