@@ -2060,6 +2060,18 @@ object SparkEntry {
         Tables.userTemporalEdges(s, d), "src", "dst", "t",
         windowUs = 21600000000L)
     },
+    "q_simpson" -> { (s, d) =>
+      // Simpson source-concentration per language (Diversity
+      // .simpsonIndex): the no-logarithm diversity index, exact ppm
+      graft.ops.Diversity.simpsonIndex(Tables.documents(s, d),
+        "lang", "source")
+    },
+    "q_centroid_shift" -> { (s, d) =>
+      // embedding drift between labels (EmbedStats.centroidShift):
+      // exact integer centroid sums, portable dot/sqrt cosine
+      graft.ops.EmbedStats.centroidShift(Tables.embeddings(s, d),
+        "label", "embedding")
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5021,6 +5033,43 @@ object SparkEntry {
         |  (SELECT COUNT(*) FROM w) AS n_wedges,
         |  n_triangles
         |FROM tri""".stripMargin,
+    "q_simpson" ->
+      """WITH c AS (SELECT lang AS grp, source AS cat, COUNT(*) AS n_c
+        |           FROM documents GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(SUM(n_c) AS BIGINT) AS n,
+        |        COUNT(*) AS n_cats,
+        |        CAST(SUM(n_c * (n_c - 1)) AS BIGINT) AS pairs_same
+        |      FROM c GROUP BY 1)
+        |SELECT grp, n, n_cats,
+        |  (1000000 * pairs_same) // (n * (n - 1)) AS simpson_ppm
+        |FROM g WHERE n >= 2
+        |ORDER BY grp""".stripMargin,
+    "q_centroid_shift" ->
+      """WITH q AS (SELECT CAST(label AS VARCHAR) AS lab,
+        |         list_transform(embedding,
+        |           x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE)) AS BIGINT)) AS v
+        |       FROM embeddings),
+        |e AS (SELECT lab, t.i AS d, v[t.i] AS s0
+        |      FROM q, UNNEST(range(1, len(v) + 1)) AS t(i)),
+        |sums AS (SELECT lab, d, CAST(SUM(s0) AS BIGINT) AS s
+        |         FROM e GROUP BY 1, 2),
+        |meta AS (SELECT CAST(label AS VARCHAR) AS lab, COUNT(*) AS n
+        |         FROM embeddings GROUP BY 1),
+        |norms AS (SELECT sums.lab, CAST(SUM(s * s) AS BIGINT) AS nrm, meta.n
+        |          FROM sums JOIN meta ON meta.lab = sums.lab
+        |          GROUP BY sums.lab, meta.n),
+        |dots AS (SELECT a.lab AS label_a, b.lab AS label_b,
+        |           CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+        |         FROM sums a JOIN sums b ON a.d = b.d AND a.lab < b.lab
+        |         GROUP BY 1, 2)
+        |SELECT label_a, label_b, na.n AS n_a, nb.n AS n_b, dot,
+        |  na.nrm AS nrm_a, nb.nrm AS nrm_b,
+        |  CAST(dot AS DOUBLE) /
+        |    SQRT(CAST(na.nrm AS DOUBLE) * CAST(nb.nrm AS DOUBLE)) AS cosine
+        |FROM dots
+        |JOIN norms na ON na.lab = label_a
+        |JOIN norms nb ON nb.lab = label_b
+        |ORDER BY label_a, label_b""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

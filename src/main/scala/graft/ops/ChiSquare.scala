@@ -36,8 +36,11 @@ object ChiSquare {
     */
   def tokenLabel(docs: DataFrame, tokensCol: String,
       labelCol: String): DataFrame = {
+    // base feeds the doc-count totals AND the token explode — persist so
+    // the corpus scan (already pruned to two columns) runs once
     val base = docs.select(col(tokensCol).as("__toks"),
       col(labelCol).cast("boolean").as("__lab"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = base.agg(count(lit(1)).as("n"),
       sum(when(col("__lab"), 1L).otherwise(0L)).as("n_pos"))
     val perTok = base

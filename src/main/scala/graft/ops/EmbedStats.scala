@@ -28,6 +28,56 @@ import org.apache.spark.sql.functions._
   */
 object EmbedStats {
 
+  /** Embedding drift between groups — are two slices of the corpus
+    * (labels, sources, time shards) embedded in the same region? Exact
+    * integer centroid SUMS per (group, dimension) — cosine of sums
+    * equals cosine of means, so no division happens until the final
+    * projection, where dot/√(‖a‖²·‖b‖²) uses only IEEE-correctly-
+    * rounded ops on exact integers (the portable-cosine contract the
+    * ANN family already proves). Norm products are multiplied as
+    * doubles — each factor is exact, the product would overflow a Long.
+    *
+    * Shape: one posexplode + (group, dim)-keyed sum (partial-
+    * aggregated; output is groups×dim rows however large the corpus),
+    * then a dim-keyed pair join over the group dimension — nothing
+    * row-sized ever shuffles twice. Output per unordered group pair:
+    * (label_a, label_b, n_a, n_b, dot, nrm_a, nrm_b, cosine).
+    */
+  def centroidShift(df: DataFrame, labelCol: String, vecCol: String,
+      scale: Double = 10000.0): DataFrame = {
+    val q = df.select(col(labelCol).cast("string").as("lab"),
+        posexplode(Similarity.quantize(col(vecCol), scale))
+          .as(Seq("d", "v")))
+    // quantize emits integer-VALUED doubles (ArrayQuantize contract);
+    // the cast makes every sum an exact Long
+    val sums = q.groupBy("lab", "d")
+      .agg(sum(col("v").cast("long")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val meta = df.groupBy(col(labelCol).cast("string").as("lab"))
+      .agg(count(lit(1)).as("n"))
+    val norms = sums.groupBy("lab")
+      .agg(sum(col("s") * col("s")).as("nrm"))
+      .join(meta, Seq("lab"))
+    val dots = sums.select(col("lab").as("label_a"), col("d"),
+        col("s").as("sa"))
+      .join(sums.select(col("lab").as("label_b"), col("d"),
+        col("s").as("sb")), Seq("d"))
+      .where(col("label_a") < col("label_b"))
+      .groupBy("label_a", "label_b")
+      .agg(sum(col("sa") * col("sb")).as("dot"))
+    dots
+      .join(norms.select(col("lab").as("label_a"), col("nrm").as("nrm_a"),
+        col("n").as("n_a")), Seq("label_a"))
+      .join(norms.select(col("lab").as("label_b"), col("nrm").as("nrm_b"),
+        col("n").as("n_b")), Seq("label_b"))
+      .select(col("label_a"), col("label_b"), col("n_a"), col("n_b"),
+        col("dot"), col("nrm_a"), col("nrm_b"),
+        (col("dot").cast("double") /
+          sqrt(col("nrm_a").cast("double") * col("nrm_b").cast("double")))
+          .as("cosine"))
+      .orderBy("label_a", "label_b")
+  }
+
   def gramMatrix(df: DataFrame, vecCol: String, dim: Int): DataFrame = {
     require(dim >= 1 && dim <= 4096, s"dim must be in [1, 4096], got $dim")
     val spark = df.sparkSession

@@ -16,12 +16,15 @@ object GraphChecks {
     * + one component rollup — no traversal anywhere.
     */
   def eulerian(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    // the canonical edge set feeds the degree aggregate AND the CC pass
+    // (which scans it more than once itself) — persist, don't recompute
     val canonical = edges.select(
         least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("x"),
         greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
           .as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = canonical.select(col("x").as("node"))
       .union(canonical.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -52,15 +55,19 @@ object GraphChecks {
   def richClub(edges: DataFrame, srcCol: String, dstCol: String,
       maxK: Int = 16): DataFrame = {
     require(maxK >= 1 && maxK <= 256, s"maxK must be in [1, 256], got $maxK")
+    // canonical feeds deg and the e_k join; deg feeds n_k and BOTH join
+    // sides — persist both or the co-order derivation reruns 4x
     val canonical = edges.select(
         least(col(srcCol).cast("string"), col(dstCol).cast("string")).as("x"),
         greatest(col(srcCol).cast("string"), col(dstCol).cast("string"))
           .as("y"))
       .where(col("x").isNotNull && col("y").isNotNull && col("x") =!= col("y"))
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = canonical.select(col("x").as("node"))
       .union(canonical.select(col("y").as("node")))
       .groupBy("node").agg(count(lit(1)).as("deg"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // explode ONLY the passing thresholds (sequence end is clamped, and
     // Spark's sequence runs DESCENDING when end < start, so the deg >= 2
     // guard is load-bearing)

@@ -38,6 +38,8 @@ object SourceOverlap {
         s"transform(sequence(0, size(w) - $n), i -> " +
           s"concat_ws(' ', slice(w, i + 1, $n)))")).as("shingle"))
       .distinct()
+      // feeds the df count AND the semi-join back — one corpus scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val kept = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
       .where(col("df") <= maxDf)
       .select("shingle")

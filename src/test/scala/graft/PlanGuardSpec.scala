@@ -17,8 +17,64 @@ class PlanGuardSpec extends AnyFunSuite {
 
   private def scans(p: String): Int =
     "Scan parquet".r.findAllIn(p).size
+
+  /** Scan count for plans with persisted subtrees: InMemoryTableScan
+    * string rendering re-prints the cached child, inflating the string
+    * count — walk the TREE and count real file scans only.
+    */
+  private def treeScans(name: String): Int = {
+    val plan = SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan
+    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
+        case _ => 0
+      }) + p.children.map(walk).sum
+    walk(plan)
+  }
   private def shuffles(p: String): Int =
     "(?<!Broadcast)Exchange (hash|range|Single)".r.findAllIn(p).size
+
+  test("q_feature_hash vectorizes from one documents scan, no joins") {
+    val p = physical("q_feature_hash")
+    assert(scans(p) == 1)
+    assert(!p.contains("Join"), s"hashing trick needs no vocabulary join:\n$p")
+  }
+
+  // Persisted queries: the cached subtree is NOT a child of the
+  // consuming plan, so a correct guard is "no more than one LIVE file
+  // scan, and the cache is actually in play" — every consumer reads
+  // InMemoryTableScan instead of re-deriving the subtree.
+  test("q_source_overlap scans documents once (persisted shingle index)") {
+    assert(treeScans("q_source_overlap") <= 1)
+    assert(physical("q_source_overlap").contains("InMemoryTableScan"))
+  }
+
+  test("q_chi2_tokens scans documents once (persisted pruned base)") {
+    assert(treeScans("q_chi2_tokens") <= 1)
+    assert(physical("q_chi2_tokens").contains("InMemoryTableScan"))
+  }
+
+  test("q_rich_club derives the co-order graph once (persisted)") {
+    val p = physical("q_rich_club")
+    assert(treeScans("q_rich_club") <= 1)
+    assert(p.contains("InMemoryTableScan"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_temporal_triangles joins with equi keys, never cartesian") {
+    val p = physical("q_temporal_triangles")
+    assert(!p.contains("CartesianProduct"))
+    assert(treeScans("q_temporal_triangles") <= 1)
+    assert(p.contains("InMemoryTableScan"),
+      "persisted temporal edge list feeds all three join legs")
+  }
+
+  test("q_kappa is one aggregate over one scan") {
+    val p = physical("q_kappa")
+    assert(scans(p) == 1)
+    assert(!p.contains("Join"))
+  }
 
   test("q_skipgrams reads documents exactly once (lead-array explode)") {
     assert(scans(physical("q_skipgrams")) == 1)
