@@ -2072,6 +2072,41 @@ object SparkEntry {
       graft.ops.EmbedStats.centroidShift(Tables.embeddings(s, d),
         "label", "embedding")
     },
+    "q_cascade" -> { (s, d) =>
+      // threshold cascade (ops/Cascade): md5-sampled seeds, activate at
+      // >= 2 active neighbors, 6 synchronous rounds replayed by the
+      // generated unrolled oracle
+      graft.ops.Cascade.thresholdCascade(Tables.userSequenceEdges(s, d),
+        "src", "dst", k = 2, seedPermille = 100, rounds = 6)
+    },
+    "q_wl_components" -> { (s, d) =>
+      // per-component 1-WL signatures: structurally indistinguishable
+      // components share wl_sig — distributed isomorphism screening.
+      // Input: the five per-event-type journey graphs, node-namespaced
+      // so each type is its own component family
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("ts_us"), col("event_id"))
+      val typed = Tables.events(s, d).where(col("value") < 2.0)
+        .withColumn("nxt", lead(col("user_id"), 1).over(w))
+        .where(col("nxt").isNotNull && col("nxt") =!= col("user_id"))
+        .select(concat(col("event_type"), lit(":"), col("user_id")).as("src"),
+          concat(col("event_type"), lit(":"), col("nxt")).as("dst"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wl = graft.ops.WlRefinement.wlColors(typed, "src", "dst",
+        rounds = 3)
+      val cc = graft.ops.ConnectedComponents.components(typed)
+      val sig = wl.join(cc, Seq("node"))
+        .groupBy("component")
+        .agg(count(lit(1)).as("n_nodes"),
+          md5(concat_ws(",", sort_array(collect_list(col("wl_color")))))
+            .as("wl_sig"))
+      val iso = sig.groupBy("wl_sig").agg(count(lit(1)).as("n_isomorphic"))
+      sig.join(iso, Seq("wl_sig"))
+        .select(col("component"), col("n_nodes"), col("wl_sig"),
+          col("n_isomorphic"))
+        .orderBy("component")
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5070,6 +5105,60 @@ object SparkEntry {
         |JOIN norms na ON na.lab = label_a
         |JOIN norms nb ON nb.lab = label_b
         |ORDER BY label_a, label_b""".stripMargin,
+    "q_cascade" ->
+      s"""WITH ev AS MATERIALIZED (SELECT user_id, ts, event_id,
+         |       lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+         |     FROM events WHERE event_type = 'click' AND value < 2.0),
+         |e AS MATERIALIZED (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src, CAST(nxt AS VARCHAR) AS dst
+         |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+         |und AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+         |        FROM e),
+         |symg AS MATERIALIZED (SELECT x AS a, y AS b FROM und
+         |         UNION ALL SELECT y AS a, x AS b FROM und),
+         |${graft.ops.Cascade.oracleRoundCtes(k = 2, seedPermille = 100, rounds = 6)}
+         |SELECT n.node, COALESCE(a.r, -1) AS active_round
+         |FROM nodesg n LEFT JOIN a6 a ON a.node = n.node
+         |ORDER BY n.node""".stripMargin,
+    "q_wl_components" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT event_type, user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE value < 2.0),
+        |e AS (SELECT DISTINCT
+        |        event_type || ':' || CAST(user_id AS VARCHAR) AS src,
+        |        event_type || ':' || CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |und AS (SELECT DISTINCT least(src, dst) AS x, greatest(src, dst) AS y
+        |        FROM e),
+        |symg AS (SELECT x AS a, y AS b FROM und
+        |         UNION ALL SELECT y AS a, x AS b FROM und),
+        |c0 AS (SELECT a AS v, md5(CAST(COUNT(*) AS VARCHAR)) AS c
+        |       FROM symg GROUP BY a),
+        |m1 AS (SELECT s.a AS v, string_agg(c.c, ',' ORDER BY c.c) AS ms
+        |       FROM symg s JOIN c0 c ON c.v = s.b GROUP BY s.a),
+        |c1 AS (SELECT p.v, md5(p.c || '#' || m.ms) AS c
+        |       FROM c0 p JOIN m1 m ON m.v = p.v),
+        |m2 AS (SELECT s.a AS v, string_agg(c.c, ',' ORDER BY c.c) AS ms
+        |       FROM symg s JOIN c1 c ON c.v = s.b GROUP BY s.a),
+        |c2 AS (SELECT p.v, md5(p.c || '#' || m.ms) AS c
+        |       FROM c1 p JOIN m2 m ON m.v = p.v),
+        |m3 AS (SELECT s.a AS v, string_agg(c.c, ',' ORDER BY c.c) AS ms
+        |       FROM symg s JOIN c2 c ON c.v = s.b GROUP BY s.a),
+        |c3 AS (SELECT p.v, md5(p.c || '#' || m.ms) AS c
+        |       FROM c2 p JOIN m3 m ON m.v = p.v),
+        |nn AS (SELECT x AS node FROM und UNION SELECT y FROM und),
+        |reach AS (SELECT node AS a, node AS b FROM nn
+        |          UNION
+        |          SELECT r.a, s2.b FROM reach r JOIN symg s2 ON s2.a = r.b),
+        |comp AS (SELECT a AS node, MIN(b) AS component FROM reach GROUP BY a),
+        |sig AS (SELECT comp.component, COUNT(*) AS n_nodes,
+        |          md5(string_agg(c3.c, ',' ORDER BY c3.c)) AS wl_sig
+        |        FROM c3 JOIN comp ON comp.node = c3.v
+        |        GROUP BY 1),
+        |iso AS (SELECT wl_sig, COUNT(*) AS n_isomorphic FROM sig GROUP BY 1)
+        |SELECT component, n_nodes, sig.wl_sig, n_isomorphic
+        |FROM sig JOIN iso ON iso.wl_sig = sig.wl_sig
+        |ORDER BY component""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok
