@@ -2107,6 +2107,26 @@ object SparkEntry {
           col("n_isomorphic"))
         .orderBy("component")
     },
+    "q_calibration" -> { (s, d) =>
+      // reliability bins of the quality score against the lang label
+      // (Agreement.calibrationBins): is a 0.8-quality doc English 80%
+      // of the time? Exact per-bin rates in ppm
+      val scored = TextStats.withTokenStats(Tables.documents(s, d), "text")
+        .select(TextStats.qualityScore.as("quality"),
+          (col("lang") === "en").as("lab"))
+      graft.ops.Agreement.calibrationBins(scored, "quality", "lab")
+    },
+    "q_blocking_quality" -> { (s, d) =>
+      // blocking-quality audit (ops/BlockingQuality): does SimHash band
+      // blocking retain the trigram-Jaccard>=0.5 truth pairs, and how
+      // much of the all-pairs work does it eliminate?
+      val docs = Tables.documents(s, d)
+      graft.ops.BlockingQuality.evaluate(
+        graft.ops.Dedup.simHashBandCandidates(docs, "doc_id", "text"),
+        graft.ops.Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+          n = 3, threshold = 0.5),
+        docs)
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5159,6 +5179,69 @@ object SparkEntry {
         |SELECT component, n_nodes, sig.wl_sig, n_isomorphic
         |FROM sig JOIN iso ON iso.wl_sig = sig.wl_sig
         |ORDER BY component""".stripMargin,
+    "q_calibration" ->
+      """WITH t AS (SELECT lang, string_split(text, ' ') AS w FROM documents),
+        |s AS (SELECT lang,
+        |        len(w) AS n_tokens,
+        |        len(list_distinct(w)) AS n_distinct,
+        |        len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS n_stop
+        |      FROM t),
+        |q AS (SELECT lang = 'en' AS lab,
+        |        CAST(0.4 AS DOUBLE) * LEAST(CAST(n_tokens AS DOUBLE) / CAST(100.0 AS DOUBLE), CAST(1.0 AS DOUBLE))
+        |        + CAST(0.4 AS DOUBLE) * (CAST(n_distinct AS DOUBLE) / n_tokens)
+        |        + CAST(0.2 AS DOUBLE) * LEAST(CAST(n_stop AS DOUBLE) * CAST(5.0 AS DOUBLE) / n_tokens, CAST(1.0 AS DOUBLE))
+        |        AS quality
+        |      FROM s),
+        |b AS (SELECT CAST(FLOOR(quality * 10) AS BIGINT) AS bin,
+        |        COUNT(*) AS n,
+        |        CAST(SUM(CASE WHEN lab THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |      FROM q GROUP BY 1)
+        |SELECT bin, n, n_pos, (1000000 * n_pos) // n AS rate_ppm
+        |FROM b ORDER BY bin""".stripMargin,
+    "q_blocking_quality" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        |          FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |          GROUP BY 1, 2),
+        |truth AS (SELECT id_a, id_b
+        |          FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |          JOIN sizes sb ON sb.doc_id = id_b
+        |          WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+        |tk AS (SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok FROM documents),
+        |h AS (SELECT doc_id,
+        |        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h1,
+        |        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS h2
+        |      FROM tk),
+        |bits AS (SELECT doc_id, j,
+        |           CAST(SUM(CASE WHEN (h1 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v1,
+        |           CAST(SUM(CASE WHEN (h2 >> j) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS v2
+        |         FROM h CROSS JOIN (SELECT UNNEST(range(0, 32)) AS j) GROUP BY doc_id, j),
+        |fp AS (SELECT doc_id,
+        |         CAST(SUM(CASE WHEN v1 > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS fp1,
+        |         CAST(SUM(CASE WHEN v2 > 0 THEN 1::BIGINT << j ELSE 0 END) AS BIGINT) AS fp2
+        |       FROM bits GROUP BY doc_id),
+        |bnd AS (SELECT doc_id, UNNEST([0, 1, 2, 3]) AS band,
+        |               UNNEST([fp1 & 65535, (fp1 >> 16) & 65535,
+        |                       fp2 & 65535, (fp2 >> 16) & 65535]) AS bucket
+        |        FROM fp),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |         FROM bnd a JOIN bnd b
+        |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |agg AS (SELECT (SELECT COUNT(*) FROM documents) AS n_docs,
+        |          (SELECT COUNT(*) FROM truth) AS n_truth,
+        |          (SELECT COUNT(*) FROM cand) AS n_cand,
+        |          (SELECT COUNT(*) FROM cand JOIN truth USING (id_a, id_b))
+        |            AS n_hit)
+        |SELECT n_docs, n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth = 0 THEN 1000
+        |       ELSE (1000 * n_hit) // n_truth END AS recall_permille,
+        |  CASE WHEN n_docs < 2 THEN 0
+        |       ELSE 1000000 - (2000000 * n_cand) // (n_docs * (n_docs - 1))
+        |       END AS reduction_ppm
+        |FROM agg""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

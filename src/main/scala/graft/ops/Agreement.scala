@@ -25,6 +25,27 @@ import org.apache.spark.sql.functions._
   */
 object Agreement {
 
+  /** Reliability (calibration) bins — does a [0,1] score MEAN what it
+    * claims? Rows bin by ⌊score·nBins⌋ and each bin reports its exact
+    * positive rate in ppm; a calibrated score has rate_ppm tracking the
+    * bin index. The floor of an identically-shaped double expression is
+    * engine-portable (the same contract q_quality itself relies on), and
+    * everything after the floor is integer. One partial-aggregated pass.
+    * Output: (bin, n, n_pos, rate_ppm).
+    */
+  def calibrationBins(df: DataFrame, scoreCol: String, labelCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2 && nBins <= 1000, s"nBins must be in [2,1000], got $nBins")
+    df.select(floor(col(scoreCol) * nBins).cast("long").as("bin"),
+        col(labelCol).cast("boolean").as("lab"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("lab"), 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("(1000000 * n_pos) div n").as("rate_ppm"))
+      .orderBy("bin")
+  }
+
   def cohensKappa(df: DataFrame, raterACol: String,
       raterBCol: String): DataFrame = {
     df.select(col(raterACol).cast("boolean").as("a"),

@@ -481,6 +481,25 @@ object Dedup extends org.apache.spark.internal.Logging {
     */
   def simHashPairsPortable(df: DataFrame, idCol: String, textCol: String,
       maxBits: Int = 3, maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = simHashBuckets(df, idCol, textCol, maxBucketSize)
+    buckets.as("a")
+      .join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        (expr("bit_count(a.fp1 ^ b.fp1)") + expr("bit_count(a.fp2 ^ b.fp2)"))
+          .as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxBits)
+  }
+
+  /** SimHash band-bucket construction shared by the pair generator and
+    * the blocking-quality evaluator: per-token md5 lanes → 64-bit
+    * fingerprint via the single-pass bit-vote aggregate → four 16-bit
+    * bands, hot buckets capped BEFORE any join.
+    */
+  private def simHashBuckets(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int): DataFrame = {
     import graft.functions.BitVoteAgg.bit_votes
     val toks = df.select(col(idCol).as("id"),
         explode(split(col(textCol), " ")).as("tok"))
@@ -495,23 +514,29 @@ object Dedup extends org.apache.spark.internal.Logging {
     val bandCols = Seq(
       struct(lit(0).as("band"), expr("fp1 & 65535").as("bucket")),
       struct(lit(1).as("band"), expr("(fp1 >> 16) & 65535").as("bucket")),
-      struct(lit(2).as("band"), expr("fp2 & 65535").as("bucket")),
+      struct(lit(2).as("band"), expr("(fp2 & 65535)").as("bucket")),
       struct(lit(3).as("band"), expr("(fp2 >> 16) & 65535").as("bucket")))
     val rawBuckets = fp.select(col("id"), col("fp1"), col("fp2"),
         explode(array(bandCols: _*)).as("bb"))
       .select(col("id"), col("fp1"), col("fp2"), col("bb.band"), col("bb.bucket"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val buckets = capHotBuckets(rawBuckets, Seq("band", "bucket"),
+    capHotBuckets(rawBuckets, Seq("band", "bucket"),
       maxBucketSize, "simHashPairsPortable")
+  }
+
+  /** The raw SimHash BLOCKING output — every distinct pair sharing a
+    * band bucket, BEFORE any hamming verification. This is the
+    * candidate set a blocking-quality audit evaluates.
+    */
+  def simHashBandCandidates(df: DataFrame, idCol: String, textCol: String,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val buckets = simHashBuckets(df, idCol, textCol, maxBucketSize)
     buckets.as("a")
       .join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        (expr("bit_count(a.fp1 ^ b.fp1)") + expr("bit_count(a.fp2 ^ b.fp2)"))
-          .as("hamming"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
-      .where(col("hamming") <= maxBits)
   }
 
   /** Exact-Jaccard verification of candidate pairs (id_a, id_b) against a
