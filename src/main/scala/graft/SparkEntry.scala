@@ -2127,6 +2127,13 @@ object SparkEntry {
           n = 3, threshold = 0.5),
         docs)
     },
+    "q_seq_patterns" -> { (s, d) =>
+      // gapped sequential patterns up to length 3 (SeqMining
+      // .frequentSequences): greedy-earliest subsequence containment,
+      // support = distinct users, min support 50
+      graft.ops.SeqMining.frequentSequences(Tables.events(s, d),
+        "user_id", "event_type", "ts_us", minSupport = 50L)
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5242,6 +5249,32 @@ object SparkEntry {
         |       ELSE 1000000 - (2000000 * n_cand) // (n_docs * (n_docs - 1))
         |       END AS reduction_ppm
         |FROM agg""".stripMargin,
+    "q_seq_patterns" ->
+      """WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS u, event_type AS it,
+        |              epoch_us(ts) AS t
+        |            FROM events
+        |            WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |f AS (SELECT u, it AS a, MIN(t) AS t1 FROM ev GROUP BY 1, 2),
+        |p AS (SELECT f.u, f.a, e.it AS b, MIN(e.t) AS t2
+        |      FROM f JOIN ev e ON e.u = f.u AND e.t > f.t1
+        |      GROUP BY 1, 2, 3),
+        |tr AS (SELECT p.u, p.a, p.b, e.it AS c, MIN(e.t) AS t3
+        |       FROM p JOIN ev e ON e.u = p.u AND e.t > p.t2
+        |       GROUP BY 1, 2, 3, 4),
+        |s1 AS (SELECT a AS pattern, CAST(1 AS BIGINT) AS len,
+        |         COUNT(*) AS support
+        |       FROM f GROUP BY 1),
+        |s2 AS (SELECT a || '>' || b AS pattern, CAST(2 AS BIGINT) AS len,
+        |         COUNT(*) AS support
+        |       FROM p GROUP BY a, b),
+        |s3 AS (SELECT a || '>' || b || '>' || c AS pattern,
+        |         CAST(3 AS BIGINT) AS len, COUNT(*) AS support
+        |       FROM tr GROUP BY a, b, c)
+        |SELECT pattern, len, support
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+        |      UNION ALL SELECT * FROM s3)
+        |WHERE support >= 50
+        |ORDER BY support DESC, pattern""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

@@ -73,4 +73,25 @@ class StreamingAmsSpec extends AnyFunSuite {
     q.stop()
     assert(streamed == batch)
   }
+
+  test("streaming CMS table equals the batch sketch (counter addition)") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[String]
+    val q = graft.ops.FrequencySketch
+      .cmsTable(input.toDF().toDF("item"), "item", 4, 64)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("cms_stream").start()
+    val b1 = Seq("x", "y", "x", "z")
+    val b2 = Seq("z", "z", "w", "x")
+    input.addData(b1: _*); q.processAllAvailable()
+    input.addData(b2: _*); q.processAllAvailable()
+    def toMap(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Int]("j"), r.getAs[Long]("idx")) ->
+        r.getAs[Long]("cnt")).toMap
+    val streamed = toMap(spark.table("cms_stream").collect())
+    val batch = toMap(graft.ops.FrequencySketch
+      .cmsTable((b1 ++ b2).toDF("item"), "item", 4, 64).collect())
+    q.stop()
+    assert(streamed == batch)
+  }
 }
