@@ -2134,6 +2134,25 @@ object SparkEntry {
       graft.ops.SeqMining.frequentSequences(Tables.events(s, d),
         "user_id", "event_type", "ts_us", minSupport = 50L)
     },
+    "q_densest" -> { (s, d) =>
+      // Charikar densest-subgraph peeling over the co-order graph
+      // (DensestSubgraph.peelProfile): all-integer density comparisons,
+      // best round flagged, gated local replay of the identical rounds
+      graft.ops.DensestSubgraph.peelProfile(Tables.coOrderPairEdges(s, d),
+        "src", "dst", maxRounds = 24)
+    },
+    "q_set_cover" -> { (s, d) =>
+      // greedy max coverage (SetCover.greedyMaxCoverage): which six
+      // sources together cover the most distinct 5-grams — the
+      // (1-1/e) curation pick, unrolled-oracle-exact
+      val se = Tables.documents(s, d)
+        .select(col("source").as("s"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 5)
+        .select(col("s"), explode(expr(
+          "transform(sequence(0, size(w) - 5), i -> " +
+            "concat_ws(' ', slice(w, i + 1, 5)))")).as("el"))
+      graft.ops.SetCover.greedyMaxCoverage(se, "s", "el", k = 6)
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5275,6 +5294,29 @@ object SparkEntry {
         |      UNION ALL SELECT * FROM s3)
         |WHERE support >= 50
         |ORDER BY support DESC, pattern""".stripMargin,
+    "q_densest" ->
+      s"""WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+         |         'P' || CAST(l_partkey AS VARCHAR) AS item
+         |       FROM lineitem WHERE l_quantity <= 15),
+         |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+         |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+         |und AS MATERIALIZED (SELECT DISTINCT x.item AS x, y.item AS y
+         |        FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item),
+         |${graft.ops.DensestSubgraph.oracleRoundCtes(24)}
+         |SELECT round, n_nodes, m_edges,
+         |  (1000 * m_edges) // n_nodes AS density_permille,
+         |  round = (SELECT round FROM peelbest) AS is_best
+         |FROM peelstats ORDER BY round""".stripMargin,
+    "q_set_cover" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+         |              FROM documents),
+         |se AS MATERIALIZED (SELECT DISTINCT source AS s,
+         |        array_to_string(w[i:i+4], ' ') AS el
+         |      FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+         |      WHERE len(w) >= 5),
+         |${graft.ops.SetCover.oracleRoundCtes(6)}
+         |SELECT pick, s, gain, covered_total
+         |FROM coverrows ORDER BY pick""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Greedy maximum coverage — the (1 − 1/e)-approximation behind every
+  * "pick k sources/shards that together cover the most" decision:
+  * repeatedly take the set with the largest MARGINAL gain over what is
+  * already covered. For corpus curation the sets are sources and the
+  * elements are distinct n-grams — the answer to "which six feeds buy
+  * the most linguistic coverage".
+  *
+  * Each of the k rounds is one partial-aggregated gain count + a 1-row
+  * argmax collect + one anti-join that SHRINKS the remaining incidence
+  * (covered_total is the running sum of gains, so no growing covered
+  * set and no per-round distinct count). Ties break to the
+  * lexicographically smallest set name — the same (−gain, set)
+  * min-struct order the unrolled oracle's ORDER BY replays. Rounds
+  * stop early when everything reachable is covered (identical to the
+  * full unroll: a round with no positive marginal gain emits nothing).
+  *
+  * Output: (pick, s, gain, covered_total) — one row per successful
+  * pick, covered_total the DISTINCT covered-element count after it.
+  */
+object SetCover {
+
+  def greedyMaxCoverage(df: DataFrame, setCol: String, elemCol: String,
+      k: Int = 6): DataFrame = {
+    require(k >= 1 && k <= 32, s"k must be in [1, 32], got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    // `rem` is the still-uncovered slice of the set–element incidence:
+    // it only SHRINKS (one anti-join per pick), and because each round's
+    // gain counts exactly the newly covered distinct elements,
+    // covered_total is the running SUM of gains — no growing covered
+    // set, no per-round distinct-count job.
+    var rem = df.select(col(setCol).cast("string").as("s"),
+        col(elemCol).cast("string").as("el"))
+      .where(col("s").isNotNull && col("el").isNotNull)
+      .distinct()
+      .localCheckpoint(eager = true)
+    val out = collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long)]
+    var coveredTotal = 0L
+    var i = 1
+    var live = true
+    while (i <= k && live) {
+      val gains = rem.groupBy("s").agg(count(lit(1)).as("gain"))
+      val winner = gains
+        .agg(min(struct((-col("gain")).as("ng"), col("s").as("s"))).as("w"))
+        .select(col("w.s"), (-col("w.ng")).as("gain"))
+        .collect()
+      if (winner.isEmpty || winner(0).isNullAt(0)) live = false
+      else {
+        val s = winner(0).getString(0)
+        val gain = winner(0).getLong(1)
+        coveredTotal += gain
+        out += ((i.toLong, s, gain, coveredTotal))
+        if (i < k) {
+          rem = rem
+            .join(rem.where(col("s") === s).select("el"), Seq("el"),
+              "left_anti")
+            .localCheckpoint(eager = true)
+        }
+        i += 1
+      }
+    }
+    if (out.isEmpty)
+      spark.emptyDataset[(Long, String, Long, Long)]
+        .toDF("pick", "s", "gain", "covered_total")
+    else
+      spark.createDataFrame(out.toIndexedSeq)
+        .toDF("pick", "s", "gain", "covered_total")
+        .orderBy("pick")
+  }
+
+  /** Unrolled-oracle chain over a CTE `se(s, el)` (distinct
+    * set–element pairs): cov0..cov<k>, g/p/r per round; the result
+    * union is `coverrows`.
+    */
+  def oracleRoundCtes(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append("cov0 AS (SELECT el FROM se WHERE 1 = 0)")
+    for (i <- 1 to k) {
+      val prev = s"cov${i - 1}"
+      sb.append(
+        s""",
+           |g$i AS (SELECT s, COUNT(*) AS gain FROM se
+           |        WHERE el NOT IN (SELECT el FROM $prev)
+           |        GROUP BY s),
+           |p$i AS (SELECT s, gain FROM g$i ORDER BY gain DESC, s LIMIT 1),
+           |cov$i AS MATERIALIZED (SELECT el FROM $prev
+           |        UNION
+           |        SELECT el FROM se WHERE s = (SELECT s FROM p$i)),
+           |r$i AS (SELECT CAST($i AS BIGINT) AS pick, s, gain,
+           |          (SELECT COUNT(*) FROM cov$i) AS covered_total
+           |        FROM p$i)""".stripMargin)
+    }
+    sb.append(
+      s""",
+         |coverrows AS (${(1 to k).map(i => s"SELECT * FROM r$i")
+             .mkString("\n  UNION ALL ")})""".stripMargin)
+    sb.toString
+  }
+}
