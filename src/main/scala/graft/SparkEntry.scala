@@ -2153,6 +2153,28 @@ object SparkEntry {
             "concat_ws(' ', slice(w, i + 1, 5)))")).as("el"))
       graft.ops.SetCover.greedyMaxCoverage(se, "s", "el", k = 6)
     },
+    "q_conductance" -> { (s, d) =>
+      // per-community cut quality (GraphStats.conductance): brand
+      // partition of the co-purchase graph, φ in exact permille —
+      // inner-join labeled edges, community-keyed integer aggregate
+      val labels = Tables.part(s, d).select(
+        concat(lit("P"), col("p_partkey")).as("node"),
+        col("p_brand").as("community"))
+      graft.ops.GraphStats.conductance(Tables.coOrderPairEdges(s, d),
+          "src", "dst", labels)
+        .orderBy("community")
+    },
+    "q_canonicalize" -> { (s, d) =>
+      // cluster → canonical record consensus (Dedup.canonicalize): the
+      // post-dedup election — longest member wins (tie min id), majority
+      // language, absorption accounting; min-struct argmax throughout
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minHashLshPairsPortable(docs, "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      Dedup.canonicalize(docs, "doc_id", "text", "lang", "source",
+          Dedup.nearDupClusters(pairs, "id_a", "id_b"))
+        .orderBy("cluster")
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5317,6 +5339,83 @@ object SparkEntry {
          |${graft.ops.SetCover.oracleRoundCtes(6)}
          |SELECT pick, s, gain, covered_total
          |FROM coverrows ORDER BY pick""".stripMargin,
+    "q_conductance" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |und AS (SELECT DISTINCT x.item AS x, y.item AS y
+        |        FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item),
+        |lab AS (SELECT 'P' || CAST(p_partkey AS VARCHAR) AS node,
+        |          p_brand AS community FROM part),
+        |le AS (SELECT und.x, und.y, lx.community AS cx, ly.community AS cy
+        |       FROM und JOIN lab lx ON lx.node = und.x
+        |                JOIN lab ly ON ly.node = und.y),
+        |tm AS (SELECT 2 * COUNT(*) AS two_m FROM le),
+        |contrib AS (SELECT cx AS community, 2 AS v, 0 AS k FROM le WHERE cx = cy
+        |            UNION ALL SELECT cx, 1, 1 FROM le WHERE cx <> cy
+        |            UNION ALL SELECT cy, 1, 1 FROM le WHERE cx <> cy),
+        |vols AS (SELECT community, CAST(SUM(v) AS BIGINT) AS vol,
+        |           CAST(SUM(k) AS BIGINT) AS cut
+        |         FROM contrib GROUP BY 1),
+        |nds AS (SELECT community, COUNT(DISTINCT n) AS n_nodes
+        |        FROM (SELECT cx AS community, x AS n FROM le
+        |              UNION ALL SELECT cy, y FROM le)
+        |        GROUP BY 1)
+        |SELECT v.community, n_nodes, vol, cut,
+        |  CASE WHEN least(vol, two_m - vol) > 0
+        |       THEN (1000 * cut) // least(vol, two_m - vol)
+        |       ELSE 0 END AS conductance_permille
+        |FROM vols v JOIN nds USING (community) CROSS JOIN tm
+        |ORDER BY community""".stripMargin,
+    "q_canonicalize" ->
+      s"""WITH RECURSIVE
+         |toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |${graft.ops.Dedup.minHashPortableOracleCtes(numHashes = 64, bands = 16)},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.id_a
+         |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |          GROUP BY c.id_a, c.id_b),
+         |p AS (SELECT CAST(id_a AS VARCHAR) AS a, CAST(id_b AS VARCHAR) AS b
+         |      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |                 JOIN sizes sb ON sb.doc_id = id_b
+         |      WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+         |sym AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+         |nodes AS (SELECT DISTINCT a AS node FROM sym),
+         |cc AS (SELECT node, node AS lab FROM nodes
+         |       UNION
+         |       SELECT s.b AS node, c.lab FROM cc c JOIN sym s ON c.node = s.a
+         |       WHERE c.lab < s.b),
+         |comp AS (SELECT node, MIN(lab) AS component FROM cc GROUP BY node),
+         |mem AS (SELECT comp.component AS cluster, d.doc_id AS id,
+         |          LENGTH(d.text) AS len, d.lang, d.source
+         |        FROM comp JOIN documents d
+         |          ON CAST(d.doc_id AS VARCHAR) = comp.node),
+         |elect AS (SELECT cluster, COUNT(*) AS n_docs,
+         |            COUNT(DISTINCT source) AS n_sources,
+         |            CAST(SUM(len) AS BIGINT) AS total_len
+         |          FROM mem GROUP BY 1),
+         |canon AS (SELECT cluster, id AS canonical_id, len AS canonical_len
+         |          FROM mem
+         |          QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+         |            ORDER BY len DESC, id) = 1),
+         |lv AS (SELECT cluster, lang AS major_lang
+         |       FROM (SELECT cluster, lang, COUNT(*) AS n
+         |             FROM mem GROUP BY 1, 2)
+         |       QUALIFY ROW_NUMBER() OVER (PARTITION BY cluster
+         |         ORDER BY n DESC, lang) = 1)
+         |SELECT e.cluster, n_docs, canonical_id, canonical_len, major_lang,
+         |  n_sources, total_len
+         |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
+         |ORDER BY cluster""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok

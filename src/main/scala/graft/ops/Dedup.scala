@@ -129,6 +129,50 @@ object Dedup extends org.apache.spark.internal.Logging {
         col(idBCol).cast("string").as("dst"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
+  /** Canonical-record consensus per dedup cluster — the step AFTER
+    * [[nearDupClusters]]: each cluster elects one surviving document and
+    * summarizes what it absorbed. Election and consensus are pure
+    * min-struct argmaxes, so they are deterministic and oracle-exact:
+    *
+    *  - `canonical_id`: the member with the LONGEST text, ties to the
+    *    smallest id (keep the most complete copy);
+    *  - `major_lang`: the most frequent member language, ties to the
+    *    lexicographically smallest;
+    *  - `n_docs` / `n_sources` / `total_len`: absorption accounting.
+    *
+    * Shape: one cluster⋈docs join (id-keyed) and two cluster-keyed
+    * aggregates (the lang vote needs its own (cluster, lang) pre-count);
+    * all partial-aggregating, output is cluster-dimension-sized.
+    */
+  def canonicalize(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, sourceCol: String, clusters: DataFrame): DataFrame = {
+    val members = clusters
+      .select(col("node"), col("component").as("cluster"))
+      .join(docs.select(col(idCol).cast("string").as("node"),
+          col(idCol).cast("long").as("id"), length(col(textCol)).as("len"),
+          col(langCol).cast("string").as("lang"),
+          col(sourceCol).cast("string").as("source")),
+        Seq("node"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val elect = members.groupBy("cluster")
+      .agg(count(lit(1)).as("n_docs"),
+        count_distinct(col("source")).as("n_sources"),
+        sum(col("len")).as("total_len"),
+        min(struct((lit(0L) - col("len")).as("nl"), col("id"))).as("w"))
+      .select(col("cluster"), col("n_docs"), col("n_sources"),
+        col("total_len"), col("w.id").as("canonical_id"),
+        (lit(0L) - col("w.nl")).as("canonical_len"))
+    val langVote = members.groupBy("cluster", "lang")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("cluster")
+      .agg(min(struct((lit(0L) - col("n")).as("nn"), col("lang"))).as("v"))
+      .select(col("cluster"), col("v.lang").as("major_lang"))
+    elect.join(langVote, Seq("cluster"))
+      .select(col("cluster"), col("n_docs"), col("canonical_id"),
+        col("canonical_len"), col("major_lang"), col("n_sources"),
+        col("total_len"))
+  }
+
   /** Exact word-n-gram Jaccard near-duplicate pairs (id_a < id_b,
     * jaccard >= threshold). Inverted-index join: only documents sharing at
     * least one shingle are ever paired.

@@ -270,4 +270,55 @@ object GraphStats {
           expr("(m_reciprocal * 1000) div m_edges")).otherwise(lit(0L))
           .as("reciprocity_permille"))
   }
+
+  /** Per-community conductance — the cut-quality score partition audits
+    * report next to [[modularity]]: φ(S) = cut(S) / min(vol(S), 2m−vol(S)),
+    * here in exact permille. Only edges with BOTH endpoints labeled count
+    * (inner-join semantics, like modularity); an internal edge adds 2 to
+    * its community's volume, a cross edge adds 1 to each side's volume
+    * AND 1 to each side's cut. Low φ = a well-separated community.
+    *
+    * Shape: one labeled-edge derivation (two node-keyed joins) and one
+    * community-keyed aggregate — partial-aggregating shuffles only, output
+    * is community-dimension-sized.
+    *
+    * Output: (community, n_nodes, vol, cut, conductance_permille),
+    * where a community covering the whole volume (min side 0) reports 0.
+    */
+  def conductance(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+    val lab = labels.select(col("node").cast("string"),
+      col("community").cast("string"))
+    val le = e
+      .join(lab.select(col("node").as("x"), col("community").as("cx")), "x")
+      .join(lab.select(col("node").as("y"), col("community").as("cy")), "y")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val twoM = le.agg((count(lit(1)) * 2L).as("two_m"))
+    // per-edge contributions, exploded to the one or two communities the
+    // edge touches: (community, node-end, vol-increment, cut-increment)
+    val contrib = le.select(explode(when(col("cx") === col("cy"),
+          array(struct(col("cx").as("c"), col("x").as("n"), lit(2L).as("v"),
+            lit(0L).as("k"))))
+        .otherwise(array(
+          struct(col("cx").as("c"), col("x").as("n"), lit(1L).as("v"),
+            lit(1L).as("k")),
+          struct(col("cy").as("c"), col("y").as("n"), lit(1L).as("v"),
+            lit(1L).as("k"))))).as("t"))
+      .select(col("t.c").as("community"), col("t.n"), col("t.v"), col("t.k"))
+    // n_nodes needs BOTH ends of internal edges (the explode above keeps
+    // one representative node per side for vol, so count nodes separately)
+    val nodes = le.select(col("cx").as("community"), col("x").as("n"))
+      .union(le.select(col("cy").as("community"), col("y").as("n")))
+      .groupBy("community")
+      .agg(count_distinct(col("n")).as("n_nodes"))
+    contrib.groupBy("community")
+      .agg(sum(col("v")).as("vol"), sum(col("k")).as("cut"))
+      .join(nodes, Seq("community"))
+      .crossJoin(broadcast(twoM))
+      .select(col("community"), col("n_nodes"), col("vol"), col("cut"),
+        when(least(col("vol"), col("two_m") - col("vol")) > 0L,
+          expr("(1000 * cut) div least(vol, two_m - vol)"))
+          .otherwise(lit(0L)).as("conductance_permille"))
+  }
 }
