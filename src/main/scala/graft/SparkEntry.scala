@@ -2175,6 +2175,37 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_decision_stump" -> { (s, d) =>
+      // best Gini split per cheap feature (ops/DecisionStump): which of
+      // {text length, token count, avg token length} predicts lang='en'
+      // best — exact integer ppm scoring, value-cardinality-sized window
+      val base = Tables.documents(s, d).select(
+          (col("lang") === "en").cast("long").as("lab"),
+          length(col("text")).cast("long").as("f_len"),
+          size(split(col("text"), " ")).cast("long").as("f_tok"))
+        .withColumn("f_avg10", expr("(10 * f_len) div f_tok"))
+      val f = base.selectExpr(
+        "stack(3, 'len', f_len, 'n_tokens', f_tok, 'avg10', f_avg10)" +
+          " as (feature, value)", "lab")
+      graft.ops.DecisionStump.bestSplits(f, "feature", "value", "lab")
+        .orderBy("feature")
+    },
+    "q_rrf_fusion" -> { (s, d) =>
+      // reciprocal-rank fusion (ops/RankFusion) of two ANN scorers over
+      // the same query batch: exact cosine top-20 + inner-product top-20,
+      // fused by integer 1e6 div (60 + rank) — k-slot aggregates, no
+      // window sorts anywhere
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), Similarity.quantize(col("embedding")).as("qv"))
+      val queries = emb.where(col("vec_id") < 20)
+      val ra = Similarity.bruteForceTopK(emb, "vec_id", "qv",
+        queries, "vec_id", "qv", k = 20)
+      val rb = graft.ops.RankFusion.innerProductTopK(emb, "vec_id", "qv",
+        queries, "vec_id", "qv", k = 20)
+      graft.ops.RankFusion.reciprocalRankFusion(Seq(ra, rb), k0 = 60,
+          topK = 5)
+        .orderBy("query_id", "rank")
+    },
     "q_chi2_tokens" -> { (s, d) =>
       // χ² token–language association (ops/ChiSquare): which tokens
       // predict lang='en'? φ² in exact ppm via digit-carried long
@@ -5416,6 +5447,76 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_decision_stump" ->
+      """WITH base AS (SELECT CAST(lang = 'en' AS BIGINT) AS lab,
+        |         CAST(LENGTH(text) AS BIGINT) AS f_len,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS f_tok
+        |       FROM documents),
+        |b2 AS (SELECT lab, f_len, f_tok, (10 * f_len) // f_tok AS f_avg10
+        |       FROM base),
+        |f AS (SELECT 'len' AS feature, f_len AS value, lab FROM b2
+        |      UNION ALL SELECT 'n_tokens', f_tok, lab FROM b2
+        |      UNION ALL SELECT 'avg10', f_avg10, lab FROM b2),
+        |g AS (SELECT feature, value, COUNT(*) AS t,
+        |        CAST(SUM(lab) AS BIGINT) AS p
+        |      FROM f GROUP BY 1, 2),
+        |cum AS (SELECT feature, value,
+        |          CAST(SUM(t) OVER (PARTITION BY feature ORDER BY value)
+        |            AS BIGINT) AS tl,
+        |          CAST(SUM(p) OVER (PARTITION BY feature ORDER BY value)
+        |            AS BIGINT) AS pl
+        |        FROM g),
+        |tot AS (SELECT feature, CAST(SUM(t) AS BIGINT) AS tt,
+        |          CAST(SUM(p) AS BIGINT) AS pp
+        |        FROM g GROUP BY 1),
+        |s AS (SELECT cum.feature, value, tl, pl, tt - tl AS tr,
+        |        pp - pl AS pr, tt, tl - pl AS nl,
+        |        (tt - tl) - (pp - pl) AS nr
+        |      FROM cum JOIN tot ON tot.feature = cum.feature
+        |      WHERE tt - tl > 0),
+        |sc AS (SELECT feature, value, tl, pl, tr, pr,
+        |         ((tl*tl - pl*pl - nl*nl) * 1000000) // (tl * tt)
+        |         + ((tr*tr - pr*pr - nr*nr) * 1000000) // (tr * tt)
+        |           AS score_ppm
+        |       FROM s)
+        |SELECT feature, value AS split_value, score_ppm, tl AS t_left,
+        |  pl AS p_left, tr AS t_right, pr AS p_right
+        |FROM sc
+        |QUALIFY ROW_NUMBER() OVER (PARTITION BY feature
+        |  ORDER BY score_ppm, value) = 1
+        |ORDER BY feature""".stripMargin,
+    "q_rrf_fusion" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+        |           FROM embeddings),
+        |n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+        |p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT SUM(qq.v[i]*c.v[i])
+        |         FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+        |      FROM (SELECT * FROM q WHERE vec_id < 20) qq
+        |      JOIN q c ON c.vec_id <> qq.vec_id),
+        |ra AS (SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC,
+        |             neighbor_id ASC) AS rank
+        |       FROM p JOIN n na ON na.vec_id = query_id
+        |              JOIN n nb ON nb.vec_id = neighbor_id),
+        |rb AS (SELECT query_id, neighbor_id,
+        |         ROW_NUMBER() OVER (PARTITION BY query_id
+        |           ORDER BY dot DESC, neighbor_id ASC) AS rank
+        |       FROM p),
+        |u AS (SELECT query_id, neighbor_id, rank FROM ra WHERE rank <= 20
+        |      UNION ALL
+        |      SELECT query_id, neighbor_id, rank FROM rb WHERE rank <= 20),
+        |fz AS (SELECT query_id, neighbor_id,
+        |         CAST(SUM(1000000 // (60 + rank)) AS BIGINT) AS rrf_ppm
+        |       FROM u GROUP BY 1, 2)
+        |SELECT query_id, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY rrf_ppm DESC, neighbor_id ASC) AS INT) AS rank,
+        |  neighbor_id, rrf_ppm
+        |FROM fz
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
     "q_chi2_tokens" ->
       s"""WITH docs AS (SELECT doc_id, lang = 'en' AS lab, text FROM documents),
          |tokd AS (SELECT DISTINCT doc_id, lab, t.tok
