@@ -2175,6 +2175,31 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_stationary" -> { (s, d) =>
+      // Markov stationary distribution (Transitions.stationary
+      // Distribution): closed chain over event types, 6 integer
+      // fixed-point rounds, gated local replay of the |types|² matrix
+      graft.ops.Transitions.stationaryDistribution(Tables.events(s, d),
+        "user_id", "ts_us", "event_type", "event_id", rounds = 6)
+    },
+    "q_cover_budget" -> { (s, d) =>
+      // budgeted greedy coverage (SetCover.greedyBudgetedCoverage):
+      // best 5-gram coverage per byte under a 30%-of-corpus budget —
+      // integer gain/cost ratios, shrinking-incidence rounds
+      val docs = Tables.documents(s, d)
+      val se = docs
+        .select(col("source").as("s"), split(col("text"), " ").as("w"))
+        .where(size(col("w")) >= 5)
+        .select(col("s"), explode(expr(
+          "transform(sequence(0, size(w) - 5), i -> " +
+            "concat_ws(' ', slice(w, i + 1, 5)))")).as("el"))
+      val costs = docs.groupBy(col("source").as("s"))
+        .agg(sum(length(col("text"))).as("cost"))
+      val budget =
+        costs.agg(sum(col("cost"))).collect()(0).getLong(0) * 30L / 100L
+      graft.ops.SetCover.greedyBudgetedCoverage(se, "s", "el",
+        costs, "s", "cost", budget, maxPicks = 8)
+    },
     "q_decision_stump" -> { (s, d) =>
       // best Gini split per cheap feature (ops/DecisionStump): which of
       // {text length, token count, avg token length} predicts lang='en'
@@ -5447,6 +5472,34 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_stationary" ->
+      s"""WITH e AS (SELECT user_id, event_type,
+         |             lead(event_type) OVER (PARTITION BY user_id
+         |               ORDER BY epoch_us(ts), event_id) AS to_type
+         |           FROM events),
+         |c AS (SELECT event_type AS a, to_type AS b, COUNT(*) AS n
+         |      FROM e WHERE to_type IS NOT NULL GROUP BY 1, 2),
+         |st AS (SELECT DISTINCT a AS s FROM c),
+         |tr AS (SELECT a, b, n FROM c WHERE b IN (SELECT s FROM st)),
+         |outd AS (SELECT a, CAST(SUM(n) AS BIGINT) AS o FROM tr GROUP BY 1),
+         |${graft.ops.Transitions.stationaryOracleCtes(6)}
+         |SELECT st.s AS state, COALESCE(p6.pi, 0) AS pi_ppm
+         |FROM st LEFT JOIN p6 ON p6.s = st.s
+         |ORDER BY state""".stripMargin,
+    "q_cover_budget" ->
+      s"""WITH toks AS (SELECT source, string_split(text, ' ') AS w
+         |              FROM documents),
+         |se AS MATERIALIZED (SELECT DISTINCT source AS s,
+         |        array_to_string(w[i:i+4], ' ') AS el
+         |      FROM toks, UNNEST(range(1, len(w) - 3)) AS t(i)
+         |      WHERE len(w) >= 5),
+         |costs AS (SELECT source AS s, CAST(SUM(LENGTH(text)) AS BIGINT) AS cost
+         |          FROM documents GROUP BY 1),
+         |budget AS (SELECT CAST(SUM(LENGTH(text)) AS BIGINT) * 30 // 100 AS bud
+         |           FROM documents),
+         |${graft.ops.SetCover.oracleBudgetCtes(8)}
+         |SELECT pick, s, gain, cost, ratio_ppm, spent_total, covered_total
+         |FROM coverrows ORDER BY pick""".stripMargin,
     "q_decision_stump" ->
       """WITH base AS (SELECT CAST(lang = 'en' AS BIGINT) AS lab,
         |         CAST(LENGTH(text) AS BIGINT) AS f_len,

@@ -64,4 +64,103 @@ object Transitions {
       .select(concat_ws(">", steps: _*).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("n_occurrences"))
   }
+
+  /** Stationary distribution of the [[eventTransitions]] chain by
+    * integer fixed-point power iteration — "where does a user end up in
+    * the long run". The chain is CLOSED first: states are the types with
+    * at least one outgoing transition, edges into non-states are dropped
+    * and out-degrees recomputed over what remains (otherwise mass leaks
+    * into sinks and the iteration is not a distribution at all).
+    *
+    * Grid arithmetic (the q_pagerank_fp discipline, so the unrolled
+    * oracle replays it exactly): π₀(s) = 1_000_000 div k; each round
+    * π'(b) = Σ_a (π(a)·n(a,b)) div out(a), floor per (a,b) term; states
+    * no round reaches report 0. The floors bleed a few ppm per round —
+    * that is the SPEC'D semantics, not an approximation to hide.
+    *
+    * Scale shape: the event stream collapses to the |types|² matrix via
+    * one entity-keyed window + map-side-combined count (inherited from
+    * [[eventTransitions]]); the iteration itself runs on the matrix —
+    * gated driver-local under `maxLocalMatrix` rows, identical-result
+    * distributed join rounds above it (parity-spec'd with the gate 0).
+    *
+    * Output: (state, pi_ppm) for every state, ordered by state.
+    */
+  def stationaryDistribution(events: DataFrame, entityCol: String,
+      tsCol: String, typeCol: String, tieCol: String, rounds: Int = 6,
+      maxLocalMatrix: Long = 1000000L): DataFrame = {
+    require(rounds >= 1 && rounds <= 32,
+      s"rounds must be in [1, 32], got $rounds")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val c = eventTransitions(events, entityCol, tsCol, typeCol, tieCol)
+      .select(col("from_type").cast("string").as("a"),
+        col("to_type").cast("string").as("b"), col("n"))
+    val st = c.select(col("a").as("s")).distinct()
+    val tr = c.join(st.select(col("s").as("b")), Seq("b"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (maxLocalMatrix > 0 && maxLocalMatrix < Int.MaxValue - 1) {
+      val capped = tr.select(col("a"), col("b"), col("n"))
+        .limit(maxLocalMatrix.toInt + 1).as[(String, String, Long)].collect()
+      if (capped.length <= maxLocalMatrix) {
+        val states = st.as[String].collect().sorted
+        val k = states.length.toLong
+        if (k == 0L)
+          return spark.emptyDataset[(String, Long)].toDF("state", "pi_ppm")
+        val out = new scala.collection.mutable.HashMap[String, Long]
+        capped.foreach { case (a, _, n) =>
+          out.update(a, out.getOrElse(a, 0L) + n)
+        }
+        var pi: Map[String, Long] = states.map(_ -> 1000000L / k).toMap
+        for (_ <- 0 until rounds) {
+          val nxt = new scala.collection.mutable.HashMap[String, Long]
+          capped.foreach { case (a, b, n) =>
+            val pa = pi.getOrElse(a, 0L)
+            if (pa != 0L)
+              nxt.update(b, nxt.getOrElse(b, 0L) + pa * n / out(a))
+          }
+          pi = states.map(s => s -> nxt.getOrElse(s, 0L)).toMap
+        }
+        return spark.createDataFrame(
+            states.toIndexedSeq.map(s => (s, pi(s))))
+          .toDF("state", "pi_ppm").orderBy("state")
+      }
+    }
+    val outd = tr.groupBy("a").agg(sum(col("n")).as("o"))
+    val k = st.count()
+    if (k == 0L)
+      return spark.emptyDataset[(String, Long)].toDF("state", "pi_ppm")
+    var pi = st.select(col("s"), lit(1000000L / k).as("pi"))
+    for (_ <- 0 until rounds) {
+      pi = tr.join(pi.select(col("s").as("a"), col("pi")), Seq("a"))
+        .join(outd, Seq("a"))
+        .groupBy(col("b").as("s"))
+        .agg(sum(expr("(pi * n) div o")).as("pi"))
+        .localCheckpoint(eager = true)
+    }
+    st.join(pi, Seq("s"), "left")
+      .select(col("s").as("state"),
+        coalesce(col("pi"), lit(0L)).as("pi_ppm"))
+      .orderBy("state")
+  }
+
+  /** Unrolled-oracle iteration chain for [[stationaryDistribution]] over
+    * CTEs `st(s)`, `tr(a, b, n)` and `outd(a, o)`: kk, p0..p<rounds>.
+    * The final round's table is `p<rounds>`.
+    */
+  def stationaryOracleCtes(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append("kk AS (SELECT COUNT(*) AS k FROM st),\n")
+    sb.append("p0 AS (SELECT s, CAST(1000000 // k AS BIGINT) AS pi " +
+      "FROM st CROSS JOIN kk)")
+    for (i <- 1 to rounds) {
+      sb.append(
+        s""",
+           |p$i AS (SELECT t.b AS s, CAST(SUM((p.pi * t.n) // o.o) AS BIGINT) AS pi
+           |        FROM p${i - 1} p JOIN tr t ON t.a = p.s
+           |                         JOIN outd o ON o.a = t.a
+           |        GROUP BY 1)""".stripMargin)
+    }
+    sb.toString
+  }
 }
