@@ -2175,6 +2175,20 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_ann_recall" -> { (s, d) =>
+      // recall@5 audit of the LSH index vs exact brute force
+      // (ops/AnnAudit): per-query hit counts over the two k-bounded
+      // lists — the trust-but-verify step before shipping an ANN index
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val approx = Similarity.lshTopKPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L)
+        .where(col("query_id") < 20)
+      graft.ops.AnnAudit.recallAtK(truth, approx)
+    },
     "q_stationary" -> { (s, d) =>
       // Markov stationary distribution (Transitions.stationary
       // Distribution): closed chain over event types, 6 integer
@@ -5472,6 +5486,36 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_ann_recall" ->
+      s"""WITH lsh AS (SELECT * FROM (
+         |${graft.ops.Similarity.lshPortableOracle(dim = 64, k = 5,
+              nBits = 6, tables = 4, seed = 42L)})),
+         |bf AS (SELECT * FROM (
+         |  WITH q AS (SELECT vec_id, list_transform(embedding,
+         |               x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+         |             FROM embeddings),
+         |  n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+         |  p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          (SELECT SUM(qq.v[i]*c.v[i])
+         |           FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+         |        FROM (SELECT * FROM q WHERE vec_id < 20) qq
+         |        JOIN q c ON c.vec_id <> qq.vec_id),
+         |  scored AS (SELECT query_id, neighbor_id,
+         |               ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC,
+         |                   neighbor_id ASC) AS rank
+         |             FROM p JOIN n na ON na.vec_id = query_id
+         |                    JOIN n nb ON nb.vec_id = neighbor_id)
+         |  SELECT query_id, neighbor_id FROM scored WHERE rank <= 5)),
+         |j AS (SELECT b.query_id, COUNT(*) AS n_truth,
+         |        CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |      FROM bf b LEFT JOIN lsh l
+         |        ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |      GROUP BY 1)
+         |SELECT query_id, n_truth, n_hits,
+         |  (1000 * n_hits) // n_truth AS recall_permille
+         |FROM j ORDER BY query_id""".stripMargin,
     "q_stationary" ->
       s"""WITH e AS (SELECT user_id, event_type,
          |             lead(event_type) OVER (PARTITION BY user_id
