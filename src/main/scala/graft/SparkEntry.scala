@@ -2175,6 +2175,30 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_auc" -> { (s, d) =>
+      // exact Mann–Whitney ROC-AUC per source (ops/Auc): does raw text
+      // length separate English docs? Integer 2U pieces + floor permille,
+      // score-cardinality-sized windows only
+      graft.ops.Auc.aucByGroup(
+        Tables.documents(s, d).select(col("source"),
+          length(col("text")).as("score"),
+          (col("lang") === "en").cast("long").as("lab")),
+        "source", "score", "lab")
+        .orderBy("grp")
+    },
+    "q_corr" -> { (s, d) =>
+      // Pearson correlation matrix over lineitem measures
+      // (ops/Correlation): one scan, one aggregate, exact integer
+      // sufficient sums + the assortativity-discipline double coefficient
+      val f = Tables.lineitem(s, d).select(
+        floor(col("l_quantity")).as("qty"),
+        floor(col("l_extendedprice")).as("price_usd"),
+        floor(col("l_discount") * 100).as("disc_pct"),
+        floor(col("l_tax") * 100).as("tax_pct"))
+      graft.ops.Correlation.pairwiseCorr(f,
+          Seq("qty", "price_usd", "disc_pct", "tax_pct"))
+        .orderBy("col_a", "col_b")
+    },
     "q_ann_recall" -> { (s, d) =>
       // recall@5 audit of the LSH index vs exact brute force
       // (ops/AnnAudit): per-query hit counts over the two k-bounded
@@ -5486,6 +5510,69 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_auc" ->
+      """WITH f AS (SELECT source AS grp, CAST(LENGTH(text) AS BIGINT) AS score,
+        |             CAST(lang = 'en' AS BIGINT) AS lab FROM documents),
+        |g AS (SELECT grp, score, CAST(SUM(lab) AS BIGINT) AS p,
+        |        CAST(COUNT(*) - SUM(lab) AS BIGINT) AS n
+        |      FROM f GROUP BY 1, 2),
+        |c AS (SELECT grp, p, n,
+        |        CAST(SUM(n) OVER (PARTITION BY grp ORDER BY score) - n
+        |          AS BIGINT) AS negbelow
+        |      FROM g),
+        |a AS (SELECT grp, CAST(SUM(p) AS BIGINT) AS n_pos,
+        |        CAST(SUM(n) AS BIGINT) AS n_neg,
+        |        CAST(SUM(p * (2 * negbelow + n)) AS BIGINT) AS u2
+        |      FROM c GROUP BY 1)
+        |SELECT grp, n_pos, n_neg, u2,
+        |  CASE WHEN n_pos > 0 AND n_neg > 0
+        |       THEN (1000 * u2) // (2 * n_pos * n_neg) END AS auc_permille
+        |FROM a ORDER BY grp""".stripMargin,
+    "q_corr" ->
+      """WITH f AS (SELECT CAST(FLOOR(l_quantity) AS BIGINT) AS qty,
+        |             CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_usd,
+        |             CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_pct,
+        |             CAST(FLOOR(l_tax * 100) AS BIGINT) AS tax_pct
+        |           FROM lineitem),
+        |o AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM(qty) AS BIGINT) AS s_qty,
+        |        CAST(SUM(price_usd) AS BIGINT) AS s_price,
+        |        CAST(SUM(disc_pct) AS BIGINT) AS s_disc,
+        |        CAST(SUM(tax_pct) AS BIGINT) AS s_tax,
+        |        CAST(SUM(qty * qty) AS BIGINT) AS q_qty,
+        |        CAST(SUM(price_usd * price_usd) AS BIGINT) AS q_price,
+        |        CAST(SUM(disc_pct * disc_pct) AS BIGINT) AS q_disc,
+        |        CAST(SUM(tax_pct * tax_pct) AS BIGINT) AS q_tax,
+        |        CAST(SUM(qty * price_usd) AS BIGINT) AS x_qty_price,
+        |        CAST(SUM(qty * disc_pct) AS BIGINT) AS x_qty_disc,
+        |        CAST(SUM(qty * tax_pct) AS BIGINT) AS x_qty_tax,
+        |        CAST(SUM(price_usd * disc_pct) AS BIGINT) AS x_price_disc,
+        |        CAST(SUM(price_usd * tax_pct) AS BIGINT) AS x_price_tax,
+        |        CAST(SUM(disc_pct * tax_pct) AS BIGINT) AS x_disc_tax
+        |      FROM f),
+        |pairs AS (
+        |  SELECT 'qty' AS col_a, 'price_usd' AS col_b, n, s_qty AS sx,
+        |    s_price AS sy, x_qty_price AS sxy, q_qty AS sx2, q_price AS sy2
+        |  FROM o
+        |  UNION ALL SELECT 'qty', 'disc_pct', n, s_qty, s_disc, x_qty_disc,
+        |    q_qty, q_disc FROM o
+        |  UNION ALL SELECT 'qty', 'tax_pct', n, s_qty, s_tax, x_qty_tax,
+        |    q_qty, q_tax FROM o
+        |  UNION ALL SELECT 'price_usd', 'disc_pct', n, s_price, s_disc,
+        |    x_price_disc, q_price, q_disc FROM o
+        |  UNION ALL SELECT 'price_usd', 'tax_pct', n, s_price, s_tax,
+        |    x_price_tax, q_price, q_tax FROM o
+        |  UNION ALL SELECT 'disc_pct', 'tax_pct', n, s_disc, s_tax,
+        |    x_disc_tax, q_disc, q_tax FROM o)
+        |SELECT col_a, col_b, n, sx, sy, sxy, sx2, sy2,
+        |  (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (SQRT(GREATEST(CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+        |       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), CAST(0 AS DOUBLE)))
+        |     * SQRT(GREATEST(CAST(n AS DOUBLE) * CAST(sy2 AS DOUBLE)
+        |       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE), CAST(0 AS DOUBLE))))
+        |    AS corr
+        |FROM pairs ORDER BY col_a, col_b""".stripMargin,
     "q_ann_recall" ->
       s"""WITH lsh AS (SELECT * FROM (
          |${graft.ops.Similarity.lshPortableOracle(dim = 64, k = 5,
