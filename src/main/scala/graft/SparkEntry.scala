@@ -2175,6 +2175,14 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_cliques4" -> { (s, d) =>
+      // per-part 4-clique participation (ops/Cliques4): the densification
+      // step past triangles — triangleList (gated local replay inside)
+      // expanded along the highest corner, two semi-joins close the pairs
+      graft.ops.Cliques4.perNodeCounts(Tables.coOrderPairEdges(s, d),
+          "src", "dst")
+        .orderBy("node")
+    },
     "q_auc" -> { (s, d) =>
       // exact Mann–Whitney ROC-AUC per source (ops/Auc): does raw text
       // length separate English docs? Integer 2U pieces + floor permille,
@@ -5510,6 +5518,28 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_cliques4" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |und AS MATERIALIZED (SELECT DISTINCT x.item AS x, y.item AS y
+        |        FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item),
+        |tri AS (SELECT e1.x AS a, e1.y AS b, e2.y AS c
+        |        FROM und e1 JOIN und e2 ON e2.x = e1.x AND e2.y > e1.y
+        |        JOIN und e3 ON e3.x = e1.y AND e3.y = e2.y),
+        |cl AS (SELECT t.a, t.b, t.c, ed.y AS d
+        |       FROM tri t JOIN und ed ON ed.x = t.c
+        |       WHERE EXISTS (SELECT 1 FROM und p
+        |                     WHERE p.x = t.a AND p.y = ed.y)
+        |         AND EXISTS (SELECT 1 FROM und q2
+        |                     WHERE q2.x = t.b AND q2.y = ed.y)),
+        |part AS (SELECT node, COUNT(*) AS n_cliques4
+        |         FROM (SELECT a AS node FROM cl UNION ALL SELECT b FROM cl
+        |               UNION ALL SELECT c FROM cl UNION ALL SELECT d FROM cl)
+        |         GROUP BY 1)
+        |SELECT node, n_cliques4 FROM part ORDER BY node""".stripMargin,
     "q_auc" ->
       """WITH f AS (SELECT source AS grp, CAST(LENGTH(text) AS BIGINT) AS score,
         |             CAST(lang = 'en' AS BIGINT) AS lab FROM documents),
