@@ -2175,6 +2175,16 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_l_diversity" -> { (s, d) =>
+      // distinct l-diversity audit (KAnonymity.lDiversity): balance-bucket
+      // homogeneity inside each (nation, segment) QI class — two stacked
+      // map-side-combined aggregates, class-dimension output
+      graft.ops.KAnonymity.lDiversity(
+        Tables.customer(s, d).withColumn("bal_bucket",
+          floor(col("c_acctbal") / 1000)),
+        Seq("c_nationkey", "c_mktsegment"), "bal_bucket", l = 3L)
+        .orderBy("c_nationkey", "c_mktsegment")
+    },
     "q_cliques4" -> { (s, d) =>
       // per-part 4-clique participation (ops/Cliques4): the densification
       // step past triangles — triangleList (gated local replay inside)
@@ -5518,6 +5528,19 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_l_diversity" ->
+      """WITH q AS (SELECT c_nationkey, c_mktsegment,
+        |             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket
+        |           FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, bal_bucket, COUNT(*) AS n
+        |      FROM q GROUP BY 1, 2, 3),
+        |c AS (SELECT c_nationkey, c_mktsegment,
+        |        CAST(SUM(n) AS BIGINT) AS n_rows,
+        |        COUNT(*) AS n_sensitive, CAST(MAX(n) AS BIGINT) AS max_sens_n
+        |      FROM g GROUP BY 1, 2)
+        |SELECT c_nationkey, c_mktsegment, n_rows, n_sensitive, max_sens_n,
+        |  n_sensitive >= 3 AS is_diverse
+        |FROM c ORDER BY c_nationkey, c_mktsegment""".stripMargin,
     "q_cliques4" ->
       """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
         |         'P' || CAST(l_partkey AS VARCHAR) AS item

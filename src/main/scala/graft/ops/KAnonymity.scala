@@ -39,4 +39,27 @@ object KAnonymity {
       sum(col("n") * col("at_risk")).as("n_rows_at_risk"),
       min(col("n")).as("min_class"),
       max(col("n")).as("max_class"))
+
+  /** Distinct ℓ-diversity audit (Machanavajjhala 2007) — k-anonymity's
+    * necessary companion: a large QI class is still unsafe when everyone
+    * in it shares the SAME sensitive value (homogeneity attack). Per QI
+    * class: row count, distinct sensitive values, the largest single
+    * sensitive value's frequency (the homogeneity measure), and the
+    * pass/fail flag `n_sensitive >= l`.
+    *
+    * Two stacked partial-aggregating groupBys — (QI, sensitive) then QI —
+    * both map-side combined; output is QI-class-dimension-sized.
+    */
+  def lDiversity(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "l-diversity needs at least one quasi-identifier")
+    require(l >= 2, s"l must be >= 2, got $l")
+    df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(quasiCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"),
+        max(col("__n")).as("max_sens_n"))
+      .withColumn("is_diverse", col("n_sensitive") >= l)
+  }
 }

@@ -49,4 +49,20 @@ class KAnonymitySpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long, Long)].collect().toSet
     assert(a == b)
   }
+
+  test("l-diversity flags homogeneous classes that k-anonymity passes") {
+    // class A: 4 rows but ALL share sensitive 'x' -> big yet homogeneous;
+    // class B: 3 rows over 3 distinct values -> diverse
+    val df = Seq(
+      ("A", "x"), ("A", "x"), ("A", "x"), ("A", "x"),
+      ("B", "x"), ("B", "y"), ("B", "z"))
+      .toDF("qi", "sens")
+    val out = graft.ops.KAnonymity.lDiversity(df, Seq("qi"), "sens", l = 3L)
+      .orderBy("qi").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4)))
+    assert(out.toSeq == Seq(
+      ("A", 4L, 1L, 4L, false),
+      ("B", 3L, 3L, 1L, true)))
+  }
 }
