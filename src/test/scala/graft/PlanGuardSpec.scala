@@ -186,4 +186,44 @@ class PlanGuardSpec extends AnyFunSuite {
     // source), never a cartesian of token rows
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_corr reduces all pairs from ONE lineitem scan, no join, no window") {
+    val p = physical("q_corr")
+    assert(scans(p) == 1, s"one scan must feed every sufficient sum:\n$p")
+    assert(!p.contains("Join"), "pairwise sums must not self-join the scan")
+    assert(!p.contains("Window"), "no window anywhere in a global aggregate")
+  }
+
+  test("q_auc and q_decision_stump window only over AGGREGATED tables") {
+    for (name <- Seq("q_auc", "q_decision_stump")) {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan
+      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
+        p match {
+          case w: org.apache.spark.sql.execution.window.WindowExec =>
+            // the cumulative window must consume a hash aggregate (the
+            // (group, value)-keyed count), never raw scan rows
+            def hasAgg(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
+              q.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
+                q.children.exists(hasAgg)
+            assert(hasAgg(w.child),
+              s"$name: window over raw rows, expected pre-aggregated input:\n$w")
+          case _ => ()
+        }
+        p.children.foreach(walk)
+      }
+      walk(plan)
+    }
+  }
+
+  test("q_rrf_fusion ranks through k-slot aggregates, no Window operator") {
+    val p = physical("q_rrf_fusion")
+    assert(!p.contains("WindowExec") && !p.contains("RunningWindowFunction"),
+      s"fusion must rank via TopKByAgg, not window sorts:\n$p")
+  }
+
+  test("q_conductance aggregates labeled edges without cartesian products") {
+    val p = physical("q_conductance")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
