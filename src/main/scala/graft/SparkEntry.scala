@@ -2175,6 +2175,15 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_ks_drift" -> { (s, d) =>
+      // two-sample Kolmogorov–Smirnov drift (ops/KsTest): how far apart
+      // are the en vs non-en text-length distributions — exact
+      // cross-multiplied CDF gap, window over the aggregated value table
+      graft.ops.KsTest.twoSample(
+        Tables.documents(s, d).select((col("lang") === "en").as("in_a"),
+          length(col("text")).as("value")),
+        "in_a", "value")
+    },
     "q_l_diversity" -> { (s, d) =>
       // distinct l-diversity audit (KAnonymity.lDiversity): balance-bucket
       // homogeneity inside each (nation, segment) QI class — two stacked
@@ -5528,6 +5537,27 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_ks_drift" ->
+      """WITH f AS (SELECT lang = 'en' AS in_a,
+        |             CAST(LENGTH(text) AS BIGINT) AS value FROM documents),
+        |g AS (SELECT value,
+        |        CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |        CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS b
+        |      FROM f GROUP BY 1),
+        |c AS (SELECT value,
+        |        CAST(SUM(a) OVER (ORDER BY value) AS BIGINT) AS ca,
+        |        CAST(SUM(b) OVER (ORDER BY value) AS BIGINT) AS cb
+        |      FROM g),
+        |t AS (SELECT CAST(SUM(a) AS BIGINT) AS n_a,
+        |        CAST(SUM(b) AS BIGINT) AS n_b FROM g),
+        |d AS (SELECT n_a, n_b, value, ABS(ca * n_b - cb * n_a) AS d
+        |      FROM c CROSS JOIN t),
+        |m AS (SELECT n_a, n_b, d AS d_num, value AS at_value
+        |      FROM d ORDER BY d DESC, value LIMIT 1)
+        |SELECT n_a, n_b, d_num, at_value,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |       THEN (1000 * d_num) // (n_a * n_b) END AS ks_permille
+        |FROM m""".stripMargin,
     "q_l_diversity" ->
       """WITH q AS (SELECT c_nationkey, c_mktsegment,
         |             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket

@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Two-sample Kolmogorov–Smirnov distance — the standard "did this
+  * distribution drift" check between two slices of a corpus (train vs
+  * incoming, en vs non-en, last week vs this week), with NO distributional
+  * assumptions. The statistic is the largest gap between the two
+  * empirical CDFs; we keep it exact by cross-multiplying instead of
+  * dividing:
+  *
+  *   D·n_a·n_b = max over values v of |cumA(v)·n_b − cumB(v)·n_a|
+  *
+  * — an integer, reported with `ks_permille = (1000·d_num) div (n_a·n_b)`
+  * and the value where the maximum is attained (ties to the smallest
+  * value). No p-value on purpose: the asymptotic formula needs exp(),
+  * which is not engine-portable; thresholding ks_permille is how
+  * pipelines consume this anyway.
+  *
+  * Scale shape: one (value)-keyed partial-aggregating count carrying both
+  * slice counts, a cumulative window over the AGGREGATED table
+  * (value-cardinality-sized — pre-bucket continuous values), and a 1-row
+  * argmax. Output: (n_a, n_b, d_num, at_value, ks_permille).
+  */
+object KsTest {
+
+  /** `sliceCol` must be boolean-like: true rows form sample A, false rows
+    * sample B. Null slices or values are dropped.
+    */
+  def twoSample(df: DataFrame, sliceCol: String,
+      valueCol: String): DataFrame = {
+    val g = df.select(col(sliceCol).cast("boolean").as("in_a"),
+        col(valueCol).cast("long").as("value"))
+      .where(col("in_a").isNotNull && col("value").isNotNull)
+      .groupBy("value")
+      .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
+        sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = g.select(col("value"),
+      sum(col("a")).over(w).as("ca"), sum(col("b")).over(w).as("cb"))
+    val tot = g.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    cum.crossJoin(broadcast(tot))
+      .select(col("n_a"), col("n_b"), col("value"),
+        abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("d"))
+      .groupBy("n_a", "n_b")
+      .agg(min(struct((lit(0L) - col("d")).as("nd"), col("value"))).as("m"))
+      .select(col("n_a"), col("n_b"), (lit(0L) - col("m.nd")).as("d_num"),
+        col("m.value").as("at_value"),
+        when(col("n_a") > 0L && col("n_b") > 0L,
+          expr("(1000 * (0 - m.nd)) div (n_a * n_b)"))
+          .otherwise(lit(null)).as("ks_permille"))
+  }
+}
