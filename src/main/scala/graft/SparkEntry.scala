@@ -2175,6 +2175,27 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_cms_error" -> { (s, d) =>
+      // Count-Min overcount histogram (FrequencySketch.errorAudit):
+      // est − exact per part item over the same 4×4096 grid the
+      // heavy-hitter query trusts — every error provably >= 0
+      graft.ops.FrequencySketch.errorAudit(
+        Tables.lineitem(s, d)
+          .select(concat(lit("P"), col("l_partkey")).as("item")),
+        "item", depth = 4, width = 4096)
+        .orderBy("err")
+    },
+    "q_zorder_prune" -> { (s, d) =>
+      // min/max file-skipping audit of the Morton layout
+      // (ZOrderLayout.pruningAudit): two slabs + one box over
+      // (orderkey, partkey) — the numbers that justify Z-ordering
+      graft.ops.ZOrderLayout.pruningAudit(
+        Tables.lineitem(s, d),
+        col("l_orderkey") % 65536, col("l_partkey") % 65536,
+        Seq((0L, 4095L, 0L, 65535L), (0L, 65535L, 0L, 4095L),
+          (10000L, 20000L, 30000L, 40000L)))
+        .orderBy("probe_id")
+    },
     "q_ks_drift" -> { (s, d) =>
       // two-sample Kolmogorov–Smirnov drift (ops/KsTest): how far apart
       // are the en vs non-en text-length distributions — exact
@@ -5537,6 +5558,58 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_cms_error" ->
+      """WITH js AS (SELECT CAST(UNNEST(range(0, 4)) AS INT) AS j),
+        |ev AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
+        |evm AS (SELECT item, md5(item) AS m FROM ev),
+        |h AS (SELECT js.j,
+        |             ('0x' || substr(evm.m, js.j * 8 + 1, 8))::BIGINT % 4096 AS idx
+        |      FROM evm CROSS JOIN js),
+        |sk AS (SELECT j, idx, COUNT(*) AS cnt FROM h GROUP BY j, idx),
+        |exact AS (SELECT item, CAST(COUNT(*) AS BIGINT) AS exact
+        |          FROM ev GROUP BY 1),
+        |qh AS (SELECT e.item, js.j,
+        |              ('0x' || substr(md5(e.item), js.j * 8 + 1, 8))::BIGINT % 4096 AS idx
+        |       FROM exact e CROSS JOIN js),
+        |est AS (SELECT qh.item, CAST(MIN(COALESCE(sk.cnt, 0)) AS BIGINT) AS est
+        |        FROM qh LEFT JOIN sk ON sk.j = qh.j AND sk.idx = qh.idx
+        |        GROUP BY qh.item)
+        |SELECT est.est - exact.exact AS err, COUNT(*) AS n_items
+        |FROM est JOIN exact USING (item)
+        |GROUP BY 1 ORDER BY err""".stripMargin,
+    "q_zorder_prune" ->
+      s"""WITH base AS (SELECT l_orderkey % 65536 AS a, l_partkey % 65536 AS b
+         |              FROM lineitem),
+         |${graft.ops.ZOrderLayout.spreadOracleCtes("base")},
+         |pr AS (SELECT * FROM (VALUES (0, 0, 4095, 0, 65535),
+         |                             (1, 0, 65535, 0, 4095),
+         |                             (2, 10000, 20000, 30000, 40000))
+         |       AS t(probe_id, la, ha, lb, hb)),
+         |st AS (SELECT (z >> 24) AS z_bucket, COUNT(*) AS n_rows,
+         |         MIN(a) AS min_a, MAX(a) AS max_a,
+         |         MIN(b) AS min_b, MAX(b) AS max_b
+         |       FROM zfin GROUP BY 1),
+         |per AS (SELECT pr.probe_id, st.n_rows,
+         |          (st.max_a < pr.la OR st.min_a > pr.ha
+         |           OR st.max_b < pr.lb OR st.min_b > pr.hb) AS pruned
+         |        FROM st CROSS JOIN pr),
+         |agg AS (SELECT probe_id, COUNT(*) AS n_buckets,
+         |          CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS n_pruned,
+         |          CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+         |          CAST(SUM(CASE WHEN pruned THEN 0 ELSE n_rows END) AS BIGINT)
+         |            AS rows_scanned
+         |        FROM per GROUP BY 1),
+         |mtot AS (SELECT pr.probe_id,
+         |           CAST(SUM(CASE WHEN a BETWEEN la AND ha
+         |                          AND b BETWEEN lb AND hb
+         |                         THEN 1 ELSE 0 END) AS BIGINT) AS rows_matched
+         |         FROM base CROSS JOIN pr GROUP BY 1)
+         |SELECT CAST(agg.probe_id AS BIGINT) AS probe_id, n_buckets, n_pruned,
+         |  rows_total, rows_scanned, rows_matched,
+         |  (1000 * n_pruned) // n_buckets AS prune_permille
+         |FROM agg JOIN mtot ON mtot.probe_id = agg.probe_id
+         |ORDER BY probe_id""".stripMargin,
     "q_ks_drift" ->
       """WITH f AS (SELECT lang = 'en' AS in_a,
         |             CAST(LENGTH(text) AS BIGINT) AS value FROM documents),

@@ -84,4 +84,31 @@ object FrequencySketch {
     estimateCounts(cmsTable(df, itemCol, depth, width), items, itemCol,
       depth, width)
       .where(col("est") >= threshold)
+
+  /** Sketch-error audit — the trust-but-verify step before anyone sizes
+    * a production sketch from theory alone: build the sketch AND the
+    * exact counts from the same pass-able input, then histogram the
+    * per-item overcount `est − exact`. By the CMS guarantee every error
+    * is ≥ 0 (property-spec'd); the histogram's tail is the real-world
+    * answer to "is depth×width enough for this key distribution".
+    *
+    * Scale shape: the sketch build (one pass, d·w counters), one exact
+    * item count (the same partial-aggregating shuffle any groupBy costs —
+    * this audit is for SAMPLES or capped key domains at 100 TB), one
+    * d-row probe join, and an error-cardinality-sized final histogram.
+    *
+    * Output: (err, n_items) ordered by err.
+    */
+  def errorAudit(df: DataFrame, itemCol: String, depth: Int,
+      width: Int): DataFrame = {
+    checkItemCol(itemCol)
+    val exact = df.select(col(itemCol)).where(col(itemCol).isNotNull)
+      .groupBy(col(itemCol)).agg(count(lit(1)).as("exact"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val est = estimateCounts(cmsTable(df, itemCol, depth, width),
+      exact.select(col(itemCol)), itemCol, depth, width)
+    est.join(exact, Seq(itemCol))
+      .groupBy((col("est") - col("exact")).as("err"))
+      .agg(count(lit(1)).as("n_items"))
+  }
 }

@@ -49,6 +49,57 @@ object ZOrderLayout {
       .drop("__z")
   }
 
+  /** Min/max file-skipping audit over the z-bucketed layout — the number
+    * that justifies Z-ordering at 100 TB: for each probe rectangle
+    * (laᵢ..haᵢ × lbᵢ..hbᵢ), how many buckets ("files") a min/max index
+    * prunes outright and how much data the surviving scan touches vs
+    * actually matches. Because Morton buckets are rectangles in key
+    * space, slab and box probes prune aggressively — the audit proves it
+    * on the real key distribution instead of asserting it.
+    *
+    * One scan, ONE aggregate: per-bucket min/max of both keys AND one
+    * conditional matched-count per probe ride the same groupBy; probes
+    * then explode per bucket (|probes| ≤ 16) into a probe-keyed rollup.
+    *
+    * Output per probe: (probe_id, n_buckets, n_pruned, rows_total,
+    * rows_scanned, rows_matched, prune_permille).
+    */
+  def pruningAudit(df: DataFrame, aCol: Column, bCol: Column,
+      probes: Seq[(Long, Long, Long, Long)],
+      bucketShift: Int = 24): DataFrame = {
+    require(probes.nonEmpty && probes.length <= 16,
+      s"need 1..16 probes, got ${probes.length}")
+    require(bucketShift >= 0 && bucketShift < 32,
+      s"bucketShift must be in [0, 32), got $bucketShift")
+    val z = df.select(aCol.cast("long").as("a"), bCol.cast("long").as("b"))
+      .withColumn("z", zValue2(col("a"), col("b")))
+    val matchedAggs = probes.zipWithIndex.map { case ((la, ha, lb, hb), i) =>
+      sum(when(col("a").between(la, ha) && col("b").between(lb, hb), 1L)
+        .otherwise(0L)).as(s"m$i")
+    }
+    val baseAggs = Seq(count(lit(1)).as("n_rows"),
+      min(col("a")).as("min_a"), max(col("a")).as("max_a"),
+      min(col("b")).as("min_b"), max(col("b")).as("max_b")) ++ matchedAggs
+    val stats = z.groupBy(shiftright(col("z"), bucketShift).as("z_bucket"))
+      .agg(baseAggs.head, baseAggs.tail: _*)
+    stats.select(explode(array(probes.zipWithIndex.map {
+        case ((la, ha, lb, hb), i) =>
+          struct(lit(i.toLong).as("probe_id"), col("n_rows"),
+            (col("max_a") < la || col("min_a") > ha ||
+              col("max_b") < lb || col("min_b") > hb).as("pruned"),
+            col(s"m$i").as("matched"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+      .groupBy("probe_id")
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(when(col("pruned"), 1L).otherwise(0L)).as("n_pruned"),
+        sum(col("n_rows")).as("rows_total"),
+        sum(when(col("pruned"), 0L).otherwise(col("n_rows")))
+          .as("rows_scanned"),
+        sum(col("matched")).as("rows_matched"))
+      .withColumn("prune_permille", expr("(1000 * n_pruned) div n_buckets"))
+  }
+
   /** SQL mirror of [[spread16]]/[[zValue2]] as chained CTEs over columns
     * `a` and `b` of `src`: exposes `zfin(..., z)`. Kept textually next to
     * the Column form so the two cannot drift apart. */
