@@ -2175,6 +2175,19 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_rand_index" -> { (s, d) =>
+      // pair-counting clustering agreement (ops/ClusterEval): do the
+      // part–supplier connected components recover the brand partition?
+      // Exact contingency-sum Rand/precision/recall/purity permilles
+      val comp = ConnectedComponents.components(
+          Tables.partSupplierEdges(s, d))
+        .where(col("node").startsWith("P"))
+        .select(col("node"), col("component").as("label"))
+      val brand = Tables.part(s, d).select(
+        concat(lit("P"), col("p_partkey")).as("node"),
+        col("p_brand").as("label"))
+      graft.ops.ClusterEval.pairConfusion(comp, brand)
+    },
     "q_cms_error" -> { (s, d) =>
       // Count-Min overcount histogram (FrequencySketch.errorAudit):
       // est − exact per part item over the same 4×4096 grid the
@@ -5558,6 +5571,30 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_rand_index" -> ccOracle(
+      """, j AS (SELECT comp.la, p.p_brand AS lb
+        |      FROM (SELECT node, MIN(lab) AS la FROM cc GROUP BY node) comp
+        |      JOIN part p ON comp.node = 'P' || CAST(p.p_partkey AS VARCHAR)),
+        |cont AS (SELECT la, lb, COUNT(*) AS nij FROM j GROUP BY 1, 2),
+        |core AS (SELECT CAST(SUM(nij) AS BIGINT) AS n_items,
+        |           CAST(SUM((nij * (nij - 1)) // 2) AS BIGINT) AS tp
+        |         FROM cont),
+        |saa AS (SELECT CAST(SUM((na * (na - 1)) // 2) AS BIGINT) AS sa
+        |        FROM (SELECT CAST(SUM(nij) AS BIGINT) AS na
+        |              FROM cont GROUP BY la)),
+        |sbb AS (SELECT CAST(SUM((nb * (nb - 1)) // 2) AS BIGINT) AS sb
+        |        FROM (SELECT CAST(SUM(nij) AS BIGINT) AS nb
+        |              FROM cont GROUP BY lb)),
+        |pur AS (SELECT CAST(SUM(mx) AS BIGINT) AS pure
+        |        FROM (SELECT MAX(nij) AS mx FROM cont GROUP BY la))
+        |SELECT n_items, tp, sa - tp AS fp, sb - tp AS fn,
+        |  (n_items * (n_items - 1)) // 2 - sa - sb + tp AS tn,
+        |  CASE WHEN n_items >= 2 THEN (1000 * (tp + (n_items * (n_items - 1)) // 2 - sa - sb + tp))
+        |                              // ((n_items * (n_items - 1)) // 2) END AS rand_permille,
+        |  CASE WHEN sa > 0 THEN (1000 * tp) // sa END AS pair_precision_permille,
+        |  CASE WHEN sb > 0 THEN (1000 * tp) // sb END AS pair_recall_permille,
+        |  CASE WHEN n_items > 0 THEN (1000 * pure) // n_items END AS purity_permille
+        |FROM core CROSS JOIN saa CROSS JOIN sbb CROSS JOIN pur""".stripMargin),
     "q_cms_error" ->
       """WITH js AS (SELECT CAST(UNNEST(range(0, 4)) AS INT) AS j),
         |ev AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS item FROM lineitem),
