@@ -2175,6 +2175,15 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_minhash_error" -> { (s, d) =>
+      // MinHash estimator audit (Dedup.minHashEstimateAudit): matching-
+      // lane estimate vs exact shingle Jaccard over all pairs of the
+      // first 40 docs — completes the sketch trust-but-verify family
+      graft.ops.Dedup.minHashEstimateAudit(
+        Tables.documents(s, d).where(col("doc_id") < 40),
+        "doc_id", "text", n = 3, numHashes = 64)
+        .orderBy("id_a", "id_b")
+    },
     "q_rand_index" -> { (s, d) =>
       // pair-counting clustering agreement (ops/ClusterEval): do the
       // part–supplier connected components recover the brand partition?
@@ -5571,6 +5580,37 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_minhash_error" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+         |              FROM documents WHERE doc_id < 40),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |${graft.ops.Dedup.minHashPortableOracleCtes(numHashes = 64, bands = 16)},
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY 1),
+         |estm AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |           CAST(COUNT(*) AS BIGINT) AS est_matches
+         |         FROM mh a JOIN mh b
+         |           ON a.i = b.i AND a.mh = b.mh AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2),
+         |inter AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |            CAST(COUNT(*) AS BIGINT) AS n_inter
+         |          FROM sh x JOIN sh y
+         |            ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+         |          GROUP BY 1, 2),
+         |uni AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |          a.n_sh AS na, b.n_sh AS nb
+         |        FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id)
+         |SELECT uni.id_a, uni.id_b,
+         |  COALESCE(est_matches, 0) AS est_matches,
+         |  (1000 * COALESCE(est_matches, 0)) // 64 AS est_permille,
+         |  (1000 * COALESCE(n_inter, 0)) // (na + nb - COALESCE(n_inter, 0))
+         |    AS exact_permille,
+         |  (1000 * COALESCE(est_matches, 0)) // 64
+         |    - (1000 * COALESCE(n_inter, 0)) // (na + nb - COALESCE(n_inter, 0))
+         |    AS err_permille
+         |FROM uni LEFT JOIN estm ON estm.id_a = uni.id_a AND estm.id_b = uni.id_b
+         |         LEFT JOIN inter ON inter.id_a = uni.id_a AND inter.id_b = uni.id_b
+         |ORDER BY uni.id_a, uni.id_b""".stripMargin,
     "q_rand_index" -> ccOracle(
       """, j AS (SELECT comp.la, p.p_brand AS lb
         |      FROM (SELECT node, MIN(lab) AS la FROM cc GROUP BY node) comp

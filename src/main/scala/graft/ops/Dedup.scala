@@ -489,6 +489,67 @@ object Dedup extends org.apache.spark.internal.Logging {
     verifyJaccard(sh, threshold, candidates)
   }
 
+  /** MinHash estimator audit — est-vs-exact Jaccard over EVERY pair of a
+    * (caller-bounded) document sample: the third leg of the sketch
+    * trust-but-verify family (CMS overcounts, ANN recall, and now "are 64
+    * lanes enough at my similarity range"). The estimate is the classic
+    * matching-lane fraction, the truth the exact shingle Jaccard, both
+    * floored to permille so the gap is an exact integer (negative =
+    * underestimate — MinHash errs both ways, unlike CMS).
+    *
+    * Scale shape: signatures via one shingle scan × a broadcast 64-row
+    * seed table (the same mh algebra the LSH path uses), lane-equality
+    * self-join keyed on (lane, value), shingle-keyed intersection join —
+    * pair work is O(sample²), which is WHY the caller bounds the sample;
+    * the full-corpus question is answered by the LSH recall audit, not
+    * all-pairs.
+    *
+    * Output per pair: (id_a, id_b, est_matches, est_permille,
+    * exact_permille, err_permille).
+    */
+  def minHashEstimateAudit(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val coeffs = portableMinHashCoeffs(numHashes)
+    val sh = shingles(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = coeffs.zipWithIndex
+      .map { case ((k, l), i) => (i, k, l) }.toSeq.toDF("i", "k", "l")
+    val sig = sh
+      .withColumn("__md5", md5(col("shingle")))
+      .withColumn("h1",
+        graft.functions.functions.hex_to_long(substring(col("__md5"), 1, 8)))
+      .withColumn("h2",
+        graft.functions.functions.hex_to_long(substring(col("__md5"), 9, 8)))
+      .crossJoin(broadcast(seeds))
+      .groupBy(col("id"), col("i"))
+      .agg(min((col("h1") * col("k") + col("h2") * col("l"))
+        % lit(PortableMinHashP)).as("mh"))
+    val est = sig.as("a").join(sig.as("b"),
+        col("a.i") === col("b.i") && col("a.mh") === col("b.mh") &&
+          col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("est_matches"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("x").join(sh.as("y"),
+        col("x.shingle") === col("y.shingle") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("id_a"), col("y.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    sizes.as("sa").join(sizes.as("sb"), col("sa.id") < col("sb.id"))
+      .select(col("sa.id").as("id_a"), col("sb.id").as("id_b"),
+        col("sa.n_sh").as("na"), col("sb.n_sh").as("nb"))
+      .join(est, Seq("id_a", "id_b"), "left")
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .select(col("id_a"), col("id_b"),
+        coalesce(col("est_matches"), lit(0L)).as("est_matches"),
+        expr(s"(1000 * coalesce(est_matches, 0)) div $numHashes")
+          .as("est_permille"),
+        expr("""(1000 * coalesce(n_inter, 0))
+               div (na + nb - coalesce(n_inter, 0))""").as("exact_permille"))
+      .withColumn("err_permille", col("est_permille") - col("exact_permille"))
+  }
+
   /** DuckDB mirror of [[minHashLshPairsPortable]]'s signature/banding
     * stages: CTEs `mh` (per-doc per-seed minhash) and `bnd` (per-doc
     * per-band bucket), built over a CTE `sh(doc_id, shingle)`. The caller

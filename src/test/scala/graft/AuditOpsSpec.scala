@@ -51,6 +51,41 @@ class AuditOpsSpec extends AnyFunSuite {
     assert(all._3 == 0L && all._5 == all._4 && all._4 == 4000L)
   }
 
+  test("minhash audit: identical docs estimate 1000, disjoint docs 0") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different words entirely unrelated corpus here"))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.minHashEstimateAudit(docs, "doc_id", "text")
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        r.getLong(5)))
+    // (1,2): identical -> est 1000, exact 1000, err 0
+    assert(rows(0) == (1L, 2L, 1000L, 1000L, 0L))
+    // (1,3) and (2,3): disjoint shingles -> est 0, exact 0
+    assert(rows(1)._3 == 0L && rows(1)._4 == 0L)
+    assert(rows(2)._3 == 0L && rows(2)._4 == 0L)
+  }
+
+  test("minhash audit covers every pair and errors stay in [-1000, 1000]") {
+    val rnd = new scala.util.Random(61)
+    val vocab = Array("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta")
+    val docs = (0 until 12).map(i =>
+      (i.toLong, Seq.fill(10)(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.minHashEstimateAudit(docs, "doc_id", "text")
+      .collect()
+    assert(rows.length == 12 * 11 / 2)
+    rows.foreach { r =>
+      val err = r.getLong(5)
+      assert(err >= -1000L && err <= 1000L)
+      assert(r.getLong(3) == r.getLong(2) * 1000L / 64L)
+    }
+  }
+
   test("zorder pruning audit never prunes a bucket containing matches") {
     // adversarial: clustered keys so buckets are tight rectangles
     val rows = (0 until 2000).map(i => ((i % 256).toLong * 256L,
