@@ -2175,6 +2175,33 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_mrr" -> { (s, d) =>
+      // reciprocal rank of the true nearest neighbor inside the LSH list
+      // (AnnAudit.reciprocalRank): rank quality where recall can't see it
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val approx = Similarity.lshTopKPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L)
+        .where(col("query_id") < 20)
+      graft.ops.AnnAudit.reciprocalRank(truth, approx)
+    },
+    "q_ndcg" -> { (s, d) =>
+      // binary-relevance NDCG@5 of the LSH list vs the exact top-5
+      // (AnnAudit.ndcgAtK): literal log2-discount ppm weights — no
+      // runtime logarithm, oracle-identical in any engine
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val approx = Similarity.lshTopKPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L)
+        .where(col("query_id") < 20)
+      graft.ops.AnnAudit.ndcgAtK(truth, approx, k = 5)
+    },
     "q_minhash_error" -> { (s, d) =>
       // MinHash estimator audit (Dedup.minHashEstimateAudit): matching-
       // lane estimate vs exact shingle Jaccard over all pairs of the
@@ -5580,6 +5607,35 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_mrr" ->
+      s"""WITH $annAuditCtes,
+         |t1 AS (SELECT query_id, neighbor_id FROM bf WHERE rank = 1)
+         |SELECT t1.query_id, COALESCE(l.rank, 0) AS first_rank,
+         |  CASE WHEN l.rank IS NOT NULL THEN 1000000 // l.rank
+         |       ELSE 0 END AS rr_ppm
+         |FROM t1 LEFT JOIN lsh l
+         |  ON l.query_id = t1.query_id AND l.neighbor_id = t1.neighbor_id
+         |ORDER BY t1.query_id""".stripMargin,
+    "q_ndcg" ->
+      s"""WITH $annAuditCtes,
+         |w AS (SELECT * FROM (VALUES (1, 1000000), (2, 630929), (3, 500000),
+         |                            (4, 430676), (5, 386852)) t(r, wt)),
+         |g AS (SELECT a.query_id,
+         |        CAST(SUM(CASE WHEN t.neighbor_id IS NOT NULL THEN w.wt
+         |                      ELSE 0 END) AS BIGINT) AS dcg_ppm
+         |      FROM lsh a JOIN w ON w.r = a.rank
+         |      LEFT JOIN bf t ON t.query_id = a.query_id
+         |                    AND t.neighbor_id = a.neighbor_id
+         |      WHERE a.rank <= 5 GROUP BY 1),
+         |ts AS (SELECT query_id, COUNT(*) AS nt FROM bf GROUP BY 1),
+         |idcg AS (SELECT ts.query_id, CAST(SUM(w.wt) AS BIGINT) AS idcg_ppm
+         |         FROM ts JOIN w ON w.r <= LEAST(nt, 5) GROUP BY 1)
+         |SELECT idcg.query_id, COALESCE(dcg_ppm, 0) AS dcg_ppm, idcg_ppm,
+         |  CASE WHEN idcg_ppm > 0
+         |       THEN (1000000 * COALESCE(dcg_ppm, 0)) // idcg_ppm
+         |       ELSE 0 END AS ndcg_ppm
+         |FROM idcg LEFT JOIN g ON g.query_id = idcg.query_id
+         |ORDER BY idcg.query_id""".stripMargin,
     "q_minhash_error" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
          |              FROM documents WHERE doc_id < 40),
@@ -7074,6 +7130,34 @@ object SparkEntry {
     * part↔supplier edges as Tables.partSupplierEdges; `finalSelect` runs
     * over cc(node, lab) where min(lab) per node = canonical component.
     */
+  /** Shared CTE prefix for the ANN-audit oracles: `lsh(query_id, rank,
+    * neighbor_id, cosine)` from the portable LSH generator and
+    * `bf(query_id, neighbor_id, rank)` — the exact quantized-cosine
+    * top-5 for queries vec_id < 20 (the q_ann_topk pipeline).
+    */
+  private def annAuditCtes: String =
+    s"""lsh AS (SELECT * FROM (
+       |${graft.ops.Similarity.lshPortableOracle(dim = 64, k = 5,
+            nBits = 6, tables = 4, seed = 42L)})),
+       |bf AS (SELECT * FROM (
+       |  WITH q AS (SELECT vec_id, list_transform(embedding,
+       |               x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+       |             FROM embeddings),
+       |  n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+       |  p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |          (SELECT SUM(qq.v[i]*c.v[i])
+       |           FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+       |        FROM (SELECT * FROM q WHERE vec_id < 20) qq
+       |        JOIN q c ON c.vec_id <> qq.vec_id),
+       |  scored AS (SELECT query_id, neighbor_id,
+       |               ROW_NUMBER() OVER (PARTITION BY query_id
+       |                 ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC,
+       |                   neighbor_id ASC) AS rank
+       |             FROM p JOIN n na ON na.vec_id = query_id
+       |                    JOIN n nb ON nb.vec_id = neighbor_id)
+       |  SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank
+       |  FROM scored WHERE rank <= 5))""".stripMargin
+
   private def ccOracle(finalSelect: String): String =
     s"""WITH RECURSIVE
        |edges AS (
