@@ -2175,6 +2175,17 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_kmv_error" -> { (s, d) =>
+      // KMV distinct-count audit (SetSketch.distinctErrorAudit): bottom-k
+      // estimator vs exact distinct token hashes per source — exact
+      // integer estimator via DECIMAL(38,0) before the floor division
+      val h = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("source"), graft.functions.functions.hex_to_long(
+          substring(md5(col("tok")), 1, 15)).as("h"))
+      graft.ops.SetSketch.distinctErrorAudit(h, "source", "h", k = 256)
+        .orderBy("source")
+    },
     "q_mrr" -> { (s, d) =>
       // reciprocal rank of the true nearest neighbor inside the LSH list
       // (AnnAudit.reciprocalRank): rank quality where recall can't see it
@@ -5607,6 +5618,31 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_kmv_error" ->
+      """WITH toks AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |h AS (SELECT DISTINCT source,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT AS h
+        |      FROM toks),
+        |ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact
+        |       FROM h GROUP BY 1),
+        |rk AS (SELECT source, h,
+        |         ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS r
+        |       FROM h),
+        |kth AS (SELECT source, CAST(MAX(CASE WHEN r = 256 THEN h END)
+        |          AS BIGINT) AS h_k
+        |        FROM rk GROUP BY 1),
+        |est AS (SELECT ex.source, n_exact,
+        |          CASE WHEN n_exact < 256 THEN n_exact
+        |               ELSE CAST((255 * 1152921504606846976::HUGEINT) // h_k
+        |                    AS BIGINT) END AS est
+        |        FROM ex JOIN kth ON kth.source = ex.source)
+        |SELECT source, n_exact, est,
+        |  CASE WHEN est >= n_exact
+        |       THEN (1000000 * (est - n_exact)) // n_exact
+        |       ELSE 0 - ((1000000 * (n_exact - est)) // n_exact)
+        |       END AS err_ppm
+        |FROM est ORDER BY source""".stripMargin,
     "q_mrr" ->
       s"""WITH $annAuditCtes,
          |t1 AS (SELECT query_id, neighbor_id FROM bf WHERE rank = 1)

@@ -35,6 +35,51 @@ object SetSketch {
     df.groupBy(col(keyCol))
       .agg(graft.functions.KmvSketch.kmv_sketch(col(hashCol), k).as("sketch"))
 
+  /** KMV distinct-count error audit — est-vs-exact per group, the KMV
+    * leg of the sketch trust-but-verify family: the classic estimator
+    * n̂ = (k−1)·R / h_k (R = 2⁶⁰, the md5-lane hash range; h_k the k-th
+    * smallest distinct hash) stays in EXACT integer arithmetic because
+    * (k−1)·R is evaluated in DECIMAL(38,0)/HUGEINT before the floor
+    * division — no doubles, no logs, identical in any engine. Groups
+    * with fewer than k distinct hashes report exactly (the sketch IS the
+    * set). "Exact" here counts distinct 60-bit hashes — the same domain
+    * the estimator sees, so a (vanishingly rare) md5-lane collision
+    * cancels out of the comparison instead of polluting it.
+    *
+    * The signed relative error splits sign and magnitude explicitly —
+    * Spark `div` truncates toward zero while DuckDB `//` floors, so a
+    * single signed division would diverge on negative errors.
+    *
+    * Scale shape: one k-slot sketch aggregate + one distinct-count per
+    * group (the audit's truth side — run it on samples or bounded key
+    * domains at 100 TB) + a group-dimension join.
+    *
+    * Output: (key, n_exact, est, err_ppm) per group.
+    */
+  def distinctErrorAudit(df: DataFrame, keyCol: String, hashCol: String,
+      k: Int): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    val sk = kmvSketches(df, keyCol, hashCol, k)
+    val exact = df.select(col(keyCol), col(hashCol).as("__h"))
+      .where(col("__h").isNotNull)
+      .groupBy(col(keyCol))
+      .agg(count_distinct(col("__h")).as("n_exact"))
+    exact.join(sk, Seq(keyCol))
+      .select(col(keyCol), col("n_exact"),
+        when(col("n_exact") < k, col("n_exact"))
+          .otherwise(expr(
+            s"""CAST(CAST(${k - 1} AS DECIMAL(38, 0))
+                 * CAST(1152921504606846976 AS DECIMAL(38, 0))
+               div CAST(element_at(sketch, $k) AS DECIMAL(38, 0))
+               AS BIGINT)""")).as("est"))
+      .select(col(keyCol), col("n_exact"), col("est"),
+        when(col("est") >= col("n_exact"),
+          expr("(1000000 * (est - n_exact)) div n_exact"))
+          .otherwise(lit(0L)
+            - expr("(1000000 * (n_exact - est)) div n_exact"))
+          .as("err_ppm"))
+  }
+
   /** Jaccard estimates for every unordered pair of sketch rows. */
   def pairwiseJaccard(sketches: DataFrame, keyCol: String,
       k: Int): DataFrame = {

@@ -86,6 +86,27 @@ class AuditOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("kmv audit is exact below k and within 3/sqrt(k) above it") {
+    import org.apache.spark.sql.functions._
+    def hashed(rows: Seq[(String, String)]) = rows.toDF("key", "tok")
+      .select(col("key"), graft.functions.functions.hex_to_long(
+        substring(md5(col("tok")), 1, 15)).as("h"))
+    // group 'small': 30 distinct < k=64 -> est == exact, err 0
+    val small = (0 until 30).map(i => ("small", s"w$i"))
+    // group 'big': 5000 distinct > k -> estimator kicks in
+    val big = (0 until 5000).map(i => ("big", s"tok$i"))
+    val out = graft.ops.SetSketch.distinctErrorAudit(
+        hashed(small ++ big), "key", "h", k = 64)
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val bigRow = out(0); val smallRow = out(1)
+    assert(smallRow == (("small", 30L, 30L, 0L)))
+    assert(bigRow._2 == 5000L)
+    // KMV stderr ~ n/sqrt(k-2): allow 3 sigma ~ 381 ppm*1000
+    assert(math.abs(bigRow._4) < 400000L,
+      s"estimate off by more than ~3 sigma: $bigRow")
+  }
+
   test("zorder pruning audit never prunes a bucket containing matches") {
     // adversarial: clustered keys so buckets are tight rectangles
     val rows = (0 until 2000).map(i => ((i % 256).toLong * 256L,
