@@ -2175,6 +2175,26 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_skew_join" -> { (s, d) =>
+      // salted skew join (ops/SkewJoin): six event types dwarf any hash
+      // partitioning — salt the fact side 8 ways against the replicated
+      // type dim; the aggregate must equal the plain-join oracle exactly
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      val dim = Tables.events(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("type_n"))
+      graft.ops.SkewJoin.saltedJoin(ev, dim, "event_type", salts = 8)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"), max(col("type_n")).as("type_n"),
+          sum(floor(col("value") * 100).cast("long")).as("cents"))
+        .orderBy("event_type")
+    },
+    "q_centralization" -> { (s, d) =>
+      // Freeman degree centralization of the co-order graph
+      // (GraphStats.degreeCentralization): how star-like is it, in exact
+      // integer pieces + floor permille
+      graft.ops.GraphStats.degreeCentralization(
+        Tables.coOrderPairEdges(s, d), "src", "dst")
+    },
     "q_kmv_error" -> { (s, d) =>
       // KMV distinct-count audit (SetSketch.distinctErrorAudit): bottom-k
       // estimator vs exact distinct token hashes per source — exact
@@ -5618,6 +5638,38 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_skew_join" ->
+      """WITH ev AS (SELECT event_type, value FROM events),
+        |dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n
+        |        FROM events GROUP BY 1)
+        |SELECT ev.event_type, COUNT(*) AS n_rows,
+        |  CAST(MAX(type_n) AS BIGINT) AS type_n,
+        |  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+        |FROM ev JOIN dim ON dim.event_type = ev.event_type
+        |GROUP BY ev.event_type
+        |ORDER BY ev.event_type""".stripMargin,
+    "q_centralization" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |und AS (SELECT DISTINCT x.item AS x, y.item AS y
+        |        FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item),
+        |deg AS (SELECT node, COUNT(*) AS d
+        |        FROM (SELECT x AS node FROM und UNION ALL SELECT y FROM und)
+        |        GROUP BY 1),
+        |s AS (SELECT COUNT(*) AS n_nodes, CAST(MAX(d) AS BIGINT) AS d_max,
+        |        CAST(SUM(d) AS BIGINT) AS d_sum
+        |      FROM deg)
+        |SELECT n_nodes, d_max,
+        |  n_nodes * d_max - d_sum AS c_num,
+        |  (n_nodes - 1) * (n_nodes - 2) AS c_den,
+        |  CASE WHEN n_nodes >= 3
+        |       THEN (1000 * (n_nodes * d_max - d_sum))
+        |            // ((n_nodes - 1) * (n_nodes - 2)) END
+        |    AS centralization_permille
+        |FROM s""".stripMargin,
     "q_kmv_error" ->
       """WITH toks AS (SELECT source, UNNEST(string_split(text, ' ')) AS tok
         |              FROM documents),

@@ -271,6 +271,32 @@ object GraphStats {
           .as("reciprocity_permille"))
   }
 
+  /** Freeman degree centralization — "how star-like is this graph" in
+    * one row of exact integers: C = Σ_v (d_max − d_v) / ((n−1)(n−2)),
+    * 1000‰ for a perfect star, 0 for a regular graph. The numerator and
+    * denominator ship alongside the floored permille, so any downstream
+    * can re-derive at full precision. Degenerate graphs (n < 3) report
+    * NULL — the normalizer is undefined.
+    *
+    * Shape: the degree aggregate + one global max + one 1-row rollup —
+    * two partial-aggregating shuffles over the node dimension.
+    */
+  def degreeCentralization(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+    val deg = e.select(col("x").as("node"))
+      .union(e.select(col("y").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    deg.agg(count(lit(1)).as("n_nodes"), max(col("d")).as("d_max"),
+        sum(col("d")).as("d_sum"))
+      .select(col("n_nodes"), col("d_max"),
+        (col("n_nodes") * col("d_max") - col("d_sum")).as("c_num"),
+        ((col("n_nodes") - 1L) * (col("n_nodes") - 2L)).as("c_den"))
+      .withColumn("centralization_permille",
+        when(col("n_nodes") >= 3L, expr("(1000 * c_num) div c_den"))
+          .otherwise(lit(null)))
+  }
+
   /** Per-community conductance — the cut-quality score partition audits
     * report next to [[modularity]]: φ(S) = cut(S) / min(vol(S), 2m−vol(S)),
     * here in exact permille. Only edges with BOTH endpoints labeled count

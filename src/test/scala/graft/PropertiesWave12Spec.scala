@@ -147,6 +147,38 @@ class PropertiesWave12Spec extends AnyFunSuite {
     }
   }
 
+  test("centralization: star scores 1000, cycle scores 0") {
+    def cz(edges: Seq[(String, String)]) =
+      graft.ops.GraphStats.degreeCentralization(edges.toDF("src", "dst"),
+        "src", "dst").collect()(0)
+    val star = (1 to 6).map(i => ("hub", s"leaf$i"))
+    assert(cz(star).getLong(4) == 1000L)
+    val cycle = (0 until 6).map(i => (s"c$i", s"c${(i + 1) % 6}"))
+    assert(cz(cycle).getLong(4) == 0L)
+    // degenerate 2-node graph: normalizer undefined -> NULL
+    assert(cz(Seq(("a", "b"))).isNullAt(4))
+  }
+
+  test("salted join equals the plain join on skewed random data") {
+    val rnd = new scala.util.Random(67)
+    val left = Seq.fill(500)((if (rnd.nextInt(10) < 8) "hot"
+      else s"k${rnd.nextInt(5)}", rnd.nextInt(100)))
+      .toDF("k", "v")
+    val right = Seq("hot" -> 1, "k0" -> 2, "k1" -> 3, "k9" -> 4)
+      .toDF("k", "w")
+    val salted = graft.ops.SkewJoin.saltedJoin(left, right, "k", salts = 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        max(col("w")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    val plain = left.join(right, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum(col("v")).as("sv"),
+        max(col("w")).as("w"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3))).toSet
+    assert(salted == plain)
+  }
+
   test("cliques4: every emitted quadruple is fully pairwise adjacent") {
     for (seed <- Seq(15, 33)) {
       val g = randomGraph(seed, 12, 45)
