@@ -226,4 +226,26 @@ class PlanGuardSpec extends AnyFunSuite {
     val p = physical("q_conductance")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q_zorder_prune answers every probe from ONE scan, no join") {
+    val p = physical("q_zorder_prune")
+    assert(scans(p) == 1,
+      s"bucket stats and all probe matches must share one scan:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      "probe fan-out is an explode over the aggregated bucket table")
+  }
+
+  test("audit queries avoid cartesian products (broadcast fan-out only)") {
+    for (name <- Seq("q_cms_error", "q_kmv_error", "q_minhash_error",
+        "q_skew_join")) {
+      assert(!physical(name).contains("CartesianProduct"),
+        s"$name must not cartesian-join")
+    }
+  }
+
+  test("q_stationary and q_centralization run without any Window operator") {
+    for (name <- Seq("q_stationary", "q_centralization"))
+      assert(!physical(name).contains("WindowExec"),
+        s"$name must be pure aggregate algebra")
+  }
 }
