@@ -2175,6 +2175,32 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_topk_drift" -> { (s, d) =>
+      // week-over-week top-10 part churn (Trend.topKChurn): leaderboard
+      // Jaccard via k-slot string aggregates — the drift alarm per-item
+      // counts bury
+      graft.ops.Trend.topKChurn(
+        Tables.lineitem(s, d).select(
+          // NTZ parquet timestamp: cast through the (UTC-pinned) session
+          // zone, same µs values as DuckDB's epoch_us
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000")
+            .as("wk"),
+          concat(lit("P"), col("l_partkey")).as("item")),
+        "wk", "item", k = 10)
+        .orderBy("period")
+    },
+    "q_kmeans_distortion" -> { (s, d) =>
+      // per-cluster distortion rollup of the distributed Lloyd fit:
+      // SSE / max / floored mean of the exact integer distances — the
+      // "is k right" audit next to q_kmeans's assignments
+      KMeansEmbed.assignments(Tables.embeddings(s, d), "vec_id",
+          "embedding", k = 8, iters = 2)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("sse"),
+          max(col("dist")).as("max_dist"))
+        .withColumn("mean_dist", expr("sse div n_vecs"))
+        .orderBy("cluster")
+    },
     "q_skew_join" -> { (s, d) =>
       // salted skew join (ops/SkewJoin): six event types dwarf any hash
       // partitioning — salt the fact side 8 ways against the replicated
@@ -5638,6 +5664,33 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_topk_drift" ->
+      """WITH c AS (SELECT epoch_us(l_shipdate) // 604800000000 AS period,
+        |             'P' || CAST(l_partkey AS VARCHAR) AS item,
+        |             COUNT(*) AS n
+        |           FROM lineitem GROUP BY 1, 2),
+        |t AS (SELECT period, item FROM c
+        |      QUALIFY ROW_NUMBER() OVER (PARTITION BY period
+        |        ORDER BY n DESC, item) <= 10),
+        |sizes AS (SELECT period, COUNT(*) AS k_n FROM t GROUP BY 1),
+        |com AS (SELECT a.period, COUNT(*) AS n_common
+        |        FROM t a JOIN t b
+        |          ON b.period = a.period + 1 AND b.item = a.item
+        |        GROUP BY 1)
+        |SELECT sa.period, sb.period AS next_period,
+        |  sa.k_n AS k_a, sb.k_n AS k_b,
+        |  CAST(COALESCE(n_common, 0) AS BIGINT) AS n_common,
+        |  (1000 * COALESCE(n_common, 0))
+        |    // (sa.k_n + sb.k_n - COALESCE(n_common, 0)) AS jaccard_permille
+        |FROM sizes sa JOIN sizes sb ON sb.period = sa.period + 1
+        |LEFT JOIN com ON com.period = sa.period
+        |ORDER BY sa.period""".stripMargin,
+    "q_kmeans_distortion" -> (kmeansCtes(iters = 2) + """
+        |SELECT cluster, COUNT(*) AS n_vecs,
+        |  CAST(SUM(dist) AS BIGINT) AS sse,
+        |  CAST(MAX(dist) AS BIGINT) AS max_dist,
+        |  CAST(SUM(dist) AS BIGINT) // COUNT(*) AS mean_dist
+        |FROM a_f GROUP BY cluster ORDER BY cluster""".stripMargin),
     "q_skew_join" ->
       """WITH ev AS (SELECT event_type, value FROM events),
         |dim AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS type_n

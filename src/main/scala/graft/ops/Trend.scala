@@ -67,6 +67,55 @@ object Trend {
     * group-keyed lag window over the TINY per-day count table, one final
     * aggregation. Events shuffle once, at day grain.
     */
+  /** Day-over-day top-k churn — "did the leaderboard change": per
+    * period, the top-k items by count ((count desc, item asc), the
+    * k-slot [[graft.functions.TopKByAgg]] string aggregate — no window
+    * sort), then the Jaccard overlap between each period's set and the
+    * NEXT period's, in exact permille. A stable pipeline hovers near
+    * 1000; a sudden drop is the drift alarm that per-item counts bury.
+    *
+    * Scale shape: one (period, item) partial-aggregated count, a
+    * period-keyed k-slot aggregate (≤ k strings per period cross the
+    * final shuffle), and a (period, item)-keyed self-join of the
+    * EXPLODED top-k table (≤ k rows per period) — period-dimension
+    * output.
+    *
+    * Output: (period, next_period, k_a, k_b, n_common, jaccard_permille)
+    * for every period with a successor present in the data.
+    */
+  def topKChurn(df: DataFrame, periodCol: String, itemCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val counts = df.select(col(periodCol).cast("long").as("period"),
+        col(itemCol).cast("string").as("item"))
+      .where(col("period").isNotNull && col("item").isNotNull)
+      .groupBy("period", "item").agg(count(lit(1)).as("n"))
+    val tops = counts.groupBy("period")
+      .agg(graft.functions.TopKByAgg.top_k_by_str(
+        col("n").cast("double"), col("item"), k).as("__top"))
+      .select(col("period"), explode(col("__top")).as("t"))
+      .select(col("period"), col("t.payload").as("item"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sizes = tops.groupBy("period").agg(count(lit(1)).as("k_n"))
+    val common = tops.as("a")
+      .join(tops.as("b"),
+        col("b.period") === col("a.period") + 1L &&
+          col("b.item") === col("a.item"))
+      .groupBy(col("a.period").as("period"))
+      .agg(count(lit(1)).as("n_common"))
+    sizes.as("sa")
+      .join(sizes.as("sb"), col("sb.period") === col("sa.period") + 1L)
+      .select(col("sa.period").as("period"),
+        col("sb.period").as("next_period"),
+        col("sa.k_n").as("k_a"), col("sb.k_n").as("k_b"))
+      .join(common, Seq("period"), "left")
+      .select(col("period"), col("next_period"), col("k_a"), col("k_b"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        expr("""(1000 * coalesce(n_common, 0))
+               div (k_a + k_b - coalesce(n_common, 0))""")
+          .as("jaccard_permille"))
+  }
+
   def lagAutocorr(df: DataFrame, groupCol: String,
       tsUsCol: String, lag: Int = 1): DataFrame = {
     require(lag >= 1, s"lag must be >= 1, got $lag")
