@@ -2175,6 +2175,28 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_ann_recall2" -> { (s, d) =>
+      // recall@5 of the OTHER two index families vs exact brute force
+      // (AnnAudit.recallAtK): IVF and PQ side by side — with q_ann_recall
+      // every approximate index in the engine is recall-audited
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val ivf = Similarity.ivfTopKPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
+          sampleN = 200, seed = 42L)
+        .where(col("query_id") < 20)
+      val pq = Similarity.pqTopKPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5)
+        .where(col("query_id") < 20)
+      graft.ops.AnnAudit.recallAtK(truth, ivf)
+        .withColumn("method", lit("ivf"))
+        .unionByName(graft.ops.AnnAudit.recallAtK(truth, pq)
+          .withColumn("method", lit("pq")))
+        .orderBy("method", "query_id")
+    },
     "q_topk_drift" -> { (s, d) =>
       // week-over-week top-10 part churn (Trend.topKChurn): leaderboard
       // Jaccard via k-slot string aggregates — the drift alarm per-item
@@ -5664,6 +5686,32 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_ann_recall2" ->
+      s"""WITH $annAuditCtes,
+         |ivf AS (SELECT * FROM (
+         |${graft.ops.Similarity.ivfPortableOracle(dim = 64, k = 5,
+              nCells = 16, nProbe = 4, kmeansIters = 3, sampleN = 200,
+              seed = 42L)})),
+         |pq AS (SELECT * FROM (
+         |${graft.ops.Similarity.pqPortableOracle(dim = 64, k = 5, m = 16,
+              ksub = 16, candR = 50, kmeansIters = 2, sampleN = 200,
+              seed = 42L)})),
+         |ra AS (SELECT 'ivf' AS method, b.query_id, COUNT(*) AS n_truth,
+         |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |       FROM bf b LEFT JOIN ivf a
+         |         ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |       GROUP BY 1, 2
+         |       UNION ALL
+         |       SELECT 'pq', b.query_id, COUNT(*),
+         |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT)
+         |       FROM bf b LEFT JOIN pq a
+         |         ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |       GROUP BY 1, 2)
+         |SELECT method, query_id, n_truth, n_hits,
+         |  (1000 * n_hits) // n_truth AS recall_permille
+         |FROM ra ORDER BY method, query_id""".stripMargin,
     "q_topk_drift" ->
       """WITH c AS (SELECT epoch_us(l_shipdate) // 604800000000 AS period,
         |             'P' || CAST(l_partkey AS VARCHAR) AS item,
