@@ -2175,6 +2175,15 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_target_leakage" -> { (s, d) =>
+      // leave-one-out leakage audit of the mean encoder
+      // (TargetEncode.looLeakageAudit) over a HIGH-cardinality category
+      // (custkey): small categories with big LOO gaps are memorized
+      // labels, not features
+      graft.ops.TargetEncode.looLeakageAudit(Tables.orders(s, d),
+          "o_custkey", col("o_totalprice") > 150000.0, smoothing = 20L)
+        .orderBy("category")
+    },
     "q_ann_recall2" -> { (s, d) =>
       // recall@5 of the OTHER two index families vs exact brute force
       // (AnnAudit.recallAtK): IVF and PQ side by side — with q_ann_recall
@@ -5686,6 +5695,25 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_target_leakage" ->
+      """WITH c AS (SELECT o_custkey AS category, CAST(COUNT(*) AS BIGINT) AS n,
+        |             CAST(SUM(CASE WHEN o_totalprice > 150000.0
+        |                           THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |           FROM orders GROUP BY 1),
+        |g AS (SELECT (1000000 * CAST(SUM(n_pos) AS BIGINT))
+        |        // CAST(SUM(n) AS BIGINT) AS gppm FROM c),
+        |e AS (SELECT category, n, n_pos,
+        |        (1000000 * n_pos + 20 * gppm) // (n + 20) AS enc_ppm,
+        |        CASE WHEN n_pos >= 1
+        |             THEN (1000000 * (n_pos - 1) + 20 * gppm) // (n - 1 + 20)
+        |             END AS loo_pos_ppm,
+        |        CASE WHEN n - n_pos >= 1
+        |             THEN (1000000 * n_pos + 20 * gppm) // (n - 1 + 20)
+        |             END AS loo_neg_ppm
+        |      FROM c CROSS JOIN g)
+        |SELECT category, n, n_pos, enc_ppm, loo_pos_ppm, loo_neg_ppm,
+        |  loo_neg_ppm - loo_pos_ppm AS leak_gap_ppm
+        |FROM e ORDER BY category""".stripMargin,
     "q_ann_recall2" ->
       s"""WITH $annAuditCtes,
          |ivf AS (SELECT * FROM (

@@ -63,4 +63,44 @@ object TargetEncode {
   def encoderTable(df: DataFrame, categoryCol: String, target: Column,
       smoothing: Long = 20L): DataFrame =
     encoderFromCounts(categoryCounts(df, categoryCol, target), smoothing)
+
+  /** Target-leakage audit of the encoder — the classic failure mode of
+    * mean encoding is that a row's own label leaks into its feature; the
+    * leave-one-out gap quantifies it exactly. Per category (global rate
+    * held fixed, the standard LOO convention):
+    *
+    *   loo_pos = (10⁶·(n_pos−1) + m·g) div (n−1+m)   — what a positive row sees
+    *   loo_neg = (10⁶·n_pos     + m·g) div (n−1+m)   — what a negative row sees
+    *   leak_gap = loo_neg − loo_pos                  — ≈ 10⁶/(n−1+m)
+    *
+    * A small category with a big gap is a memorized label, not a
+    * feature. One-class sides report NULL (no such row exists to audit).
+    * Same shape as the fit itself: counts + a broadcast global + pure
+    * column algebra.
+    *
+    * Output: (category, n, n_pos, enc_ppm, loo_pos_ppm, loo_neg_ppm,
+    * leak_gap_ppm).
+    */
+  def looLeakageAudit(df: DataFrame, categoryCol: String, target: Column,
+      smoothing: Long = 20L): DataFrame = {
+    require(smoothing >= 1,
+      s"smoothing must be >= 1 for a defined LOO denominator, got $smoothing")
+    val counts = categoryCounts(df, categoryCol, target)
+    val global = counts.agg(
+      expr("(1000000 * sum(n_pos)) div sum(n)").as("__gppm"))
+    counts.crossJoin(broadcast(global))
+      .withColumn("enc_ppm",
+        expr(s"(1000000 * n_pos + $smoothing * __gppm) div (n + $smoothing)"))
+      .withColumn("loo_pos_ppm",
+        when(col("n_pos") >= 1L, expr(
+          s"(1000000 * (n_pos - 1) + $smoothing * __gppm) div (n - 1 + $smoothing)"))
+          .otherwise(lit(null)))
+      .withColumn("loo_neg_ppm",
+        when(col("n") - col("n_pos") >= 1L, expr(
+          s"(1000000 * n_pos + $smoothing * __gppm) div (n - 1 + $smoothing)"))
+          .otherwise(lit(null)))
+      .withColumn("leak_gap_ppm", col("loo_neg_ppm") - col("loo_pos_ppm"))
+      .select(col("category"), col("n"), col("n_pos"), col("enc_ppm"),
+        col("loo_pos_ppm"), col("loo_neg_ppm"), col("leak_gap_ppm"))
+  }
 }

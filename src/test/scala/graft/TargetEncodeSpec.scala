@@ -86,4 +86,26 @@ class TargetEncodeSpec extends AnyFunSuite {
       .select("key", "hhi_ppm").as[(String, Long)].collect().toMap
     assert(got("spam") > got("prose"))
   }
+
+  test("LOO leakage gap shrinks with category size, NULL for one-class") {
+    import org.apache.spark.sql.functions._
+    // tiny category (n=2, mixed), large category (n=40, mixed),
+    // one-class category (all negative)
+    val rows = Seq(("t", true), ("t", false)) ++
+      (0 until 40).map(i => ("big", i % 2 == 0)) ++
+      Seq(("neg", false), ("neg", false))
+    val out = graft.ops.TargetEncode.looLeakageAudit(
+        rows.toDF("cat", "y"), "cat", col("y"), smoothing = 20L)
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    val tiny = out("t"); val big = out("big"); val neg = out("neg")
+    // the leak gap is ~1e6/(n-1+m): tiny must dwarf big
+    assert(tiny.getLong(6) > big.getLong(6))
+    assert(tiny.getLong(6) == 1000000L / (2 - 1 + 20) ||
+      tiny.getLong(6) == 1000000L / 21 + 1) // floor pairing wiggle
+    // one-class: no positive row exists -> loo_pos and gap are NULL
+    assert(neg.isNullAt(4) && neg.isNullAt(6))
+    // a positive row must see a LOWER encoding than a negative row sees
+    assert(tiny.getLong(4) < tiny.getLong(5))
+  }
 }
