@@ -2175,6 +2175,18 @@ object SparkEntry {
           Dedup.nearDupClusters(pairs, "id_a", "id_b"))
         .orderBy("cluster")
     },
+    "q_degree_gini" -> { (s, d) =>
+      // exact Gini of the co-order degree distribution (ops/Inequality):
+      // is connectivity concentrated in a few hub parts? Lorenz rank-sum
+      // identity, window only over the aggregated degree-value table
+      // coOrderPairEdges emits one pair PER CO-ORDER; the degree
+      // distribution is over the simple graph, so dedup first
+      val e = Tables.coOrderPairEdges(s, d).select("src", "dst").distinct()
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      graft.ops.Inequality.giniExact(deg, "degree")
+    },
     "q_target_leakage" -> { (s, d) =>
       // leave-one-out leakage audit of the mean encoder
       // (TargetEncode.looLeakageAudit) over a HIGH-cardinality category
@@ -5695,6 +5707,32 @@ object SparkEntry {
          |  n_sources, total_len
          |FROM elect e JOIN canon USING (cluster) JOIN lv USING (cluster)
          |ORDER BY cluster""".stripMargin,
+    "q_degree_gini" ->
+      """WITH base AS (SELECT DISTINCT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |ok AS (SELECT tid FROM base GROUP BY tid HAVING COUNT(*) <= 8),
+        |bb AS (SELECT base.tid, base.item FROM base JOIN ok USING (tid)),
+        |und AS (SELECT DISTINCT x.item AS x, y.item AS y
+        |        FROM bb x JOIN bb y ON x.tid = y.tid AND x.item < y.item),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS v
+        |        FROM (SELECT x AS node FROM und UNION ALL SELECT y FROM und)
+        |        GROUP BY 1),
+        |g AS (SELECT v, COUNT(*) AS c FROM deg GROUP BY 1),
+        |cum AS (SELECT v, c,
+        |          CAST(SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) - c
+        |            AS BIGINT) AS rbefore
+        |        FROM g),
+        |s AS (SELECT CAST(SUM(c) AS BIGINT) AS n,
+        |        CAST(SUM(v * c) AS BIGINT) AS total,
+        |        CAST(SUM(v * (c * rbefore + (c * (c + 1)) // 2)) AS BIGINT)
+        |          AS s1
+        |      FROM cum)
+        |SELECT n, total, 2 * s1 - (n + 1) * total AS s1_num,
+        |  CASE WHEN n > 0 AND total > 0
+        |       THEN (1000 * (2 * s1 - (n + 1) * total)) // (n * total)
+        |       END AS gini_permille
+        |FROM s""".stripMargin,
     "q_target_leakage" ->
       """WITH c AS (SELECT o_custkey AS category, CAST(COUNT(*) AS BIGINT) AS n,
         |             CAST(SUM(CASE WHEN o_totalprice > 150000.0
