@@ -2889,6 +2889,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_small"),
           sum(col("price_c")).as("rev_small_c"))
         .orderBy("p_brand")
+    },
+    "q_spearman" -> { (s, d) =>
+      // Spearman rank correlation (ops/RankCorr.spearman): does a
+      // customer's order FREQUENCY track their SPEND within each
+      // nation? Ranks made deterministically untied by custkey
+      // tiebreak; exact untied identity in ppm. The data-sized scan is
+      // the customer-level pre-aggregation; the two window sorts are
+      // nation-bounded
+      val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("spend_c"))
+      val withNation = cust.join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      graft.ops.RankCorr.spearman(withNation, "c_nationkey",
+        "n_orders", "spend_c", "o_custkey").orderBy("grp")
+    },
+    "q_kendall" -> { (s, d) =>
+      // Kendall tau-a (ops/RankCorr.kendallTauA): are BUSY days also
+      // HIGH-VALUE days per event type? The O(n²) pair join runs on
+      // the pre-aggregated day×type series (the Auc discipline) — the
+      // corpus scan is the daily rollup
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(floor(col("value") * lit(100.0)).cast("long"))
+            .as("value_c"))
+      graft.ops.RankCorr.kendallTauA(daily, "event_type", "day",
+        "n_events", "value_c").orderBy("grp")
+    },
+    "q_mann_kendall" -> { (s, d) =>
+      // Mann–Kendall S + Theil–Sen median slope (ops/RankCorr
+      // .mannKendall): the nonparametric "is traffic drifting" battery
+      // per event type over the daily count series; slopes quantized
+      // to ppm/day with sign-split division, lower median picked
+      // deterministically
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
+        "n_events").orderBy("grp")
     }
   )
 
@@ -6745,7 +6789,81 @@ object SparkEntry {
         |WHERE p_brand IN ('Brand#12', 'Brand#23')
         |  AND 5 * qty * n_li < sum_q
         |GROUP BY p_brand
-        |ORDER BY p_brand""".stripMargin
+        |ORDER BY p_brand""".stripMargin,
+    "q_spearman" ->
+      """WITH cust AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+        |           AS BIGINT) AS spend_c
+        |       FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS grp, n_orders AS x, spend_c AS y,
+        |        o_custkey AS k
+        |      FROM cust JOIN customer ON o_custkey = c_custkey),
+        |r AS (SELECT grp,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY x, k)
+        |          AS BIGINT) AS rx,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY y, k)
+        |          AS BIGINT) AS ry
+        |      FROM j),
+        |a AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |        CAST(SUM((rx - ry) * (rx - ry)) AS BIGINT) AS d2_sum
+        |      FROM r GROUP BY 1)
+        |SELECT grp, n, d2_sum,
+        |  CASE WHEN n > 1
+        |       THEN 1000000 - (6000000 * d2_sum) // (n * (n * n - 1))
+        |       END AS rho_ppm
+        |FROM a ORDER BY grp""".stripMargin,
+    "q_kendall" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(FLOOR(value * 100.0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |       FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.grp,
+        |        CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END
+        |          AS con,
+        |        CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END
+        |          AS dis,
+        |        CASE WHEN (b.x - a.x) * (b.y - a.y) = 0 THEN 1 ELSE 0 END
+        |          AS tie
+        |      FROM daily a JOIN daily b ON a.grp = b.grp AND a.t < b.t),
+        |g AS (SELECT grp, CAST(SUM(con) AS BIGINT) AS concordant,
+        |        CAST(SUM(dis) AS BIGINT) AS discordant,
+        |        CAST(SUM(tie) AS BIGINT) AS tied
+        |      FROM p GROUP BY 1)
+        |SELECT grp, concordant + discordant + tied AS n_pairs,
+        |  concordant, discordant, tied,
+        |  CASE WHEN concordant + discordant + tied > 0 THEN
+        |    CASE WHEN concordant >= discordant
+        |         THEN (1000000 * (concordant - discordant))
+        |              // (concordant + discordant + tied)
+        |         ELSE 0 - ((1000000 * (discordant - concordant))
+        |              // (concordant + discordant + tied)) END
+        |  END AS tau_a_ppm
+        |FROM g ORDER BY grp""".stripMargin,
+    "q_mann_kendall" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS y
+        |       FROM events GROUP BY 1, 2),
+        |p AS (SELECT a.grp, a.t AS ta, b.t AS tb, b.y - a.y AS dy,
+        |        b.t - a.t AS dt
+        |      FROM daily a JOIN daily b ON a.grp = b.grp AND a.t < b.t),
+        |q AS (SELECT grp, ta, tb, dy,
+        |        CASE WHEN dy >= 0 THEN (1000000 * dy) // dt
+        |             ELSE 0 - ((1000000 * (0 - dy)) // dt) END AS slope_ppm
+        |      FROM p),
+        |r AS (SELECT grp, dy, slope_ppm,
+        |        CAST(ROW_NUMBER() OVER (PARTITION BY grp
+        |          ORDER BY slope_ppm, ta, tb) AS BIGINT) AS rn,
+        |        CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS np
+        |      FROM q)
+        |SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |  CAST(SUM(CASE WHEN dy > 0 THEN 1 WHEN dy < 0 THEN -1 ELSE 0 END)
+        |    AS BIGINT) AS s_stat,
+        |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
+        |    AS sen_slope_ppm
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:
