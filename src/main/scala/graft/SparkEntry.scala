@@ -2933,6 +2933,34 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"))
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
+    },
+    "q_benford" -> { (s, d) =>
+      // Benford first-digit forensic audit (ops/Benford): do order
+      // prices (in cents) follow the log10(1+1/d) first-digit law?
+      // One hash agg to 9 digit rows; expected ppm is a shared LITERAL
+      // CASE in both engines — no log10 at runtime
+      graft.ops.Benford.firstDigitAudit(
+        Tables.orders(s, d).select(
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("v")),
+        "v").orderBy("digit")
+    },
+    "q_burstiness" -> { (s, d) =>
+      // Fano factor of daily event counts per type (Trend.fanoFactor):
+      // the burstiness probe next to q_autocorr's memory and q_cusum's
+      // level shifts — var/mean kept exact by cross-multiplied ppm
+      graft.ops.Trend.fanoFactor(Tables.events(s, d), "event_type",
+        "ts_us").orderBy("grp")
+    },
+    "q_t_closeness" -> { (s, d) =>
+      // t-closeness privacy audit (KAnonymity.tCloseness): per-nation
+      // TVD between the nation's market-segment mix and the global one,
+      // exact permille via cross-multiplication with the absent-value
+      // mass folded in closed form; threshold t = 100 permille
+      graft.ops.KAnonymity.tCloseness(
+        Tables.customer(s, d).select(col("c_nationkey"),
+          col("c_mktsegment")),
+        Seq("c_nationkey"), "c_mktsegment", 100L)
+        .orderBy("c_nationkey")
     }
   )
 
@@ -6863,7 +6891,70 @@ object SparkEntry {
         |    AS BIGINT) AS s_stat,
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
-        |FROM r GROUP BY grp ORDER BY grp""".stripMargin
+        |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_benford" ->
+      """WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        |       FROM orders),
+        |obs AS (SELECT CAST(SUBSTR(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |          CAST(COUNT(*) AS BIGINT) AS n_obs
+        |        FROM v WHERE v IS NOT NULL AND v > 0 GROUP BY 1),
+        |d AS (SELECT CAST(UNNEST(range(1, 10)) AS INT) AS digit),
+        |tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n_total FROM obs)
+        |SELECT d.digit, CAST(COALESCE(obs.n_obs, 0) AS BIGINT) AS n_obs,
+        |  CASE WHEN t.n_total > 0
+        |       THEN (1000000 * COALESCE(obs.n_obs, 0)) // t.n_total
+        |       ELSE 0 END AS obs_ppm,
+        |  CASE d.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |    WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |    WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |    ELSE 45757 END AS exp_ppm,
+        |  (CASE WHEN t.n_total > 0
+        |        THEN (1000000 * COALESCE(obs.n_obs, 0)) // t.n_total
+        |        ELSE 0 END)
+        |  - (CASE d.digit WHEN 1 THEN 301029 WHEN 2 THEN 176091
+        |      WHEN 3 THEN 124938 WHEN 4 THEN 96910 WHEN 5 THEN 79181
+        |      WHEN 6 THEN 66946 WHEN 7 THEN 57991 WHEN 8 THEN 51152
+        |      ELSE 45757 END) AS dev_ppm
+        |FROM d LEFT JOIN obs ON obs.digit = d.digit, tot t
+        |ORDER BY d.digit""".stripMargin,
+    "q_burstiness" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM events GROUP BY 1, 2),
+        |g AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_days,
+        |        CAST(SUM(c) AS BIGINT) AS total,
+        |        CAST(SUM(c * c) AS BIGINT) AS sum_sq
+        |      FROM daily GROUP BY 1)
+        |SELECT grp, n_days, total, sum_sq,
+        |  CASE WHEN total > 0
+        |       THEN (1000000 * (n_days * sum_sq - total * total))
+        |            // (n_days * total) END AS fano_ppm
+        |FROM g ORDER BY grp""".stripMargin,
+    "q_t_closeness" ->
+      """WITH gv AS (SELECT c_nationkey, c_mktsegment AS v,
+        |         CAST(COUNT(*) AS BIGINT) AS c_gv
+        |       FROM customer GROUP BY 1, 2),
+        |gdist AS (SELECT c_mktsegment AS v, CAST(COUNT(*) AS BIGINT) AS c_v
+        |         FROM customer GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_v) AS BIGINT) AS n_total FROM gdist),
+        |ng AS (SELECT c_nationkey, CAST(SUM(c_gv) AS BIGINT) AS n_rows,
+        |         CAST(COUNT(*) AS BIGINT) AS n_sensitive,
+        |         CAST(SUM(c_v) AS BIGINT) AS cg_sum
+        |       FROM gv JOIN gdist USING (v) GROUP BY 1),
+        |a AS (SELECT g.c_nationkey,
+        |        CAST(SUM(ABS(g.c_gv * t.n_total - gl.c_v * n.n_rows))
+        |          AS BIGINT) AS a_sum
+        |      FROM gv g JOIN gdist gl USING (v)
+        |        JOIN ng n ON n.c_nationkey = g.c_nationkey, tot t
+        |      GROUP BY 1),
+        |f AS (SELECT n.c_nationkey, n.n_rows, n.n_sensitive,
+        |        (1000 * (a.a_sum + n.n_rows * (t.n_total - n.cg_sum)))
+        |          // (2 * n.n_rows * t.n_total) AS tvd_permille
+        |      FROM ng n JOIN a ON a.c_nationkey = n.c_nationkey, tot t)
+        |SELECT c_nationkey, n_rows, n_sensitive, tvd_permille,
+        |  tvd_permille <= 100 AS is_close
+        |FROM f ORDER BY c_nationkey""".stripMargin
   )
 
   /** Shared unrolled-CTE prefix of the q_kmeans / q_semdedup oracles:

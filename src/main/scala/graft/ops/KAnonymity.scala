@@ -62,4 +62,63 @@ object KAnonymity {
         max(col("__n")).as("max_sens_n"))
       .withColumn("is_diverse", col("n_sensitive") >= l)
   }
+
+  /** t-closeness audit (Li 2007) — the step past [[lDiversity]]: a QI
+    * class can be diverse yet still LEAK when its sensitive-value mix
+    * differs sharply from the corpus-wide mix (skewness attack). Per QI
+    * class we report the total variation distance between the class's
+    * sensitive distribution and the global one, exactly, in permille:
+    *
+    *   TVD(g) = ½ Σ_v |c_gv/n_g − C_v/N|
+    *
+    * Cross-multiplying by n_g·N keeps every term an integer, and values
+    * ABSENT from the class are folded in closed form — they contribute
+    * Σ_{v∉g} C_v·n_g = n_g·(N − Σ_{v∈g} C_v) — so only the observed
+    * (class, value) pairs are ever joined:
+    *
+    *   tvd_permille = 1000·(A + n_g·(N − Cg)) div (2·n_g·N),
+    *   A = Σ_{v∈g} |c_gv·N − C_v·n_g|,  Cg = Σ_{v∈g} C_v.
+    *
+    * Everything after the two stacked map-side-combined groupBys is
+    * dimension-sized: the value-keyed join carries (classes × observed
+    * values) rows, the global value table broadcasts, N is a 1-row
+    * cross. `is_close` flags classes with TVD ≤ t (permille).
+    *
+    * Overflow note: |c_gv·N − C_v·n_g| ≤ 2·n_g·N, so keep n_g·N below
+    * ~4.6·10¹⁸ (e.g. a 10⁹-row table with 10⁹-row classes overflows
+    * before the data does).
+    *
+    * Output: (quasiCols…, n_rows, n_sensitive, tvd_permille, is_close).
+    */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+      sensitiveCol: String, tPermille: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "t-closeness needs at least one quasi-identifier")
+    require(tPermille >= 0 && tPermille <= 1000,
+      s"t must be a permille in [0, 1000], got $tPermille")
+    val qc = quasiCols.map(col)
+    val gv = df.groupBy((quasiCols :+ sensitiveCol).map(col): _*)
+      .agg(count(lit(1)).as("c_gv"))
+      .withColumnRenamed(sensitiveCol, "__v")
+    val glob = df.groupBy(col(sensitiveCol).as("__v"))
+      .agg(count(lit(1)).as("c_v"))
+    val base = gv.join(broadcast(glob), Seq("__v"))
+    val ng = base.groupBy(qc: _*)
+      .agg(sum(col("c_gv")).as("n_rows"),
+        count(lit(1)).as("n_sensitive"),
+        sum(col("c_v")).as("cg_sum"))
+    base.join(ng, quasiCols)
+      .crossJoin(broadcast(glob.agg(sum(col("c_v")).as("n_total"))))
+      .groupBy(qc: _*)
+      .agg(max(col("n_rows")).as("n_rows"),
+        max(col("n_sensitive")).as("n_sensitive"),
+        max(col("cg_sum")).as("cg_sum"),
+        max(col("n_total")).as("n_total"),
+        sum(abs(col("c_gv") * col("n_total") - col("c_v") * col("n_rows")))
+          .as("a_sum"))
+      .withColumn("tvd_permille", expr(
+        "(1000 * (a_sum + n_rows * (n_total - cg_sum))) div (2 * n_rows * n_total)"))
+      .withColumn("is_close", col("tvd_permille") <= tPermille)
+      .select((qc :+ col("n_rows") :+ col("n_sensitive")
+        :+ col("tvd_permille") :+ col("is_close")): _*)
+  }
 }

@@ -145,4 +145,38 @@ object Trend {
                  * (cast(n_pairs as double) * cast(s_y2 as double)
                    - cast(s_y as double) * cast(s_y as double))))"""))
   }
+
+  /** Fano factor (index of dispersion) of the daily count series per
+    * group — the burstiness number next to [[lagAutocorr]]'s memory and
+    * [[Changepoint]]'s level shifts: 1 for a Poisson-steady arrival
+    * process, >1 for bursty traffic, <1 for a throttled/regular one.
+    *
+    * F = var/mean stays exact by cross-multiplying the divisions away:
+    * with S = Σc and Q = Σc² over n daily buckets,
+    *
+    *   fano_ppm = 10⁶·(n·Q − S²) div (n·S)
+    *
+    * (var = (n·Q−S²)/n², mean = S/n; both numerator and denominator are
+    * non-negative so trunc-vs-floor division cannot diverge). Groups
+    * with an empty series (S = 0) report NULL.
+    *
+    * Scale shape: one groupBy over the raw scan to (group, day) counts,
+    * then a group-sized rollup — no windows, no joins.
+    *
+    * Output: (grp, n_days, total, sum_sq, fano_ppm).
+    */
+  def fanoFactor(df: DataFrame, groupCol: String,
+      tsUsCol: String): DataFrame = {
+    df.select(col(groupCol).as("grp"),
+        (col(tsUsCol).cast("long") / lit(86400000000L)).cast("long")
+          .as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("c"))
+      .groupBy("grp")
+      .agg(count(lit(1)).as("n_days"), sum(col("c")).as("total"),
+        sum(col("c") * col("c")).as("sum_sq"))
+      .withColumn("fano_ppm",
+        when(col("total") > 0L, expr(
+          "(1000000 * (n_days * sum_sq - total * total)) div (n_days * total)"))
+          .otherwise(lit(null)))
+  }
 }
