@@ -802,6 +802,17 @@ object SparkEntry {
           Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 3, p = 4)
         .orderBy("node", "idx")
     },
+    "q_eff_diameter" -> { (s, d) =>
+      // neighborhood function + 90% effective diameter from the same
+      // HyperBall register sweep as q_hyperball (ops/HyperBall
+      // .effectiveDiameter): raw-HLL estimates floored to whole nodes
+      // via one DECIMAL(38,0) division per node, order-independent
+      // integer sums — the float-free estimator variant that joins the
+      // oracle surface
+      graft.ops.HyperBall.effectiveDiameter(
+          Tables.coOrderPairEdges(s, d), "src", "dst", rounds = 3, p = 4)
+        .orderBy("r")
+    },
     "q_harmonic" -> { (s, d) =>
       // truncated harmonic centrality on the co-order part graph:
       // radius-4 BFS from a 1% md5-sampled source set, lcm-scaled exact
@@ -4022,6 +4033,8 @@ object SparkEntry {
     "q_harmonic" -> harmonicOracle(rounds = 4, ratePermille = 10,
       salt = "harmonic"),
     "q_hyperball" -> hyperballOracle(rounds = 3, p = 4, hashBits = 60),
+    "q_eff_diameter" -> effDiameterOracle(rounds = 3, p = 4, hashBits = 60,
+      targetPermille = 900L),
     "q_triangles" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid, 'P' || CAST(l_partkey AS VARCHAR) AS item
         |               FROM lineitem WHERE l_quantity <= 15),
@@ -7273,6 +7286,16 @@ object SparkEntry {
     * (node, idx, rho) rows. MATERIALIZED per round as usual.
     */
   private def hyperballOracle(rounds: Int, p: Int, hashBits: Int): String = {
+    s"""${hyperballRegisterCtes(rounds, p, hashBits)}
+       |SELECT node, CAST(idx AS INT) AS idx, CAST(rho AS INT) AS rho
+       |FROM b$rounds ORDER BY node, idx""".stripMargin
+  }
+
+  /** Shared register-evolution CTE chain of the q_hyperball /
+    * q_eff_diameter oracles: co-order graph, md5-lane base registers,
+    * one max-merge CTE per radius (b0..b`rounds`). */
+  private def hyperballRegisterCtes(rounds: Int, p: Int,
+      hashBits: Int): String = {
     val m = 1 << p
     val wZeroRho = hashBits - p + 1
     val head =
@@ -7300,9 +7323,49 @@ object SparkEntry {
          |      ) GROUP BY node, idx)""".stripMargin
     }.mkString(",\n")
     s"""$head,
-       |$steps
-       |SELECT node, CAST(idx AS INT) AS idx, CAST(rho AS INT) AS rho
-       |FROM b$rounds ORDER BY node, idx""".stripMargin
+       |$steps""".stripMargin
+  }
+
+  /** Effective-diameter oracle: replays ops.HyperBall.effectiveDiameter
+    * over the shared register CTEs — raw-HLL estimate floored to whole
+    * nodes per (r, node) via HUGEINT division (the Spark side divides in
+    * DECIMAL(38,0); both floor the same non-negative ratio), integer
+    * neighborhood-function sums, threshold radius as a MIN. */
+  private def effDiameterOracle(rounds: Int, p: Int, hashBits: Int,
+      targetPermille: Long): String = {
+    val m = 1 << p
+    val alphaPpm = m match {
+      case 16 => 673000L; case 32 => 697000L; case 64 => 709000L
+      case _ => sys.error(s"unsupported p=$p")
+    }
+    val kBits = hashBits - p + 1
+    val pow2K = 1L << kBits
+    val num = (BigInt(alphaPpm) * m * m * pow2K).toString
+    val slices = (0 to rounds).map(i =>
+      s"SELECT $i AS r, node, rho FROM b$i").mkString("\n  UNION ALL ")
+    s"""${hyperballRegisterCtes(rounds, p, hashBits)},
+       |sl AS ($slices),
+       |pn AS (SELECT r, node, CAST(COUNT(*) AS BIGINT) AS nz,
+       |         CAST(SUM(CAST(1 AS BIGINT) << ($kBits - rho)) AS BIGINT)
+       |           AS s_pow
+       |       FROM sl GROUP BY 1, 2),
+       |e AS (SELECT r, node,
+       |        CAST('$num'::HUGEINT
+       |          // ((s_pow + ($m - nz) * $pow2K)::HUGEINT * 1000000)
+       |          AS BIGINT) AS est
+       |      FROM pn),
+       |nf AS (SELECT r, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+       |         CAST(SUM(est) AS BIGINT) AS nf_est
+       |       FROM e GROUP BY 1),
+       |fin AS (SELECT nf_est AS nf_final FROM nf WHERE r = $rounds),
+       |rt AS (SELECT r, n_nodes, nf_est,
+       |         CASE WHEN nf_final > 0 THEN (1000 * nf_est) // nf_final
+       |              ELSE 0 END AS ratio_permille, nf_final
+       |       FROM nf, fin),
+       |eff AS (SELECT MIN(r) AS eff_diameter FROM rt
+       |        WHERE 1000 * nf_est >= $targetPermille * nf_final)
+       |SELECT r, n_nodes, nf_est, ratio_permille, eff_diameter
+       |FROM rt, eff ORDER BY r""".stripMargin
   }
 
   /** Unrolled fixed-point PageRank oracle: one CTE per iteration mirrors

@@ -113,8 +113,13 @@ object HyperBall {
     * 0 only, and every register starts at rho >= 1 for its own node) per
     * radius 0..rounds. Returns null when V·2^p exceeds the state budget.
     */
-  private def localBallRegisters(sym: Array[(String, String)], rounds: Int,
-      p: Int, hashBits: Int, fromRadius: Int): Array[(Int, String, Int, Int)] = {
+  /** Shared dense-array replay core: builds the CSR adjacency + base
+    * registers, then calls `onRadius(r, names, reg)` with the dense
+    * n×m register array at every radius 0..rounds. Returns false (no
+    * callbacks fired) when V·2^p exceeds the driver state budget. */
+  private def replayRegisters(sym: Array[(String, String)], rounds: Int,
+      p: Int, hashBits: Int)(
+      onRadius: (Int, Array[String], Array[Int]) => Unit): Boolean = {
     val names = {
       val s = new scala.collection.mutable.LinkedHashSet[String]
       sym.foreach { case (a, b) => s += a; s += b }
@@ -123,7 +128,7 @@ object HyperBall {
     val idOf = names.zipWithIndex.toMap
     val n = names.length
     val m = 1 << p
-    if (n.toLong * m > 16000000L) return null
+    if (n.toLong * m > 16000000L) return false
     val deg = new Array[Int](n)
     sym.foreach { case (a, _) => deg(idOf(a)) += 1 }
     val off = new Array[Int](n + 1)
@@ -150,22 +155,7 @@ object HyperBall {
       reg(i * m + idx) = rho
       i += 1
     }
-    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Int)]
-    // emitting only the tail radii matters: the driver-side row conversion
-    // of ~V·2^p tuples PER RADIUS is the local path's dominant cost, and
-    // ballRegisters needs just the final slice
-    def emit(r: Int): Unit = if (r >= fromRadius) {
-      var v = 0
-      while (v < n) {
-        var j = 0
-        while (j < m) {
-          if (reg(v * m + j) > 0) out += ((r, names(v), j, reg(v * m + j)))
-          j += 1
-        }
-        v += 1
-      }
-    }
-    emit(0)
+    onRadius(0, names, reg)
     var r = 1
     while (r <= rounds) {
       val next = reg.clone()
@@ -184,10 +174,33 @@ object HyperBall {
         v += 1
       }
       reg = next
-      emit(r)
+      onRadius(r, names, reg)
       r += 1
     }
-    out.toArray
+    true
+  }
+
+  private def localBallRegisters(sym: Array[(String, String)], rounds: Int,
+      p: Int, hashBits: Int, fromRadius: Int): Array[(Int, String, Int, Int)] = {
+    val m = 1 << p
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Int, Int)]
+    // emitting only the tail radii matters: the driver-side row conversion
+    // of ~V·2^p tuples PER RADIUS is the local path's dominant cost, and
+    // ballRegisters needs just the final slice
+    val ok = replayRegisters(sym, rounds, p, hashBits) { (r, names, reg) =>
+      if (r >= fromRadius) {
+        var v = 0
+        while (v < names.length) {
+          var j = 0
+          while (j < m) {
+            if (reg(v * m + j) > 0) out += ((r, names(v), j, reg(v * m + j)))
+            j += 1
+          }
+          v += 1
+        }
+      }
+    }
+    if (ok) out.toArray else null
   }
 
   /** Final-radius sparse registers: (node, idx, rho) — the oracle
@@ -255,5 +268,124 @@ object HyperBall {
       .groupBy(col("node"))
       .agg(max(when(col("r") === rounds, col("est"))).as("ball_final"),
         sum(col("term")).as("harmonic_est"))
+  }
+
+  /** Neighborhood function + effective diameter from the same register
+    * sweep — the Boldi-Vigna "how far is 90% of the graph" statistic,
+    * kept EXACT-INTEGER so it joins the oracle surface (unlike
+    * [[harmonicEstimate]]'s float estimates, whose node-summed doubles
+    * would be addition-order-dependent):
+    *
+    *   est(v,r) = (ALPHA_PPM · m² · 2^K) div (denom(v,r) · 10⁶)  [nodes]
+    *   denom    = Σ_present 2^(K−rho) + (m − nz)·2^K,  K = hashBits−p+1
+    *   NF(r)    = Σ_v est(v,r)
+    *
+    * est is the RAW HLL estimator floored to whole nodes — one exact
+    * integer division per node (numerator precomputed as one
+    * DECIMAL(38,0) literal; 2^K·m ≤ 2^61 keeps denom in long), then an
+    * order-independent integer sum. No linear-counting branch: the
+    * effective diameter is a RATIO of the same estimator at two radii,
+    * so a uniform estimator choice is both principled and portable.
+    * NF(r) is non-decreasing in r (registers only grow ⇒ denom only
+    * shrinks), so the threshold radius is well-defined:
+    *
+    *   eff_diameter = min { r : 1000·NF(r) ≥ targetPermille·NF(rounds) }
+    *
+    * Output: one row per radius 0..rounds —
+    * (r, n_nodes, nf_est, ratio_permille, eff_diameter) with
+    * eff_diameter constant across rows. Scale shape: the register sweep
+    * (2 shuffles per round) + one (r, node) aggregate + a (rounds+1)-row
+    * rollup.
+    */
+  def effectiveDiameter(edges: DataFrame, srcCol: String, dstCol: String,
+      rounds: Int, p: Int = 4, hashBits: Int = 60,
+      targetPermille: Long = 900L,
+      maxLocalEdges: Long = 2000000L): DataFrame = {
+    val m = 1 << p
+    val alphaPpm = m match {
+      case 16 => 673000L
+      case 32 => 697000L
+      case 64 => 709000L
+      case _ => throw new IllegalArgumentException(
+        s"effectiveDiameter supports p in {4, 5, 6}, got $p")
+    }
+    require(targetPermille >= 1 && targetPermille <= 1000,
+      s"targetPermille must be in [1, 1000], got $targetPermille")
+    val kBits = hashBits - p + 1
+    val pow2K = 1L << kBits
+    val numBig = BigInt(alphaPpm) * m * m * pow2K
+    val num = numBig.toString
+
+    // Gated driver-local NF: the sparse per-radius register rows are
+    // pure intermediate here — only (rounds+1) NF sums leave the driver,
+    // so the replay skips the V·2^p-per-radius row conversion that
+    // dominates ballRegisters' local path. Identical arithmetic
+    // (BigInt floor division ≡ the distributed DECIMAL(38,0) div on
+    // these non-negative values); parity-spec'd with the gate at 0.
+    val nf: DataFrame = {
+      var localNf: DataFrame = null
+      if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+        val spark = edges.sparkSession
+        import spark.implicits._
+        val fwd0 = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        val symD = fwd0.union(fwd0.select(col("b").as("a"), col("a").as("b")))
+          .where(col("a").isNotNull && col("b").isNotNull &&
+            col("a") =!= col("b"))
+          .distinct()
+        val capped = symD.limit(maxLocalEdges.toInt + 1)
+          .as[(String, String)].collect()
+        if (capped.length <= maxLocalEdges) {
+          val rows = scala.collection.mutable.ArrayBuffer
+            .empty[(Int, Long, Long)]
+          val ok = replayRegisters(capped, rounds, p, hashBits) {
+            (r, names, reg) =>
+              val n = names.length
+              var v = 0
+              var s = 0L
+              while (v < n) {
+                var denom = 0L
+                var j = 0
+                while (j < m) {
+                  denom += (1L << (kBits - reg(v * m + j)))
+                  j += 1
+                }
+                s += (numBig / (BigInt(denom) * 1000000L)).toLong
+                v += 1
+              }
+              rows += ((r, n.toLong, s))
+          }
+          if (ok)
+            localNf = spark.createDataFrame(rows.toIndexedSeq)
+              .toDF("r", "n_nodes", "nf_est")
+        }
+      }
+      if (localNf != null) localNf
+      else {
+        val slices = ballRegistersByRound(edges, srcCol, dstCol, rounds, p,
+          hashBits, maxLocalEdges)
+        slices.groupBy(col("r"), col("node"))
+          .agg(count(lit(1)).as("nz"),
+            sum(expr(s"CAST(1 AS BIGINT) << ($kBits - rho)")).as("s_pow"))
+          .withColumn("denom",
+            col("s_pow") + (lit(m.toLong) - col("nz")) * lit(pow2K))
+          .withColumn("est_nodes", expr(
+            s"""CAST(CAST('$num' AS DECIMAL(38, 0))
+               div (CAST(denom AS DECIMAL(38, 0))
+                    * CAST(1000000 AS DECIMAL(38, 0))) AS BIGINT)"""))
+          .groupBy(col("r"))
+          .agg(count(lit(1)).as("n_nodes"), sum(col("est_nodes")).as("nf_est"))
+      }
+    }
+    val fin = nf.where(col("r") === rounds)
+      .select(col("nf_est").as("nf_final"))
+    val ratios = nf.crossJoin(broadcast(fin))
+      .withColumn("ratio_permille",
+        when(col("nf_final") > 0L, expr("(1000 * nf_est) div nf_final"))
+          .otherwise(lit(0L)))
+    val eff = ratios
+      .where(lit(1000L) * col("nf_est") >= lit(targetPermille) * col("nf_final"))
+      .agg(min(col("r")).as("eff_diameter"))
+    ratios.crossJoin(broadcast(eff))
+      .select("r", "n_nodes", "nf_est", "ratio_permille", "eff_diameter")
   }
 }
