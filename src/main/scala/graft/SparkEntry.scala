@@ -2945,6 +2945,15 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_dbscan_grid" -> { (s, d) =>
+      // grid-density clustering over the first two embedding axes
+      // (ops/Density.gridDbscan): eps = 1/8 (power of two -> exact cell
+      // assignment), core cells >= 10 pts, clusters = CC over 8-adjacent
+      // core cells, borders take the MIN adjacent cluster — all cluster
+      // structure on the cell dimension, points only map-side-join in
+      graft.ops.Density.gridDbscan(Tables.embeddings(s, d), "vec_id",
+        "embedding", eps = 0.125, minPts = 10L).orderBy("id")
+    },
     "q_benford" -> { (s, d) =>
       // Benford first-digit forensic audit (ops/Benford): do order
       // prices (in cents) follow the log10(1+1/d) first-digit law?
@@ -6905,6 +6914,51 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_dbscan_grid" ->
+      """WITH RECURSIVE
+        |pts AS (SELECT vec_id AS id,
+        |          CAST(FLOOR(CAST(embedding[1] AS DOUBLE) / 0.125) AS BIGINT)
+        |            AS cell_x,
+        |          CAST(FLOOR(CAST(embedding[2] AS DOUBLE) / 0.125) AS BIGINT)
+        |            AS cell_y
+        |        FROM embeddings
+        |        WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+        |cells AS (SELECT cell_x, cell_y, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM pts GROUP BY 1, 2),
+        |core AS (SELECT cell_x, cell_y,
+        |           CAST(cell_x AS VARCHAR) || ':' || CAST(cell_y AS VARCHAR)
+        |             AS node
+        |         FROM cells WHERE n >= 10),
+        |off AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+        |          (0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+        |sym AS (SELECT a.node AS a, b.node AS b
+        |        FROM core a JOIN off ON true
+        |          JOIN core b ON b.cell_x = a.cell_x + off.dx
+        |                     AND b.cell_y = a.cell_y + off.dy),
+        |cc AS (SELECT node, node AS lab
+        |         FROM (SELECT DISTINCT a AS node FROM sym)
+        |       UNION
+        |       SELECT s.b AS node, c.lab
+        |       FROM cc c JOIN sym s ON c.node = s.a
+        |       WHERE c.lab < s.b),
+        |comp AS (SELECT node, MIN(lab) AS component FROM cc GROUP BY 1),
+        |coreclu AS (SELECT c.cell_x, c.cell_y, comp.component AS cluster
+        |            FROM core c JOIN comp ON comp.node = c.node),
+        |borderclu AS (SELECT nc.cell_x, nc.cell_y, MIN(k.cluster) AS cluster
+        |              FROM (SELECT cell_x, cell_y FROM cells WHERE n < 10) nc
+        |                JOIN off ON true
+        |                JOIN coreclu k ON k.cell_x = nc.cell_x + off.dx
+        |                              AND k.cell_y = nc.cell_y + off.dy
+        |              GROUP BY 1, 2)
+        |SELECT p.id, p.cell_x, p.cell_y,
+        |  COALESCE(k.cluster, b.cluster) AS cluster,
+        |  CASE WHEN k.cluster IS NOT NULL THEN 'core'
+        |       WHEN b.cluster IS NOT NULL THEN 'border'
+        |       ELSE 'noise' END AS kind
+        |FROM pts p
+        |  LEFT JOIN coreclu k ON k.cell_x = p.cell_x AND k.cell_y = p.cell_y
+        |  LEFT JOIN borderclu b ON b.cell_x = p.cell_x AND b.cell_y = p.cell_y
+        |ORDER BY p.id""".stripMargin,
     "q_benford" ->
       """WITH v AS (SELECT CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
         |       FROM orders),
