@@ -2945,6 +2945,25 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_page_hinkley" -> { (s, d) =>
+      // Page–Hinkley online changepoint per event type (ops/Changepoint
+      // .pageHinkley): reference rate trained on the first 3 observed
+      // days, daily-count drift envelopes on the rest — the
+      // train-batch/score-stream split; StreamChangepoint emits the
+      // identical rows incrementally (stream≡batch spec'd)
+      val ev = Tables.events(s, d).select(col("event_type").as("key"),
+          col("ts_us"), expr("ts_us div 86400000000").as("day"))
+        .crossJoin(broadcast(Tables.events(s, d)
+          .agg(expr("min(ts_us div 86400000000)").as("min_day"))))
+      val baseline = ev.where(col("day") < col("min_day") + 3)
+        .groupBy("key")
+        .agg(count(lit(1)).as("n_ev"), countDistinct(col("day")).as("n_w"))
+        .select(col("key"), expr("(1000000 * n_ev) div n_w").as("mu_ppm"))
+      graft.ops.Changepoint.pageHinkley(
+          ev.where(col("day") >= col("min_day") + 3), "key", "ts_us",
+          86400000000L, baseline, lambdaWindowTenths = 15L)
+        .orderBy("key", "window_start_us")
+    },
     "q_dbscan_grid" -> { (s, d) =>
       // grid-density clustering over the first two embedding axes
       // (ops/Density.gridDbscan): eps = 1/8 (power of two -> exact cell
@@ -6914,6 +6933,32 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_page_hinkley" ->
+      """WITH ev AS (SELECT event_type AS key, epoch_us(ts) AS ts_us,
+        |         epoch_us(ts) // 86400000000 AS day FROM events),
+        |md AS (SELECT MIN(day) AS min_day FROM ev),
+        |base AS (SELECT key,
+        |           (1000000 * CAST(COUNT(*) AS BIGINT))
+        |             // CAST(COUNT(DISTINCT day) AS BIGINT) AS mu_ppm
+        |         FROM ev, md WHERE day < min_day + 3 GROUP BY 1),
+        |counts AS (SELECT key, ts_us - ts_us % 86400000000 AS window_start_us,
+        |             CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM ev, md WHERE day >= min_day + 3 GROUP BY 1, 2),
+        |j AS (SELECT c.key, c.window_start_us, c.n,
+        |        c.n * 1000000 - b.mu_ppm AS dev
+        |      FROM counts c JOIN base b ON b.key = c.key),
+        |x AS (SELECT key, window_start_us, n,
+        |        CAST(SUM(dev) OVER wk AS BIGINT) AS s_ppm
+        |      FROM j WINDOW wk AS (PARTITION BY key ORDER BY window_start_us
+        |        ROWS UNBOUNDED PRECEDING)),
+        |y AS (SELECT key, window_start_us, n, s_ppm,
+        |        s_ppm - CAST(MIN(s_ppm) OVER wk AS BIGINT) AS drift_up_ppm,
+        |        CAST(MAX(s_ppm) OVER wk AS BIGINT) - s_ppm AS drift_down_ppm
+        |      FROM x WINDOW wk AS (PARTITION BY key ORDER BY window_start_us
+        |        ROWS UNBOUNDED PRECEDING))
+        |SELECT y.key, window_start_us, n, s_ppm, drift_up_ppm, drift_down_ppm,
+        |  GREATEST(drift_up_ppm, drift_down_ppm) * 10 > 15 * b.mu_ppm AS alarm
+        |FROM y JOIN base b ON b.key = y.key ORDER BY y.key, window_start_us""".stripMargin,
     "q_dbscan_grid" ->
       """WITH RECURSIVE
         |pts AS (SELECT vec_id AS id,

@@ -59,4 +59,61 @@ object Changepoint {
         (-col("w.na")).as("cusum_max_scaled"),
         when(col("w.d") >= 0L, lit(1L)).otherwise(lit(-1L)).as("dir_sign"))
   }
+
+  /** Page–Hinkley sequential changepoint test per key — the ONLINE
+    * complement of [[cusumMaxShift]]'s retrospective split: drift is
+    * accumulated against a TRAINED per-key reference rate (the
+    * train-batch/score-stream discipline of
+    * [[graft.streaming.StreamTargetEncode]]), so each window's verdict
+    * depends only on the past and [[graft.streaming.StreamChangepoint]]
+    * can emit the identical rows incrementally.
+    *
+    * Over each key's OBSERVED tumbling windows (zero-event windows are
+    * skipped — gap-skipping like [[Anomaly.rateSpikes]]) in ws order:
+    *
+    *   dev_i      = n_i·10⁶ − mu_ppm          (exact integer ppm)
+    *   S_i        = Σ_{j≤i} dev_j
+    *   drift_up   = S_i − min_{j≤i} S_j       (rate shifted UP)
+    *   drift_down = max_{j≤i} S_j − S_i       (rate shifted DOWN)
+    *   alarm      = max(drift)·10 > lambdaWindowTenths·mu_ppm
+    *
+    * The threshold is RELATIVE — lambdaWindowTenths tenths of the key's
+    * own reference window rate — so one setting is meaningful for a
+    * 10²- and a 10⁸-events/window key alike (an absolute ppm lambda
+    * degenerates at corpus scale). Exact integers via
+    * cross-multiplication.
+    *
+    * `baseline` is a (key, mu_ppm) table — mean events per window in
+    * ppm; keys without a baseline are dropped (inner join), matching
+    * the stream's behavior. Window sorts run per key over the
+    * AGGREGATED (key × window) series.
+    *
+    * Output: (key, window_start_us, n, s_ppm, drift_up_ppm,
+    * drift_down_ppm, alarm).
+    */
+  def pageHinkley(df: DataFrame, keyCol: String, tsUsCol: String,
+      windowUs: Long, baseline: DataFrame,
+      lambdaWindowTenths: Long): DataFrame = {
+    require(windowUs > 0, s"windowUs must be positive, got $windowUs")
+    require(lambdaWindowTenths > 0,
+      s"lambdaWindowTenths must be positive, got $lambdaWindowTenths")
+    val counts = df.select(col(keyCol).as("key"),
+        (col(tsUsCol).cast("long")
+          - pmod(col(tsUsCol).cast("long"), lit(windowUs)))
+          .as("window_start_us"))
+      .groupBy("key", "window_start_us").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("key")).orderBy(col("window_start_us"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .join(broadcast(baseline.select(col("key"), col("mu_ppm"))), Seq("key"))
+      .withColumn("dev", col("n") * lit(1000000L) - col("mu_ppm"))
+      .withColumn("s_ppm", sum(col("dev")).over(w))
+      .withColumn("drift_up_ppm", col("s_ppm") - min(col("s_ppm")).over(w))
+      .withColumn("drift_down_ppm", max(col("s_ppm")).over(w) - col("s_ppm"))
+      .withColumn("alarm",
+        greatest(col("drift_up_ppm"), col("drift_down_ppm")) * 10L
+          > lit(lambdaWindowTenths) * col("mu_ppm"))
+      .select("key", "window_start_us", "n", "s_ppm", "drift_up_ppm",
+        "drift_down_ppm", "alarm")
+  }
 }
