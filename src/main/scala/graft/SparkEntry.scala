@@ -2945,6 +2945,48 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_homophily" -> { (s, d) =>
+      // label homophily of the co-order part graph against part brands
+      // (GraphStats.labelHomophily): Newman's discrete assortativity
+      // with (2m)^2 cleared — do same-brand parts co-occur in orders
+      // beyond what brand degree masses predict? One row of exact sums
+      graft.ops.GraphStats.labelHomophily(
+        Tables.coOrderPairEdges(s, d), "src", "dst",
+        Tables.part(s, d).select(
+          concat(lit("P"), col("p_partkey")).as("node"), col("p_brand")),
+        "node", "p_brand")
+    },
+    "q_triad_census" -> { (s, d) =>
+      // directed triad census of the user-journey graph (ops/Triads):
+      // feed-forward vs cyclic motif counts; wedges stay a degree-table
+      // aggregate (never materialized), the two triangle joins carry
+      // candidate 2-paths only
+      graft.ops.Triads.directedCensus(
+        Tables.userSequenceEdges(s, d), "src", "dst")
+    },
+    "q_record_linkage" -> { (s, d) =>
+      // Fellegi-Sunter scoring pass (ops/RecordLinkage): customers vs
+      // suppliers blocked on nation, three literal deci-ban field
+      // comparators (acctbal cents digit, kilobuck acctbal bucket, name
+      // suffix), classified link/possible; sub-threshold pairs dropped
+      // so output stays candidate-sized
+      import graft.ops.RecordLinkage.Comparator
+      graft.ops.RecordLinkage.scorePairs(
+        Tables.customer(s, d), "c_custkey",
+        Tables.supplier(s, d), "s_suppkey",
+        col("c_nationkey"), col("s_nationkey"),
+        Seq(
+          Comparator(
+            expr("CAST(FLOOR(ABS(c_acctbal) * 100) AS BIGINT) % 10"),
+            expr("CAST(FLOOR(ABS(s_acctbal) * 100) AS BIGINT) % 10"),
+            18L, -2L),
+          Comparator(floor(col("c_acctbal") / lit(1000.0)).cast("long"),
+            floor(col("s_acctbal") / lit(1000.0)).cast("long"), 15L, -3L),
+          Comparator(expr("right(c_name, 2)"), expr("right(s_name, 2)"),
+            25L, -1L)),
+        linkThreshold = 40L, possibleThreshold = 20L)
+        .orderBy("id_a", "id_b")
+    },
     "q_page_hinkley" -> { (s, d) =>
       // Page–Hinkley online changepoint per event type (ops/Changepoint
       // .pageHinkley): reference rate trained on the first 3 observed
@@ -6933,6 +6975,88 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_homophily" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e0 AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |lab AS (SELECT 'P' || CAST(p_partkey AS VARCHAR) AS n,
+        |          p_brand AS l FROM part),
+        |le AS (SELECT la.l AS lx, lb.l AS ly
+        |       FROM e0 JOIN lab la ON la.n = e0.x JOIN lab lb ON lb.n = e0.y),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges,
+        |          CAST(SUM(CASE WHEN lx = ly THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS e_same
+        |        FROM le),
+        |dl AS (SELECT l, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |         (SELECT lx AS l FROM le UNION ALL SELECT ly FROM le)
+        |       GROUP BY 1),
+        |s2 AS (SELECT CAST(SUM(d * d) AS BIGINT) AS sum_dl2 FROM dl)
+        |SELECT m_edges, e_same, sum_dl2,
+        |  CASE WHEN 4 * m_edges * m_edges = sum_dl2 THEN NULL
+        |       WHEN 4 * m_edges * e_same >= sum_dl2
+        |       THEN (1000000 * (4 * m_edges * e_same - sum_dl2))
+        |            // (4 * m_edges * m_edges - sum_dl2)
+        |       ELSE 0 - ((1000000 * (sum_dl2 - 4 * m_edges * e_same))
+        |            // (4 * m_edges * m_edges - sum_dl2))
+        |  END AS r_ppm
+        |FROM tot, s2""".stripMargin,
+    "q_triad_census" ->
+      """WITH ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS a,
+        |        CAST(nxt AS VARCHAR) AS b
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |recip AS (SELECT e.a, e.b FROM e JOIN e r ON r.a = e.b AND r.b = e.a),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_edges FROM e),
+        |rc AS (SELECT CAST(COUNT(*) AS BIGINT) AS m_reciprocal FROM recip),
+        |din AS (SELECT b AS n, CAST(COUNT(*) AS BIGINT) AS din FROM e
+        |        GROUP BY 1),
+        |dout AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS dout FROM e
+        |         GROUP BY 1),
+        |rd AS (SELECT a AS n, CAST(COUNT(*) AS BIGINT) AS recip FROM recip
+        |       GROUP BY 1),
+        |wg AS (SELECT CAST(SUM(din.din * dout.dout - COALESCE(rd.recip, 0))
+        |         AS BIGINT) AS n_wedges
+        |       FROM din JOIN dout USING (n) LEFT JOIN rd USING (n)),
+        |p AS (SELECT e1.a, e1.b, e2.b AS c
+        |      FROM e e1 JOIN e e2 ON e2.a = e1.b WHERE e1.a <> e2.b),
+        |tr AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_transitive FROM p
+        |       WHERE EXISTS (SELECT 1 FROM e
+        |                     WHERE e.a = p.a AND e.b = p.c)),
+        |cy AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cyclic FROM p
+        |       WHERE p.a < p.b AND p.a < p.c
+        |         AND EXISTS (SELECT 1 FROM e
+        |                     WHERE e.a = p.c AND e.b = p.a))
+        |SELECT m_edges, m_reciprocal, n_wedges, n_transitive, n_cyclic
+        |FROM tot, rc, wg, tr, cy""".stripMargin,
+    "q_record_linkage" ->
+      """WITH a AS (SELECT c_custkey AS id_a, c_nationkey AS blk,
+        |         CAST(FLOOR(ABS(c_acctbal) * 100) AS BIGINT) % 10 AS f0,
+        |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS f1,
+        |         right(c_name, 2) AS f2
+        |       FROM customer),
+        |b AS (SELECT s_suppkey AS id_b, s_nationkey AS blk,
+        |        CAST(FLOOR(ABS(s_acctbal) * 100) AS BIGINT) % 10 AS g0,
+        |        CAST(FLOOR(s_acctbal / 1000.0) AS BIGINT) AS g1,
+        |        right(s_name, 2) AS g2
+        |      FROM supplier),
+        |p AS (SELECT id_a, id_b, CAST(
+        |        (CASE WHEN f0 IS NOT NULL AND g0 IS NOT NULL AND f0 = g0
+        |              THEN 18 ELSE -2 END)
+        |      + (CASE WHEN f1 IS NOT NULL AND g1 IS NOT NULL AND f1 = g1
+        |              THEN 15 ELSE -3 END)
+        |      + (CASE WHEN f2 IS NOT NULL AND g2 IS NOT NULL AND f2 = g2
+        |              THEN 25 ELSE -1 END) AS BIGINT) AS score_db
+        |      FROM a JOIN b ON b.blk = a.blk)
+        |SELECT id_a, id_b, score_db,
+        |  CASE WHEN score_db >= 40 THEN 'link' ELSE 'possible' END AS klass
+        |FROM p WHERE score_db >= 20 ORDER BY id_a, id_b""".stripMargin,
     "q_page_hinkley" ->
       """WITH ev AS (SELECT event_type AS key, epoch_us(ts) AS ts_us,
         |         epoch_us(ts) // 86400000000 AS day FROM events),

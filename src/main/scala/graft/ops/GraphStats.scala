@@ -347,4 +347,48 @@ object GraphStats {
           expr("(1000 * cut) div least(vol, two_m - vol)"))
           .otherwise(lit(0L)).as("conductance_permille"))
   }
+
+  /** Label homophily (Newman's discrete-attribute assortativity) — do
+    * edges preferentially connect same-label nodes beyond what the
+    * label degree masses predict? With m distinct undirected labeled
+    * edges, e_same of them same-label, and d_l the degree mass of label
+    * l (Σ_l d_l = 2m):
+    *
+    *   r = (e_same/m − Σ_l (d_l/2m)²) / (1 − Σ_l (d_l/2m)²)
+    *     = (4·m·e_same − Σd_l²) / (4·m² − Σd_l²)
+    *
+    * after clearing (2m)² — exact integers; r_ppm is the sign-split
+    * floored ppm (1 ⇒ perfectly assortative, 0 ⇒ random given label
+    * masses, <0 ⇒ heterophil). Edges touching unlabeled nodes are
+    * dropped (inner label join). Degenerate single-label graphs
+    * (denominator 0) report NULL.
+    *
+    * Shape: edge scan → two broadcast-able label joins → label-keyed
+    * degree aggregate → 1-row rollup. Output (one row):
+    * (m_edges, e_same, sum_dl2, r_ppm).
+    */
+  def labelHomophily(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, nodeCol: String, labelCol: String): DataFrame = {
+    val e = undirected(edges, srcCol, dstCol)
+    val lab = labels.select(col(nodeCol).as("__n"), col(labelCol).as("__l"))
+    val le = e
+      .join(lab.select(col("__n").as("x"), col("__l").as("lx")), "x")
+      .join(lab.select(col("__n").as("y"), col("__l").as("ly")), "y")
+      .persist(StorageLevel.MEMORY_AND_DISK) // totals + label-mass agg
+    val totals = le.agg(count(lit(1)).as("m_edges"),
+      sum(when(col("lx") === col("ly"), 1L).otherwise(0L)).as("e_same"))
+    val dl2 = le.select(col("lx").as("l")).union(le.select(col("ly").as("l")))
+      .groupBy("l").agg(count(lit(1)).as("d"))
+      .agg(sum(col("d") * col("d")).as("sum_dl2"))
+    totals.crossJoin(broadcast(dl2))
+      .withColumn("r_ppm",
+        when(lit(4L) * col("m_edges") * col("m_edges") === col("sum_dl2"),
+          lit(null))
+          .otherwise(expr(
+            """CASE WHEN 4 * m_edges * e_same >= sum_dl2
+              |     THEN (1000000 * (4 * m_edges * e_same - sum_dl2))
+              |          div (4 * m_edges * m_edges - sum_dl2)
+              |     ELSE 0 - ((1000000 * (sum_dl2 - 4 * m_edges * e_same))
+              |          div (4 * m_edges * m_edges - sum_dl2)) END""".stripMargin)))
+  }
 }
