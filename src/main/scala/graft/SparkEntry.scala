@@ -2945,6 +2945,27 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_knn_shapley" -> { (s, d) =>
+      // KNN-Shapley data valuation (ops/DataValue): closed-form Shapley
+      // of each training vector for a 5-NN classifier over a sampled
+      // test set (id mod 25) — term-wise ppm flooring turns the
+      // recurrence into an exact suffix sum both engines replay
+      graft.ops.DataValue.knnShapley(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", k = 5, testModulus = 25L)
+        .orderBy("train_id")
+    },
+    "q_conformal" -> { (s, d) =>
+      // split-conformal calibration audit (ops/Conformal): per order
+      // priority, train-mean predictor, ceil((n+1)(1-alpha)) residual
+      // quantile on the calibration split, empirical coverage on test
+      // (alpha = 10% -> expect ~900 permille)
+      graft.ops.Conformal.splitConformalAudit(
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("y_c")),
+        "o_orderpriority", "o_orderkey", "y_c", alphaPermille = 100L)
+        .orderBy("grp")
+    },
     "q_homophily" -> { (s, d) =>
       // label homophily of the co-order part graph against part brands
       // (GraphStats.labelHomophily): Newman's discrete assortativity
@@ -6975,6 +6996,69 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_knn_shapley" ->
+      """WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+        |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+        |         AS v, label AS lab
+        |       FROM embeddings),
+        |t AS (SELECT id AS test_id, v AS tv, lab AS tlab FROM q
+        |      WHERE id % 25 = 0),
+        |r AS (SELECT id AS train_id, v AS rv, lab AS rlab FROM q
+        |      WHERE id % 25 <> 0),
+        |pairs AS (SELECT test_id, train_id,
+        |    (SELECT SUM((tv[i] - rv[i]) * (tv[i] - rv[i]))
+        |     FROM UNNEST(range(1, len(tv) + 1)) AS u(i)) AS dist,
+        |    CASE WHEN tlab = rlab THEN 1 ELSE 0 END AS eq
+        |  FROM t JOIN r ON true),
+        |rk AS (SELECT test_id, train_id, eq,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY test_id
+        |      ORDER BY dist, train_id) AS BIGINT) AS j,
+        |    CAST(COUNT(*) OVER (PARTITION BY test_id) AS BIGINT) AS n
+        |  FROM pairs),
+        |d AS (SELECT test_id, train_id, eq, j, n,
+        |    LEAD(eq) OVER (PARTITION BY test_id ORDER BY j) AS eq_next
+        |  FROM rk),
+        |s AS (SELECT test_id, train_id, j,
+        |    CASE WHEN j = n THEN (1000000 * eq) // n
+        |         WHEN eq >= eq_next
+        |         THEN (1000000 * (eq - eq_next)) // GREATEST(5, j)
+        |         ELSE 0 - ((1000000 * (eq_next - eq)) // GREATEST(5, j))
+        |    END AS delta
+        |  FROM d),
+        |suf AS (SELECT test_id, train_id,
+        |    CAST(SUM(delta) OVER (PARTITION BY test_id ORDER BY j DESC
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS shap_ppm
+        |  FROM s)
+        |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_tests,
+        |  CAST(SUM(shap_ppm) AS BIGINT) AS shap_sum_ppm
+        |FROM suf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_conformal" ->
+      """WITH base AS (SELECT o_orderpriority AS grp, o_orderkey AS id,
+        |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y,
+        |         o_orderkey % 3 AS part
+        |       FROM orders),
+        |pred AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_train,
+        |           CAST(SUM(y) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |             AS pred
+        |         FROM base WHERE part = 0 GROUP BY 1),
+        |calr AS (SELECT b.grp, ABS(b.y - p.pred) AS resid,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY b.grp
+        |      ORDER BY ABS(b.y - p.pred), b.id) AS BIGINT) AS rk,
+        |    CAST(COUNT(*) OVER (PARTITION BY b.grp) AS BIGINT) AS n_cal
+        |  FROM base b JOIN pred p ON p.grp = b.grp WHERE b.part = 1),
+        |cal AS (SELECT grp, MAX(n_cal) AS n_cal,
+        |    MAX(CASE WHEN rk = LEAST(n_cal, ((n_cal + 1) * 900 + 999) // 1000)
+        |        THEN resid END) AS q_hat
+        |  FROM calr GROUP BY 1)
+        |SELECT b.grp, MAX(p.n_train) AS n_train, MAX(c.n_cal) AS n_cal,
+        |  CAST(COUNT(*) AS BIGINT) AS n_test, MAX(p.pred) AS pred,
+        |  MAX(c.q_hat) AS q_hat,
+        |  (1000 * CAST(SUM(CASE WHEN ABS(b.y - p.pred) <= c.q_hat THEN 1
+        |    ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS coverage_permille
+        |FROM base b JOIN pred p ON p.grp = b.grp
+        |  JOIN cal c ON c.grp = b.grp
+        |WHERE b.part = 2 GROUP BY b.grp ORDER BY b.grp""".stripMargin,
     "q_homophily" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid,
         |         'P' || CAST(l_partkey AS VARCHAR) AS item
