@@ -2945,6 +2945,24 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_phash_dedup" -> { (s, d) =>
+      // perceptual-hash near-dup pairs over packed multimodal assets
+      // (Multimodal.phashNearDup): 60-bit pHash stand-in, 4-band LSH
+      // bucketing (pigeonhole: Hamming < 4 always caught), exact
+      // bit_count(xor) verify — candidate volume bounded by band
+      // buckets, never all-pairs
+      graft.ops.Multimodal.phashNearDup(
+        graft.ops.Multimodal.packAssets(Tables.documents(s, d),
+          "doc_id", "text"),
+        bands = 4, maxHamming = 20).orderBy("id_a", "id_b")
+    },
+    "q_robustness" -> { (s, d) =>
+      // targeted-attack robustness (ops/Robustness): remove the top-20
+      // degree hubs of the part-supplier graph (deterministic ties),
+      // largest-component size before/after via the CC family
+      graft.ops.Robustness.hubRemovalImpact(
+        Tables.partSupplierEdges(s, d), "src", "dst", topK = 20)
+    },
     "q_knn_shapley" -> { (s, d) =>
       // KNN-Shapley data valuation (ops/DataValue): closed-form Shapley
       // of each training vector for a 5-NN classifier over a sampled
@@ -6996,6 +7014,55 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_phash_dedup" ->
+      """WITH h AS (SELECT doc_id AS id,
+        |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h
+        |       FROM documents),
+        |b AS (SELECT id, h, k, (h >> (15 * CAST(k AS INT))) & 32767 AS bv
+        |      FROM h, UNNEST([0, 1, 2, 3]) AS t(k)),
+        |c AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b,
+        |        a.h AS ha, bb.h AS hb
+        |      FROM b a JOIN b bb ON bb.k = a.k AND bb.bv = a.bv
+        |        AND a.id < bb.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM c WHERE bit_count(xor(ha, hb)) <= 20
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_robustness" ->
+      """WITH RECURSIVE
+        |edges AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS a,
+        |            'S' || CAST(l_suppkey AS VARCHAR) AS b
+        |          FROM lineitem WHERE l_quantity <= 2),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM
+        |          (SELECT a AS node FROM edges
+        |           UNION ALL SELECT b FROM edges) GROUP BY 1),
+        |hubs AS (SELECT node FROM deg ORDER BY d DESC, node LIMIT 20),
+        |e2 AS (SELECT a, b FROM edges
+        |       WHERE a NOT IN (SELECT node FROM hubs)
+        |         AND b NOT IN (SELECT node FROM hubs)),
+        |sym1 AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b
+        |         FROM edges),
+        |nodes1 AS (SELECT DISTINCT a AS node FROM sym1),
+        |cc1 AS (SELECT node, node AS lab FROM nodes1
+        |        UNION SELECT s.b AS node, c.lab
+        |        FROM cc1 c JOIN sym1 s ON c.node = s.a WHERE c.lab < s.b),
+        |comp1 AS (SELECT node, MIN(lab) AS component FROM cc1 GROUP BY 1),
+        |l1 AS (SELECT CAST(MAX(cnt) AS BIGINT) AS lcc FROM
+        |         (SELECT component, COUNT(*) AS cnt FROM comp1 GROUP BY 1)),
+        |sym2 AS (SELECT a, b FROM e2 UNION SELECT b AS a, a AS b FROM e2),
+        |nodes2 AS (SELECT DISTINCT a AS node FROM sym2),
+        |cc2 AS (SELECT node, node AS lab FROM nodes2
+        |        UNION SELECT s.b AS node, c.lab
+        |        FROM cc2 c JOIN sym2 s ON c.node = s.a WHERE c.lab < s.b),
+        |comp2 AS (SELECT node, MIN(lab) AS component FROM cc2 GROUP BY 1),
+        |l2 AS (SELECT CAST(MAX(cnt) AS BIGINT) AS lcc FROM
+        |         (SELECT component, COUNT(*) AS cnt FROM comp2 GROUP BY 1))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes1) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM edges) AS m_edges,
+        |  l1.lcc AS lcc,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes2) AS n_nodes_after,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e2) AS m_edges_after,
+        |  COALESCE(l2.lcc, 0) AS lcc_after
+        |FROM l1, l2""".stripMargin,
     "q_knn_shapley" ->
       """WITH q AS (SELECT vec_id AS id, list_transform(embedding,
         |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))

@@ -129,6 +129,53 @@ object Multimodal {
     assets.withColumn("features", array(lanes: _*))
   }
 
+  /** Perceptual-hash near-duplicate pairs — the multimodal analogue of
+    * MinHash-LSH text dedup: a 60-bit pHash per asset, LSH-banded into
+    * `bands` equal bit slices (two hashes within Hamming distance d
+    * share at least one band when d < bands — the pigeonhole guarantee),
+    * candidates verified by exact `bit_count(xor)` Hamming distance.
+    *
+    * The hash itself is the STUB stand-in of this module's discipline:
+    * the md5 60-bit lane of the raw payload (byte-defined, hash-exact in
+    * any engine). A real pHash (DCT of the decoded luma grid) slots in
+    * through the same [[AssetDecoder]] boundary without touching the
+    * banding/verify plumbing — which IS the production shape: band
+    * buckets bound candidate volume to Σ|bucket|², never all-pairs.
+    * Exact-duplicate payloads always survive (distance 0); random
+    * non-dups almost never do at tight thresholds.
+    *
+    * Output: (id_a, id_b, hamming) with id_a < id_b,
+    * hamming <= maxHamming.
+    */
+  def phashNearDup(assets: DataFrame, bands: Int,
+      maxHamming: Int): DataFrame = {
+    require(bands >= 1 && bands <= 4 && 60 % bands == 0,
+      s"bands must divide 60 and be in [1, 4], got $bands")
+    require(maxHamming >= 0 && maxHamming <= 60,
+      s"maxHamming must be in [0, 60], got $maxHamming")
+    val bandBits = 60 / bands
+    val mask = (1L << bandBits) - 1
+    val hashed = assets.select(col("asset_id").as("id"),
+      graft.functions.functions.hex_to_long(
+        substring(md5(col("payload")), 1, 15)).as("h"))
+    val banded = hashed.select(col("id"), col("h"),
+      explode(array((0 until bands).map(k =>
+        struct(lit(k).as("k"),
+          expr(s"(h >> ${k * bandBits}) & $mask").as("bv"))): _*))
+        .as("band"))
+      .select(col("id"), col("h"), col("band.k"), col("band.bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.k") === col("b.k") && col("a.bv") === col("b.bv") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.h").as("ha"), col("b.h").as("hb"))
+      .distinct()
+      .withColumn("hamming", expr("bit_count(ha ^ hb)").cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** Frame sampling plumbing for video assets: emit `n` (asset_id,
     * frame_idx, frame_offset_bytes) rows per video — the decode of each
     * frame is the same stubbed step.
