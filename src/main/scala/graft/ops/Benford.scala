@@ -45,10 +45,15 @@ object Benford {
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val digits = (1 to 9).toDF("digit")
+    // the global total comes from a window over the 9-row digit
+    // dimension, NOT a second aggregate over obs — referencing obs twice
+    // would re-derive its whole subtree and scan the input twice
+    // (plan-guarded single-scan)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
     digits.join(obs, Seq("digit"), "left")
       .select(col("digit"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-      .crossJoin(broadcast(obs.agg(sum(col("n_obs")).as("n_total"))))
+      .withColumn("n_total", sum(col("n_obs")).over(w))
       .withColumn("obs_ppm",
         when(col("n_total") > 0L, expr("(1000000 * n_obs) div n_total"))
           .otherwise(lit(0L)))

@@ -248,4 +248,27 @@ class PlanGuardSpec extends AnyFunSuite {
       assert(!physical(name).contains("WindowExec"),
         s"$name must be pure aggregate algebra")
   }
+
+  test("fourth-wave queries avoid cartesian products") {
+    for (name <- Seq("q_dbscan_grid", "q_record_linkage", "q_phash_dedup",
+        "q_homophily", "q_triad_census", "q_t_closeness", "q_benford",
+        "q_robustness")) {
+      assert(!physical(name).contains("CartesianProduct"),
+        s"$name must not cartesian-join")
+    }
+  }
+
+  test("q_knn_shapley broadcasts the sampled test side") {
+    val p = physical("q_knn_shapley")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the test sample must broadcast, never shuffle the train side:\n$p")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q_benford and q_burstiness are single-scan aggregates") {
+    assert(scans(physical("q_benford")) == 1)
+    assert(scans(physical("q_burstiness")) == 1)
+    assert(!physical("q_burstiness").contains("WindowExec"),
+      "fano factor is two stacked aggregates, no windows")
+  }
 }
