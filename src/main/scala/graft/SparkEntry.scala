@@ -2945,6 +2945,25 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_mase" -> { (s, d) =>
+      // seasonal-naive vs step-naive forecast error per event type
+      // (Trend.seasonalNaiveError): MASE-style cross-multiplied ppm
+      // ratio over the observed daily series — < 1e6 means real weekly
+      // seasonality
+      graft.ops.Trend.seasonalNaiveError(Tables.events(s, d),
+        "event_type", "ts_us", season = 7).orderBy("grp")
+    },
+    "q_weighted_median" -> { (s, d) =>
+      // exact quantity-weighted median price (cents) per return flag
+      // (Quantiles.weightedMedian): cumulative window over the
+      // value-AGGREGATED table, lower-median convention
+      graft.ops.Quantiles.weightedMedian(
+        Tables.lineitem(s, d).select(col("l_returnflag"),
+          floor(col("l_extendedprice") * lit(100.0)).cast("long")
+            .as("price_c"),
+          col("l_quantity").cast("long").as("qty")),
+        "l_returnflag", "price_c", "qty").orderBy("grp")
+    },
     "q_phash_dedup" -> { (s, d) =>
       // perceptual-hash near-dup pairs over packed multimodal assets
       // (Multimodal.phashNearDup): 60-bit pHash stand-in, 4-band LSH
@@ -7014,6 +7033,39 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_mase" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM events GROUP BY 1, 2),
+        |l AS (SELECT grp, c,
+        |        LAG(c, 1) OVER (PARTITION BY grp ORDER BY day) AS l1,
+        |        LAG(c, 7) OVER (PARTITION BY grp ORDER BY day) AS ls
+        |      FROM daily),
+        |g AS (SELECT grp, CAST(COUNT(l1) AS BIGINT) AS n_1,
+        |        CAST(SUM(ABS(c - l1)) AS BIGINT) AS sae_1,
+        |        CAST(COUNT(ls) AS BIGINT) AS n_season,
+        |        CAST(SUM(ABS(c - ls)) AS BIGINT) AS sae_season
+        |      FROM l GROUP BY 1)
+        |SELECT grp, n_1, sae_1, n_season, sae_season,
+        |  CASE WHEN n_1 > 0 AND n_season > 0 AND sae_1 > 0
+        |       THEN (1000000 * sae_season * n_1) // (sae_1 * n_season)
+        |  END AS mase_ppm
+        |FROM g ORDER BY grp""".stripMargin,
+    "q_weighted_median" ->
+      """WITH base AS (SELECT l_returnflag AS grp,
+        |         CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v,
+        |         CAST(l_quantity AS BIGINT) AS w
+        |       FROM lineitem WHERE l_quantity > 0),
+        |g AS (SELECT grp, v, CAST(SUM(w) AS BIGINT) AS ws
+        |      FROM base GROUP BY 1, 2),
+        |c AS (SELECT grp, v, ws,
+        |        CAST(SUM(ws) OVER (PARTITION BY grp ORDER BY v
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |        CAST(SUM(ws) OVER (PARTITION BY grp) AS BIGINT) AS tot
+        |      FROM g)
+        |SELECT grp, MAX(tot) AS total_w, MIN(v) AS wmedian
+        |FROM c WHERE 2 * cum >= tot GROUP BY grp ORDER BY grp""".stripMargin,
     "q_phash_dedup" ->
       """WITH h AS (SELECT doc_id AS id,
         |         ('0x' || substr(md5(text), 1, 15))::BIGINT AS h

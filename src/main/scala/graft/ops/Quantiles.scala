@@ -196,6 +196,34 @@ object Quantiles {
           s"(p${p}_frac / 100.0)"))
     }
   }
+
+  /** Exact weighted median per group — the lower weighted median:
+    * smallest value v with 2·cumweight(v) ≥ totalweight. The robust
+    * "typical value when rows carry mass" (quantity-weighted price,
+    * duration-weighted latency) that a plain median gets wrong.
+    *
+    * One value-keyed aggregate collapses the data to (group, value,
+    * weight-sum) — the cumulative window then runs over the AGGREGATED
+    * value table (the [[Inequality.giniExact]] discipline), never raw
+    * rows. Deterministic by construction (no rank ties possible on
+    * distinct values). NULL/≤0 weights are dropped.
+    *
+    * Output per group: (grp, total_w, wmedian).
+    */
+  def weightedMedian(df: DataFrame, grpCol: String, valCol: String,
+      wCol: String): DataFrame = {
+    val g = df.select(col(grpCol).as("grp"),
+        col(valCol).cast("long").as("v"), col(wCol).cast("long").as("w"))
+      .where(col("v").isNotNull && col("w").isNotNull && col("w") > 0L)
+      .groupBy("grp", "v").agg(sum(col("w")).as("ws"))
+    val byV = Window.partitionBy(col("grp")).orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    g.withColumn("cum", sum(col("ws")).over(byV))
+      .withColumn("tot", sum(col("ws")).over(Window.partitionBy(col("grp"))))
+      .where(lit(2L) * col("cum") >= col("tot"))
+      .groupBy("grp")
+      .agg(max(col("tot")).as("total_w"), min(col("v")).as("wmedian"))
+  }
 }
 
 /** Deterministic hash sampling: the portable alternative to
@@ -302,6 +330,7 @@ object Sampling {
         col("col.neighbor_id").as(idCol),
         col("col.cosine").cast("long").as("priority")): _*)
   }
+
 }
 
 /** Rank-based feature normalization — the distribution-free scaling step

@@ -165,6 +165,45 @@ object Trend {
     *
     * Output: (grp, n_days, total, sum_sq, fano_ppm).
     */
+  /** Seasonal-naive forecast-error ratio (MASE-style) per group — "does
+    * last week predict today better than yesterday does?": over each
+    * group's OBSERVED daily count series,
+    *
+    *   mase_ppm = 10⁶ · (SAE_season / n_season) / (SAE_1 / n_1)
+    *            = (10⁶ · SAE_season · n_1) div (SAE_1 · n_season)
+    *
+    * with SAE_k = Σ|y_t − y_{t−k}| over rows where the lag exists
+    * (observed-series lags — gap-skipping, like every series op here).
+    * < 10⁶ means the seasonal-naive beats the step-naive ⇒ real weekly
+    * seasonality; NULL when either error side is empty or SAE_1 = 0.
+    * The two lags come from the same group-bounded window pass.
+    *
+    * Output: (grp, n_1, sae_1, n_season, sae_season, mase_ppm).
+    */
+  def seasonalNaiveError(df: DataFrame, groupCol: String,
+      tsUsCol: String, season: Int = 7): DataFrame = {
+    require(season >= 2, s"season must be >= 2, got $season")
+    val daily = df
+      .select(col(groupCol).as("grp"),
+        (col(tsUsCol).cast("long") / lit(86400000000L)).cast("long")
+          .as("day"))
+      .groupBy("grp", "day").agg(count(lit(1)).as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("day"))
+    daily
+      .withColumn("l1", lag(col("c"), 1).over(w))
+      .withColumn("ls", lag(col("c"), season).over(w))
+      .groupBy("grp")
+      .agg(count(col("l1")).as("n_1"),
+        sum(abs(col("c") - col("l1"))).as("sae_1"),
+        count(col("ls")).as("n_season"),
+        sum(abs(col("c") - col("ls"))).as("sae_season"))
+      .withColumn("mase_ppm",
+        when(col("n_1") > 0L && col("n_season") > 0L && col("sae_1") > 0L,
+          expr("(1000000 * sae_season * n_1) div (sae_1 * n_season)"))
+          .otherwise(lit(null)))
+  }
+
   def fanoFactor(df: DataFrame, groupCol: String,
       tsUsCol: String): DataFrame = {
     df.select(col(groupCol).as("grp"),
