@@ -2945,6 +2945,23 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_node_sketch" -> { (s, d) =>
+      // neighborhood-MinHash node sketches (ops/NodeSketch.sketches):
+      // 8 md5 lanes, radius-2 min-propagation over the user-journey
+      // graph — float-free structural embeddings whose round evolution
+      // the oracle unrolls exactly
+      graft.ops.NodeSketch.sketches(Tables.userSequenceEdges(s, d),
+        "src", "dst", k = 8, rounds = 2).orderBy("node", "lane")
+    },
+    "q_node_sim" -> { (s, d) =>
+      // positional similarity from the same sketches (ops/NodeSketch
+      // .similarPairs): candidate pairs mined THROUGH shared lane
+      // minima (LSH for free), exact matching-lane count >= 5 of 8,
+      // MinHash-estimated ball Jaccard in permille
+      graft.ops.NodeSketch.similarPairs(Tables.userSequenceEdges(s, d),
+        "src", "dst", k = 8, rounds = 2, minMatch = 5)
+        .orderBy("node_a", "node_b")
+    },
     "q_mase" -> { (s, d) =>
       // seasonal-naive vs step-naive forecast error per event type
       // (Trend.seasonalNaiveError): MASE-style cross-multiplied ppm
@@ -7033,6 +7050,17 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_node_sketch" -> nodeSketchOracle(
+      """SELECT node, CAST(lane AS INT) AS lane, h FROM s2
+        |ORDER BY node, lane""".stripMargin),
+    "q_node_sim" -> nodeSketchOracle(
+      """, pr AS (SELECT x.node AS node_a, y.node AS node_b,
+        |    CAST(COUNT(*) AS BIGINT) AS n_match
+        |  FROM s2 x JOIN s2 y ON y.lane = x.lane AND y.h = x.h
+        |    AND x.node < y.node
+        |  GROUP BY 1, 2)
+        |SELECT node_a, node_b, n_match, (1000 * n_match) // 8 AS sim_permille
+        |FROM pr WHERE n_match >= 5 ORDER BY node_a, node_b""".stripMargin),
     "q_mase" ->
       """WITH daily AS (SELECT event_type AS grp,
         |         epoch_us(ts) // 86400000000 AS day,
@@ -7711,6 +7739,36 @@ object SparkEntry {
     * ops.HyperBall.ballRegisters' join+max aggregate, on the same sparse
     * (node, idx, rho) rows. MATERIALIZED per round as usual.
     */
+  /** Shared CTE chain of the q_node_sketch / q_node_sim oracles: the
+    * user-journey graph, 8 md5 lanes per node, two unrolled
+    * min-propagation rounds (s1, s2) mirroring ops.NodeSketch.sketches.
+    * `finalSelect` either starts with ", cte AS (" to extend the WITH
+    * chain or is a plain SELECT. */
+  private def nodeSketchOracle(finalSelect: String): String =
+    s"""WITH ev AS (SELECT user_id, ts, event_id,
+       |         lead(user_id) OVER (PARTITION BY event_type
+       |           ORDER BY ts, event_id) AS nxt
+       |       FROM events WHERE event_type = 'click' AND value < 2.0),
+       |e0 AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS a,
+       |         CAST(nxt AS VARCHAR) AS b
+       |       FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+       |sym AS MATERIALIZED (SELECT a, b FROM e0
+       |       UNION SELECT b AS a, a AS b FROM e0),
+       |nodes AS (SELECT DISTINCT a AS node FROM sym),
+       |s0 AS (SELECT node, k AS lane,
+       |        ('0x' || substr(md5('ns' || CAST(k AS VARCHAR) || ':' || node),
+       |          1, 15))::BIGINT AS h
+       |      FROM nodes, UNNEST(range(0, 8)) AS t(k)),
+       |s1 AS MATERIALIZED (SELECT node, lane, MIN(h) AS h FROM (
+       |        SELECT s.a AS node, p.lane, p.h
+       |        FROM sym s JOIN s0 p ON p.node = s.b
+       |        UNION ALL SELECT node, lane, h FROM s0) GROUP BY 1, 2),
+       |s2 AS MATERIALIZED (SELECT node, lane, MIN(h) AS h FROM (
+       |        SELECT s.a AS node, p.lane, p.h
+       |        FROM sym s JOIN s1 p ON p.node = s.b
+       |        UNION ALL SELECT node, lane, h FROM s1) GROUP BY 1, 2)
+       |$finalSelect""".stripMargin
+
   private def hyperballOracle(rounds: Int, p: Int, hashBits: Int): String = {
     s"""${hyperballRegisterCtes(rounds, p, hashBits)}
        |SELECT node, CAST(idx AS INT) AS idx, CAST(rho AS INT) AS rho
