@@ -2945,6 +2945,48 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_sq_recall" -> { (s, d) =>
+      // int8 scalar-quantization recall audit (Similarity.sqCodes +
+      // AnnAudit.recallAtK): top-5 cosine ranking on 0..255 SQ codes vs
+      // exact brute force — completes the recall-audited index family
+      // (LSH, IVF, PQ, SQ)
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val codes = Similarity.sqCodes(e, "vec_id", "embedding")
+      val approx = Similarity.bruteForceTopK(codes, "vec_id", "recon",
+        codes.where(col("vec_id") < 20), "vec_id", "recon", k = 5)
+      graft.ops.AnnAudit.recallAtK(truth, approx)
+    },
+    "q_linkage_clusters" -> { (s, d) =>
+      // end-to-end entity resolution: q_record_linkage's 'link'-class
+      // pairs collapsed into entity clusters via min-label CC
+      // (Dedup.nearDupClusters), per-cluster member counts — the
+      // pair->entity step every ER pipeline ends with
+      import graft.ops.RecordLinkage.Comparator
+      val pairs = graft.ops.RecordLinkage.scorePairs(
+        Tables.customer(s, d), "c_custkey",
+        Tables.supplier(s, d), "s_suppkey",
+        col("c_nationkey"), col("s_nationkey"),
+        Seq(
+          Comparator(
+            expr("CAST(FLOOR(ABS(c_acctbal) * 100) AS BIGINT) % 10"),
+            expr("CAST(FLOOR(ABS(s_acctbal) * 100) AS BIGINT) % 10"),
+            18L, -2L),
+          Comparator(floor(col("c_acctbal") / lit(1000.0)).cast("long"),
+            floor(col("s_acctbal") / lit(1000.0)).cast("long"), 15L, -3L),
+          Comparator(expr("right(c_name, 2)"), expr("right(s_name, 2)"),
+            25L, -1L)),
+        linkThreshold = 40L, possibleThreshold = 40L)
+        .select(concat(lit("C"), col("id_a")).as("id_a"),
+          concat(lit("S"), col("id_b")).as("id_b"))
+      graft.ops.Dedup.nearDupClusters(pairs, "id_a", "id_b")
+        .groupBy(col("component").as("entity"))
+        .agg(count(lit(1)).as("n_members"))
+        .orderBy("entity")
+    },
     "q_node_sketch" -> { (s, d) =>
       // neighborhood-MinHash node sketches (ops/NodeSketch.sketches):
       // 8 md5 lanes, radius-2 min-propagation over the user-journey
@@ -7050,6 +7092,93 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_sq_recall" ->
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))
+        |           AS BIGINT)) AS v
+        |       FROM embeddings),
+        |dm AS (SELECT i AS pos, MIN(q.v[i]) AS mn, MAX(q.v[i]) AS mx
+        |       FROM q, UNNEST(range(1, len((SELECT v FROM q LIMIT 1)) + 1))
+        |         AS t(i)
+        |       GROUP BY 1),
+        |codes AS (SELECT id, list(mn * 255 + code * (mx - mn)
+        |      ORDER BY pos) AS cv FROM (
+        |    SELECT q.vec_id AS id, d.pos, d.mn, d.mx,
+        |      CASE WHEN d.mx > d.mn
+        |           THEN ((q.v[d.pos] - d.mn) * 255) // (d.mx - d.mn)
+        |           ELSE 0 END AS code
+        |    FROM q, dm d) GROUP BY id),
+        |tn AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm
+        |       FROM q),
+        |tp AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |        (SELECT SUM(qq.v[i]*c.v[i])
+        |         FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+        |      FROM (SELECT * FROM q WHERE vec_id < 20) qq
+        |      JOIN q c ON c.vec_id <> qq.vec_id),
+        |truth AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT query_id, neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY query_id
+        |        ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC, neighbor_id ASC)
+        |        AS rank
+        |    FROM tp JOIN tn na ON na.vec_id = query_id
+        |           JOIN tn nb ON nb.vec_id = neighbor_id
+        |    WHERE na.nrm > 0 AND nb.nrm > 0)
+        |  WHERE rank <= 5),
+        |an AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(cv) AS t(x)) AS nrm
+        |       FROM codes),
+        |ap AS (SELECT qq.id AS query_id, c.id AS neighbor_id,
+        |        (SELECT SUM(qq.cv[i]*c.cv[i])
+        |         FROM UNNEST(range(1, len(qq.cv)+1)) AS t(i)) AS dot
+        |      FROM (SELECT * FROM codes WHERE id < 20) qq
+        |      JOIN codes c ON c.id <> qq.id),
+        |approx AS (SELECT query_id, neighbor_id FROM (
+        |    SELECT ap.query_id, ap.neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY ap.query_id
+        |        ORDER BY ap.dot / SQRT(na.nrm * nb.nrm) DESC,
+        |          ap.neighbor_id ASC) AS rank
+        |    FROM ap JOIN an na ON na.id = ap.query_id
+        |           JOIN an nb ON nb.id = ap.neighbor_id
+        |    WHERE na.nrm > 0 AND nb.nrm > 0)
+        |  WHERE rank <= 5)
+        |SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS n_truth,
+        |  CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_hits,
+        |  (1000 * CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL THEN 1
+        |    ELSE 0 END) AS BIGINT)) // CAST(COUNT(*) AS BIGINT)
+        |    AS recall_permille
+        |FROM truth t LEFT JOIN approx a
+        |  ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        |GROUP BY t.query_id ORDER BY t.query_id""".stripMargin,
+    "q_linkage_clusters" ->
+      """WITH RECURSIVE
+        |a AS (SELECT c_custkey AS id_a, c_nationkey AS blk,
+        |         CAST(FLOOR(ABS(c_acctbal) * 100) AS BIGINT) % 10 AS f0,
+        |         CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS f1,
+        |         right(c_name, 2) AS f2
+        |       FROM customer),
+        |b AS (SELECT s_suppkey AS id_b, s_nationkey AS blk,
+        |        CAST(FLOOR(ABS(s_acctbal) * 100) AS BIGINT) % 10 AS g0,
+        |        CAST(FLOOR(s_acctbal / 1000.0) AS BIGINT) AS g1,
+        |        right(s_name, 2) AS g2
+        |      FROM supplier),
+        |p AS (SELECT 'C' || CAST(id_a AS VARCHAR) AS x,
+        |        'S' || CAST(id_b AS VARCHAR) AS y,
+        |        (CASE WHEN f0 IS NOT NULL AND g0 IS NOT NULL AND f0 = g0
+        |              THEN 18 ELSE -2 END)
+        |      + (CASE WHEN f1 IS NOT NULL AND g1 IS NOT NULL AND f1 = g1
+        |              THEN 15 ELSE -3 END)
+        |      + (CASE WHEN f2 IS NOT NULL AND g2 IS NOT NULL AND f2 = g2
+        |              THEN 25 ELSE -1 END) AS score
+        |      FROM a JOIN b ON b.blk = a.blk),
+        |e AS (SELECT x, y FROM p WHERE score >= 40),
+        |sym AS (SELECT x AS a, y AS b FROM e UNION SELECT y, x FROM e),
+        |nodes AS (SELECT DISTINCT a AS node FROM sym),
+        |cc AS (SELECT node, node AS lab FROM nodes
+        |       UNION SELECT s.b AS node, c.lab
+        |       FROM cc c JOIN sym s ON c.node = s.a WHERE c.lab < s.b)
+        |SELECT component AS entity, CAST(COUNT(*) AS BIGINT) AS n_members
+        |FROM (SELECT node, MIN(lab) AS component FROM cc GROUP BY 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_node_sketch" -> nodeSketchOracle(
       """SELECT node, CAST(lane AS INT) AS lane, h FROM s2
         |ORDER BY node, lane""".stripMargin),

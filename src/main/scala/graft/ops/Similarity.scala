@@ -818,4 +818,48 @@ object Similarity {
       .toDF("query_id", "neighbor_id", "cosine")
     topKPerQuery(scored, k)
   }
+
+  /** Int8-style scalar quantization (SQ) codes — the smallest-memory
+    * member of the index-compression family next to PQ: per-DIMENSION
+    * global min/max over the (×10000 floor-quantized) corpus, each
+    * component mapped to its 0..255 bucket by one exact integer
+    * division, (v − min)·255 div (max − min). Constant dimensions code
+    * to 0. The codes are exact integers, so an SQ index's ranking —
+    * and its recall audit against exact brute force — joins the
+    * hash-exact oracle surface.
+    *
+    * Ranking runs on the RECONSTRUCTED values, not the raw codes:
+    * recon_i = mn_i·255 + code_i·(mx_i − mn_i), the dequantized
+    * component at a global ×255 scale (cosine-invariant). Raw 0..255
+    * codes are shift-distorted — cosine is not shift-invariant, so
+    * code-space ranking scrambles clusters that reconstruction keeps
+    * apart (spec-pinned).
+    *
+    * Shape: one posexplode + (dim)-row min/max aggregate (map-side
+    * combined), a broadcast dim join, and a regroup — two shuffles of
+    * component rows, nothing driver-side.
+    *
+    * Output: (idCol, codes array<long>, recon array<long>), original
+    * component order.
+    */
+  def sqCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val comp = df
+      .select(col(idCol).as("__id"), quantize(col(vecCol)).as("__v"))
+      .select(col("__id"), posexplode(col("__v")).as(Seq("pos", "x0")))
+      .select(col("__id"), col("pos"), col("x0").cast("long").as("x"))
+    val dims = comp.groupBy("pos")
+      .agg(min(col("x")).as("mn"), max(col("x")).as("mx"))
+    comp.join(broadcast(dims), Seq("pos"))
+      .withColumn("code",
+        when(col("mx") > col("mn"),
+          expr("((x - mn) * 255) div (mx - mn)")).otherwise(lit(0L)))
+      .withColumn("recon",
+        col("mn") * lit(255L) + col("code") * (col("mx") - col("mn")))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(
+        struct(col("pos"), col("code"), col("recon")))).as("__a"))
+      .select(col("__id").as(idCol),
+        expr("transform(__a, s -> s.code)").as("codes"),
+        expr("transform(__a, s -> s.recon)").as("recon"))
+  }
 }
