@@ -2945,6 +2945,30 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_sparsify" -> { (s, d) =>
+      // kNN-graph sparsification audit (ops/Sparsify.sparsifyDrift):
+      // keep each node's 2 heaviest incident edges of the weighted
+      // part-supplier graph (OR-symmetrized), CC before/after — did
+      // pruning shatter the giant component?
+      val wEdges = Tables.lineitem(s, d).where(col("l_quantity") <= 2)
+        .groupBy(concat(lit("P"), col("l_partkey")).as("src"),
+          concat(lit("S"), col("l_suppkey")).as("dst"))
+        .agg(count(lit(1)).as("w"))
+      graft.ops.Sparsify.sparsifyDrift(wEdges, "src", "dst", "w",
+        kPerNode = 2)
+    },
+    "q_bootstrap_ci" -> { (s, d) =>
+      // subsample-bootstrap 5-95% CI of mean order value per priority
+      // (ops/Bootstrap.meanCi): 20 replayable md5 half-samples, floored
+      // integer replica means, percentile CI as order statistics — no
+      // sqrt, no t-table, fully oracle-replayable
+      graft.ops.Bootstrap.meanCi(
+        Tables.orders(s, d).select(col("o_orderpriority"),
+          col("o_orderkey"),
+          floor(col("o_totalprice") * lit(100.0)).cast("long").as("v_c")),
+        "o_orderpriority", "o_orderkey", "v_c",
+        bReps = 20, loPermille = 50, hiPermille = 950).orderBy("grp")
+    },
     "q_sq_recall" -> { (s, d) =>
       // int8 scalar-quantization recall audit (Similarity.sqCodes +
       // AnnAudit.recallAtK): top-5 cosine ranking on 0..255 SQ codes vs
@@ -7092,6 +7116,73 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_sparsify" ->
+      """WITH RECURSIVE
+        |we AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS a,
+        |         'S' || CAST(l_suppkey AS VARCHAR) AS b,
+        |         CAST(COUNT(*) AS BIGINT) AS w
+        |       FROM lineitem WHERE l_quantity <= 2 GROUP BY 1, 2),
+        |sym AS (SELECT a, b, w FROM we UNION ALL SELECT b, a, w FROM we),
+        |rk AS (SELECT a, b,
+        |         ROW_NUMBER() OVER (PARTITION BY a ORDER BY w DESC, b)
+        |           AS rk
+        |       FROM sym),
+        |sp AS (SELECT DISTINCT LEAST(a, b) AS src, GREATEST(a, b) AS dst
+        |       FROM rk WHERE rk <= 2),
+        |symf AS (SELECT a, b FROM we UNION SELECT b AS a, a AS b FROM we),
+        |nodesf AS (SELECT DISTINCT a AS node FROM symf),
+        |ccf AS (SELECT node, node AS lab FROM nodesf
+        |        UNION SELECT s.b AS node, c.lab
+        |        FROM ccf c JOIN symf s ON c.node = s.a WHERE c.lab < s.b),
+        |compf AS (SELECT node, MIN(lab) AS component FROM ccf GROUP BY 1),
+        |af AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comp_full,
+        |         CAST(MAX(cnt) AS BIGINT) AS lcc_full
+        |       FROM (SELECT component, COUNT(*) AS cnt FROM compf
+        |             GROUP BY 1)),
+        |syms AS (SELECT src AS a, dst AS b FROM sp
+        |         UNION SELECT dst AS a, src AS b FROM sp),
+        |nodess AS (SELECT DISTINCT a AS node FROM syms),
+        |ccs AS (SELECT node, node AS lab FROM nodess
+        |        UNION SELECT s.b AS node, c.lab
+        |        FROM ccs c JOIN syms s ON c.node = s.a WHERE c.lab < s.b),
+        |comps AS (SELECT node, MIN(lab) AS component FROM ccs GROUP BY 1),
+        |asx AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_comp_sparse,
+        |          CAST(MAX(cnt) AS BIGINT) AS lcc_sparse
+        |        FROM (SELECT component, COUNT(*) AS cnt FROM comps
+        |              GROUP BY 1))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM we) AS m_full,
+        |  af.n_comp_full, af.lcc_full,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM sp) AS m_sparse,
+        |  asx.n_comp_sparse, asx.lcc_sparse
+        |FROM af, asx""".stripMargin,
+    "q_bootstrap_ci" ->
+      """WITH base AS (SELECT o_orderpriority AS grp,
+        |         CAST(o_orderkey AS VARCHAR) AS id,
+        |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS v
+        |       FROM orders),
+        |ov AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT)
+        |           AS mean_c
+        |       FROM base GROUP BY 1),
+        |reps AS (SELECT grp, b,
+        |           CAST(SUM(v) AS BIGINT) // CAST(COUNT(*) AS BIGINT) AS mb
+        |         FROM base, UNNEST(range(0, 20)) AS t(b)
+        |         WHERE (('0x' || substr(md5('boot' || CAST(b AS VARCHAR)
+        |             || ':' || id), 1, 13))::BIGINT) % 2 = 0
+        |         GROUP BY 1, 2),
+        |rk AS (SELECT grp, b, mb,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY mb, b)
+        |           AS BIGINT) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT) AS nr
+        |       FROM reps),
+        |lo AS (SELECT grp, mb AS ci_lo_c FROM rk
+        |       WHERE rk = GREATEST((nr * 50 + 999) // 1000, 1)),
+        |hi AS (SELECT grp, mb AS ci_hi_c FROM rk
+        |       WHERE rk = GREATEST((nr * 950 + 999) // 1000, 1)),
+        |br AS (SELECT grp, MAX(nr) AS b_reps FROM rk GROUP BY 1)
+        |SELECT ov.grp, n, mean_c, b_reps, ci_lo_c, ci_hi_c
+        |FROM ov JOIN br USING (grp) JOIN lo USING (grp) JOIN hi USING (grp)
+        |ORDER BY ov.grp""".stripMargin,
     "q_sq_recall" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
         |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))
