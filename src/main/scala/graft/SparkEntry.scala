@@ -2945,6 +2945,14 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_radius_join" -> { (s, d) =>
+      // planar radius self-join (Density.radiusPairs): all embedding
+      // pairs within L2 0.125 on the first two axes — 9-cell grid
+      // candidates (the spatial LSH), exact integer squared-distance
+      // verify, never all-pairs
+      graft.ops.Density.radiusPairs(Tables.embeddings(s, d), "vec_id",
+        "embedding", epsQ = 1250L).orderBy("id_a", "id_b")
+    },
     "q_sparsify" -> { (s, d) =>
       // kNN-graph sparsification audit (ops/Sparsify.sparsifyDrift):
       // keep each node's 2 heaviest incident edges of the weighted
@@ -7116,6 +7124,29 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_radius_join" ->
+      """WITH pts AS (SELECT vec_id AS id,
+        |         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000.0)
+        |           AS BIGINT) AS xq,
+        |         CAST(FLOOR(CAST(embedding[2] AS DOUBLE) * 10000.0)
+        |           AS BIGINT) AS yq
+        |       FROM embeddings
+        |       WHERE embedding[1] IS NOT NULL AND embedding[2] IS NOT NULL),
+        |c AS (SELECT id, xq, yq, xq // 1250 AS cx, yq // 1250 AS cy
+        |      FROM pts),
+        |off AS (SELECT dx, dy FROM (VALUES (-1,-1),(-1,0),(-1,1),(0,-1),
+        |          (0,0),(0,1),(1,-1),(1,0),(1,1)) t(dx, dy)),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |           a.xq AS xa, a.yq AS ya, b.xq AS xb, b.yq AS yb
+        |         FROM c a JOIN off ON true
+        |           JOIN c b ON b.cx = a.cx + off.dx AND b.cy = a.cy + off.dy
+        |         WHERE a.id < b.id)
+        |SELECT id_a, id_b,
+        |  (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb) AS dist_sq_q
+        |FROM cand
+        |WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+        |  <= 1250 * 1250
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_sparsify" ->
       """WITH RECURSIVE
         |we AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS a,

@@ -32,6 +32,52 @@ object Density {
 
   private val offsets = for { dx <- -1 to 1; dy <- -1 to 1 } yield (dx, dy)
 
+  /** 2-D radius self-join (planar range search) — all point pairs
+    * within L2 distance eps on the first two projection axes, the
+    * spatial primitive behind contact tracing / co-location / blocking:
+    * coordinates quantize to integers (×10000 floor — the repo's vector
+    * convention), cells are epsQ-wide via the exact floor-division
+    * pmod identity (Spark `div` truncates; (x − pmod(x, c)) div c IS
+    * the floor), candidates come from the 9-cell neighborhood join and
+    * are verified by the EXACT integer squared distance — a pair within
+    * eps can never span more than one cell per axis, so the candidate
+    * set is complete.
+    *
+    * epsQ is the quantized radius (eps·10000, must be a positive
+    * integer — e.g. 0.125 → 1250). Candidate volume is Σ|cell|²-ish
+    * over the 9-neighborhoods — the grid is the LSH here; never
+    * all-pairs. Output: (id_a, id_b, dist_sq_q) with id_a < id_b,
+    * dist_sq_q ≤ epsQ².
+    */
+  def radiusPairs(df: DataFrame, idCol: String, vecCol: String,
+      epsQ: Long): DataFrame = {
+    require(epsQ >= 1, s"epsQ must be a positive integer, got $epsQ")
+    val pts = df.select(col(idCol).as("id"),
+        floor(element_at(col(vecCol), 1).cast("double") * lit(10000.0))
+          .cast("long").as("xq"),
+        floor(element_at(col(vecCol), 2).cast("double") * lit(10000.0))
+          .cast("long").as("yq"))
+      .where(col("xq").isNotNull && col("yq").isNotNull)
+      .withColumn("cx", expr(s"(xq - pmod(xq, $epsQ)) div $epsQ"))
+      .withColumn("cy", expr(s"(yq - pmod(yq, $epsQ)) div $epsQ"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val off = offsets.toDF("dx", "dy")
+    val probes = pts.crossJoin(broadcast(off))
+      .select(col("id").as("id_a"), col("xq").as("xa"), col("yq").as("ya"),
+        (col("cx") + col("dx")).as("cx"), (col("cy") + col("dy")).as("cy"))
+    probes
+      .join(pts.select(col("id").as("id_b"), col("xq").as("xb"),
+        col("yq").as("yb"), col("cx"), col("cy")), Seq("cx", "cy"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb"))
+          + (col("ya") - col("yb")) * (col("ya") - col("yb")))
+          .as("dist_sq_q"))
+      .where(col("dist_sq_q") <= epsQ * epsQ)
+      .distinct()
+  }
+
   def gridDbscan(df: DataFrame, idCol: String, vecCol: String,
       eps: Double, minPts: Long): DataFrame = {
     require(eps > 0 && java.lang.Math.getExponent(eps) >= -30 &&
