@@ -2945,6 +2945,19 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_isotonic" -> { (s, d) =>
+      // isotonic calibration of purchase rate vs event-value bucket
+      // (ops/Isotonic.fitBuckets): quantized-minimax fit over the
+      // 20-bucket dimension — monotone non-decreasing by construction,
+      // PAVA-free and fully oracle-replayable
+      val b = Tables.events(s, d)
+        .select(expr("CAST(FLOOR(value / 25.0) AS BIGINT)").as("bucket"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("y"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), sum(col("y")).as("pos"))
+      graft.ops.Isotonic.fitBuckets(b, "bucket", "n", "pos")
+        .orderBy("bucket")
+    },
     "q_radius_join" -> { (s, d) =>
       // planar radius self-join (Density.radiusPairs): all embedding
       // pairs within L2 0.125 on the first two axes — 9-cell grid
@@ -7124,6 +7137,29 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_isotonic" ->
+      """WITH b AS (SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
+        |         CAST(COUNT(*) AS BIGINT) AS n,
+        |         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1
+        |           ELSE 0 END) AS BIGINT) AS pos
+        |       FROM events GROUP BY 1),
+        |pre AS (SELECT bucket, n, pos,
+        |         CAST(SUM(n) OVER wd AS BIGINT) AS cn,
+        |         CAST(SUM(pos) OVER wd AS BIGINT) AS cp
+        |       FROM b WINDOW wd AS (ORDER BY bucket
+        |         ROWS UNBOUNDED PRECEDING)),
+        |jk AS (SELECT pj.bucket AS j, pk.bucket AS k,
+        |         ((pk.cp - (pj.cp - pj.pos)) * 1000000)
+        |           // (pk.cn - (pj.cn - pj.n)) AS m_ppm
+        |       FROM pre pj JOIN pre pk ON pj.bucket <= pk.bucket),
+        |inn AS (SELECT b.bucket, jk.j, MIN(m_ppm) AS inner_min
+        |        FROM b JOIN jk ON jk.j <= b.bucket AND jk.k >= b.bucket
+        |        GROUP BY 1, 2),
+        |fit AS (SELECT bucket, MAX(inner_min) AS iso_ppm FROM inn
+        |        GROUP BY 1)
+        |SELECT b.bucket, b.n, b.pos, (b.pos * 1000000) // b.n AS rate_ppm,
+        |  fit.iso_ppm
+        |FROM b JOIN fit ON fit.bucket = b.bucket ORDER BY b.bucket""".stripMargin,
     "q_radius_join" ->
       """WITH pts AS (SELECT vec_id AS id,
         |         CAST(FLOOR(CAST(embedding[1] AS DOUBLE) * 10000.0)

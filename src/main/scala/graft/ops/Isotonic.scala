@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Isotonic (monotone) calibration over score buckets — "purchase rate
+  * must not go DOWN as the score goes up": the regularized calibration
+  * curve model-eval pipelines fit before trusting a score column.
+  * Instead of sequential PAVA (driver-order-dependent, not
+  * SQL-expressible), the fit uses the classic MINIMAX identity
+  *
+  *   iso_i = max_{j ≤ i} min_{k ≥ i} mean(y_j .. y_k)
+  *
+  * with every interval mean floored to ppm FIRST:
+  * mean(j..k) = ((P_k − P_{j−1})·10⁶) div (N_k − N_{j−1}) over prefix
+  * sums — so the statistic is DEFINED as the quantized minimax,
+  * identical in any engine (exact-rational PAVA and this agree up to
+  * the ppm grid; monotonicity holds exactly by construction).
+  *
+  * Scale contract: the input must already be BUCKETED — (bucket, n,
+  * pos) rows from the caller's one scalable groupBy; the O(B³)
+  * interval enumeration runs on the B-row bucket table (B ≤ 64
+  * enforced; 64³ = 262k tiny rows), nothing data-sized.
+  *
+  * Output per bucket: (bucket, n, pos, rate_ppm, iso_ppm), iso_ppm
+  * non-decreasing in bucket.
+  */
+object Isotonic {
+
+  def fitBuckets(buckets: DataFrame, bucketCol: String, nCol: String,
+      posCol: String, maxBuckets: Int = 64): DataFrame = {
+    require(maxBuckets >= 2 && maxBuckets <= 64,
+      s"maxBuckets must be in [2, 64], got $maxBuckets")
+    val b = buckets.select(col(bucketCol).cast("long").as("bucket"),
+      col(nCol).cast("long").as("n"), col(posCol).cast("long").as("pos"))
+      .where(col("n") > 0L)
+    // loud gate: the cube below is only sane on a bucket DIMENSION
+    val cnt = b.limit(maxBuckets + 1).count()
+    require(cnt <= maxBuckets,
+      s"fitBuckets: more than $maxBuckets buckets — pre-aggregate coarser")
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    // B-row prefix table (single-partition window over the bucket
+    // dimension only)
+    val pre = b.withColumn("cn", sum(col("n")).over(w))
+      .withColumn("cp", sum(col("pos")).over(w))
+    val jk = pre.select(col("bucket").as("j"), col("cn").as("cnj"),
+        col("cp").as("cpj"), (col("cn") - col("n")).as("cnj0"),
+        (col("cp") - col("pos")).as("cpj0"))
+      .join(pre.select(col("bucket").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk")), col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        expr("((cpk - cpj0) * 1000000) div (cnk - cnj0)").as("m_ppm"))
+    val fit = b.select(col("bucket"))
+      .join(jk, col("j") <= col("bucket") && col("k") >= col("bucket"))
+      .groupBy(col("bucket"), col("j"))
+      .agg(min(col("m_ppm")).as("inner_min"))
+      .groupBy("bucket")
+      .agg(max(col("inner_min")).as("iso_ppm"))
+    b.join(fit, Seq("bucket"))
+      .withColumn("rate_ppm", expr("(pos * 1000000) div n"))
+      .select("bucket", "n", "pos", "rate_ppm", "iso_ppm")
+  }
+}
