@@ -2945,6 +2945,29 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_drawdown" -> { (s, d) =>
+      // worst peak-to-trough collapse of daily event counts per type
+      // (SeriesShape.maxDrawdown): running max, earliest argmax via
+      // one min-struct aggregate — the resilience number for any
+      // monitored rate
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.SeriesShape.maxDrawdown(daily, "grp", "day", "c")
+        .orderBy("grp")
+    },
+    "q_ts_motif" -> { (s, d) =>
+      // matrix-profile-lite motif discovery (SeriesShape.bestMotif):
+      // closest pair of non-overlapping length-3 windows of the daily
+      // series per type, exact integer distances, |i-j|>=3 exclusion
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.SeriesShape.bestMotif(daily, "grp", "day", "c",
+        motifLen = 3).orderBy("grp")
+    },
     "q_isotonic" -> { (s, d) =>
       // isotonic calibration of purchase rate vs event-value bucket
       // (ops/Isotonic.fitBuckets): quantized-minimax fit over the
@@ -7137,6 +7160,51 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_drawdown" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM events GROUP BY 1, 2),
+        |r AS (SELECT grp, day AS bucket, c,
+        |        CAST(MAX(c) OVER (PARTITION BY grp ORDER BY day
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
+        |      FROM daily),
+        |sel AS (SELECT grp, bucket, c, runmax, runmax - c AS dd,
+        |         ROW_NUMBER() OVER (PARTITION BY grp
+        |           ORDER BY runmax - c DESC, bucket) AS rk,
+        |         CAST(COUNT(*) OVER (PARTITION BY grp) AS BIGINT)
+        |           AS n_buckets
+        |       FROM r)
+        |SELECT grp, n_buckets, runmax AS peak_c, c AS trough_c,
+        |  dd AS max_drawdown, bucket AS dd_bucket
+        |FROM sel WHERE rk = 1 ORDER BY grp""".stripMargin,
+    "q_ts_motif" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM events GROUP BY 1, 2),
+        |idx AS (SELECT grp, c,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day)
+        |           AS BIGINT) AS i
+        |       FROM daily),
+        |sub AS (SELECT x.grp, x.i, x.c AS c0, y.c AS c1, z.c AS c2
+        |        FROM idx x
+        |          JOIN idx y ON y.grp = x.grp AND y.i = x.i + 1
+        |          JOIN idx z ON z.grp = x.grp AND z.i = x.i + 2),
+        |pairs AS (SELECT a.grp, a.i, b.i AS j,
+        |    (a.c0-b.c0)*(a.c0-b.c0) + (a.c1-b.c1)*(a.c1-b.c1)
+        |      + (a.c2-b.c2)*(a.c2-b.c2) AS dist_sq
+        |  FROM sub a JOIN sub b ON b.grp = a.grp AND b.i >= a.i + 3),
+        |np AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_positions
+        |       FROM sub GROUP BY 1),
+        |sel AS (SELECT grp, i, j, dist_sq,
+        |         ROW_NUMBER() OVER (PARTITION BY grp
+        |           ORDER BY dist_sq, i, j) AS rk
+        |       FROM pairs)
+        |SELECT sel.grp, np.n_positions, i, j, CAST(dist_sq AS BIGINT)
+        |  AS dist_sq
+        |FROM sel JOIN np ON np.grp = sel.grp
+        |WHERE rk = 1 ORDER BY sel.grp""".stripMargin,
     "q_isotonic" ->
       """WITH b AS (SELECT CAST(FLOOR(value / 25.0) AS BIGINT) AS bucket,
         |         CAST(COUNT(*) AS BIGINT) AS n,
