@@ -2945,6 +2945,33 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_discord" -> { (s, d) =>
+      // matrix-profile discord (SeriesShape.topDiscord): the daily
+      // window whose nearest non-overlapping neighbor is farthest —
+      // the series' most anomalous shape, max-min over exact integer
+      // distances
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.SeriesShape.topDiscord(daily, "grp", "day", "c",
+        motifLen = 3).orderBy("grp")
+    },
+    "q_pareto" -> { (s, d) =>
+      // per-nation Pareto frontier of customers on (order count, spend)
+      // (ops/Skyline.paretoFront2D): skyline without the O(n^2)
+      // dominance join — per-x max-y collapse + one distinct-x window;
+      // duplicates and ties survive exactly
+      val cust = Tables.orders(s, d).groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(floor(col("o_totalprice") * lit(100.0)).cast("long"))
+            .as("spend_c"))
+      val j = cust.join(Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      graft.ops.Skyline.paretoFront2D(j, "c_nationkey", "o_custkey",
+        "n_orders", "spend_c").orderBy("grp", "id")
+    },
     "q_drawdown" -> { (s, d) =>
       // worst peak-to-trough collapse of daily event counts per type
       // (SeriesShape.maxDrawdown): running max, earliest argmax via
@@ -7160,6 +7187,53 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_discord" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM events GROUP BY 1, 2),
+        |idx AS (SELECT grp, c,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY grp ORDER BY day)
+        |           AS BIGINT) AS i
+        |       FROM daily),
+        |sub AS (SELECT x.grp, x.i, x.c AS c0, y.c AS c1, z.c AS c2
+        |        FROM idx x
+        |          JOIN idx y ON y.grp = x.grp AND y.i = x.i + 1
+        |          JOIN idx z ON z.grp = x.grp AND z.i = x.i + 2),
+        |nn AS (SELECT a.grp, a.i,
+        |         CAST(MIN((a.c0-b.c0)*(a.c0-b.c0) + (a.c1-b.c1)*(a.c1-b.c1)
+        |           + (a.c2-b.c2)*(a.c2-b.c2)) AS BIGINT) AS nn_dist_sq
+        |       FROM sub a JOIN sub b ON b.grp = a.grp
+        |         AND ABS(b.i - a.i) >= 3
+        |       GROUP BY 1, 2),
+        |np AS (SELECT grp, CAST(COUNT(*) AS BIGINT) AS n_positions
+        |       FROM sub GROUP BY 1),
+        |sel AS (SELECT grp, i, nn_dist_sq,
+        |         ROW_NUMBER() OVER (PARTITION BY grp
+        |           ORDER BY nn_dist_sq DESC, i) AS rk
+        |       FROM nn)
+        |SELECT sel.grp, np.n_positions, i, nn_dist_sq
+        |FROM sel JOIN np ON np.grp = sel.grp
+        |WHERE rk = 1 ORDER BY sel.grp""".stripMargin,
+    "q_pareto" ->
+      """WITH cust AS (SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS x,
+        |         CAST(SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT))
+        |           AS BIGINT) AS y
+        |       FROM orders GROUP BY 1),
+        |j AS (SELECT c_nationkey AS grp, o_custkey AS id, x, y
+        |      FROM cust JOIN customer ON o_custkey = c_custkey),
+        |px AS (SELECT grp, x, CAST(MAX(y) AS BIGINT) AS ymax
+        |       FROM j GROUP BY 1, 2),
+        |f AS (SELECT grp, x, ymax FROM (
+        |    SELECT grp, x, ymax,
+        |      MAX(ymax) OVER (PARTITION BY grp ORDER BY x DESC
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |        AS run_strict
+        |    FROM px)
+        |  WHERE run_strict IS NULL OR ymax > run_strict)
+        |SELECT j.grp, j.id, j.x, j.y
+        |FROM j JOIN f ON f.grp = j.grp AND f.x = j.x AND f.ymax = j.y
+        |ORDER BY j.grp, j.id""".stripMargin,
     "q_drawdown" ->
       """WITH daily AS (SELECT event_type AS grp,
         |         epoch_us(ts) // 86400000000 AS day,

@@ -79,4 +79,43 @@ object SeriesShape {
       .select(col("grp"), col("n_positions"), col("w.i").as("i"),
         col("w.j").as("j"), col("w.dist_sq").as("dist_sq"))
   }
+
+  /** Matrix-profile discord — the anomaly dual of [[bestMotif]]: the
+    * subsequence whose NEAREST non-overlapping neighbor is FARTHEST
+    * (max_i min_j dist², same |i−j| ≥ L exclusion zone, both directions
+    * of the pair join). The discord is the series' most unusual shape —
+    * the window nothing else resembles. Ties break to the earliest i.
+    *
+    * Output: (grp, n_positions, i, nn_dist_sq) — positions lacking any
+    * valid neighbor (series shorter than 2L) emit nothing.
+    */
+  def topDiscord(series: DataFrame, grpCol: String, bucketCol: String,
+      cntCol: String, motifLen: Int): DataFrame = {
+    require(motifLen >= 2 && motifLen <= 16,
+      s"motifLen must be in [2, 16], got $motifLen")
+    val byB = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+    val base = series.select(col(grpCol).as("grp"),
+        col(bucketCol).cast("long").as("bucket"),
+        col(cntCol).cast("long").as("c"))
+      .withColumn("i", row_number().over(byB).cast("long"))
+    val sub = base.select(col("grp"), col("i"),
+        array((0 until motifLen).map(o =>
+          lead(col("c"), o).over(byB)): _*).as("v"))
+      .where(!array_contains(expr("transform(v, x -> x IS NULL)"), true))
+    val nn = sub.as("a")
+      .join(sub.as("b"),
+        col("a.grp") === col("b.grp") &&
+          abs(col("b.i") - col("a.i")) >= motifLen)
+      .select(col("a.grp").as("grp"), col("a.i").as("i"),
+        expr("aggregate(zip_with(a.v, b.v, (x, y) -> (x - y) * (x - y)), " +
+          "0L, (acc, d) -> acc + d)").as("dist_sq"))
+      .groupBy("grp", "i").agg(min(col("dist_sq")).as("nn_dist_sq"))
+    val nPos = sub.groupBy("grp").agg(count(lit(1)).as("n_positions"))
+    nn.groupBy("grp")
+      .agg(min(struct((-col("nn_dist_sq")).as("nd"), col("i").as("pi")))
+        .as("w"))
+      .join(nPos, Seq("grp"))
+      .select(col("grp"), col("n_positions"), col("w.pi").as("i"),
+        (-col("w.nd")).as("nn_dist_sq"))
+  }
 }
