@@ -2945,6 +2945,15 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_streaks" -> { (s, d) =>
+      // longest consecutive-day activity streak per user
+      // (SeriesShape.longestStreak): gaps-and-islands via the
+      // bucket - row_number constant, earliest longest island wins
+      graft.ops.SeriesShape.longestStreak(
+        Tables.events(s, d).select(col("user_id"),
+          expr("ts_us div 86400000000").as("day")),
+        "user_id", "day").orderBy("key")
+    },
     "q_discord" -> { (s, d) =>
       // matrix-profile discord (SeriesShape.topDiscord): the daily
       // window whose nearest non-overlapping neighbor is farthest —
@@ -7187,6 +7196,26 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_streaks" ->
+      """WITH act AS (SELECT DISTINCT user_id AS key,
+        |         epoch_us(ts) // 86400000000 AS bucket
+        |       FROM events),
+        |isl AS (SELECT key, bucket,
+        |         bucket - CAST(ROW_NUMBER() OVER (PARTITION BY key
+        |           ORDER BY bucket) AS BIGINT) AS island
+        |       FROM act),
+        |runs AS (SELECT key, island, CAST(COUNT(*) AS BIGINT) AS len,
+        |           CAST(MIN(bucket) AS BIGINT) AS start
+        |         FROM isl GROUP BY 1, 2),
+        |sel AS (SELECT key, len, start,
+        |         ROW_NUMBER() OVER (PARTITION BY key
+        |           ORDER BY len DESC, start) AS rk,
+        |         CAST(SUM(len) OVER (PARTITION BY key) AS BIGINT)
+        |           AS n_active
+        |       FROM runs)
+        |SELECT key, n_active, len AS longest_streak,
+        |  start AS streak_start
+        |FROM sel WHERE rk = 1 ORDER BY key""".stripMargin,
     "q_discord" ->
       """WITH daily AS (SELECT event_type AS grp,
         |         epoch_us(ts) // 86400000000 AS day,

@@ -118,4 +118,34 @@ object SeriesShape {
       .select(col("grp"), col("n_positions"), col("w.pi").as("i"),
         (-col("w.nd")).as("nn_dist_sq"))
   }
+
+  /** Longest consecutive-bucket activity streak per key — the classic
+    * gaps-and-islands pattern (bucket − row_number is constant inside a
+    * run of consecutive buckets), the engagement metric behind "day
+    * streaks". Per key: distinct active buckets, the longest island,
+    * and the earliest bucket starting a longest island (deterministic
+    * tie).
+    *
+    * One distinct + a key-bounded window + two aggregates — the island
+    * key is derived, never iterated. Output: (key, n_active,
+    * longest_streak, streak_start).
+    */
+  def longestStreak(df: DataFrame, keyCol: String,
+      bucketCol: String): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("bucket"))
+    df.select(col(keyCol).as("key"),
+        col(bucketCol).cast("long").as("bucket"))
+      .where(col("bucket").isNotNull)
+      .distinct()
+      .withColumn("island",
+        col("bucket") - row_number().over(w).cast("long"))
+      .groupBy("key", "island")
+      .agg(count(lit(1)).as("len"), min(col("bucket")).as("start"))
+      .groupBy("key")
+      .agg(sum(col("len")).as("n_active"),
+        min(struct((-col("len")).as("nl"), col("start").as("s"))).as("w"))
+      .select(col("key"), col("n_active"),
+        (-col("w.nl")).as("longest_streak"),
+        col("w.s").as("streak_start"))
+  }
 }

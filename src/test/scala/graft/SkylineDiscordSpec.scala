@@ -37,6 +37,19 @@ class SkylineDiscordSpec extends AnyFunSuite {
     assert(out == brute)
   }
 
+  test("streaks: islands found, longest wins, earliest tie-break") {
+    val rows = Seq(
+      // user a: days 1,2,3 then 7,8 -> longest 3 starting day 1
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 7L), ("a", 8L), ("a", 2L),
+      // user b: two 2-day islands -> earliest (day 4) wins the tie
+      ("b", 9L), ("b", 10L), ("b", 4L), ("b", 5L))
+    val out = SeriesShape.longestStreak(rows.toDF("u", "day"), "u", "day")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getLong(1) == 5L)
+    assert(out("a").getLong(2) == 3L && out("a").getLong(3) == 1L)
+    assert(out("b").getLong(2) == 2L && out("b").getLong(3) == 4L)
+  }
+
   test("discord: the injected spike window is the farthest-from-anything") {
     // flat series with one spike at position 6: windows covering the
     // spike are unusual; the most unusual is the max-min position
