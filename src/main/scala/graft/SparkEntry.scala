@@ -2945,6 +2945,18 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_running_drawdown" -> { (s, d) =>
+      // per-day running drawdown of event counts per type
+      // (SeriesShape.runningDrawdown): the live "how far below its own
+      // peak" series q_drawdown summarizes; StreamDrawdown emits the
+      // identical rows incrementally (stream≡batch spec'd)
+      val daily = Tables.events(s, d)
+        .groupBy(col("event_type").as("grp"),
+          expr("ts_us div 86400000000").as("day"))
+        .agg(count(lit(1)).as("c"))
+      graft.ops.SeriesShape.runningDrawdown(daily, "grp", "day", "c")
+        .orderBy("grp", "bucket")
+    },
     "q_streaks" -> { (s, d) =>
       // longest consecutive-day activity streak per user
       // (SeriesShape.longestStreak): gaps-and-islands via the
@@ -7196,6 +7208,17 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_running_drawdown" ->
+      """WITH daily AS (SELECT event_type AS grp,
+        |         epoch_us(ts) // 86400000000 AS day,
+        |         CAST(COUNT(*) AS BIGINT) AS c
+        |       FROM events GROUP BY 1, 2)
+        |SELECT grp, day AS bucket, c,
+        |  CAST(MAX(c) OVER (PARTITION BY grp ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax,
+        |  CAST(MAX(c) OVER (PARTITION BY grp ORDER BY day
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) - c AS dd
+        |FROM daily ORDER BY grp, bucket""".stripMargin,
     "q_streaks" ->
       """WITH act AS (SELECT DISTINCT user_id AS key,
         |         epoch_us(ts) // 86400000000 AS bucket

@@ -25,6 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object SeriesShape {
 
+  /** Per-bucket running-drawdown rows — the un-aggregated form of
+    * [[maxDrawdown]] and the exact row contract
+    * [[graft.streaming.StreamDrawdown]] emits incrementally:
+    * (grp, bucket, c, runmax, dd) with runmax the prefix max and
+    * dd = runmax − c. */
+  def runningDrawdown(series: DataFrame, grpCol: String, bucketCol: String,
+      cntCol: String): DataFrame = {
+    val w = Window.partitionBy(col("grp")).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series.select(col(grpCol).as("grp"),
+        col(bucketCol).cast("long").as("bucket"),
+        col(cntCol).cast("long").as("c"))
+      .withColumn("runmax", max(col("c")).over(w))
+      .withColumn("dd", col("runmax") - col("c"))
+  }
+
   /** Output: (grp, n_buckets, peak_c, trough_c, max_drawdown, dd_bucket)
     * — dd_bucket the earliest bucket attaining the max drawdown; peak_c
     * the running max at that bucket. */
