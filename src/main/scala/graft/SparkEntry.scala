@@ -2945,6 +2945,17 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_lorenz" -> { (s, d) =>
+      // Lorenz-curve deciles of the co-order degree distribution
+      // (Inequality.lorenzPoints): the curve q_degree_gini integrates —
+      // exact prorated value mass at each population decile
+      val e = Tables.coOrderPairEdges(s, d).select("src", "dst").distinct()
+      val deg = e.select(col("src").as("node"))
+        .union(e.select(col("dst").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+      graft.ops.Inequality.lorenzPoints(deg, "degree", nQuantiles = 10)
+        .orderBy("quantile")
+    },
     "q_running_drawdown" -> { (s, d) =>
       // per-day running drawdown of event counts per type
       // (SeriesShape.runningDrawdown): the live "how far below its own
@@ -7208,6 +7219,35 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_lorenz" ->
+      """WITH rows0 AS (SELECT l_orderkey AS tid,
+        |         'P' || CAST(l_partkey AS VARCHAR) AS item
+        |       FROM lineitem WHERE l_quantity <= 15),
+        |txok AS (SELECT tid FROM rows0 GROUP BY tid HAVING COUNT(*) <= 8),
+        |r AS (SELECT rows0.tid, rows0.item FROM rows0 JOIN txok USING (tid)),
+        |e0 AS (SELECT DISTINCT a.item AS x, b.item AS y
+        |       FROM r a JOIN r b ON a.tid = b.tid AND a.item < b.item),
+        |deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS v FROM
+        |          (SELECT x AS node FROM e0 UNION ALL SELECT y FROM e0)
+        |        GROUP BY 1),
+        |g AS (SELECT v, CAST(COUNT(*) AS BIGINT) AS c FROM deg GROUP BY 1),
+        |b AS (SELECT v, c,
+        |        CAST(SUM(c) OVER wd AS BIGINT) AS cumIncl,
+        |        CAST(SUM(v * c) OVER wd AS BIGINT) AS cumVal
+        |      FROM g WINDOW wd AS (ORDER BY v ROWS UNBOUNDED PRECEDING)),
+        |t AS (SELECT MAX(cumIncl) AS n, MAX(cumVal) AS total FROM b),
+        |cuts AS (SELECT CAST(q AS INT) AS quantile,
+        |           (t.n * q) // 10 AS m_units, t.total
+        |         FROM UNNEST(range(1, 11)) AS u(q), t
+        |         WHERE (t.n * q) // 10 > 0)
+        |SELECT quantile, m_units,
+        |  (cumVal - v * c) + v * (m_units - (cumIncl - c)) AS cum_value,
+        |  CASE WHEN total > 0
+        |       THEN (1000 * ((cumVal - v * c)
+        |            + v * (m_units - (cumIncl - c)))) // total
+        |       ELSE 0 END AS share_permille
+        |FROM cuts JOIN b ON (cumIncl - c) < m_units AND m_units <= cumIncl
+        |ORDER BY quantile""".stripMargin,
     "q_running_drawdown" ->
       """WITH daily AS (SELECT event_type AS grp,
         |         epoch_us(ts) // 86400000000 AS day,

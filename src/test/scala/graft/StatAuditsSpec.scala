@@ -56,6 +56,22 @@ class StatAuditsSpec extends AnyFunSuite {
     assert(out("b").getLong(4) == 6050000L)
   }
 
+  // ---- Lorenz points ---------------------------------------------------
+
+  test("lorenz: prorated decile shares, last point exactly 1000") {
+    import graft.ops.Inequality
+    // values: four 1s and one 6 -> total 10, n 5; bottom 40% (2 units)
+    // hold 2/10 = 200 permille; bottom 80% (4 units) 400; 100% = 1000
+    val df = Seq(1L, 1L, 1L, 1L, 6L).toDF("v")
+    val out = Inequality.lorenzPoints(df, "v", nQuantiles = 5)
+      .orderBy("quantile").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(out.map(_.getLong(3)).toSeq ==
+      Seq(100L, 200L, 300L, 400L, 1000L))
+    // a cut INSIDE the 6-block prorates: with 10 quantiles, m=9 of 10
+    // units... (covered by the hash-exact driver oracle at scale)
+  }
+
   // ---- t-closeness ----------------------------------------------------
 
   test("t-closeness: a class mirroring the global mix has TVD 0") {
