@@ -2945,6 +2945,23 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_gap_quantiles" -> { (s, d) =>
+      // inter-event gap P50/P90/P99 (seconds) per event type
+      // (Quantiles.sampleQuantiles over per-user lag gaps): the
+      // operational inter-arrival latency distribution; user-keyed lag
+      // window + the mergeable bottom-k order-statistic sketch
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts_us"), col("event_id"))
+      val gaps = Tables.events(s, d)
+        .withColumn("prev", lag(col("ts_us"), 1).over(w))
+        .where(col("prev").isNotNull)
+        .select(col("event_type"),
+          expr("(ts_us - prev) div 1000000").as("gap_s"))
+      graft.ops.Quantiles.sampleQuantiles(gaps, "gap_s", k = 64,
+        qsPerMille = Seq(500, 900, 990), keyCols = Seq("event_type"))
+        .orderBy("event_type", "q_permille")
+    },
     "q_lorenz" -> { (s, d) =>
       // Lorenz-curve deciles of the co-order degree distribution
       // (Inequality.lorenzPoints): the curve q_degree_gini integrates —
@@ -7219,6 +7236,37 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_gap_quantiles" ->
+      """WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us,
+        |         event_id FROM events),
+        |g AS (SELECT event_type,
+        |        ts_us - LAG(ts_us) OVER (PARTITION BY user_id, event_type
+        |          ORDER BY ts_us, event_id) AS gap
+        |      FROM ev),
+        |vals AS (SELECT event_type AS pri, gap // 1000000 AS v
+        |         FROM g WHERE gap IS NOT NULL),
+        |hashed AS (SELECT pri, v,
+        |             ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT
+        |               AS h
+        |           FROM vals),
+        |rk AS (SELECT pri, v, h,
+        |         ROW_NUMBER() OVER (PARTITION BY pri ORDER BY h, v) AS rk
+        |       FROM hashed),
+        |kept AS (SELECT pri, v, h, rk FROM rk WHERE rk <= 64),
+        |sq AS (SELECT pri, CAST(COUNT(*) AS BIGINT) AS n FROM kept
+        |       GROUP BY pri),
+        |q AS (SELECT UNNEST([500, 900, 990]) AS q_permille),
+        |idx AS (SELECT pri, q_permille,
+        |          GREATEST(1, LEAST(n, (n * q_permille + 999) // 1000))
+        |            AS ix
+        |        FROM sq CROSS JOIN q),
+        |ordered AS (SELECT pri, v,
+        |              ROW_NUMBER() OVER (PARTITION BY pri ORDER BY v) AS vr
+        |            FROM kept)
+        |SELECT i.pri AS event_type, CAST(i.q_permille AS INT) AS q_permille,
+        |       o.v AS quantile_v
+        |FROM idx i JOIN ordered o ON o.pri = i.pri AND o.vr = i.ix
+        |ORDER BY 1, 2""".stripMargin,
     "q_lorenz" ->
       """WITH rows0 AS (SELECT l_orderkey AS tid,
         |         'P' || CAST(l_partkey AS VARCHAR) AS item
