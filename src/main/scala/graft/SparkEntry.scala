@@ -2945,6 +2945,14 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_bowtie" -> { (s, d) =>
+      // bow-tie macro-structure of the user-journey digraph
+      // (ops/BowTie.decompose): giant SCC core + IN (reaches core) +
+      // OUT (reachable from core) + other — frontier BFS loops seeded
+      // at the core, diameter-bounded rounds
+      graft.ops.BowTie.decompose(Tables.userSequenceEdges(s, d),
+        "src", "dst")
+    },
     "q_gap_quantiles" -> { (s, d) =>
       // inter-event gap P50/P90/P99 (seconds) per event type
       // (Quantiles.sampleQuantiles over per-user lag gaps): the
@@ -7236,6 +7244,43 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_bowtie" ->
+      """WITH RECURSIVE
+        |ev AS (SELECT user_id, ts, event_id,
+        |         lead(user_id) OVER (PARTITION BY event_type
+        |           ORDER BY ts, event_id) AS nxt
+        |       FROM events WHERE event_type = 'click' AND value < 2.0),
+        |e AS (SELECT DISTINCT CAST(user_id AS VARCHAR) AS src,
+        |        CAST(nxt AS VARCHAR) AS dst
+        |      FROM ev WHERE nxt IS NOT NULL AND nxt <> user_id),
+        |-- DuckDB quirk: inside WITH RECURSIVE a non-recursive CTE's
+        |-- UNION loses dedup -- make the distinct explicit
+        |n AS (SELECT DISTINCT node FROM (SELECT src AS node FROM e
+        |      UNION ALL SELECT dst FROM e)),
+        |reach AS (SELECT node AS a, node AS b FROM n
+        |          UNION
+        |          SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src),
+        |scc AS (SELECT f.a AS node, MIN(f.b) AS scc_id
+        |        FROM reach f JOIN reach r ON f.a = r.b AND f.b = r.a
+        |        GROUP BY f.a),
+        |core AS (SELECT node FROM scc WHERE scc_id = (
+        |    SELECT scc_id FROM (SELECT scc_id, COUNT(*) AS sz FROM scc
+        |                        GROUP BY 1)
+        |    ORDER BY sz DESC, scc_id LIMIT 1)),
+        |outx AS (SELECT DISTINCT r.b AS node
+        |         FROM reach r JOIN core c ON r.a = c.node
+        |         WHERE r.b NOT IN (SELECT node FROM core)),
+        |inx AS (SELECT DISTINCT r.a AS node
+        |        FROM reach r JOIN core c ON r.b = c.node
+        |        WHERE r.a NOT IN (SELECT node FROM core))
+        |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM n) AS n_nodes,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM core) AS n_core,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM inx) AS n_in,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM outx) AS n_out,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM n)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM core)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM inx)
+        |    - (SELECT CAST(COUNT(*) AS BIGINT) FROM outx) AS n_other""".stripMargin,
     "q_gap_quantiles" ->
       """WITH ev AS (SELECT event_type, user_id, epoch_us(ts) AS ts_us,
         |         event_id FROM events),
