@@ -2945,6 +2945,15 @@ object SparkEntry {
       graft.ops.RankCorr.mannKendall(daily, "event_type", "day",
         "n_events").orderBy("grp")
     },
+    "q_percolation" -> { (s, d) =>
+      // random-failure percolation sweep (Robustness
+      // .randomFailureSweep): nested md5 removals at 25/50/75% on the
+      // part-supplier graph — the contrast curve to q_robustness's
+      // targeted attack (Albert-Jeong-Barabasi experiment)
+      graft.ops.Robustness.randomFailureSweep(
+        Tables.partSupplierEdges(s, d), "src", "dst",
+        fractionsPermille = Seq(250, 500, 750)).orderBy("f_permille")
+    },
     "q_bowtie" -> { (s, d) =>
       // bow-tie macro-structure of the user-journey digraph
       // (ops/BowTie.decompose): giant SCC core + IN (reaches core) +
@@ -7244,6 +7253,7 @@ object SparkEntry {
         |  MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_ppm END)
         |    AS sen_slope_ppm
         |FROM r GROUP BY grp ORDER BY grp""".stripMargin,
+    "q_percolation" -> percolationOracle(Seq(250, 500, 750)),
     "q_bowtie" ->
       """WITH RECURSIVE
         |ev AS (SELECT user_id, ts, event_id,
@@ -8353,6 +8363,46 @@ object SparkEntry {
     * ops.HyperBall.ballRegisters' join+max aggregate, on the same sparse
     * (node, idx, rho) rows. MATERIALIZED per round as usual.
     */
+  /** Percolation-sweep oracle: one filtered edge set + min-label
+    * recursive CC per fraction (0 included), summaries unioned. The
+    * sym CTEs dedup EXPLICITLY — inside WITH RECURSIVE, DuckDB treats a
+    * non-recursive CTE's UNION as UNION ALL (the q_bowtie quirk). */
+  private def percolationOracle(fractions: Seq[Int]): String = {
+    def block(f: Int): String = {
+      val e =
+        if (f == 0) s"e_f$f AS (SELECT a, b FROM edges)"
+        else
+          s"""e_f$f AS (SELECT a, b FROM edges
+             | WHERE ('0x' || substr(md5('perc' || a), 1, 13))::BIGINT
+             |     % 1000 >= $f
+             |   AND ('0x' || substr(md5('perc' || b), 1, 13))::BIGINT
+             |     % 1000 >= $f)""".stripMargin
+      s"""$e,
+         |sym_f$f AS (SELECT DISTINCT a, b FROM (SELECT a, b FROM e_f$f
+         |  UNION ALL SELECT b AS a, a AS b FROM e_f$f)),
+         |nodes_f$f AS (SELECT DISTINCT a AS node FROM sym_f$f),
+         |cc_f$f AS (SELECT node, node AS lab FROM nodes_f$f
+         |  UNION SELECT s.b AS node, c.lab
+         |  FROM cc_f$f c JOIN sym_f$f s ON c.node = s.a WHERE c.lab < s.b),
+         |comp_f$f AS (SELECT node, MIN(lab) AS component FROM cc_f$f
+         |  GROUP BY 1),
+         |sum_f$f AS (SELECT $f AS f_permille,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes_f$f) AS n_nodes,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM e_f$f) AS m_edges,
+         |  (SELECT CAST(COALESCE(MAX(cnt), 0) AS BIGINT) FROM
+         |     (SELECT component, COUNT(*) AS cnt FROM comp_f$f GROUP BY 1))
+         |    AS lcc)""".stripMargin
+    }
+    s"""WITH RECURSIVE
+       |edges AS (SELECT DISTINCT 'P' || CAST(l_partkey AS VARCHAR) AS a,
+       |            'S' || CAST(l_suppkey AS VARCHAR) AS b
+       |          FROM lineitem WHERE l_quantity <= 2),
+       |${(0 +: fractions.sorted).map(block).mkString(",\n")}
+       |${(0 +: fractions.sorted).map(f => s"SELECT * FROM sum_f$f")
+        .mkString("\nUNION ALL\n")}
+       |ORDER BY f_permille""".stripMargin
+  }
+
   /** Shared CTE chain of the q_node_sketch / q_node_sim oracles: the
     * user-journey graph, 8 md5 lanes per node, two unrolled
     * min-propagation rounds (s1, s2) mirroring ops.NodeSketch.sketches.

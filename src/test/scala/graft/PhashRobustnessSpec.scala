@@ -35,6 +35,21 @@ class PhashRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("percolation: removals are NESTED across fractions, f=0 is the full graph") {
+    val rnd = new scala.util.Random(37)
+    val edges = Seq.fill(150)((s"n${rnd.nextInt(40)}", s"n${rnd.nextInt(40)}"))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val out = Robustness.randomFailureSweep(edges, "src", "dst",
+      Seq(250, 500, 750)).orderBy("f_permille").collect()
+    assert(out.map(_.getInt(0)).toSeq == Seq(0, 250, 500, 750))
+    // monotone: higher fraction can only remove more
+    val ms = out.map(_.getLong(2))
+    assert(ms.zip(ms.tail).forall { case (a, b) => a >= b })
+    val ns = out.map(_.getLong(1))
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+    assert(out.head.getLong(3) <= out.head.getLong(1)) // lcc <= nodes
+  }
+
   test("robustness: removing the star hub shatters the giant component") {
     val edges = Seq(("h", "a"), ("h", "b"), ("h", "c"), ("h", "d"),
       ("x", "y")).toDF("src", "dst")
