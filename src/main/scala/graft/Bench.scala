@@ -1,6 +1,19 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 object Bench {
+  /** Between-run sweep (VERDICT r8 item 3): `clearCache` drops SQL-cached
+    * relations but NOT localCheckpoint/persisted RDDs, which accumulate
+    * across a 281-query run and inflated late-query driver timings 3-5×
+    * (q_louvain 7.3 s loaded vs 1.38 s clean). Unpersist them explicitly
+    * so every timed rep starts from the same cold state a clean single-
+    * query run sees.
+    */
+  private def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -22,7 +35,7 @@ object Bench {
     Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
       try spark.read.parquet(s"$sfDir/$t.parquet").count()
-      catch { case _: Throwable => }
+      catch { case NonFatal(_) => } // never swallow OOM/fatal (ADVICE r8)
     }
     // Each query runs `reps` times; report the min (single timed runs made
     // r2's q_shortest_path/q_betweenness deltas unfalsifiable — VERDICT r2
@@ -45,11 +58,11 @@ object Bench {
     val results = SparkEntry.queries.filter(q => wanted(q._1)).map {
       case (name, fn) =>
         (0 until warmups).foreach { _ =>
-          spark.catalog.clearCache()
-          try fn(spark, sfDir).count() catch { case _: Throwable => }
+          sweep(spark)
+          try fn(spark, sfDir).count() catch { case NonFatal(_) => }
         }
         val times = (0 until reps).map { _ =>
-          spark.catalog.clearCache()
+          sweep(spark)
           val t0 = System.nanoTime()
           try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>

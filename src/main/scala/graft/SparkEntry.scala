@@ -7341,15 +7341,16 @@ object SparkEntry {
         |t AS (SELECT MAX(cumIncl) AS n, MAX(cumVal) AS total FROM b),
         |cuts AS (SELECT CAST(q AS INT) AS quantile,
         |           (t.n * q) // 10 AS m_units, t.total
-        |         FROM UNNEST(range(1, 11)) AS u(q), t
-        |         WHERE (t.n * q) // 10 > 0)
+        |         FROM UNNEST(range(1, 11)) AS u(q), t)
         |SELECT quantile, m_units,
-        |  (cumVal - v * c) + v * (m_units - (cumIncl - c)) AS cum_value,
+        |  COALESCE((cumVal - v * c) + v * (m_units - (cumIncl - c)), 0)
+        |    AS cum_value,
         |  CASE WHEN total > 0
-        |       THEN (1000 * ((cumVal - v * c)
-        |            + v * (m_units - (cumIncl - c)))) // total
+        |       THEN (1000 * COALESCE((cumVal - v * c)
+        |            + v * (m_units - (cumIncl - c)), 0)) // total
         |       ELSE 0 END AS share_permille
-        |FROM cuts JOIN b ON (cumIncl - c) < m_units AND m_units <= cumIncl
+        |FROM cuts LEFT JOIN b
+        |  ON (cumIncl - c) < m_units AND m_units <= cumIncl
         |ORDER BY quantile""".stripMargin,
     "q_running_drawdown" ->
       """WITH daily AS (SELECT event_type AS grp,

@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.core.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -202,10 +201,17 @@ object AssociationRules {
       .join(comp.withColumnRenamed("node", "item"), Seq("item"), "left")
       // isolated valid items (no kept pair) are their own component
       .withColumn("component", coalesce($"component", $"item"))
-    val compKey = keyed.groupBy($"component")
-      .agg(min(struct($"first_rid", $"item")).as("ck"))
-      .withColumn("pattern",
-        row_number().over(Window.orderBy($"ck")).cast("int"))
+    // (first_rid, item) keys are unique per component; rank them through
+    // the range-partition + zipWithIndex machinery instead of an
+    // unpartitioned window over the one-row-per-component table
+    // (VERDICT r8 item 1)
+    val compKey = Ranks.globalRowNumber(
+      keyed.groupBy($"component")
+        .agg(min($"first_rid").as("__fr"),
+          min(struct($"first_rid", $"item")).as("ck"))
+        .select($"component", $"__fr", $"ck.item".as("__it")),
+      Seq("__fr", "__it"), "__grn")
+      .select($"component", $"__grn".cast("int").as("pattern"))
     keyed.join(compKey, "component").select($"item", $"pattern")
   }
 

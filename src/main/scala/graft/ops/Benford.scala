@@ -45,15 +45,18 @@ object Benford {
         .as("digit"))
       .groupBy("digit").agg(count(lit(1)).as("n_obs"))
     val digits = (1 to 9).toDF("digit")
-    // the global total comes from a window over the 9-row digit
-    // dimension, NOT a second aggregate over obs — referencing obs twice
-    // would re-derive its whole subtree and scan the input twice
-    // (plan-guarded single-scan)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-    digits.join(obs, Seq("digit"), "left")
-      .select(col("digit"),
-        coalesce(col("n_obs"), lit(0L)).as("n_obs"))
-      .withColumn("n_total", sum(col("n_obs")).over(w))
+    // ONE reference to obs: a 1-row pack carries BOTH the global total
+    // and the 9-entry digit histogram — a second aggregate over obs would
+    // re-derive its subtree and scan the input twice (plan-guarded
+    // single-scan), and a window (even over the 9-row dimension) would be
+    // an unpartitioned WindowExec (repo-wide sweep, VERDICT r8 item 1)
+    val packed = obs.agg(
+      coalesce(sum(col("n_obs")), lit(0L)).as("n_total"),
+      collect_list(struct(col("digit"), col("n_obs"))).as("arr"))
+    digits.crossJoin(broadcast(packed))
+      .withColumn("n_obs",
+        coalesce(expr("try_element_at(map_from_entries(arr), digit)"),
+          lit(0L)))
       .withColumn("obs_ppm",
         when(col("n_total") > 0L, expr("(1000000 * n_obs) div n_total"))
           .otherwise(lit(0L)))

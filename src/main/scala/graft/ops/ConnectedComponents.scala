@@ -3,7 +3,6 @@ package graft.ops
 import graft.core.Ingest
 import org.apache.spark.graphx.{Graph, VertexId}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -294,13 +293,19 @@ object ConnectedComponents {
         .groupBy("node").agg(min("pos").as("first_pos"))
 
       val comp = components(e.select("src", "dst"))
-      // group = dense_rank of (min first_pos over the component):
-      // reproduces "first root seen while scanning nodes in appearance
-      // order gets the next counter" (src/graph_solver.rs:78-89)
+      // group = rank of (min first_pos over the component): reproduces
+      // "first root seen while scanning nodes in appearance order gets the
+      // next counter" (src/graph_solver.rs:78-89). comp_pos values are
+      // globally unique (each pos slot names exactly one node, so distinct
+      // components have disjoint pos sets), hence dense_rank ≡ row_number
+      // and the numbering rides the range-partition + zipWithIndex
+      // machinery instead of an unpartitioned window over the
+      // one-row-per-component table (VERDICT r8 item 1)
       val compKey = comp.join(firstPos, "node")
         .groupBy("component").agg(min("first_pos").as("comp_pos"))
-      val groups = comp.join(compKey, "component")
-        .withColumn("group", dense_rank().over(Window.orderBy(col("comp_pos"))).cast("long"))
+      val groups = comp.join(
+          Ranks.globalRowNumber(compKey, Seq("comp_pos"), "group"),
+          "component")
         .select(col("node"), col("group"))
 
       withRid

@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Exact Gini coefficient of any non-negative value column — the
@@ -13,10 +12,13 @@ import org.apache.spark.sql.functions._
   *
   * with ties handled exactly by value-grouping: a value v with count c
   * occupies ranks R+1..R+c, contributing v·(c·R + c(c+1)/2) — so the
-  * whole statistic reduces to one (value)-keyed count plus a cumulative
-  * window over the AGGREGATED value table (value-cardinality-sized, the
-  * Auc/KsTest discipline) and a 1-row rollup. `gini_permille` is the
-  * floored permille; the raw sums ride along for full precision.
+  * whole statistic reduces to one (value)-keyed count plus a
+  * RANGE-PARTITIONED running sum over the AGGREGATED value table
+  * ([[Ranks.globalCumSums]]: per-partition sums + broadcast prefix
+  * offsets — never a single-partition window, so a high-cardinality
+  * continuous value column cannot funnel through one task; VERDICT r8
+  * item 1) and a 1-row rollup. `gini_permille` is the floored permille;
+  * the raw sums ride along for full precision.
   *
   * Output (one row): (n, total, s1_num, gini_permille).
   */
@@ -26,9 +28,8 @@ object Inequality {
     val g = df.select(col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull && col("v") >= 0L)
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.withColumn("cumIncl", sum(col("c")).over(w))
+    val cum = Ranks.globalCumSums(g, Seq("v"), Seq("c"))
+      .withColumnRenamed("cum_c", "cumIncl")
       .withColumn("rBefore", col("cumIncl") - col("c"))
     cum.agg(sum(col("c")).as("n"),
         sum(col("v") * col("c")).as("total"),
@@ -49,10 +50,14 @@ object Inequality {
     * value block straddling a cut contributes its prorated part
     * v·(m_k − units_before) — pure integers, no interpolation error.
     *
-    * Same shape as giniExact: one value-keyed aggregate, one cumulative
-    * window over the AGGREGATED value table, a nQuantiles-row cut join.
+    * Same shape as giniExact: one value-keyed aggregate, one
+    * range-partitioned running sum over the AGGREGATED value table
+    * ([[Ranks.globalCumSums]]), a nQuantiles-row cut join.
     * Output: (quantile, m_units, cum_value, share_permille), quantile
-    * 1..nQuantiles (the last row is always (n, total, 1000)).
+    * 1..nQuantiles (the last row is always (n, total, 1000)); cuts
+    * before the first unit (m_units = 0, possible when n < nQuantiles)
+    * are emitted as (quantile, 0, 0, 0) so the 1..nQuantiles contract
+    * holds for any n (ADVICE r8).
     */
   def lorenzPoints(df: DataFrame, valueCol: String,
       nQuantiles: Int = 10): DataFrame = {
@@ -63,24 +68,26 @@ object Inequality {
     val g = df.select(col(valueCol).cast("long").as("v"))
       .where(col("v").isNotNull && col("v") >= 0L)
       .groupBy("v").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val blocks = g
-      .withColumn("cumIncl", sum(col("c")).over(w))
-      .withColumn("cumVal", sum(col("v") * col("c")).over(w))
+    val blocks = Ranks.globalCumSums(
+        g.withColumn("vc", col("v") * col("c")), Seq("v"), Seq("c", "vc"))
+      .withColumnRenamed("cum_c", "cumIncl")
+      .withColumnRenamed("cum_vc", "cumVal")
       .withColumn("cumBefore", col("cumIncl") - col("c"))
-      .withColumn("valBefore", col("cumVal") - col("v") * col("c"))
-    val totals = blocks.agg(max(col("cumIncl")).as("n"),
-      max(col("cumVal")).as("total"))
+      .withColumn("valBefore", col("cumVal") - col("vc"))
+    val totals = blocks.agg(
+      coalesce(max(col("cumIncl")), lit(0L)).as("n"),
+      coalesce(max(col("cumVal")), lit(0L)).as("total"))
     val cuts = (1 to nQuantiles).toDF("quantile")
       .crossJoin(broadcast(totals))
       .withColumn("m_units", expr(s"(n * quantile) div $nQuantiles"))
-      .where(col("m_units") > 0L)
+    // LEFT join: an m_units = 0 cut (n < nQuantiles) matches no block and
+    // must still appear as (quantile, 0, 0, 0) per the output contract
     cuts.join(blocks,
         col("cumBefore") < col("m_units") &&
-          col("m_units") <= col("cumIncl"))
+          col("m_units") <= col("cumIncl"), "left")
       .select(col("quantile"), col("m_units"),
-        (col("valBefore") + col("v") * (col("m_units") - col("cumBefore")))
+        coalesce(col("valBefore")
+          + col("v") * (col("m_units") - col("cumBefore")), lit(0L))
           .as("cum_value"), col("total"))
       .withColumn("share_permille",
         when(col("total") > 0L, expr("(1000 * cum_value) div total"))

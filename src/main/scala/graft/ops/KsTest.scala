@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Two-sample Kolmogorov–Smirnov distance — the standard "did this
@@ -20,9 +19,12 @@ import org.apache.spark.sql.functions._
   * pipelines consume this anyway.
   *
   * Scale shape: one (value)-keyed partial-aggregating count carrying both
-  * slice counts, a cumulative window over the AGGREGATED table
-  * (value-cardinality-sized — pre-bucket continuous values), and a 1-row
-  * argmax. Output: (n_a, n_b, d_num, at_value, ks_permille).
+  * slice counts, a RANGE-PARTITIONED running sum over the AGGREGATED
+  * table ([[Ranks.globalCumSums]] — per-partition sums + broadcast prefix
+  * offsets, never a single-partition window; VERDICT r8 item 1), and a
+  * 1-row argmax. The checkpointed cumsum table also feeds the totals, so
+  * the source is scanned exactly once.
+  * Output: (n_a, n_b, d_num, at_value, ks_permille).
   */
 object KsTest {
 
@@ -37,11 +39,11 @@ object KsTest {
       .groupBy("value")
       .agg(sum(when(col("in_a"), 1L).otherwise(0L)).as("a"),
         sum(when(col("in_a"), 0L).otherwise(1L)).as("b"))
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val cum = g.select(col("value"),
-      sum(col("a")).over(w).as("ca"), sum(col("b")).over(w).as("cb"))
-    val tot = g.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+    val cums = Ranks.globalCumSums(g, Seq("value"), Seq("a", "b"))
+    val cum = cums.select(col("value"),
+      col("cum_a").as("ca"), col("cum_b").as("cb"))
+    // totals from the SAME checkpointed table — no second source scan
+    val tot = cums.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
     cum.crossJoin(broadcast(tot))
       .select(col("n_a"), col("n_b"), col("value"),
         abs(col("ca") * col("n_b") - col("cb") * col("n_a")).as("d"))

@@ -36,6 +36,10 @@ object RankCorr {
     * Output per group: (grp, n, d2_sum, rho_ppm) where rho_ppm =
     * 10⁶ − (6·10⁶·Σd²) div (n(n²−1)) — the divided term is
     * non-negative so trunc-vs-floor cannot diverge. NULL for n < 2.
+    * Both the numerator (6·10⁶·Σd², up to 2·10⁶·n³) and the denominator
+    * (n³−n) are evaluated in DECIMAL(38,0): plain Long wraps silently
+    * past n ≈ 16k rows per group while DuckDB BIGINT errors — the
+    * decimal path keeps the engines identical up to n ≈ 10⁹ (ADVICE r8).
     */
   def spearman(df: DataFrame, grpCol: String, xCol: String,
       yCol: String, keyCol: String): DataFrame = {
@@ -54,7 +58,9 @@ object RankCorr {
       .withColumn("rho_ppm",
         when(col("n") > 1L,
           lit(1000000L) - expr(
-            "(6000000 * d2_sum) div (n * (n * n - 1))"))
+            """(CAST(6000000 AS DECIMAL(38,0)) * d2_sum)
+              | div (CAST(n AS DECIMAL(38,0)) * n * n - n)"""
+              .stripMargin))
           .otherwise(lit(null)))
   }
 

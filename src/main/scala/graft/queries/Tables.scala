@@ -75,9 +75,12 @@ object Tables {
     * q_shortest_path oracle SQL.
     */
   def nationGraphEdges(s: SparkSession, d: String): DataFrame = {
-    val nk = nation(s, d)
-      .select(col("n_name"), col("n_nationkey"))
-      .withColumn("rn", row_number().over(Window.orderBy(col("n_nationkey"))))
+    // rank nations by key through the range-partition + zipWithIndex
+    // machinery — a 25-row dim either way, but this keeps every driver
+    // query plan free of unpartitioned WindowExec (VERDICT r8 item 1)
+    val nk = graft.ops.Ranks.globalRowNumber(
+      nation(s, d).select(col("n_name"), col("n_nationkey")),
+      Seq("n_nationkey"), "rn")
     val a = nk.select(col("n_name").as("a_name"), col("rn").as("a_rn"))
     val b = nk.select(col("n_name").as("b_name"), col("n_nationkey").as("b_key"),
       col("rn").as("b_rn"))

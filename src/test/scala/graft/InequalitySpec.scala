@@ -28,6 +28,22 @@ class InequalitySpec extends AnyFunSuite {
     }
   }
 
+  test("lorenzPoints emits zero rows for cuts before the first unit") {
+    // n = 3 units, deciles: cuts 1..3 have m_units = 0 and must appear
+    // as (quantile, 0, 0, 0) — the 1..nQuantiles output contract
+    // (ADVICE r8); the last cut is always (n, total, 1000)
+    val pts = graft.ops.Inequality
+      .lorenzPoints(Seq(1L, 2L, 7L).toDF("v"), "v", nQuantiles = 10)
+      .orderBy("quantile")
+      .as[(Int, Long, Long, Long)].collect()
+    assert(pts.length == 10)
+    assert(pts.take(3).toSeq == Seq((1, 0L, 0L, 0L), (2, 0L, 0L, 0L),
+      (3, 0L, 0L, 0L)))
+    assert(pts.last == ((10, 3L, 10L, 1000L)))
+    // bottom 2 of 3 units hold 1+2=3 of 10 -> 300 permille at cuts 7-9
+    assert(pts(6) == ((7, 2L, 3L, 300L)))
+  }
+
   test("ties are exact: grouped ranks equal the sorted-list identity") {
     val vals = Seq(5L, 5L, 5L, 1L, 1L, 9L)
     val sorted = vals.sorted

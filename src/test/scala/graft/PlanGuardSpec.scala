@@ -18,20 +18,19 @@ class PlanGuardSpec extends AnyFunSuite {
   private def scans(p: String): Int =
     "Scan parquet".r.findAllIn(p).size
 
-  /** Scan count for plans with persisted subtrees: InMemoryTableScan
-    * string rendering re-prints the cached child, inflating the string
-    * count — walk the TREE and count real file scans only.
+  /** LIVE scan count (scans not behind a cache) for plans with persisted
+    * subtrees: InMemoryTableScan string rendering re-prints the cached
+    * child, inflating the string count — walk the TREE and count real
+    * file scans only. AQE-aware: a plain `plan.collect` sees only the
+    * AdaptiveSparkPlanExec leaf (graft.tools.PlanWalk).
     */
-  private def treeScans(name: String): Int = {
-    val plan = SparkEntry.queries(name)(spark, sf)
-      .queryExecution.executedPlan
-    def walk(p: org.apache.spark.sql.execution.SparkPlan): Int =
-      (p match {
-        case _: org.apache.spark.sql.execution.FileSourceScanExec => 1
-        case _ => 0
-      }) + p.children.map(walk).sum
-    walk(plan)
-  }
+  private def treeScans(name: String): Int =
+    graft.tools.PlanWalk.liveFileScans(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan).size
+
+  private def treeWindows(name: String) =
+    graft.tools.PlanWalk.windows(
+      SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan)
   private def shuffles(p: String): Int =
     "(?<!Broadcast)Exchange (hash|range|Single)".r.findAllIn(p).size
 
@@ -149,12 +148,9 @@ class PlanGuardSpec extends AnyFunSuite {
     // in particular no single-giant-partition window over a low-cardinality
     // group key — may appear anywhere in either physical tree
     for (q <- Seq("q_rank_normalize", "q_rfm")) {
-      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
-      val windows = plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
+      val windows = treeWindows(q)
       assert(windows.isEmpty,
-        s"$q must not plan a Window, found: ${windows.map(_.partitionSpec)}")
+        s"$q must not plan a Window, found: ${windows.map(_.nodeName)}")
     }
   }
 
@@ -163,11 +159,7 @@ class PlanGuardSpec extends AnyFunSuite {
     // Ranks range-exchange machinery, coreness computes per-node h-index
     // from zip_with over a degree-bounded collect_list
     for (q <- Seq("q_length_batches", "q_coreness")) {
-      val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
-      val windows = plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec => w
-      }
-      assert(windows.isEmpty, s"$q must not plan a Window")
+      assert(treeWindows(q).isEmpty, s"$q must not plan a Window")
     }
   }
 
@@ -198,21 +190,17 @@ class PlanGuardSpec extends AnyFunSuite {
     for (name <- Seq("q_auc", "q_decision_stump")) {
       val plan = SparkEntry.queries(name)(spark, sf)
         .queryExecution.executedPlan
-      def walk(p: org.apache.spark.sql.execution.SparkPlan): Unit = {
-        p match {
-          case w: org.apache.spark.sql.execution.window.WindowExec =>
-            // the cumulative window must consume a hash aggregate (the
-            // (group, value)-keyed count), never raw scan rows
-            def hasAgg(q: org.apache.spark.sql.execution.SparkPlan): Boolean =
-              q.isInstanceOf[org.apache.spark.sql.execution.aggregate.HashAggregateExec] ||
-                q.children.exists(hasAgg)
-            assert(hasAgg(w.child),
-              s"$name: window over raw rows, expected pre-aggregated input:\n$w")
-          case _ => ()
-        }
-        p.children.foreach(walk)
+      graft.tools.PlanWalk.flatten(plan).foreach {
+        case w: org.apache.spark.sql.execution.window.WindowExec =>
+          // the cumulative window must consume a hash aggregate (the
+          // (group, value)-keyed count), never raw scan rows
+          val hasAgg = graft.tools.PlanWalk.flatten(w.child).exists(
+            _.isInstanceOf[
+              org.apache.spark.sql.execution.aggregate.HashAggregateExec])
+          assert(hasAgg,
+            s"$name: window over raw rows, expected pre-aggregated input:\n$w")
+        case _ => ()
       }
-      walk(plan)
     }
   }
 

@@ -29,6 +29,46 @@ class RanksSnmSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("globalCumSums equals the single-partition window running sums") {
+    val df = (1 to 400).map(i =>
+        ((i * 7919 % 211).toLong, (i % 13).toLong, (i % 5).toLong))
+      .toDF("k", "a", "b")
+      .groupBy("k").agg(sum("a").as("a"), sum("b").as("b"))
+    val w = Window.orderBy("k")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val viaWindow = df
+      .select(col("k"), col("a"), col("b"),
+        sum("a").over(w).as("cum_a"), sum("b").over(w).as("cum_b"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val viaRanks = Ranks.globalCumSums(df, Seq("k"), Seq("a", "b"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(viaRanks == viaWindow)
+  }
+
+  test("globalCumSums is invariant to input partitioning; empty input ok") {
+    val df = (1 to 97).map(i => ((i * 31 % 89).toLong, i.toLong))
+      .toDF("k", "a").groupBy("k").agg(sum("a").as("a"))
+    val one = Ranks.globalCumSums(df.repartition(1), Seq("k"), Seq("a"))
+      .as[(Long, Long, Long)].collect().toSet
+    val many = Ranks.globalCumSums(df.repartition(17), Seq("k"), Seq("a"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one == many)
+    val empty = Ranks.globalCumSums(
+      Seq.empty[(Long, Long)].toDF("k", "a"), Seq("k"), Seq("a"))
+    assert(empty.count() == 0)
+  }
+
+  test("globalCumSums rejects non-long sum columns and name collisions") {
+    val bad = Seq((1L, 2.0)).toDF("k", "a")
+    assert(intercept[IllegalArgumentException] {
+      Ranks.globalCumSums(bad, Seq("k"), Seq("a"))
+    }.getMessage.contains("LongType"))
+    val clash = Seq((1L, 2L, 3L)).toDF("k", "a", "cum_a")
+    assert(intercept[IllegalArgumentException] {
+      Ranks.globalCumSums(clash, Seq("k"), Seq("a"))
+    }.getMessage.contains("cum_a"))
+  }
+
   test("rank column collision is rejected loudly") {
     val df = Seq((1L, 2L)).toDF("grn", "v")
     val ex = intercept[IllegalArgumentException] {
