@@ -2703,6 +2703,16 @@ object SparkEntry {
           "src", "dst", lpaRounds = 4, moveRounds = 2)
         .orderBy("node")
     },
+    "q_louvain_hier" -> { (s, d) =>
+      // multi-level Louvain (Communities.louvainHier, VERDICT r8 item 5):
+      // LPA-4 + two node-move rounds, contract communities into
+      // supernodes, one weighted move round on the contracted graph,
+      // project back — adopted only when the exact integer modularity on
+      // the ORIGINAL graph does not decrease (guarded acceptance)
+      graft.ops.Communities.louvainHier(Tables.coOrderPairEdges(s, d),
+          "src", "dst", lpaRounds = 4, moveRounds = 2, hierMoveRounds = 1)
+        .orderBy("node")
+    },
     "q_katz" -> { (s, d) =>
       // Katz centrality on the user-journey graph (ops/Katz): integer
       // fixed-point on a 1e9 grid, alpha = 1/8 (max in-degree 5 -> safe
@@ -6974,6 +6984,7 @@ object SparkEntry {
          |SELECT v AS node, c AS community FROM best WHERE rn = 1
          |ORDER BY node""".stripMargin,
     "q_louvain" -> louvainOracle(moveRounds = 2),
+    "q_louvain_hier" -> louvainHierOracle(moveRounds = 2),
     "q_user_features" ->
       """WITH r AS (SELECT MAX(epoch_us(ts)) AS ref FROM events)
         |SELECT user_id AS id, COUNT(*) AS n_total,
@@ -8274,6 +8285,109 @@ object SparkEntry {
          |         FROM sc$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
     s"$head,\n$steps\nSELECT node, community FROM ml$moveRounds ORDER BY node"
+  }
+
+  /** Unrolled multi-LEVEL Louvain oracle (VERDICT r8 item 5): the
+    * [[louvainOracle]] CTE chain up to ml{moveRounds}, then the
+    * contraction (community-pair groupBy → weighted super-edges), ONE
+    * weighted move round on the contracted graph (the q_louvain_weighted
+    * CTE shape with identity init), the projection back, and the guarded
+    * acceptance — both partitions' exact integer modularities
+    * Q·4m² = 4m·intra − Σ d_c² on the ORIGINAL graph decide which one is
+    * emitted. Mirrors ops.Communities.louvainHier stage for stage. */
+  private def louvainHierOracle(moveRounds: Int): String = {
+    val head =
+      s"""${lpaCtes(4)},
+         |adjv AS MATERIALIZED (SELECT x AS v, y AS n FROM e0
+         |        UNION ALL SELECT y AS v, x AS n FROM e0),
+         |mm AS (SELECT COUNT(*) AS m FROM e0),
+         |degv AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM adjv GROUP BY v),
+         |ml0 AS (SELECT node, lab AS community FROM l4)""".stripMargin
+    val steps = (1 to moveRounds).map { i =>
+      val p = s"ml${i - 1}"
+      s"""dcc$i AS (SELECT community, CAST(SUM(d) AS BIGINT) AS d_c
+         |        FROM degv JOIN $p ON degv.v = $p.node GROUP BY community),
+         |evc$i AS (SELECT adjv.v, $p.community AS c, COUNT(*) AS e_vc
+         |        FROM adjv JOIN $p ON $p.node = adjv.n GROUP BY 1, 2),
+         |ownc$i AS (SELECT node AS v, community AS c, 0 AS e_vc FROM $p),
+         |candc$i AS (SELECT v, c, CAST(MAX(e_vc) AS BIGINT) AS e_vc FROM (
+         |            SELECT * FROM evc$i UNION ALL SELECT * FROM ownc$i)
+         |          GROUP BY v, c),
+         |sc$i AS (SELECT candc$i.v, candc$i.c,
+         |         4 * mm.m * candc$i.e_vc
+         |           - 2 * degv.d * (dcc$i.d_c -
+         |               CASE WHEN candc$i.c = $p.community THEN degv.d ELSE 0 END) AS score
+         |       FROM candc$i CROSS JOIN mm
+         |       JOIN $p ON $p.node = candc$i.v
+         |       JOIN degv ON degv.v = candc$i.v
+         |       JOIN dcc$i ON dcc$i.community = candc$i.c),
+         |ml$i AS MATERIALIZED (SELECT v AS node, c AS community FROM (
+         |         SELECT v, c,
+         |                ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+         |         FROM sc$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val last = s"ml$moveRounds"
+    val hier =
+      s"""ce AS MATERIALIZED (SELECT LEAST(a.community, b.community) AS sx,
+         |        GREATEST(a.community, b.community) AS sy,
+         |        CAST(COUNT(*) AS BIGINT) AS w
+         |      FROM e0 JOIN $last a ON a.node = e0.x
+         |      JOIN $last b ON b.node = e0.y
+         |      WHERE a.community <> b.community GROUP BY 1, 2),
+         |sadj AS (SELECT sx AS v, sy AS n, w FROM ce
+         |      UNION ALL SELECT sy AS v, sx AS n, w FROM ce),
+         |sww AS (SELECT CAST(SUM(w) AS BIGINT) AS wsum FROM ce),
+         |sstr AS (SELECT v, CAST(SUM(w) AS BIGINT) AS s FROM sadj GROUP BY v),
+         |sl0 AS (SELECT DISTINCT community AS node, community FROM $last),
+         |sscc AS (SELECT sl0.community, CAST(SUM(sstr.s) AS BIGINT) AS s_c
+         |      FROM sstr JOIN sl0 ON sstr.v = sl0.node GROUP BY sl0.community),
+         |swvc AS (SELECT sadj.v, sl0.community AS c,
+         |        CAST(SUM(sadj.w) AS BIGINT) AS w_vc
+         |      FROM sadj JOIN sl0 ON sl0.node = sadj.n GROUP BY 1, 2),
+         |sown AS (SELECT node AS v, community AS c, 0 AS w_vc FROM sl0),
+         |scand AS (SELECT v, c, CAST(MAX(w_vc) AS BIGINT) AS w_vc FROM (
+         |        SELECT * FROM swvc UNION ALL SELECT * FROM sown)
+         |      GROUP BY v, c),
+         |sscw AS (SELECT scand.v, scand.c,
+         |        4 * sww.wsum * scand.w_vc
+         |          - 2 * sstr.s * (sscc.s_c -
+         |              CASE WHEN scand.c = sl0.community THEN sstr.s ELSE 0 END) AS score
+         |      FROM scand CROSS JOIN sww
+         |      JOIN sl0 ON sl0.node = scand.v
+         |      JOIN sstr ON sstr.v = scand.v
+         |      JOIN sscc ON sscc.community = scand.c),
+         |sml1 AS MATERIALIZED (SELECT v AS node, c AS community FROM (
+         |        SELECT v, c,
+         |               ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+         |        FROM sscw) WHERE rn = 1),
+         |proj AS MATERIALIZED (SELECT $last.node,
+         |        COALESCE(sml1.community, $last.community) AS community
+         |      FROM $last LEFT JOIN sml1 ON sml1.node = $last.community),
+         |qi1 AS (SELECT CAST(SUM(CASE WHEN a.community = b.community
+         |                    THEN 1 ELSE 0 END) AS BIGINT) AS intra
+         |      FROM e0 JOIN proj a ON a.node = e0.x
+         |      JOIN proj b ON b.node = e0.y),
+         |qd1 AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sumdc2 FROM (
+         |        SELECT CAST(SUM(degv.d) AS BIGINT) AS dc
+         |        FROM degv JOIN proj ON proj.node = degv.v
+         |        GROUP BY proj.community)),
+         |qi0 AS (SELECT CAST(SUM(CASE WHEN a.community = b.community
+         |                    THEN 1 ELSE 0 END) AS BIGINT) AS intra
+         |      FROM e0 JOIN $last a ON a.node = e0.x
+         |      JOIN $last b ON b.node = e0.y),
+         |qd0 AS (SELECT CAST(SUM(dc * dc) AS BIGINT) AS sumdc2 FROM (
+         |        SELECT CAST(SUM(degv.d) AS BIGINT) AS dc
+         |        FROM degv JOIN $last ON $last.node = degv.v
+         |        GROUP BY $last.community)),
+         |sel AS (SELECT
+         |        (SELECT 4 * mm.m * qi1.intra - qd1.sumdc2 FROM mm, qi1, qd1)
+         |     >= (SELECT 4 * mm.m * qi0.intra - qd0.sumdc2 FROM mm, qi0, qd0)
+         |        AS take1)
+         |SELECT node, community FROM proj WHERE (SELECT take1 FROM sel)
+         |UNION ALL
+         |SELECT node, community FROM $last WHERE NOT (SELECT take1 FROM sel)
+         |ORDER BY node""".stripMargin
+    s"$head,\n$steps,\n$hier"
   }
 
   /** Unrolled seeded label-spreading oracle over the co-order graph:

@@ -104,4 +104,73 @@ class CommunitiesSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toMap
     assert(out == lpaRef(bridged, rounds = 4))
   }
+
+  /** Exact integer-scaled modularity Q·4m² of a partition over a
+    * canonical undirected edge list — the guard statistic louvainHier
+    * compares, recomputed independently here. */
+  private def qNum(edges: Seq[(String, String)],
+      lab: Map[String, String]): Long = {
+    val canon = edges.map { case (a, b) => if (a < b) (a, b) else (b, a) }
+      .filter(e => e._1 != e._2).distinct
+    val m = canon.size.toLong
+    val intra = canon.count { case (a, b) => lab(a) == lab(b) }.toLong
+    val deg = (canon.map(_._1) ++ canon.map(_._2))
+      .groupBy(identity).map { case (v, xs) => v -> xs.size.toLong }
+    val dC = deg.toSeq.groupBy { case (v, _) => lab(v) }
+      .map { case (_, xs) => xs.map(_._2).sum }
+    4L * m * intra - dC.map(d => d * d).sum
+  }
+
+  private def labMap(df: org.apache.spark.sql.DataFrame): Map[String, String] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toMap
+
+  test("louvainHier: modularity never decreases across the contraction") {
+    val rnd = new scala.util.Random(919)
+    for (seed <- 0 until 6) {
+      val n = 8 + rnd.nextInt(8)
+      val edges = (0 until (2 * n)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val p0 = labMap(Communities.lpaLouvain(df, "src", "dst",
+          lpaRounds = 2, moveRounds = 1))
+        val p1 = labMap(Communities.louvainHier(df, "src", "dst",
+          lpaRounds = 2, moveRounds = 1))
+        assert(p1.keySet == p0.keySet, s"seed run $seed")
+        assert(qNum(edges, p1) >= qNum(edges, p0),
+          s"seed run $seed: contraction must not lower Q (guard)")
+      }
+    }
+  }
+
+  test("louvainHier merges the two halves of a bridged clique pair") {
+    // two 4-cliques joined by one bridge: level 0 (short LPA + 1 move)
+    // can leave them split; the contracted level sees a 2-supernode
+    // graph and the guard accepts the merge only if Q improves —
+    // either way the result is a valid partition of all 8 nodes with
+    // Q >= level 0's
+    val p1 = labMap(Communities.louvainHier(bridged.toDF("src", "dst"),
+      "src", "dst", lpaRounds = 1, moveRounds = 1))
+    val p0 = labMap(Communities.lpaLouvain(bridged.toDF("src", "dst"),
+      "src", "dst", lpaRounds = 1, moveRounds = 1))
+    assert(p1.keySet == p0.keySet)
+    assert(qNum(bridged, p1) >= qNum(bridged, p0))
+    // communities are whole at level 1: every community's members map to
+    // exactly one level-1 label (projection is per-community)
+    val byP0 = p0.keys.groupBy(p0)
+    byP0.foreach { case (_, members) =>
+      assert(members.map(p1).toSet.size == 1,
+        "projection must move whole level-0 communities")
+    }
+  }
+
+  test("louvainHier: gated local replay ≡ distributed path (gate off)") {
+    val df = bridged.toDF("src", "dst")
+    val gated = labMap(Communities.louvainHier(df, "src", "dst",
+      lpaRounds = 2, moveRounds = 2))
+    val dist = labMap(Communities.louvainHier(df, "src", "dst",
+      lpaRounds = 2, moveRounds = 2, maxLocalEdges = 0L))
+    assert(gated == dist)
+  }
 }
