@@ -2365,6 +2365,16 @@ object SparkEntry {
           length(col("text")).as("value")),
         "in_a", "value")
     },
+    "q_ks_sketch" -> { (s, d) =>
+      // bounded-state KS (KsTest.twoSampleSketch): the same en vs non-en
+      // drift question through TWO deterministic bottom-k md5-lane
+      // samples — the O(k)-state form StreamKsDrift emits per window;
+      // oracle replays the identical sample and gap
+      graft.ops.KsTest.twoSampleSketch(
+        Tables.documents(s, d).select((col("lang") === "en").as("in_a"),
+          length(col("text")).as("value")),
+        "in_a", "value", k = 128)
+    },
     "q_l_diversity" -> { (s, d) =>
       // distinct l-diversity audit (KAnonymity.lDiversity): balance-bucket
       // homogeneity inside each (nation, segment) QI class — two stacked
@@ -6462,6 +6472,38 @@ object SparkEntry {
         |  CASE WHEN n_a > 0 AND n_b > 0
         |       THEN (1000 * d_num) // (n_a * n_b) END AS ks_permille
         |FROM m""".stripMargin,
+    "q_ks_sketch" ->
+      """WITH base AS (SELECT lang = 'en' AS in_a,
+        |         CAST(LENGTH(text) AS BIGINT) AS v
+        |       FROM documents WHERE lang IS NOT NULL AND text IS NOT NULL),
+        |hp AS (SELECT in_a, v,
+        |         ('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT AS h
+        |       FROM base),
+        |sa AS MATERIALIZED (SELECT v FROM (
+        |       SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn
+        |       FROM hp WHERE in_a) WHERE rn <= 128),
+        |sb AS MATERIALIZED (SELECT v FROM (
+        |       SELECT v, ROW_NUMBER() OVER (ORDER BY h, v) AS rn
+        |       FROM hp WHERE NOT in_a) WHERE rn <= 128),
+        |sz AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM sa) AS sn_a,
+        |              (SELECT CAST(COUNT(*) AS BIGINT) FROM sb) AS sn_b),
+        |nn AS (SELECT CAST(SUM(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |              CAST(SUM(CASE WHEN in_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |       FROM base),
+        |cand AS (SELECT DISTINCT v FROM (
+        |       SELECT v FROM sa UNION ALL SELECT v FROM sb)),
+        |ca AS (SELECT c.v, CAST(COUNT(sa.v) AS BIGINT) AS cum_a
+        |       FROM cand c LEFT JOIN sa ON sa.v <= c.v GROUP BY c.v),
+        |cb AS (SELECT c.v, CAST(COUNT(sb.v) AS BIGINT) AS cum_b
+        |       FROM cand c LEFT JOIN sb ON sb.v <= c.v GROUP BY c.v),
+        |dd AS (SELECT ca.v, ABS(ca.cum_a * sz.sn_b - cb.cum_b * sz.sn_a) AS d
+        |       FROM ca JOIN cb ON ca.v = cb.v CROSS JOIN sz),
+        |best AS (SELECT v AS at_value, d AS d_num FROM dd
+        |       ORDER BY d DESC, v ASC LIMIT 1)
+        |SELECT nn.n_a, nn.n_b, sz.sn_a, sz.sn_b, best.d_num, best.at_value,
+        |  CASE WHEN sz.sn_a > 0 AND sz.sn_b > 0
+        |       THEN (1000 * best.d_num) // (sz.sn_a * sz.sn_b) END AS ks_permille
+        |FROM nn CROSS JOIN sz CROSS JOIN best""".stripMargin,
     "q_l_diversity" ->
       """WITH q AS (SELECT c_nationkey, c_mktsegment,
         |             CAST(FLOOR(c_acctbal / 1000) AS BIGINT) AS bal_bucket

@@ -55,4 +55,77 @@ object KsTest {
           expr("(1000 * (0 - m.nd)) div (n_a * n_b)"))
           .otherwise(lit(null)).as("ks_permille"))
   }
+
+  /** Sketch-based two-sample KS: the bounded-state form of [[twoSample]]
+    * for streaming / giant value domains. Each slice is reduced to a
+    * deterministic bottom-k (md5-hash, value) sample
+    * ([[graft.functions.QuantileSampleAgg]] — a pure function of the
+    * input multiset, so merge order and arrival order cannot change it),
+    * and the KS gap is computed BETWEEN THE TWO SAMPLES:
+    *
+    *   d_num = max over sampled values c of
+    *           |cumA(c)·sn_b − cumB(c)·sn_a|,
+    *   ks_permille = (1000·d_num) div (sn_a·sn_b)
+    *
+    * (ties to the smallest attaining value). Exact counts n_a/n_b ride
+    * along; the statistic itself is DEFINED on the sample — rank error
+    * O(1/√k), the documented price of O(k) state — and is identical in
+    * batch, stream, and the DuckDB oracle. [[graft.streaming.StreamKsDrift]]
+    * emits the same rows per (key, window) incrementally.
+    *
+    * Output (one row per key group; one row total when `keyCols` empty):
+    * (keyCols…, n_a, n_b, sn_a, sn_b, d_num, at_value, ks_permille);
+    * ks_permille is NULL when either sample is empty.
+    */
+  def twoSampleSketch(df: DataFrame, sliceCol: String, valueCol: String,
+      k: Int = 128, keyCols: Seq[String] = Seq.empty): DataFrame = {
+    require(k >= 8 && k <= 65536, s"k must be in [8, 65536], got $k")
+    val v = col(valueCol).cast("long")
+    val ina = col(sliceCol).cast("boolean")
+    val h = graft.functions.functions.hex_to_long(
+      substring(md5(v.cast("string")), 1, 15))
+    val agged = df
+      .select(keyCols.map(col) ++ Seq(ina.as("__in_a"), v.as("__v"),
+        h.as("__h")): _*)
+      .where(col("__in_a").isNotNull && col("__v").isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        graft.functions.QuantileSample.quantile_sample(
+          when(col("__in_a"), col("__h")), when(col("__in_a"), col("__v")),
+          k).as("__sa"),
+        graft.functions.QuantileSample.quantile_sample(
+          when(!col("__in_a"), col("__h")), when(!col("__in_a"), col("__v")),
+          k).as("__sb"),
+        sum(when(col("__in_a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__in_a"), 0L).otherwise(1L)).as("n_b"))
+    sketchKs(agged)
+      .select(keyCols ++ Seq("n_a", "n_b", "sn_a", "sn_b", "d_num",
+        "at_value", "ks_permille") map col: _*)
+  }
+
+  /** Shared stateless tail of [[twoSampleSketch]] / StreamKsDrift: given
+    * rows carrying two bottom-k sketch columns `__sa`/`__sb`
+    * (array<struct<h,v>>), append (sn_a, sn_b, d_num, at_value,
+    * ks_permille). Pure array algebra over ≤2k-element arrays — no
+    * shuffle, no window; stream ≡ batch because BOTH call exactly this.
+    */
+  private[graft] def sketchKs(df: DataFrame): DataFrame =
+    df
+      .withColumn("__va", array_sort(expr("transform(__sa, x -> x.v)")))
+      .withColumn("__vb", array_sort(expr("transform(__sb, x -> x.v)")))
+      .withColumn("sn_a", size(col("__va")).cast("long"))
+      .withColumn("sn_b", size(col("__vb")).cast("long"))
+      .withColumn("__m", expr(
+        """array_min(transform(array_distinct(concat(__va, __vb)),
+          |  c -> struct(
+          |    0 - abs(size(filter(__va, x -> x <= c)) * sn_b
+          |          - size(filter(__vb, x -> x <= c)) * sn_a) AS nd,
+          |    c AS value)))""".stripMargin))
+      .withColumn("d_num", lit(0L) - col("__m.nd"))
+      .withColumn("at_value", col("__m.value"))
+      .withColumn("ks_permille",
+        when(col("sn_a") > 0L && col("sn_b") > 0L,
+          expr("(1000 * (0 - __m.nd)) div (sn_a * sn_b)"))
+          .otherwise(lit(null)))
+      .drop("__sa", "__sb", "__va", "__vb", "__m")
 }
