@@ -290,6 +290,30 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
         .orderBy("keeper")
     },
+    "q_split_leakage" -> { (s, d) =>
+      // train/test contamination audit (ops/SplitLeakage): deterministic
+      // md5 80/20 split crossed with the MinHash+LSH near-dup pairs —
+      // every cross-split pair is memorization leaking into the held-out
+      // metric; one 3-row aggregate over the mined pair table
+      val pairs = Dedup.minHashLshPairsPortable(Tables.documents(s, d),
+          "doc_id", "text", n = 3, numHashes = 64, bands = 16, threshold = 0.5)
+      graft.ops.SplitLeakage.crossSplitPairs(pairs, "id_a", "id_b",
+          salt = "split", testPermille = 200)
+        .orderBy("split_a", "split_b")
+    },
+    "q_bm25" -> { (s, d) =>
+      // BM25-shaped lexical retrieval (ops/Bm25): three fixed queries
+      // against the corpus — ppm-floored Robertson-ratio idf (no libm
+      // log), exact cross-multiplied tf saturation (k1=6/5, b=3/4),
+      // top-10 per query via the k-slot aggregate
+      import s.implicits._
+      val qs = Seq((1L, "hash"), (1L, "join"), (2L, "slow"), (2L, "scan"),
+        (2L, "filter"), (3L, "vector"), (3L, "data"))
+        .toDF("query_id", "term")
+      graft.ops.Bm25.topKDocs(Tables.documents(s, d), "doc_id", "text",
+          qs, k = 10)
+        .orderBy("query_id", "rank")
+    },
     "q_ann_topk" -> { (s, d) =>
       // exact brute-force cosine top-5 for the first 20 vectors
       val q = Tables.embeddings(s, d)
@@ -3628,6 +3652,67 @@ object SparkEntry {
          |comp AS (SELECT node, MIN(lab) AS component FROM cc GROUP BY node)
          |SELECT component AS keeper, COUNT(*) AS n_docs
          |FROM comp GROUP BY component ORDER BY keeper""".stripMargin,
+    "q_split_leakage" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |${graft.ops.Dedup.minHashPortableOracleCtes(numHashes = 64, bands = 16)},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+         |inter AS (SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+         |          FROM cand c
+         |          JOIN sh a ON a.doc_id = c.id_a
+         |          JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+         |          GROUP BY c.id_a, c.id_b),
+         |p AS (SELECT id_a, id_b
+         |      FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |                 JOIN sizes sb ON sb.doc_id = id_b
+         |      WHERE CAST(n_inter AS DOUBLE)/(sa.n_sh + sb.n_sh - n_inter) >= 0.5),
+         |sp AS (SELECT
+         |        CASE WHEN ('0x' || substr(md5('split' || CAST(id_a AS VARCHAR)), 1, 15))::BIGINT
+         |                  % 1000 < 200 THEN 'test' ELSE 'train' END AS spl_a,
+         |        CASE WHEN ('0x' || substr(md5('split' || CAST(id_b AS VARCHAR)), 1, 15))::BIGINT
+         |                  % 1000 < 200 THEN 'test' ELSE 'train' END AS spl_b
+         |      FROM p)
+         |SELECT LEAST(spl_a, spl_b) AS split_a, GREATEST(spl_a, spl_b) AS split_b,
+         |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       LEAST(spl_a, spl_b) <> GREATEST(spl_a, spl_b) AS is_leak
+         |FROM sp GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
+    "q_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
+        |              FROM documents),
+        |tok2 AS (SELECT doc_id, tok FROM toks WHERE tok <> ''),
+        |tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+        |       FROM tok2 GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+        |corpus AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_docs,
+        |                  (SELECT CAST(COALESCE(SUM(tf), 0) AS BIGINT) FROM tf) AS s_tok),
+        |q(query_id, term) AS (VALUES (1, 'hash'), (1, 'join'), (2, 'slow'),
+        |       (2, 'scan'), (2, 'filter'), (3, 'vector'), (3, 'data')),
+        |dfreq AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+        |       WHERE tok IN (SELECT DISTINCT term FROM q) GROUP BY tok),
+        |scored AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(SUM(
+        |          ((1000000 * (corpus.n_docs - dfreq.df + 1)) // (dfreq.df + 1))
+        |          * ((22000000::HUGEINT * tf.tf * corpus.s_tok)
+        |             // (10::HUGEINT * corpus.s_tok * tf.tf
+        |                + 3::HUGEINT * corpus.s_tok
+        |                + 9::HUGEINT * dl.dl * corpus.n_docs))
+        |          // 1000000) AS BIGINT) AS score_ppm
+        |      FROM tf JOIN q ON q.term = tf.tok
+        |      JOIN dfreq ON dfreq.tok = tf.tok
+        |      JOIN dl ON dl.doc_id = tf.doc_id
+        |      CROSS JOIN corpus
+        |      GROUP BY 1, 2),
+        |r AS (SELECT query_id, doc_id, score_ppm,
+        |        ROW_NUMBER() OVER (PARTITION BY query_id
+        |          ORDER BY score_ppm DESC, doc_id ASC) AS rn
+        |      FROM scored)
+        |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS rank,
+        |       doc_id, score_ppm
+        |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle

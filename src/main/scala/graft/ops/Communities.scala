@@ -24,6 +24,14 @@ object Communities {
   /** (node, community) after exactly `rounds` synchronous updates over
     * the undirected graph of `edges` (symmetrized, deduplicated,
     * self-loops dropped). Nodes keep their own id as initial label.
+    *
+    * GATE CALIBRATION (r9 scale probe, tools/scale_probe_r09.jsonl): at
+    * 64× sf0.1 (6.9M co-order edges — just past this 5M default) the
+    * distributed loops run end-to-end with sub-linear scaling on
+    * local[32] (q_louvain 104 s at 64× data = 21× its 1× time,
+    * q_modularity 12×, q_triangles 10×). The local replay at 5M edges is
+    * a ~100 MB collect replayed in seconds, so 5M is kept: local wins
+    * wherever it fits, and the fall-through is measured-sane beyond it.
     */
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       rounds: Int, maxLocalEdges: Long = 5000000L): DataFrame = {

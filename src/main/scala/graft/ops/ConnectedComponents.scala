@@ -43,6 +43,13 @@ object ConnectedComponents {
     * per-task state is one parent array, 8 B/vertex ≈ 32 MB at the 4M
     * default). Beyond the gate, GraphX Pregel min-id propagation keeps
     * every structure distributed — the 100 TB path.
+    *
+    * GATE CALIBRATION (r9 scale probe, tools/scale_probe_r09.jsonl): at
+    * 64× sf0.1 the 5M-edge gate genuinely trips and the distributed CC
+    * paths scale sub-linearly on local[32] (q_components_star 4.2×, and
+    * q_robustness — two full CC passes — 9.1× at 64× data), so the
+    * 5M/4M defaults stay: the local/aggregate paths win whenever they
+    * fit, the fall-through is measured-sane past them.
     */
   def components(edges: DataFrame, maxAggVertices: Long = 4_000_000L,
       maxLocalEdges: Long = 5_000_000L): DataFrame = {

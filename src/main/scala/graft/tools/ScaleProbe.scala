@@ -1,0 +1,127 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Synthetic scale-up probe (VERDICT r8 item 4): no sf1 testdata exists
+  * and the local-replay gates (5M–50M edges) never trip at sf0.1, so the
+  * distributed fall-through paths only ever run in gate-forced parity
+  * specs. This tool manufactures genuinely gate-tripping inputs by
+  * unioning sf0.1 with SALTED keys — replicas are disjoint (salted ids;
+  * per-replica alphabet rotation for document text so shingles don't
+  * collide across replicas; a small per-replica shift for embeddings) —
+  * and times the most expensive queries end-to-end on their DISTRIBUTED
+  * paths with gates at DEFAULT:
+  *
+  *   - lineitem ×64 → co-order graph ≈ 6.9M distinct edges > the 5M
+  *     `maxLocalEdges` gates in Communities/ConnectedComponents — the
+  *     graph family really runs its shuffle loops;
+  *   - documents/embeddings/events ×16 for the dedup/ANN/event families
+  *     (no local gates there — the probe measures shuffle-path scaling).
+  *
+  * Usage: runMain graft.tools.ScaleProbe [queries...]
+  * Prints one JSON line per query: base sf0.1 seconds, scaled seconds,
+  * factor, ratio — redirect to tools/scale_probe_r{N}.jsonl. Scaled
+  * tables are cached under SPARK_GRAFT_SCALE_DIR (default
+  * /tmp/graft_scale) and rebuilt only when missing.
+  */
+object ScaleProbe {
+
+  // (query, the scale factor its dominant input table gets)
+  val defaultProbes: Seq[(String, Int)] = Seq(
+    "q_louvain" -> 64, "q_modularity" -> 64, "q_triangles" -> 64,
+    "q_components_star" -> 64, "q_robustness" -> 64, "q_hyperball" -> 64,
+    "q_dedup_prefix" -> 16, "q_dedup_edit" -> 16, "q_dedup_clusters" -> 16,
+    "q_ann_pq" -> 16)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_SCALE_DIR", "/tmp/graft_scale")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    buildScaledTables(spark, sfDir, outDir)
+
+    val wanted =
+      if (args.nonEmpty) defaultProbes.filter(p => args.contains(p._1))
+      else defaultProbes
+    wanted.foreach { case (name, factor) =>
+      val fn = graft.SparkEntry.queries(name)
+      def timed(dir: String): (Double, Long) = {
+        sweep(spark)
+        val t0 = System.nanoTime()
+        val n = fn(spark, dir).count()
+        ((System.nanoTime() - t0) / 1e9, n)
+      }
+      val (baseSec, baseRows) = timed(sfDir)
+      val (scaledSec, scaledRows) = timed(outDir)
+      val ratio = if (baseSec > 0) scaledSec / baseSec else -1.0
+      println(f"""{"query":"$name","factor":$factor,"base_sec":$baseSec%.2f,"scaled_sec":$scaledSec%.2f,"ratio":$ratio%.2f,"base_rows":$baseRows,"scaled_rows":$scaledRows}""")
+    }
+    spark.stop()
+  }
+
+  private def sweep(spark: SparkSession): Unit = {
+    spark.catalog.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
+  /** Disjoint-replica scaled copies of the four big tables + passthrough
+    * copies of the dimensions, written once. */
+  def buildScaledTables(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_PROBE_READY")
+    if (java.nio.file.Files.exists(marker)) return
+    def reps(n: Int) = spark.range(n).toDF("rep")
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    w(t("lineitem").crossJoin(broadcast(reps(64)))
+      .select((col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * 10000000L).as("l_partkey"),
+        (col("l_suppkey") + col("rep") * 1000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")), "lineitem")
+
+    // per-replica alphabet rotation keeps within-replica near-dup
+    // structure while making cross-replica shingles distinct (16 replicas
+    // < 26 rotations, so every replica's rotation is unique)
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rotCase = (0 until 16).map { r =>
+      val to = alpha.drop(r % 26) + alpha.take(r % 26)
+      s"WHEN rep = $r THEN translate(text, '$alpha', '$to')"
+    }.mkString("CASE ", " ", " ELSE text END")
+    w(t("documents").crossJoin(broadcast(reps(16)))
+      .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+        expr(rotCase).as("text"), col("lang"),
+        concat(col("source"), lit("_r"), col("rep")).as("source"),
+        col("n_chars")), "documents")
+
+    w(t("embeddings").crossJoin(broadcast(reps(16)))
+      .select((col("vec_id") + col("rep") * 100000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + rep * 0.0001 AS FLOAT))")
+          .as("embedding"),
+        col("label")), "embeddings")
+
+    w(t("events").crossJoin(broadcast(reps(16)))
+      .select((col("event_id") + col("rep") * 10000000000L).as("event_id"),
+        col("ts"), (col("user_id") + col("rep") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props")), "events")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders")
+      .foreach(n => w(t(n), n))
+    java.nio.file.Files.createFile(marker)
+    println(s"""{"probe":"tables_built","dir":"$outDir"}""")
+  }
+}
