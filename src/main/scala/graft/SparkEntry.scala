@@ -3255,6 +3255,15 @@ object SparkEntry {
         "embedding", "label", k = 5, testModulus = 25L)
         .orderBy("train_id")
     },
+    "q_label_noise" -> { (s, d) =>
+      // kNN label-noise audit (ops/LabelNoise): per label class, how many
+      // probe points' 5 nearest neighbors mostly DISAGREE with the point's
+      // own label — the confident-learning triage before training on a
+      // labeled corpus; exact integer L2, k-slot aggregate (no window)
+      graft.ops.LabelNoise.knnLabelAudit(Tables.embeddings(s, d), "vec_id",
+        "embedding", "label", k = 5, probeModulus = 4L)
+        .orderBy("label")
+    },
     "q_conformal" -> { (s, d) =>
       // split-conformal calibration audit (ops/Conformal): per order
       // priority, train-mean predictor, ceil((n+1)(1-alpha)) residual
@@ -7942,6 +7951,35 @@ object SparkEntry {
         |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_tests,
         |  CAST(SUM(shap_ppm) AS BIGINT) AS shap_sum_ppm
         |FROM suf GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_label_noise" ->
+      """WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+        |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
+        |         AS v, CAST(label AS BIGINT) AS lab
+        |       FROM embeddings),
+        |p AS (SELECT id AS probe_id, v AS pv, lab AS plab FROM q
+        |      WHERE id % 4 = 0),
+        |pairs AS (SELECT probe_id, plab, train_id,
+        |    (SELECT SUM((pv[i] - rv[i]) * (pv[i] - rv[i]))
+        |     FROM UNNEST(range(1, len(pv) + 1)) AS u(i)) AS dist,
+        |    CASE WHEN plab = rlab THEN 1 ELSE 0 END AS eq
+        |  FROM p JOIN (SELECT id AS train_id, v AS rv, lab AS rlab FROM q) r
+        |    ON probe_id <> train_id),
+        |rk AS (SELECT probe_id, plab, eq,
+        |    ROW_NUMBER() OVER (PARTITION BY probe_id
+        |      ORDER BY dist, train_id) AS rn
+        |  FROM pairs),
+        |agg AS (SELECT probe_id, plab,
+        |    CAST(SUM(eq) AS BIGINT) AS eq_k,
+        |    CAST(COUNT(*) AS BIGINT) AS k_eff
+        |  FROM rk WHERE rn <= 5 GROUP BY 1, 2)
+        |SELECT plab AS label, CAST(COUNT(*) AS BIGINT) AS n_probes,
+        |  CAST(SUM(CASE WHEN eq_k * 2 < k_eff THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_flagged,
+        |  (1000 * CAST(SUM(CASE WHEN eq_k * 2 < k_eff THEN 1 ELSE 0 END)
+        |     AS BIGINT)) // CAST(COUNT(*) AS BIGINT) AS flag_permille,
+        |  (1000000 * CAST(SUM(eq_k) AS BIGINT))
+        |     // CAST(SUM(k_eff) AS BIGINT) AS agree_ppm
+        |FROM agg GROUP BY 1 ORDER BY label""".stripMargin,
     "q_conformal" ->
       """WITH base AS (SELECT o_orderpriority AS grp, o_orderkey AS id,
         |         CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS y,

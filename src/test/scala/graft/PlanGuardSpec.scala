@@ -253,6 +253,23 @@ class PlanGuardSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q_bm25 broadcasts query terms and never windows or cartesians") {
+    val p = physical("q_bm25")
+    assert(!p.contains("CartesianProduct"))
+    assert(treeWindows("q_bm25").isEmpty,
+      "top-k per query must ride the k-slot aggregate, not a window sort")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      s"query terms/df/corpus must broadcast:\n${p.take(1500)}")
+  }
+
+  test("q_label_noise broadcasts the probe side, windowless") {
+    val p = physical("q_label_noise")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the sampled probe set must broadcast, never shuffle the reference side")
+    assert(treeWindows("q_label_noise").isEmpty)
+  }
+
   test("q_benford and q_burstiness are single-scan aggregates") {
     assert(scans(physical("q_benford")) == 1)
     assert(scans(physical("q_burstiness")) == 1)
