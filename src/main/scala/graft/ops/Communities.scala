@@ -700,23 +700,36 @@ object Communities {
         Seq("community"), "left")
       .select($"node", coalesce($"c1", $"community").as("community"))
       .localCheckpoint(true)
-    // Q·4m² of a partition over e0, as a 1-row frame
-    def qnum(lab: DataFrame, out: String): DataFrame = {
-      val im = e0
-        .join(lab.select($"node".as("x"), $"community".as("cx")), "x")
-        .join(lab.select($"node".as("y"), $"community".as("cy")), "y")
-        .agg(coalesce(sum(when($"cx" === $"cy", 1L).otherwise(0L)), lit(0L))
-          .as("intra"), count(lit(1)).as("m"))
-      val dc2 = e0.select($"x".as("v")).union(e0.select($"y".as("v")))
-        .groupBy("v").agg(count(lit(1)).as("d"))
-        .join(lab.select($"node".as("v"), $"community"), "v")
-        .groupBy("community").agg(sum($"d").as("d_c"))
-        .agg(coalesce(sum($"d_c" * $"d_c"), lit(0L)).as("sum_dc2"))
-      im.crossJoin(dc2)
-        .select((lit(4L) * $"m" * $"intra" - $"sum_dc2").as(out))
-    }
-    val flag = qnum(p1, "q1").crossJoin(qnum(p0, "q0"))
-      .select(($"q1" >= $"q0").as("take1"))
+    // Q·4m² of BOTH partitions in one pass over e0: label each endpoint
+    // with (level-0, projected) at once — one edge-table join pair and
+    // one degree join instead of two of each (bench: q_louvain_hier is
+    // job-count-bound, not data-bound)
+    // lazy on purpose: p0/p1 are already checkpointed, and an eager
+    // checkpoint here would serialize an extra barrier job into the
+    // plan (measured slower than re-deriving these small joins)
+    val both = p0.select($"node", $"community".as("c0"))
+      .join(p1.select($"node", $"community".as("c1")), "node")
+    val im = e0
+      .join(both.select($"node".as("x"), $"c0".as("cx0"), $"c1".as("cx1")),
+        "x")
+      .join(both.select($"node".as("y"), $"c0".as("cy0"), $"c1".as("cy1")),
+        "y")
+      .agg(
+        coalesce(sum(when($"cx0" === $"cy0", 1L).otherwise(0L)), lit(0L))
+          .as("intra0"),
+        coalesce(sum(when($"cx1" === $"cy1", 1L).otherwise(0L)), lit(0L))
+          .as("intra1"),
+        count(lit(1)).as("m"))
+    val degs = e0.select($"x".as("v")).union(e0.select($"y".as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+      .join(both.withColumnRenamed("node", "v"), "v")
+    val dc20 = degs.groupBy("c0").agg(sum($"d").as("d_c"))
+      .agg(coalesce(sum($"d_c" * $"d_c"), lit(0L)).as("sum_dc2_0"))
+    val dc21 = degs.groupBy("c1").agg(sum($"d").as("d_c"))
+      .agg(coalesce(sum($"d_c" * $"d_c"), lit(0L)).as("sum_dc2_1"))
+    val flag = im.crossJoin(dc20).crossJoin(dc21)
+      .select((lit(4L) * $"m" * $"intra1" - $"sum_dc2_1" >=
+        lit(4L) * $"m" * $"intra0" - $"sum_dc2_0").as("take1"))
     p1.crossJoin(broadcast(flag)).where($"take1")
       .union(p0.crossJoin(broadcast(flag)).where(!$"take1"))
       .select("node", "community")
