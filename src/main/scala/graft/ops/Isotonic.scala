@@ -44,15 +44,19 @@ object Isotonic {
     val pre = Ranks.globalCumSums(b, Seq("bucket"), Seq("n", "pos"))
       .withColumnRenamed("cum_n", "cn")
       .withColumnRenamed("cum_pos", "cp")
+    // both non-equi joins run over the gated B-row dimension; broadcast
+    // the right sides explicitly — the RDD-backed cumsum table carries no
+    // stats, and without the hint Spark plans a CartesianProduct (the
+    // repo-wide sweep forbids those even when dimension-bounded)
     val jk = pre.select(col("bucket").as("j"), col("cn").as("cnj"),
         col("cp").as("cpj"), (col("cn") - col("n")).as("cnj0"),
         (col("cp") - col("pos")).as("cpj0"))
-      .join(pre.select(col("bucket").as("k"), col("cn").as("cnk"),
-        col("cp").as("cpk")), col("j") <= col("k"))
+      .join(broadcast(pre.select(col("bucket").as("k"), col("cn").as("cnk"),
+        col("cp").as("cpk"))), col("j") <= col("k"))
       .select(col("j"), col("k"),
         expr("((cpk - cpj0) * 1000000) div (cnk - cnj0)").as("m_ppm"))
     val fit = b.select(col("bucket"))
-      .join(jk, col("j") <= col("bucket") && col("k") >= col("bucket"))
+      .join(broadcast(jk), col("j") <= col("bucket") && col("k") >= col("bucket"))
       .groupBy(col("bucket"), col("j"))
       .agg(min(col("m_ppm")).as("inner_min"))
       .groupBy("bucket")

@@ -48,11 +48,13 @@ class WindowSweepSpec extends AnyFunSuite {
   }
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
-    test(s"$name plans no unpartitioned window") {
+    test(s"$name plans no unpartitioned window and no cartesian product") {
       current = name
       val df = SparkEntry.queries(name)(spark, sf)
-      val bad = PlanWalk.unpartitionedWindows(df.queryExecution.executedPlan)
-      // free per-query persisted/checkpointed state so 281 constructions
+      val plan = df.queryExecution.executedPlan
+      val bad = PlanWalk.unpartitionedWindows(plan)
+      val carts = PlanWalk.cartesians(plan)
+      // free per-query persisted/checkpointed state so 285 constructions
       // don't accumulate in the shared test JVM
       spark.catalog.clearCache()
       spark.sparkContext.getPersistentRDDs.values
@@ -60,6 +62,10 @@ class WindowSweepSpec extends AnyFunSuite {
       assert(bad.isEmpty,
         s"$name: unpartitioned window(s) in final plan:\n" +
           bad.map(_.simpleStringWithNodeId()).mkString("\n"))
+      assert(carts.isEmpty,
+        s"$name: CartesianProduct in final plan — every cross join must " +
+          s"be against a broadcast side:\n" +
+          carts.map(_.simpleStringWithNodeId()).mkString("\n"))
     }
   }
 
