@@ -333,6 +333,16 @@ object SparkEntry {
           nBits = 6, tables = 4, seed = 42L)
         .orderBy("query_id", "rank")
     },
+    "q_ann_multiprobe" -> { (s, d) =>
+      // multi-probe LSH (Similarity.lshTopKMultiProbe): HALF the hash
+      // tables of q_ann_lsh, each query also probing its nBits Hamming-1
+      // buckets — the memory-for-probes trade every large ANN deployment
+      // makes; candidates are a superset of same-table single-probe
+      // (recall-ordering spec'd), arithmetic identical -> hash-exact
+      Similarity.lshTopKMultiProbe(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, k = 5, nBits = 6, tables = 2, seed = 42L)
+        .orderBy("query_id", "rank")
+    },
     "q_ann_pq" -> { (s, d) =>
       // product-quantization ANN: per-subspace quantized-Lloyd codebooks,
       // m-byte codes, asymmetric-distance ranking — the memory-compressed
@@ -3803,6 +3813,8 @@ object SparkEntry {
     "q_ann_ivf" -> graft.ops.Similarity.ivfPortableOracle(
       dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
       sampleN = 200, seed = 42L),
+    "q_ann_multiprobe" -> graft.ops.Similarity.lshMultiProbeOracle(
+      dim = 64, k = 5, nBits = 6, tables = 2, seed = 42L),
     "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
       dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L),
     "q_tokenize" ->

@@ -322,6 +322,109 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe hyperplane LSH top-k — the standard memory trick at
+    * scale: instead of adding hash TABLES (each one a full extra copy of
+    * the bucket index), each query also probes the nBits Hamming-1
+    * buckets of every table (one flipped sign bit = the closest
+    * neighboring cells). Candidates are a strict superset of the
+    * same-table single-probe set, so recall can only go up
+    * (spec-asserted), at (nBits+1)× probe rows instead of nBits× more
+    * index state. Same portable arithmetic as [[lshTopKPortable]]
+    * (integer sign bits, exact rerank) → hash-exact DuckDB oracle
+    * ([[lshMultiProbeOracle]]). Probe expansion is query-side only; the
+    * stored index is identical to the single-probe variant's.
+    */
+  def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nBits: Int = 6, tables: Int = 2, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = (0 until tables).map { t =>
+      val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
+      val bucket = (0 until nBits).map { i =>
+        val plane = array(planes(i).map(p => lit(p.toDouble)): _*)
+        val dot = graft.functions.ArrayDot.array_dot(col("vec"), plane)
+        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
+      }.reduce(_ + _)
+      v.select(col("id"), bucket.as("bucket"), lit(t).as("tbl"))
+    }.reduce(_ union _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val capped = Dedup.capHotBuckets(bucketed, Seq("tbl", "bucket"),
+      maxBucketSize, "lshTopKMultiProbe")
+    // query-side probe fan-out: own bucket + every Hamming-1 flip
+    val probeArr = array(
+      (Seq(col("bucket")) ++
+        (0 until nBits).map(i => col("bucket").bitwiseXOR(lit(1L << i)))): _*)
+    val probes = capped
+      .select(col("id").as("query_id"), col("tbl"),
+        explode(probeArr).as("bucket"))
+    val candidates = probes.join(
+        capped.select(col("id").as("neighbor_id"), col("tbl"),
+          col("bucket")),
+        Seq("tbl", "bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+      .distinct()
+    val scored = candidates
+      .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
+      .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
+      .as[(Long, Long, Array[Double], Array[Double])]
+      .mapPartitions(_.map { case (nb, q, qv, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKPerQuery(scored, k)
+  }
+
+  /** DuckDB mirror of [[lshTopKMultiProbe]]: the single-probe oracle's
+    * CTEs plus the Hamming-1 probe fan-out. */
+  private[graft] def lshMultiProbeOracle(dim: Int, k: Int, nBits: Int,
+      tables: Int, seed: Long): String = {
+    def planeList(p: Array[Long]) = p.mkString("[", ", ", "]")
+    val tableSelects = (0 until tables).map { t =>
+      val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
+      val bits = (0 until nBits).map { i =>
+        s"""(CASE WHEN (SELECT SUM(v[j] * (${planeList(planes(i))})[j])
+           |            FROM UNNEST(range(1, ${dim + 1})) u(j)) >= 0
+           |      THEN ${1L << i} ELSE 0 END)""".stripMargin
+      }.mkString(" + ")
+      s"SELECT id, $t AS tbl, ($bits) AS bucket FROM q"
+    }.mkString("\nUNION ALL\n")
+    val flips = (Seq("bucket") ++
+      (0 until nBits).map(i => s"xor(bucket, ${1L << i})")).mkString(", ")
+    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+       |           FROM embeddings),
+       |n AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(v) t(x)) AS nrm FROM q),
+       |b AS (
+       |$tableSelects),
+       |probes AS (SELECT id, tbl, UNNEST([$flips]) AS bucket FROM b),
+       |cand AS (SELECT DISTINCT p.id AS query_id, bb.id AS neighbor_id
+       |         FROM probes p JOIN b bb
+       |           ON p.tbl = bb.tbl AND p.bucket = bb.bucket AND p.id <> bb.id),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |             (SELECT SUM(qq.v[i] * nv.v[i])
+       |              FROM UNNEST(range(1, ${dim + 1})) t(i)) /
+       |               SQRT(nq.nrm * nn.nrm) AS cosine
+       |           FROM cand c
+       |           JOIN q qq ON qq.id = c.query_id
+       |           JOIN q nv ON nv.id = c.neighbor_id
+       |           JOIN n nq ON nq.id = c.query_id
+       |           JOIN n nn ON nn.id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   /** DuckDB mirror of [[lshTopKPortable]]: the per-table bucket CTE embeds
     * the same quantized-plane literals. `qSelect` must yield `(id, v)` with
     * `v` the ALREADY-QUANTIZED (integer-valued) vector — defaults to the

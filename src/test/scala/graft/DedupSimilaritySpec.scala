@@ -202,6 +202,33 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.5, s"recall=$recall")
   }
 
+  test("multi-probe LSH recall >= single-probe at the same table count") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(s: Set[(Long, Long)]) =
+      (brute intersect s).size.toDouble / brute.size
+    // ordering at the driver query's scale-tuned params (64 buckets over
+    // 200 vectors — sparse on purpose): Hamming-1 probing can only ADD
+    // candidates, so top-k recall cannot drop — the whole point of
+    // trading probes for tables
+    val single6 = pairs(graft.ops.Similarity.lshTopKPortable(emb, "vec_id",
+      "embedding", dim = 64, k = 5, nBits = 6, tables = 2))
+    val multi6 = pairs(graft.ops.Similarity.lshTopKMultiProbe(emb, "vec_id",
+      "embedding", dim = 64, k = 5, nBits = 6, tables = 2))
+    assert(recall(multi6) >= recall(single6),
+      s"multi=${recall(multi6)} single=${recall(single6)}")
+    // absolute recall at recall-tuned width (the single-probe test's
+    // convention): 16 buckets, 2 tables + probes beats the 0.5 bar
+    val multi4 = pairs(graft.ops.Similarity.lshTopKMultiProbe(emb, "vec_id",
+      "embedding", dim = 64, k = 5, nBits = 4, tables = 2))
+    assert(recall(multi4) > 0.5, s"recall=${recall(multi4)}")
+  }
+
   test("PQ asymmetric-distance topK keeps useful recall vs brute force") {
     // PQ compresses 64 floats to 4 codes; ADC ranking is approximate but
     // must agree with exact cosine neighbors far above chance. The sample
