@@ -670,9 +670,11 @@ object Communities {
     */
   def louvainHier(edges: DataFrame, srcCol: String, dstCol: String,
       lpaRounds: Int, moveRounds: Int, hierMoveRounds: Int = 1,
-      maxLocalEdges: Long = 5000000L): DataFrame = {
+      maxLocalEdges: Long = 5000000L, levels: Int = 1): DataFrame = {
     require(hierMoveRounds >= 1 && hierMoveRounds <= 8,
       s"hierMoveRounds must be in [1, 8], got $hierMoveRounds")
+    require(levels >= 1 && levels <= 8,
+      s"levels must be in [1, 8], got $levels")
     val spark = edges.sparkSession
     import spark.implicits._
     val e0 = edges.select(
@@ -680,9 +682,26 @@ object Communities {
         greatest(col(srcCol), col(dstCol)).as("y"))
       .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y")
       .distinct()
-      .localCheckpoint(true) // reused: level 0, contraction, both Q evals
-    val p0 = lpaLouvain(e0, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
+      .localCheckpoint(true) // reused: level 0, contractions, all Q evals
+    var p = lpaLouvain(e0, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
       .localCheckpoint(true)
+    for (_ <- 1 to levels)
+      p = contractMoveProject(e0, p, hierMoveRounds, maxLocalEdges)
+        .localCheckpoint(true)
+    p
+  }
+
+  /** One Louvain contraction level with guarded acceptance: contract the
+    * partition's communities into a weighted supernode graph, run
+    * `hierMoveRounds` weighted move rounds on it, project back, and keep
+    * the projection only if the exact integer modularity
+    * Q·4m² = 4m·intra − Σ d_c² on the ORIGINAL edge list does not
+    * decrease. `e0` must be the canonical distinct edge list (x < y).
+    */
+  private def contractMoveProject(e0: DataFrame, p0: DataFrame,
+      hierMoveRounds: Int, maxLocalEdges: Long): DataFrame = {
+    val spark = e0.sparkSession
+    import spark.implicits._
     val ce = e0
       .join(p0.select($"node".as("x"), $"community".as("cx")), "x")
       .join(p0.select($"node".as("y"), $"community".as("cy")), "y")
@@ -701,7 +720,7 @@ object Communities {
       .select($"node", coalesce($"c1", $"community").as("community"))
       .localCheckpoint(true)
     // Q·4m² of BOTH partitions in one pass over e0: label each endpoint
-    // with (level-0, projected) at once — one edge-table join pair and
+    // with (incoming, projected) at once — one edge-table join pair and
     // one degree join instead of two of each (bench: q_louvain_hier is
     // job-count-bound, not data-bound)
     // lazy on purpose: p0/p1 are already checkpointed, and an eager

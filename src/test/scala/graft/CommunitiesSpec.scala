@@ -165,6 +165,25 @@ class CommunitiesSpec extends AnyFunSuite {
     }
   }
 
+  test("louvainHier levels chain: Q(levels=2) >= Q(levels=1) >= Q(base)") {
+    val rnd = new scala.util.Random(313)
+    for (seed <- 0 until 3) {
+      val n = 10 + rnd.nextInt(6)
+      val edges = (0 until (3 * n)).map { _ =>
+        (s"n${rnd.nextInt(n)}", s"n${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        val p0 = labMap(Communities.lpaLouvain(df, "src", "dst", 2, 1))
+        val l1 = labMap(Communities.louvainHier(df, "src", "dst", 2, 1))
+        val l2 = labMap(Communities.louvainHier(df, "src", "dst", 2, 1,
+          levels = 2))
+        assert(qNum(edges, l1) >= qNum(edges, p0), s"seed run $seed")
+        assert(qNum(edges, l2) >= qNum(edges, l1), s"seed run $seed")
+      }
+    }
+  }
+
   test("louvainHier: gated local replay ≡ distributed path (gate off)") {
     val df = bridged.toDF("src", "dst")
     val gated = labMap(Communities.louvainHier(df, "src", "dst",
