@@ -2757,6 +2757,15 @@ object SparkEntry {
           "src", "dst", lpaRounds = 4, moveRounds = 2, hierMoveRounds = 1)
         .orderBy("node")
     },
+    "q_simrank" -> { (s, d) =>
+      // SimRank structural similarity on the directed nation graph
+      // (ops/SimRank): recursive "similar in-neighbors" measure on the
+      // ppm integer grid, 3 floored rounds, sparse nonzero pairs only —
+      // unrolled-CTE oracle replays every round exactly
+      graft.ops.SimRank.simRank(
+          Tables.nationGraphEdges(s, d), "src", "dst", iters = 3)
+        .orderBy("node_a", "node_b")
+    },
     "q_katz" -> { (s, d) =>
       // Katz centrality on the user-journey graph (ops/Katz): integer
       // fixed-point on a 1e9 grid, alpha = 1/8 (max in-degree 5 -> safe
@@ -3541,6 +3550,7 @@ object SparkEntry {
          |SELECT src AS "from", dst AS "to", CAST(cost AS DOUBLE) / 1000.0 AS distance
          |FROM d5 WHERE src <> dst AND src IN ('NATION_0', 'NATION_12', 'NATION_7')
          |ORDER BY 1, 2""".stripMargin,
+    "q_simrank" -> simRankOracle(iters = 3),
     "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
     "q_ppr" -> pagerankFpOracle(iters = 10, sources = Seq("P1", "P2", "P3")),
     "q_betweenness_pairs" ->
@@ -9033,6 +9043,51 @@ object SparkEntry {
     * dominated the t2 oracle wall time (VERDICT r4 item 1). MATERIALIZED
     * is load-bearing: each round references the previous one twice.
     */
+  /** Unrolled SimRank oracle over the directed nation graph: the
+    * chain+skip edge CTEs, then `iters` rounds of the pair⋈edge⋈edge
+    * sum with the same HUGEINT-floored ppm update and the diagonal
+    * clamped to 10⁶ — mirrors ops.SimRank.simRank round for round. */
+  private def simRankOracle(iters: Int, cPpm: Long = 800000L): String = {
+    val head =
+      """nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
+        |chain AS (SELECT a.n_name AS src, b.n_name AS dst
+        |          FROM nk a JOIN nk b ON b.rn = a.rn + 1),
+        |skip AS (SELECT a.n_name AS src, b.n_name AS dst
+        |         FROM nk a JOIN nk b ON b.rn = a.rn + 5),
+        |edges AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        |         SELECT * FROM chain UNION ALL SELECT * FROM skip)
+        |         WHERE src <> dst),
+        |din AS (SELECT dst AS a, CAST(COUNT(*) AS BIGINT) AS din
+        |        FROM edges GROUP BY 1),
+        |nodes AS (SELECT DISTINCT x AS node FROM (
+        |         SELECT src AS x FROM edges UNION ALL SELECT dst FROM edges)),
+        |s0 AS MATERIALIZED (SELECT node AS pa, node AS pb,
+        |         CAST(1000000 AS BIGINT) AS s_ppm FROM nodes)""".stripMargin
+    val steps = (1 to iters).map { t =>
+      s"""sum$t AS (SELECT ea.dst AS na, eb.dst AS nb,
+         |          CAST(SUM(s.s_ppm) AS BIGINT) AS ssum
+         |        FROM s${t - 1} s
+         |        JOIN edges ea ON ea.src = s.pa
+         |        JOIN edges eb ON eb.src = s.pb
+         |        WHERE ea.dst <> eb.dst GROUP BY 1, 2),
+         |s$t AS MATERIALIZED (SELECT pa, pb, s_ppm FROM (
+         |        SELECT node AS pa, node AS pb,
+         |               CAST(1000000 AS BIGINT) AS s_ppm FROM nodes
+         |        UNION ALL
+         |        SELECT q.na, q.nb,
+         |               CAST(($cPpm::HUGEINT * q.ssum)
+         |                 // (1000000::HUGEINT * da.din * db.din) AS BIGINT)
+         |        FROM sum$t q
+         |        JOIN din da ON da.a = q.na
+         |        JOIN din db ON db.a = q.nb)
+         |      WHERE s_ppm > 0)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $head,
+       |$steps
+       |SELECT pa AS node_a, pb AS node_b, s_ppm FROM s$iters
+       |WHERE pa < pb ORDER BY 1, 2""".stripMargin
+  }
+
   private def nationApspCtes(rounds: Int): String = {
     val head =
       """nk AS (SELECT n_name, n_nationkey, ROW_NUMBER() OVER (ORDER BY n_nationkey) AS rn FROM nation),
