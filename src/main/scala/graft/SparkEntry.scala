@@ -260,6 +260,16 @@ object SparkEntry {
           n = 3, numHashes = 64, bands = 16, threshold = 0.5)
         .orderBy("id_a", "id_b")
     },
+    "q_dedup_winnow" -> { (s, d) =>
+      // winnowing fingerprints (Dedup.winnowingPairs — the MOSS
+      // selection): per-doc sliding-window minimum of md5 4-gram hashes,
+      // pairs mined through the fingerprint index, exact
+      // fingerprint-Jaccard >= 0.5 — the fourth blocking family, with
+      // the w+n-1 shared-run detection guarantee
+      Dedup.winnowingPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 4, w = 5, threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
     "q_dedup_simhash" -> { (s, d) =>
       // 64-bit SimHash from md5 halves, 4×16-bit bands (exact ≤ 3 bits by
       // pigeonhole) → full DuckDB oracle
@@ -3742,6 +3752,32 @@ object SparkEntry {
         |SELECT CAST(query_id AS BIGINT) AS query_id, CAST(rn AS INT) AS rank,
         |       doc_id, score_ppm
         |FROM r WHERE rn <= 10 ORDER BY query_id, rank""".stripMargin,
+    "q_dedup_winnow" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS wd FROM documents),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(wd[i:i+3], ' ') AS gram
+        |      FROM toks, UNNEST(range(1, greatest(len(wd)-2, 2))) t(i)),
+        |h AS (SELECT doc_id, pos,
+        |        ('0x' || substr(md5(gram), 1, 15))::BIGINT AS hv,
+        |        COUNT(*) OVER (PARTITION BY doc_id) AS m
+        |      FROM g),
+        |wm AS (SELECT doc_id, pos, m,
+        |        MIN(hv) OVER (PARTITION BY doc_id ORDER BY pos
+        |          ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS fp
+        |      FROM h),
+        |sel AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM wm
+        |        WHERE pos <= greatest(m - 4, 1)),
+        |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp
+        |        FROM sel GROUP BY 1),
+        |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(COUNT(*) AS BIGINT) AS n_shared
+        |      FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_shared,
+        |       CAST(n_shared AS DOUBLE)/(sa.n_fp + sb.n_fp - n_shared) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_shared AS DOUBLE)/(sa.n_fp + sb.n_fp - n_shared) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_dedup_minhash" ->
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
          |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle

@@ -85,6 +85,70 @@ object Dedup extends org.apache.spark.internal.Logging {
     * Returns one row per distinct content: (text_sha, n_copies, keep_id)
     * where keep_id is the smallest id — the canonical survivor.
     */
+  /** Winnowing fingerprint pairs (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS selection): hash every token n-gram, then keep only each
+    * sliding w-window's MINIMUM hash — a position-independent fingerprint
+    * set with the winnowing guarantee (any shared run of ≥ w+n−1 tokens
+    * produces at least one shared fingerprint) at ~2/(w+1) the density
+    * of the full shingle set. Pairs are mined through the fingerprint
+    * inverted index and scored by exact fingerprint-set Jaccard — the
+    * cheap fourth blocking family next to MinHash bands, SimHash bands,
+    * and sorted-neighborhood.
+    *
+    * Deterministic and oracle-exact: md5-lane gram hashes, window MIN
+    * over the doc-partitioned position order (value-selection — no
+    * rightmost-tie convention needed, the fingerprint is the min VALUE
+    * set), single final division for the Jaccard. Hot fingerprints
+    * (boilerplate shared by > maxBucketSize docs) drop loudly via
+    * [[capHotBuckets]], the standard candidate-volume bound.
+    *
+    * Output: (id_a, id_b, n_shared, jaccard) for pairs with
+    * fingerprint-Jaccard ≥ threshold, id_a < id_b.
+    */
+  def winnowingPairs(df: DataFrame, idCol: String, textCol: String,
+      n: Int = 4, w: Int = 5, threshold: Double = 0.5,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(n >= 2 && n <= 16, s"n must be in [2, 16], got $n")
+    require(w >= 2 && w <= 64, s"w must be in [2, 64], got $w")
+    import org.apache.spark.sql.expressions.Window
+    val grams = df
+      .select(col(idCol).cast("long").as("doc_id"),
+        split(col(textCol), " ").as("wd"))
+      .select(col("doc_id"), posexplode(expr(
+        s"""transform(sequence(1, greatest(size(wd) - ${n - 1}, 1)),
+           | i -> array_join(slice(wd, i, $n), ' '))""".stripMargin)))
+      .select(col("doc_id"), (col("pos") + 1).as("pos"),
+        graft.functions.functions.hex_to_long(
+          substring(md5(col("col")), 1, 15)).as("hv"))
+    val wCnt = Window.partitionBy(col("doc_id"))
+    val wMin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    val sel = grams
+      .withColumn("m", count(lit(1)).over(wCnt))
+      .withColumn("fp", min(col("hv")).over(wMin))
+      // only full windows select (last w-1 positions are covered by the
+      // windows starting before them); short docs keep their global min
+      .where(col("pos") <= greatest(col("m") - lit(w - 1), lit(1)))
+      .select(col("doc_id"), col("fp")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    val capped = capHotBuckets(sel, Seq("fp"), maxBucketSize,
+      "winnowingPairs")
+    val inter = capped.select(col("doc_id").as("id_a"), col("fp"))
+      .join(capped.select(col("doc_id").as("id_b"), col("fp")), "fp")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("sa")),
+        "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n_fp").as("sb")),
+        "id_b")
+      .withColumn("jaccard",
+        col("n_shared").cast("double") / (col("sa") + col("sb") - col("n_shared")))
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "n_shared", "jaccard")
+  }
+
   def exactDuplicates(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(sha2(col(textCol), 256).as("text_sha"), col(idCol).as("id"))
       .groupBy("text_sha")
