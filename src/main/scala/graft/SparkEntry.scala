@@ -3284,11 +3284,12 @@ object SparkEntry {
         "embedding", "label", k = 5, testModulus = 25L)
         .orderBy("train_id")
     },
-    "q_label_noise" -> { (s, d) =>
-      // kNN label-noise audit (ops/LabelNoise): per label class, how many
-      // probe points' 5 nearest neighbors mostly DISAGREE with the point's
-      // own label — the confident-learning triage before training on a
-      // labeled corpus; exact integer L2, k-slot aggregate (no window)
+    "q_label_noise_class" -> { (s, d) =>
+      // per-CLASS kNN label-noise audit (ops/LabelNoise): how many probe
+      // points' 5 nearest neighbors mostly DISAGREE with the point's own
+      // label, rolled up per label class — the confident-learning triage
+      // complement of q_label_noise's per-vector agreement counts; exact
+      // integer L2, k-slot aggregate (no window)
       graft.ops.LabelNoise.knnLabelAudit(Tables.embeddings(s, d), "vec_id",
         "embedding", "label", k = 5, probeModulus = 4L)
         .orderBy("label")
@@ -8009,7 +8010,7 @@ object SparkEntry {
         |SELECT train_id, CAST(COUNT(*) AS BIGINT) AS n_tests,
         |  CAST(SUM(shap_ppm) AS BIGINT) AS shap_sum_ppm
         |FROM suf GROUP BY 1 ORDER BY 1""".stripMargin,
-    "q_label_noise" ->
+    "q_label_noise_class" ->
       """WITH q AS (SELECT vec_id AS id, list_transform(embedding,
         |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
         |         AS v, CAST(label AS BIGINT) AS lab

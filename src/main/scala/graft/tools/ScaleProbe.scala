@@ -32,7 +32,10 @@ object ScaleProbe {
     "q_louvain" -> 64, "q_modularity" -> 64, "q_triangles" -> 64,
     "q_components_star" -> 64, "q_robustness" -> 64, "q_hyperball" -> 64,
     "q_dedup_prefix" -> 16, "q_dedup_edit" -> 16, "q_dedup_clusters" -> 16,
-    "q_ann_pq" -> 16)
+    "q_ann_pq" -> 16,
+    // round-9 additions: the new heavyweights on their distributed paths
+    "q_louvain_hier" -> 64, "q_dedup_winnow" -> 16, "q_bm25" -> 16,
+    "q_ann_multiprobe" -> 16, "q_split_leakage" -> 16)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

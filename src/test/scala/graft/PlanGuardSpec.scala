@@ -262,12 +262,12 @@ class PlanGuardSpec extends AnyFunSuite {
       s"query terms/df/corpus must broadcast:\n${p.take(1500)}")
   }
 
-  test("q_label_noise broadcasts the probe side, windowless") {
-    val p = physical("q_label_noise")
+  test("q_label_noise_class broadcasts the probe side, windowless") {
+    val p = physical("q_label_noise_class")
     assert(!p.contains("CartesianProduct"))
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
       "the sampled probe set must broadcast, never shuffle the reference side")
-    assert(treeWindows("q_label_noise").isEmpty)
+    assert(treeWindows("q_label_noise_class").isEmpty)
   }
 
   test("q_benford and q_burstiness are single-scan aggregates") {
