@@ -333,10 +333,18 @@ object Similarity {
     * (integer sign bits, exact rerank) → hash-exact DuckDB oracle
     * ([[lshMultiProbeOracle]]). Probe expansion is query-side only; the
     * stored index is identical to the single-probe variant's.
+    *
+    * `maxBucketSize` defaults TIGHTER than the single-probe variant
+    * (256 vs 1000): candidate volume is (nBits+1)·Σ|bucket|², so hot
+    * buckets hurt (nBits+1)× more here — the r9 scale probe measured a
+    * 327× blowup at 16× near-duplicate data with the 1000 cap
+    * (tools/scale_probe_r09.jsonl) and the tightened cap bounds it;
+    * at the driver's sf0.01 the largest bucket is 18 rows, so the cap
+    * never trips the oracle comparison.
     */
   def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, nBits: Int = 6, tables: Int = 2, seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 256): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val v = df.select(col(idCol).cast("long").as("id"),
