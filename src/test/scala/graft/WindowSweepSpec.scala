@@ -37,9 +37,10 @@ class WindowSweepSpec extends AnyFunSuite {
         qe: org.apache.spark.sql.execution.QueryExecution,
         exception: Exception): Unit = record(qe.executedPlan)
     private def record(plan: SparkPlan): Unit =
-      try PlanWalk.unpartitionedWindows(plan).foreach { w =>
-        captured.add((current, w.nodeName + ": " + w.simpleStringWithNodeId()))
-      } catch { case scala.util.control.NonFatal(_) => () }
+      try (PlanWalk.unpartitionedWindows(plan) ++ PlanWalk.cartesians(plan))
+        .foreach { w =>
+          captured.add((current, w.nodeName + ": " + w.simpleStringWithNodeId()))
+        } catch { case scala.util.control.NonFatal(_) => () }
   }
 
   test("register sweep listener") {
