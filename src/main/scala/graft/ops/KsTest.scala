@@ -99,6 +99,10 @@ object KsTest {
         sum(when(col("__in_a"), 1L).otherwise(0L)).as("n_a"),
         sum(when(col("__in_a"), 0L).otherwise(1L)).as("n_b"))
     sketchKs(agged)
+      // keyless groupBy always emits one row even on empty input; match
+      // twoSample's zero-rows-on-empty contract (counts are null there)
+      .where(coalesce(col("n_a"), lit(0L)) + coalesce(col("n_b"), lit(0L))
+        > 0L)
       .select(keyCols ++ Seq("n_a", "n_b", "sn_a", "sn_b", "d_num",
         "at_value", "ks_permille") map col: _*)
   }

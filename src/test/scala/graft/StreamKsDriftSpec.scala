@@ -62,6 +62,13 @@ class StreamKsDriftSpec extends AnyFunSuite {
     assert(batch.exists(r => r._5 > 0 && r._6 > 0 && r._9.isDefined))
   }
 
+  test("twoSampleSketch on empty input emits zero rows like twoSample") {
+    val empty = Seq.empty[(Boolean, Long)].toDF("in_a", "value")
+    assert(graft.ops.KsTest.twoSampleSketch(empty, "in_a", "value").count()
+      == 0L)
+    assert(graft.ops.KsTest.twoSample(empty, "in_a", "value").count() == 0L)
+  }
+
   test("sketch KS equals exact KS when k covers the whole value domain") {
     // small distinct-value domain + large k: the bottom-k sample IS the
     // full multiset, so the sketch statistic must equal twoSample exactly
