@@ -26,6 +26,12 @@ import org.apache.spark.sql.functions._
   * top-k per query via the k-slot [[graft.functions.TopKByAgg]] — no
   * window sort over the candidate table.
   *
+  * Query contract: `queries` must carry columns named `query_id` (castable
+  * to long) and `term` (string); the projected (query_id, term) pairs are
+  * DEDUPLICATED before scoring, so duplicate input rows cannot
+  * double-count a term's contribution (matching the oracle's distinct
+  * VALUES list).
+  *
   * Output: (query_id, rank, doc_id, score_ppm), rank 1..k by
   * (score desc, doc_id asc).
   */
@@ -48,7 +54,7 @@ object Bm25 {
     val corpus = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(coalesce(sum($"tf"), lit(0L)).as("s_tok")))
     val terms = queries.select(col("query_id").cast("long").as("query_id"),
-      col("term").cast("string").as("term"))
+      col("term").cast("string").as("term")).distinct()
     val dfreq = tf
       .join(broadcast(terms.select($"term".as("tok")).distinct()), "tok")
       .groupBy($"tok").agg(count(lit(1)).as("df"))
@@ -67,6 +73,12 @@ object Bm25 {
         "(CAST(idf_ppm AS DECIMAL(38,0)) * tfnorm_ppm) div 1000000"))
       .groupBy($"query_id", $"doc_id")
       .agg(sum($"contrib_ppm").as("score_ppm"))
+    // score_ppm cast to Double for the k-slot ranking: exact while
+    // |score_ppm| < 2^53. idf_ppm ≤ 10⁶·(N+1), tfnorm_ppm < 2.2·10⁶, so a
+    // per-term contrib stays ≤ 2.2·10⁶·(N+1)/1 · 1 — the bound is only
+    // reachable past ~10⁹ query terms hitting one doc; beyond 2^53 the
+    // documented oracle-exact (score desc, doc_id asc) tie order could
+    // silently diverge. Same bound note as LabelNoise's negated distance.
     scored.groupBy($"query_id")
       .agg(graft.functions.TopKByAgg.top_k_by(
         $"score_ppm".cast("double"), $"doc_id", k).as("arr"))

@@ -132,11 +132,20 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("doc_id"), col("fp")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fp"))
+    // Cap bounds CANDIDATE GENERATION only (the family convention —
+    // minHashLshPairsPortable mines through capped buckets then verifies
+    // on full shingle sets): n_shared/Jaccard re-count against the
+    // UNCAPPED fingerprint sets so a tripped hot bucket can drop a
+    // candidate pair but never deflate a surviving pair's score.
     val capped = capHotBuckets(sel, Seq("fp"), maxBucketSize,
       "winnowingPairs")
-    val inter = capped.select(col("doc_id").as("id_a"), col("fp"))
+    val candidates = capped.select(col("doc_id").as("id_a"), col("fp"))
       .join(capped.select(col("doc_id").as("id_b"), col("fp")), "fp")
       .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    val inter = candidates
+      .join(sel.select(col("doc_id").as("id_a"), col("fp")), "id_a")
+      .join(sel.select(col("doc_id").as("id_b"), col("fp")), Seq("id_b", "fp"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_shared"))
     inter
       .join(sizes.select(col("doc_id").as("id_a"), col("n_fp").as("sa")),

@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * oracle's `ROW_NUMBER() OVER (ORDER BY dist, train_id)` exactly while
   * the agreement bit rides along for free (no re-join).
   *
+  * Id domain contract: ids must be NON-NEGATIVE and < 2^62. The payload
+  * encoding `train_id·2 + eq` would overflow Long above 2^62, and the
+  * probe filter uses `pmod` while the oracle uses `%` — the two agree
+  * only on non-negative ids. The eq-bit decode uses `pmod(payload, 2)`
+  * so a contract violation yields eq ∈ {0,1} rather than −1, but the
+  * ranking itself is only oracle-exact inside the documented domain.
+  *
   * Scale contract: exact brute force over a SAMPLED probe set
   * (`probeModulus`) against the full reference side — the audit's cost
   * is the broadcast(probe) nested-loop join, exactly the documented
@@ -50,13 +57,18 @@ object LabelNoise {
           "0L, (acc, d) -> acc + d)").as("dist"),
         col("train_id"),
         when(col("plab") === col("rlab"), 1L).otherwise(0L).as("eq"))
+    // −dist cast to Double for the k-slot ranking: exact while
+    // dist < 2^53 (grid is 1e4·unit-scale values, so dim·(2e4·range)²
+    // must stay under 9e15 — holds for any normalized-embedding input);
+    // beyond that, ordering could diverge from the oracle's exact
+    // integer ROW_NUMBER — same documented bound as Bm25.topKDocs.
     val topk = pairs
       .groupBy(col("probe_id"), col("plab"))
       .agg(graft.functions.TopKByAgg.top_k_by(
         (lit(0L) - col("dist")).cast("double"),
         col("train_id") * 2L + col("eq"), k).as("arr"))
       .select(col("probe_id"), col("plab"),
-        expr("aggregate(arr, 0L, (acc, x) -> acc + x.neighbor_id % 2)")
+        expr("aggregate(arr, 0L, (acc, x) -> acc + pmod(x.neighbor_id, 2L))")
           .as("eq_k"),
         size(col("arr")).cast("long").as("k_eff"))
     topk.groupBy(col("plab").as("label"))

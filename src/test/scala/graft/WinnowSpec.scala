@@ -45,6 +45,26 @@ class WinnowSpec extends AnyFunSuite {
     assert(row._3 < 120, s"expected winnowed density, got ${row._3}")
   }
 
+  test("hot-bucket cap bounds candidates only: surviving pairs score on uncapped sets") {
+    // all 4 docs share the 8-token run H -> one common fingerprint whose
+    // bucket (4 docs) trips maxBucketSize = 3 and is dropped from
+    // candidate mining; docs 1/2 are IDENTICAL, so their pair must still
+    // be mined through the other buckets AND score jaccard exactly 1.0 —
+    // n_shared must come from the uncapped fingerprint sets, not the
+    // capped ones (else the shared-hot fp deflates it below 1.0)
+    val h = "hot1 hot2 hot3 hot4 hot5 hot6 hot7 hot8"
+    val docs = Seq(
+      (1L, s"a1 a2 a3 a4 a5 a6 $h b1 b2 b3 b4 b5 b6"),
+      (2L, s"a1 a2 a3 a4 a5 a6 $h b1 b2 b3 b4 b5 b6"),
+      (3L, s"c1 c2 c3 c4 c5 c6 $h d1 d2 d3 d4 d5 d6"),
+      (4L, s"e1 e2 e3 e4 e5 e6 $h f1 f2 f3 f4 f5 f6"))
+    val got = graft.ops.Dedup.winnowingPairs(docs.toDF("doc_id", "text"),
+        "doc_id", "text", n = 4, w = 5, threshold = 0.9, maxBucketSize = 3)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._4 == 1.0),
+      s"expected uncapped-jaccard 1.0 for the identical pair: ${got.mkString(",")}")
+  }
+
   test("partition-invariant") {
     val docs = (1L to 30L).map(i =>
       (i, (1 to 40).map(j => s"t${(i * 7 + j * 3) % 23}").mkString(" ")))
