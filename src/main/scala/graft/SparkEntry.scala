@@ -372,6 +372,16 @@ object SparkEntry {
           nCells = 16, nProbe = 4, kmeansIters = 3, sampleN = 200, seed = 42L)
         .orderBy("query_id", "rank")
     },
+    "q_ann_ivfpq" -> { (s, d) =>
+      // IVF-PQ (IVFADC): coarse cells restrict WHICH codes a query scores,
+      // residual product codes are WHAT it scores them with — PQ's
+      // sub-quadratic scale path (q_ann_pq's exhaustive ADC scan never
+      // runs here); all-integer residual ADC → hash-exact oracle
+      Similarity.ivfPqTopKPortable(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, k = 5, nCells = 16, nProbe = 4, m = 16,
+          ksub = 16, candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L)
+        .orderBy("query_id", "rank")
+    },
     "q_tokenize" -> { (s, d) =>
       // real greedy longest-match subword tokenization against the
       // explicit vocab; head_toks cell-compares the actual token SEQUENCE
@@ -2273,6 +2283,21 @@ object SparkEntry {
           .withColumn("method", lit("pq")))
         .orderBy("method", "query_id")
     },
+    "q_ann_recall_ivfpq" -> { (s, d) =>
+      // recall@5 of the composed IVF-PQ index vs exact brute force — the
+      // audit the verdict asked to sit alongside q_ann_recall2, closing
+      // the loop on PQ's sub-quadratic path (accuracy, not just shape)
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val ivfpq = Similarity.ivfPqTopKPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5, nCells = 16, nProbe = 4, m = 16, ksub = 16,
+          candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L)
+        .where(col("query_id") < 20)
+      graft.ops.AnnAudit.recallAtK(truth, ivfpq).orderBy("query_id")
+    },
     "q_topk_drift" -> { (s, d) =>
       // week-over-week top-10 part churn (Trend.topKChurn): leaderboard
       // Jaccard via k-slot string aggregates — the drift alarm per-item
@@ -3860,6 +3885,9 @@ object SparkEntry {
     "q_ann_ivf" -> graft.ops.Similarity.ivfPortableOracle(
       dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
       sampleN = 200, seed = 42L),
+    "q_ann_ivfpq" -> graft.ops.Similarity.ivfPqPortableOracle(
+      dim = 64, k = 5, nCells = 16, nProbe = 4, m = 16, ksub = 16,
+      candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L),
     "q_ann_multiprobe" -> graft.ops.Similarity.lshMultiProbeOracle(
       dim = 64, k = 5, nBits = 6, tables = 2, seed = 42L),
     "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
@@ -6384,6 +6412,21 @@ object SparkEntry {
          |SELECT method, query_id, n_truth, n_hits,
          |  (1000 * n_hits) // n_truth AS recall_permille
          |FROM ra ORDER BY method, query_id""".stripMargin,
+    "q_ann_recall_ivfpq" ->
+      s"""WITH $annAuditCtes,
+         |ivfpq AS (SELECT * FROM (
+         |${graft.ops.Similarity.ivfPqPortableOracle(dim = 64, k = 5,
+              nCells = 16, nProbe = 4, m = 16, ksub = 16, candR = 50,
+              kmeansIters = 2, sampleN = 200, seed = 42L)})),
+         |ra AS (SELECT b.query_id, COUNT(*) AS n_truth,
+         |         CAST(SUM(CASE WHEN a.neighbor_id IS NOT NULL
+         |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |       FROM bf b LEFT JOIN ivfpq a
+         |         ON a.query_id = b.query_id AND a.neighbor_id = b.neighbor_id
+         |       GROUP BY 1)
+         |SELECT query_id, n_truth, n_hits,
+         |  (1000 * n_hits) // n_truth AS recall_permille
+         |FROM ra ORDER BY query_id""".stripMargin,
     "q_topk_drift" ->
       """WITH c AS (SELECT epoch_us(l_shipdate) // 604800000000 AS period,
         |             'P' || CAST(l_partkey AS VARCHAR) AS item,

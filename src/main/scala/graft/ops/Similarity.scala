@@ -852,6 +852,320 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
+  /** IVF-PQ (IVFADC, Jégou et al. 2011) — the composed form both parents
+    * promise: [[ivfTopKPortable]]'s coarse inverted file restricts which
+    * codes a query ever scores, and [[pqTopKPortable]]'s product codes are
+    * what it scores them WITH. Per-subspace codebooks train on the
+    * sample's coarse-cell RESIDUALS (x − centroid(x)), queries probe their
+    * `nProbe` nearest cells and rank that subset by asymmetric distance
+    * (per-(query, cell) LUT over the residual basis), and the global
+    * top-`candR` candidates rerank by exact cosine.
+    *
+    * This is PQ's sub-quadratic scale path (the fix for the exhaustive
+    * [[pqTopKPortable]] scan): ADC work per query is the PROBED CELLS'
+    * population, not the corpus — at fixed cell occupancy (cells grown
+    * with the corpus, the standard IVF sizing) per-query cost is flat.
+    * The distributed shape is a cogroup on `cell`: probing queries
+    * materialize (one LUT each, m·ksub doubles), the cell's codes STREAM
+    * through a bounded per-query top-candR heap, and only (query,
+    * neighbor, adc) survivors shuffle — raw vectors are touched again
+    * only for the candR rerank joins. Parallelism is bounded by nCells
+    * (the knob to raise at scale, like ivfTopKPortable's note).
+    *
+    * Portability discipline is the parents' exactly: ×10000 quantization,
+    * [[unitize]] to the unit grid (ADC L2 ranks like the cosine the exact
+    * operators rank by), floor-of-mean Lloyd with literal seeded init,
+    * (dist, cell) argmin tiebreaks, integer-exact distances (residual
+    * components ≤ 2·10⁴, so Σ over dim ≤ ~2.6·10¹⁰ ≪ 2^53), candidate
+    * cut by ROW_NUMBER-equivalent (adc asc, id asc). Whole computation
+    * reproduces in DuckDB ([[ivfPqPortableOracle]]).
+    * Returns (query_id, rank, neighbor_id, cosine). */
+  def ivfPqTopKPortable(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
+      ksub: Int = 16, candR: Int = 50, kmeansIters: Int = 2,
+      sampleN: Int = 200, seed: Long = 42L): DataFrame = {
+    require(candR >= k, s"candR=$candR must be >= k=$k")
+    require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
+    require(nProbe >= 1 && nProbe <= nCells,
+      s"nProbe=$nProbe must be in [1, nCells=$nCells]")
+    require(nCells <= sampleN && ksub <= sampleN,
+      s"codebooks need nCells=$nCells and ksub=$ksub <= sampleN=$sampleN")
+    val subDim = dim / m
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("vec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions(_.map { case (id, vec) => (id, unitize(vec)) })
+      .toDF("id", "vec")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val sample = v.orderBy("id").limit(sampleN)
+      .as[(Long, Array[Double])].collect().map(_._2)
+    require(sample.length == sampleN,
+      s"portable IVF-PQ needs exactly $sampleN sample vectors (got ${sample.length})")
+    def lloyd(pts: Array[Array[Double]], nC: Int, sd: Long): Array[Array[Double]] = {
+      val d = pts.head.length
+      var cs = ivfInitIndices(pts.length, nC, sd).map(pts).toArray
+      for (_ <- 0 until kmeansIters) {
+        val sums = Array.fill(cs.length)(new Array[Double](d))
+        val counts = Array.fill(cs.length)(0L)
+        pts.foreach { x =>
+          val c = nearestCentroid(x, cs)
+          var i = 0; while (i < d) { sums(c)(i) += x(i); i += 1 }
+          counts(c) += 1
+        }
+        cs = cs.indices.map { c =>
+          if (counts(c) == 0) cs(c)
+          else {
+            val mn = new Array[Double](d); var i = 0
+            while (i < d) { mn(i) = math.floor(sums(c)(i) / counts(c)); i += 1 }
+            mn
+          }
+        }.toArray
+      }
+      cs
+    }
+    val coarse = lloyd(sample, nCells, seed)
+    // PQ codebooks on the sample's residuals w.r.t. the FINAL coarse cells
+    val residuals = sample.map { x =>
+      val c = nearestCentroid(x, coarse)
+      val r = new Array[Double](dim); var i = 0
+      while (i < dim) { r(i) = x(i) - coarse(c)(i); i += 1 }
+      r
+    }
+    val books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      lloyd(residuals.map(_.slice(s * subDim, (s + 1) * subDim)), ksub, seed + s)
+    }
+    val bcCoarse = spark.sparkContext.broadcast(coarse)
+    val bcBooks = spark.sparkContext.broadcast(books)
+
+    // inverted file: (cell, id, residual code) — m small ints per vector
+    val codes = v.as[(Long, Array[Double])].mapPartitions { it =>
+      val cc = bcCoarse.value; val bk = bcBooks.value
+      it.map { case (id, vec) =>
+        val c = nearestCentroid(vec, cc)
+        val code = Array.tabulate(m) { s =>
+          val off = s * subDim
+          val r = new Array[Double](subDim); var i = 0
+          while (i < subDim) { r(i) = vec(off + i) - cc(c)(off + i); i += 1 }
+          nearestCentroid(r, bk(s))
+        }
+        (c, id, code)
+      }
+    }
+    // each query probes its nProbe nearest coarse cells by (dist, cell)
+    val probes = v.as[(Long, Array[Double])].mapPartitions { it =>
+      val cc = bcCoarse.value
+      it.flatMap { case (id, vec) =>
+        cc.indices.map(c => (c, sqDist(vec, cc(c))))
+          .sortBy { case (c, d) => (d, c) }
+          .take(nProbe).map { case (c, _) => (c, id, vec) }
+      }
+    }
+    val adcOrd = Ordering.Tuple2[Double, Long]
+    val perCell = probes.groupByKey(_._1).cogroup(codes.groupByKey(_._1)) {
+      (cell, qit, cit) =>
+        val qs = qit.toArray
+        if (qs.isEmpty) Iterator.empty
+        else {
+          val cc = bcCoarse.value; val bk = bcBooks.value
+          // one LUT per probing query on THIS cell's residual basis:
+          // LUT(s)(c) = ||(q − coarse_cell)_s − book_s(c)||²
+          val st = qs.map { case (_, qid, qv) =>
+            val lut = Array.tabulate(m, ksub) { (s, c2) =>
+              var d = 0.0; var i = 0; val off = s * subDim
+              val cv = bk(s)(c2); val ccv = cc(cell)
+              while (i < subDim) {
+                val diff = (qv(off + i) - ccv(off + i)) - cv(i)
+                d += diff * diff; i += 1
+              }
+              d
+            }
+            // max-heap on (adc, id): head = current worst of the best candR
+            (qid, lut, scala.collection.mutable.PriorityQueue.empty[(Double, Long)](adcOrd))
+          }
+          cit.foreach { case (_, nid, code) =>
+            var qi = 0
+            while (qi < st.length) {
+              val (qid, lut, heap) = st(qi)
+              if (nid != qid) {
+                var d = 0.0; var s = 0
+                while (s < m) { d += lut(s)(code(s)); s += 1 }
+                if (heap.size < candR) heap.enqueue((d, nid))
+                else if (adcOrd.lt((d, nid), heap.head)) {
+                  heap.dequeue(); heap.enqueue((d, nid))
+                }
+              }
+              qi += 1
+            }
+          }
+          st.iterator.flatMap { case (qid, _, heap) =>
+            heap.iterator.map { case (d, nid) => (qid, nid, d) }
+          }
+        }
+    }.toDF("query_id", "neighbor_id", "adc")
+    // global top-candR per query by (adc asc, id asc): k-slot aggregate
+    // over the ≤ nProbe·candR per-cell survivors — ≡ the oracle's
+    // ROW_NUMBER cut (adc is integer-valued, exact in double)
+    val cand = perCell.groupBy($"query_id")
+      .agg(graft.functions.TopKByAgg.top_k_by(
+        lit(0d) - $"adc", $"neighbor_id", candR).as("arr"))
+      .select($"query_id", explode($"arr").as("e"))
+      .select($"query_id", $"e.neighbor_id".as("neighbor_id"))
+    // exact-cosine rerank of the candidates — pqTopKPortable's shape
+    val pairs = cand
+      .join(v.select($"id".as("query_id"), $"vec".as("qvec")), "query_id")
+      .join(v.select($"id".as("neighbor_id"), $"vec".as("nvec")), "neighbor_id")
+      .select($"query_id", $"qvec", $"neighbor_id", $"nvec")
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions(_.map { case (q, qv, nb, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKPerQuery(pairs, k)
+  }
+
+  /** DuckDB mirror of [[ivfPqTopKPortable]] on the `embeddings` table:
+    * the coarse Lloyd chain (g-prefixed CTEs) feeds a sample-residual
+    * table on which the long-format PQ chain (p-prefixed, (s, cell, j)
+    * rows) trains; corpus cells/codes are the two argmins, the per-
+    * (query, probed-cell) LUT is one grouped join on the residual basis,
+    * and ADC is the LUT × neighbor-code join summed over subspaces. */
+  private[graft] def ivfPqPortableOracle(dim: Int, k: Int, nCells: Int,
+      nProbe: Int, m: Int, ksub: Int, candR: Int, kmeansIters: Int,
+      sampleN: Int, seed: Long): String = {
+    val subDim = dim / m
+    val coarseInit = ivfInitIndices(sampleN, nCells, seed).zipWithIndex
+      .map { case (rnIdx, cell) => s"($cell, ${rnIdx + 1})" }.mkString(", ")
+    val pqInit = (0 until m).flatMap { s =>
+      ivfInitIndices(sampleN, ksub, seed + s).zipWithIndex
+        .map { case (rnIdx, cell) => s"($s, $cell, ${rnIdx + 1})" }
+    }.mkString(", ")
+    val coarseIters = (1 to kmeansIters).map { i =>
+      s"""gd$i AS (SELECT u.rn, c.cell,
+         |           SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+         |         FROM sampu u JOIN g${i - 1} c ON c.j = u.j
+         |         GROUP BY u.rn, c.cell),
+         |ga$i AS (SELECT rn, cell FROM (
+         |           SELECT rn, cell,
+         |                  ROW_NUMBER() OVER (PARTITION BY rn ORDER BY dist, cell) AS r
+         |           FROM gd$i) WHERE r = 1),
+         |g$i AS (SELECT p.cell, p.j, COALESCE(u2.val, p.cv) AS cv
+         |        FROM g${i - 1} p LEFT JOIN (
+         |          SELECT a.cell, u.j, FLOOR(SUM(u.x) / COUNT(*)) AS val
+         |          FROM ga$i a JOIN sampu u ON u.rn = a.rn
+         |          GROUP BY a.cell, u.j) u2
+         |        ON u2.cell = p.cell AND u2.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    val pqIters = (1 to kmeansIters).map { i =>
+      s"""pd$i AS (SELECT u.rn, c.s, c.cell,
+         |           SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+         |         FROM sres u JOIN p${i - 1} c ON c.j = u.j AND c.s = u.s
+         |         GROUP BY u.rn, c.s, c.cell),
+         |pa$i AS (SELECT rn, s, cell FROM (
+         |           SELECT rn, s, cell,
+         |                  ROW_NUMBER() OVER (PARTITION BY rn, s ORDER BY dist, cell) AS r
+         |           FROM pd$i) WHERE r = 1),
+         |p$i AS (SELECT p.s, p.cell, p.j, COALESCE(u2.val, p.cv) AS cv
+         |        FROM p${i - 1} p LEFT JOIN (
+         |          SELECT a.s, a.cell, u.j, FLOOR(SUM(u.x) / COUNT(*)) AS val
+         |          FROM pa$i a JOIN sres u ON u.rn = a.rn AND u.s = a.s
+         |          GROUP BY a.s, a.cell, u.j) u2
+         |        ON u2.s = p.s AND u2.cell = p.cell AND u2.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q0 AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v0
+       |           FROM embeddings),
+       |nrm0 AS (SELECT id, SQRT((SELECT SUM(x * x) FROM UNNEST(v0) t(x))) AS nr
+       |         FROM q0),
+       |q AS (SELECT q0.id, CASE WHEN n.nr = 0 THEN q0.v0
+       |        ELSE list_transform(q0.v0,
+       |          x -> FLOOR((x * CAST(10000.0 AS DOUBLE)) / n.nr)) END AS v
+       |      FROM q0 JOIN nrm0 n ON n.id = q0.id),
+       |samp AS (SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn
+       |         FROM (SELECT id, v FROM q ORDER BY id LIMIT $sampleN)),
+       |sampu AS (SELECT rn, j, v[j] AS x
+       |          FROM samp, UNNEST(range(1, ${dim + 1})) t(j)),
+       |g0 AS (SELECT i.cell, u.j, u.x AS cv
+       |       FROM (VALUES $coarseInit) i(cell, rn) JOIN sampu u ON u.rn = i.rn),
+       |$coarseIters,
+       |sd AS (SELECT u.rn, c.cell, SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+       |       FROM sampu u JOIN g$kmeansIters c ON c.j = u.j
+       |       GROUP BY u.rn, c.cell),
+       |sa AS (SELECT rn, cell FROM (
+       |         SELECT rn, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY rn ORDER BY dist, cell) AS r
+       |         FROM sd) WHERE r = 1),
+       |sres AS (SELECT u.rn, u.j, CAST((u.j - 1) // $subDim AS INT) AS s,
+       |           u.x - c.cv AS x
+       |         FROM sampu u JOIN sa ON sa.rn = u.rn
+       |         JOIN g$kmeansIters c ON c.cell = sa.cell AND c.j = u.j),
+       |p0 AS (SELECT i.s, i.cell, r.j, r.x AS cv
+       |       FROM (VALUES $pqInit) i(s, cell, rn)
+       |       JOIN sres r ON r.rn = i.rn AND r.s = i.s),
+       |$pqIters,
+       |qu AS (SELECT id, j, v[j] AS x FROM q, UNNEST(range(1, ${dim + 1})) t(j)),
+       |dall AS (SELECT u.id, c.cell, SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+       |         FROM qu u JOIN g$kmeansIters c ON c.j = u.j
+       |         GROUP BY u.id, c.cell),
+       |rankedcells AS (SELECT id, cell,
+       |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
+       |                FROM dall),
+       |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe),
+       |qres AS (SELECT u.id, u.j, CAST((u.j - 1) // $subDim AS INT) AS s,
+       |           u.x - c.cv AS x
+       |         FROM qu u JOIN assign a ON a.id = u.id
+       |         JOIN g$kmeansIters c ON c.cell = a.cell AND c.j = u.j),
+       |pcd AS (SELECT r.id, b.s, b.cell,
+       |          SUM((r.x - b.cv) * (r.x - b.cv)) AS dist
+       |        FROM qres r JOIN p$kmeansIters b ON b.s = r.s AND b.j = r.j
+       |        GROUP BY r.id, b.s, b.cell),
+       |pcode AS (SELECT id, s, cell FROM (
+       |            SELECT id, s, cell,
+       |                   ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cell) AS r
+       |            FROM pcd) WHERE r = 1),
+       |pru AS (SELECT u.id, p.cell AS pc, u.j,
+       |          CAST((u.j - 1) // $subDim AS INT) AS s, u.x - c.cv AS x
+       |        FROM qu u JOIN probe p ON p.id = u.id
+       |        JOIN g$kmeansIters c ON c.cell = p.cell AND c.j = u.j),
+       |lut AS (SELECT r.id, r.pc, b.s, b.cell,
+       |          SUM((r.x - b.cv) * (r.x - b.cv)) AS dist
+       |        FROM pru r JOIN p$kmeansIters b ON b.s = r.s AND b.j = r.j
+       |        GROUP BY r.id, r.pc, b.s, b.cell),
+       |adc AS (SELECT l.id AS query_id, nc.id AS neighbor_id,
+       |          SUM(l.dist) AS adist
+       |        FROM lut l
+       |        JOIN assign na ON na.cell = l.pc AND na.id <> l.id
+       |        JOIN pcode nc ON nc.id = na.id AND nc.s = l.s AND nc.cell = l.cell
+       |        GROUP BY l.id, nc.id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY adist ASC, neighbor_id ASC) AS r
+       |           FROM adc) WHERE r <= $candR),
+       |n AS (SELECT id, (SELECT SUM(x * x) FROM UNNEST(v) t(x)) AS nrm FROM q),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |             (SELECT SUM(qq.v[i] * nv.v[i])
+       |              FROM UNNEST(range(1, ${dim + 1})) t(i)) /
+       |               SQRT(nq.nrm * nn.nrm) AS cosine
+       |           FROM cand c
+       |           JOIN q qq ON qq.id = c.query_id
+       |           JOIN q nv ON nv.id = c.neighbor_id
+       |           JOIN n nq ON nq.id = c.query_id
+       |           JOIN n nn ON nn.id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private def nearestCentroid(x: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
