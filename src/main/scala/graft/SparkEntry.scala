@@ -1075,6 +1075,27 @@ object SparkEntry {
           sum(length(col("payload")).cast("long")).as("tot_bytes"))
         .orderBy("kind", "format")
     },
+    "q_multimodal_imageio" -> { (s, d) =>
+      // REAL image decode through the AssetDecoder boundary: synthesize a
+      // tiny constant-gray PNG per doc (dims + gray derived from doc_id by
+      // formula), decode with pure-JVM javax.imageio, report the DECODED
+      // width/height/format/luma. The oracle re-derives the formula from
+      // doc_id alone — it matches only if the PNG encode→decode round
+      // trip really happened (no stub involved)
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.mapPartitions(_.map { id =>
+        val w = (1 + id % 16).toInt
+        val h = (1 + (id / 16) % 16).toInt
+        val gray = (id % 256).toInt
+        (id, "image", Multimodal.syntheticPng(w, h, gray))
+      }).toDF("asset_id", "kind", "payload")
+      Multimodal.decodeAssetsWithStats(assets, Multimodal.ImageIoDecoder)
+        .select(col("asset_id"), col("width"), col("height"), col("format"),
+          expr("luma_sum div n_pixels").as("gray"))
+        .orderBy("asset_id")
+    },
     "q_multimodal_ann" -> { (s, d) =>
       // the full multimodal story in ONE plan: binary payloads →
       // partition-wise decode → portable md5-lane features → bucketed
@@ -4333,6 +4354,13 @@ object SparkEntry {
         |       CAST(SUM(width) AS BIGINT) AS tot_width,
         |       CAST(SUM(nbytes) AS BIGINT) AS tot_bytes
         |FROM d GROUP BY kind, format ORDER BY kind, format""".stripMargin,
+    "q_multimodal_imageio" ->
+      """SELECT doc_id AS asset_id,
+        |  CAST(1 + doc_id % 16 AS INT) AS width,
+        |  CAST(1 + (doc_id // 16) % 16 AS INT) AS height,
+        |  'png' AS format,
+        |  doc_id % 256 AS gray
+        |FROM documents ORDER BY asset_id""".stripMargin,
     "q_multimodal_ann" -> graft.ops.Similarity.lshPortableOracle(
       dim = 8, k = 3, nBits = 4, tables = 2, seed = 42L,
       qSelect = {

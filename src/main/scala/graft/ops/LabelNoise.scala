@@ -48,8 +48,11 @@ object LabelNoise {
     val probe = q.where(pmod(col("id"), lit(probeModulus)) === 0L)
       .select(col("id").as("probe_id"), col("v").as("pv"),
         col("lab").as("plab"))
-    val ref = q.select(col("id").as("train_id"), col("v").as("rv"),
-      col("lab").as("rlab"))
+    // widen(): the reference side streams O(|probes|·dim) work per row
+    // through the broadcast nested-loop join — a single-file scan must
+    // not funnel it into one task (Similarity.widen, r10 probe lesson)
+    val ref = Similarity.widen(q.select(col("id").as("train_id"),
+      col("v").as("rv"), col("lab").as("rlab")), "train_id")
     val pairs = broadcast(probe).join(ref,
         col("probe_id") =!= col("train_id")) // self is never a neighbor
       .select(col("probe_id"), col("plab"),

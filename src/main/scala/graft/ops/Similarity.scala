@@ -42,6 +42,21 @@ object Similarity {
     * (bit-identical to the aggregate/zip_with formulation it replaced,
     * ~10× faster — higher-order array expressions are interpreted).
     */
+  /** Widen a compute-bound side to full parallelism when its scan yields
+    * fewer partitions than cores: Spark sizes splits by BYTES
+    * (`maxPartitionBytes`), but a broadcast-nested-loop/ADC operator does
+    * O(corpus) or O(dim·candidates) work PER ROW, so a small single-file
+    * input otherwise funnels the whole scoring loop through one task
+    * (r10 full-gate probe: q_ann_ivf ×16 pinned a lone task at 455 s CPU
+    * while 31 cores idled). No-op when the input is already wide — real-
+    * scale multi-file scans add no shuffle. Hash-repartitioning by the id
+    * column is deterministic in CONTENT; all downstream per-row work is
+    * order-free. */
+  private[graft] def widen(df: DataFrame, keyCol: String): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p, col(keyCol)) else df
+  }
+
   def cosine(a: Column, b: Column): Column = {
     import graft.functions.ArrayDot.array_dot
     array_dot(a, b) / sqrt(array_dot(a, a) * array_dot(b, b))
@@ -116,7 +131,8 @@ object Similarity {
     import spark.implicits._
     val (ids, vecs, norms) = collectVectors(corpus, idCol, vecCol, maxCorpusVectors)
     val bc = spark.sparkContext.broadcast((ids, vecs, norms))
-    queries.select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+    widen(queries.select(col(qIdCol).cast("long").as("__qid"),
+        col(qVecCol).cast("array<double>").as("__qv")), "__qid")
       .as[(Long, Array[Double])]
       .mapPartitions { it =>
         val (cIds, cVecs, cNorms) = bc.value
@@ -170,8 +186,8 @@ object Similarity {
       labelCol: String, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
       col(labelCol).as("__ql"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"),
-      col(labelCol).as("__cl"))
+    val c = widen(corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).as("__cv"), col(labelCol).as("__cl")), "neighbor_id")
     val pairs = c.join(broadcast(q),
         col("query_id") =!= col("neighbor_id") && col("__ql") =!= col("__cl"))
       .select(col("query_id"), col("neighbor_id"),
@@ -550,7 +566,10 @@ object Similarity {
     // any hot cell serializes (r2 What's-wrong #2). The portable variant
     // caps the corpus at oracle scale, so the build side always fits; the
     // scale variant [[ivfTopK]] uses the salted join instead.
-    val pairs = probes.join(broadcast(assigned), "cell")
+    // widen() the probe table before the broadcast join: it inherits the
+    // scan's partitioning, and a small single-file input otherwise
+    // funnels the ENTIRE nq·nProbe·|cell| scoring loop through one task.
+    val pairs = widen(probes, "query_id").join(broadcast(assigned), "cell")
       .where(col("query_id") =!= col("id"))
       .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
       .as[(Long, Array[Double], Long, Array[Double])]
@@ -727,7 +746,10 @@ object Similarity {
         "compose with IVF cells (IVF-PQ) instead of the exhaustive scan")
     val bcCodes = spark.sparkContext.broadcast(codes)
 
-    val candidates = v.as[(Long, Array[Double])].mapPartitions { it =>
+    // widen() the query side first: the scan-shaped Dataset otherwise
+    // runs the whole nq×N ADC loop in one task on single-file inputs
+    val candidates = widen(v, "id").as[(Long, Array[Double])]
+      .mapPartitions { it =>
       val bk = bcBooks.value
       val cds = bcCodes.value
       it.flatMap { case (qid, qv) =>

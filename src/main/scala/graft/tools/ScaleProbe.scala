@@ -24,6 +24,23 @@ import org.apache.spark.sql.functions._
   * factor, ratio — redirect to tools/scale_probe_r{N}.jsonl. Scaled
   * tables are cached under SPARK_GRAFT_SCALE_DIR (default
   * /tmp/graft_scale) and rebuilt only when missing.
+  *
+  * FULL-GATE mode (VERDICT r9 item 2): `runMain graft.tools.ScaleProbe
+  * --full` probes EVERY SparkEntry query against a COHERENT ×16 replica
+  * set — unlike the deep-probe dir (whose lineitem is ×64 and whose
+  * dimensions are passthrough), here every scale-bearing table
+  * (lineitem, orders, customer, supplier, part, documents, embeddings,
+  * events) replicates ×16 with JOIN-CONSISTENT key offsets (orderkey
+  * +rep·1e8, custkey/partkey +rep·1e7, suppkey +rep·1e6 on both fact and
+  * dimension sides), so fact⋈dim queries keep their match rate at scale.
+  * nation/region stay passthrough (fixed-cardinality dims, as in TPC-H
+  * scaling). FLAG RULE: a query is flagged when scaled time exceeds
+  * 2× LINEAR (scaled_sec > 2 · factor · base_sec) AND scaled_sec > 5 s
+  * (sub-second queries are dominated by fixed job-launch overhead, where
+  * ratios are noise, not scaling evidence). Graph queries whose local-
+  * replay gates don't trip at ×16 measure the gated path that genuinely
+  * runs at that size; their distributed paths are covered by the ×64
+  * deep-probe lines.
   */
 object ScaleProbe {
 
@@ -50,25 +67,114 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    buildScaledTables(spark, sfDir, outDir)
+    val full = args.contains("--full")
+    val rest = args.filterNot(_ == "--full")
 
-    val wanted =
-      if (args.nonEmpty) defaultProbes.filter(p => args.contains(p._1))
-      else defaultProbes
-    wanted.foreach { case (name, factor) =>
+    val wanted: Seq[(String, Int, String)] =
+      if (full) {
+        val dir16 = sys.env.getOrElse("SPARK_GRAFT_SCALE16_DIR",
+          "/tmp/graft_scale16")
+        buildScaledTables16(spark, sfDir, dir16)
+        val keys = graft.SparkEntry.queries.keys.toSeq.sorted
+        val all = (if (rest.nonEmpty) keys.filter(rest.contains) else keys)
+          .map(q => (q, 16, dir16))
+        // append the deep ×64 graph lines (distributed paths past gates)
+        buildScaledTables(spark, sfDir, outDir)
+        all ++ defaultProbes
+          .filter { case (q, f) => f == 64 && (rest.isEmpty || rest.contains(q)) }
+          .map { case (q, f) => (q, f, outDir) }
+      } else {
+        buildScaledTables(spark, sfDir, outDir)
+        val base = if (rest.nonEmpty) defaultProbes.filter(p => rest.contains(p._1))
+                   else defaultProbes
+        base.map { case (q, f) => (q, f, outDir) }
+      }
+    wanted.foreach { case (name, factor, dir) =>
       val fn = graft.SparkEntry.queries(name)
-      def timed(dir: String): (Double, Long) = {
+      def timed(d: String): (Double, Long) = {
         sweep(spark)
         val t0 = System.nanoTime()
-        val n = fn(spark, dir).count()
+        val n = fn(spark, d).count()
         ((System.nanoTime() - t0) / 1e9, n)
       }
-      val (baseSec, baseRows) = timed(sfDir)
-      val (scaledSec, scaledRows) = timed(outDir)
-      val ratio = if (baseSec > 0) scaledSec / baseSec else -1.0
-      println(f"""{"query":"$name","factor":$factor,"base_sec":$baseSec%.2f,"scaled_sec":$scaledSec%.2f,"ratio":$ratio%.2f,"base_rows":$baseRows,"scaled_rows":$scaledRows}""")
+      try {
+        val (baseSec, baseRows) = timed(sfDir)
+        val (scaledSec, scaledRows) = timed(dir)
+        val ratio = if (baseSec > 0) scaledSec / baseSec else -1.0
+        val flagged = scaledSec > 2.0 * factor * baseSec && scaledSec > 5.0
+        println(f"""{"query":"$name","factor":$factor,"base_sec":$baseSec%.2f,"scaled_sec":$scaledSec%.2f,"ratio":$ratio%.2f,"base_rows":$baseRows,"scaled_rows":$scaledRows,"flagged":$flagged}""")
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          val msg = (Option(e.getMessage).getOrElse(e.getClass.getName))
+            .replaceAll("[\"\\\\\n\r\t]", " ").take(200)
+          println(s"""{"query":"$name","factor":$factor,"error":"$msg","flagged":true}""")
+      }
     }
     spark.stop()
+  }
+
+  /** Coherent ×16 replica set for the FULL-gate probe: every scale-
+    * bearing table replicates with join-consistent key offsets so
+    * fact⋈dim match rates survive; nation/region passthrough. */
+  def buildScaledTables16(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_PROBE_READY")
+    if (java.nio.file.Files.exists(marker)) return
+    def reps = spark.range(16).toDF("rep")
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    w(t("lineitem").crossJoin(broadcast(reps))
+      .select((col("l_orderkey") + col("rep") * 100000000L).as("l_orderkey"),
+        (col("l_partkey") + col("rep") * 10000000L).as("l_partkey"),
+        (col("l_suppkey") + col("rep") * 1000000L).as("l_suppkey"),
+        col("l_linenumber"), col("l_quantity"), col("l_extendedprice"),
+        col("l_discount"), col("l_tax"), col("l_returnflag"),
+        col("l_linestatus"), col("l_shipdate")), "lineitem")
+    w(t("orders").crossJoin(broadcast(reps))
+      .select((col("o_orderkey") + col("rep") * 100000000L).as("o_orderkey"),
+        (col("o_custkey") + col("rep") * 10000000L).as("o_custkey"),
+        col("o_orderstatus"), col("o_totalprice"), col("o_orderdate"),
+        col("o_orderpriority")), "orders")
+    w(t("customer").crossJoin(broadcast(reps))
+      .select((col("c_custkey") + col("rep") * 10000000L).as("c_custkey"),
+        concat(col("c_name"), lit("_r"), col("rep")).as("c_name"),
+        col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")), "customer")
+    w(t("supplier").crossJoin(broadcast(reps))
+      .select((col("s_suppkey") + col("rep") * 1000000L).as("s_suppkey"),
+        concat(col("s_name"), lit("_r"), col("rep")).as("s_name"),
+        col("s_nationkey"), col("s_acctbal")), "supplier")
+    w(t("part").crossJoin(broadcast(reps))
+      .select((col("p_partkey") + col("rep") * 10000000L).as("p_partkey"),
+        concat(col("p_name"), lit("_r"), col("rep")).as("p_name"),
+        col("p_brand"), col("p_type"), col("p_size"),
+        col("p_retailprice")), "part")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val rotCase = (0 until 16).map { r =>
+      val to = alpha.drop(r % 26) + alpha.take(r % 26)
+      s"WHEN rep = $r THEN translate(text, '$alpha', '$to')"
+    }.mkString("CASE ", " ", " ELSE text END")
+    w(t("documents").crossJoin(broadcast(reps))
+      .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+        expr(rotCase).as("text"), col("lang"),
+        concat(col("source"), lit("_r"), col("rep")).as("source"),
+        col("n_chars")), "documents")
+    w(t("embeddings").crossJoin(broadcast(reps))
+      .select((col("vec_id") + col("rep") * 100000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + rep * 0.0001 AS FLOAT))")
+          .as("embedding"),
+        col("label")), "embeddings")
+    w(t("events").crossJoin(broadcast(reps))
+      .select((col("event_id") + col("rep") * 10000000000L).as("event_id"),
+        col("ts"), (col("user_id") + col("rep") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props")), "events")
+
+    Seq("region", "nation").foreach(n => w(t(n), n))
+    java.nio.file.Files.createFile(marker)
+    println(s"""{"probe":"tables16_built","dir":"$outDir"}""")
   }
 
   private def sweep(spark: SparkSession): Unit = {

@@ -324,6 +324,52 @@ class StreamingMultimodalSpec extends AnyFunSuite {
     assert(stub.forall(_ >= 64))
   }
 
+  test("ImageIoDecoder decodes REAL png/bmp/gif bytes: dims, format, pixel luma") {
+    // encode with three different JVM writers, decode through the
+    // boundary — no stub anywhere in this path
+    def encode(fmt: String, w: Int, h: Int, gray: Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val rgb = (gray << 16) | (gray << 8) | gray
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgb)
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+      bos.toByteArray
+    }
+    val d = Multimodal.ImageIoDecoder
+    d.open()
+    for ((fmt, w, h, g) <- Seq(("png", 7, 3, 200), ("bmp", 4, 9, 17),
+        ("gif", 5, 5, 255))) {
+      val (dw, dh, df, luma, np) = d.decodeWithStats(encode(fmt, w, h, g), "image")
+      assert((dw, dh, df) == (w, h, fmt), s"$fmt: got ($dw,$dh,$df)")
+      assert(np == w.toLong * h)
+      // constant gray: BT.601 luma == gray exactly (299+587+114 = 1000),
+      // png/bmp lossless; gif 255 is in any palette
+      assert(luma == g.toLong * w * h, s"$fmt: luma=$luma")
+    }
+    // fallbacks: garbage bytes and non-image kinds never throw
+    assert(d.decodeWithStats(Array[Byte](1, 2, 3), "image") ==
+      ((0, 0, "undecodable", 0L, 0L)))
+    assert(d.decodeWithStats(encode("png", 2, 2, 9), "audio") ==
+      ((0, 0, "not-image", 0L, 0L)))
+  }
+
+  test("decodeAssetsWithStats runs ImageIoDecoder distributed over real PNGs") {
+    val assets = (0L until 30L).map { id =>
+      (id, "image",
+        Multimodal.syntheticPng((1 + id % 4).toInt, (1 + id % 3).toInt,
+          (id * 8 % 256).toInt))
+    }.toDF("asset_id", "kind", "payload").repartition(5)
+    val got = Multimodal.decodeAssetsWithStats(assets, Multimodal.ImageIoDecoder)
+      .select("asset_id", "width", "height", "format", "luma_sum", "n_pixels")
+      .as[(Long, Int, Int, String, Long, Long)].collect()
+    assert(got.length == 30)
+    got.foreach { case (id, w, h, f, luma, np) =>
+      assert(w == 1 + id % 4 && h == 1 + id % 3 && f == "png")
+      assert(np == w.toLong * h && luma == (id * 8 % 256) * np)
+    }
+  }
+
   test("multimodal resize: bounded box, aspect kept, audio passthrough, no upscale") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
     val assets = Multimodal.decodeAssets(Multimodal.packAssets(docs, "doc_id", "text"))
