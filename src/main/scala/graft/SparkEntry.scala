@@ -311,6 +311,19 @@ object SparkEntry {
           salt = "split", testPermille = 200)
         .orderBy("split_a", "split_b")
     },
+    "q_split_leakage_cross" -> { (s, d) =>
+      // streaming-monitor form of the leakage audit (SplitLeakage
+      // .crossCorpusLeaks, wrapped by streaming/StreamSplitLeakage):
+      // docs with doc_id % 7 == 0 play the arriving batch, the rest the
+      // frozen reference corpus; every cross-split near-dup pair is a
+      // leak event — shingle-index candidates, uncapped-set Jaccard
+      val docs = Tables.documents(s, d)
+      graft.ops.SplitLeakage.crossCorpusLeaks(
+          docs.where(pmod(col("doc_id"), lit(7)) === 0),
+          docs.where(pmod(col("doc_id"), lit(7)) =!= 0),
+          "doc_id", "text", n = 3, threshold = 0.5)
+        .orderBy("new_id", "ref_id")
+    },
     "q_bm25" -> { (s, d) =>
       // BM25-shaped lexical retrieval (ops/Bm25): three fixed queries
       // against the corpus — ppm-floored Robertson-ratio idf (no libm
@@ -3766,6 +3779,34 @@ object SparkEntry {
          |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
          |       LEAST(spl_a, spl_b) <> GREATEST(spl_a, spl_b) AS is_leak
          |FROM sp GROUP BY 1, 2, 4 ORDER BY split_a, split_b""".stripMargin,
+    "q_split_leakage_cross" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+        |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+        |shn AS (SELECT doc_id AS new_id, shingle FROM sh WHERE doc_id % 7 = 0),
+        |shr AS (SELECT doc_id AS ref_id, shingle FROM sh WHERE doc_id % 7 <> 0),
+        |cand AS (SELECT DISTINCT n.new_id, r.ref_id
+        |         FROM shn n JOIN shr r ON r.shingle = n.shingle),
+        |sn AS (SELECT new_id, COUNT(*) AS sa FROM shn GROUP BY 1),
+        |sr AS (SELECT ref_id, COUNT(*) AS sb FROM shr GROUP BY 1),
+        |inter AS (SELECT c.new_id, c.ref_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+        |          FROM cand c JOIN shn a ON a.new_id = c.new_id
+        |          JOIN shr b ON b.ref_id = c.ref_id AND b.shingle = a.shingle
+        |          GROUP BY 1, 2),
+        |j AS (SELECT i.new_id, i.ref_id, i.n_shared,
+        |        CAST(i.n_shared AS DOUBLE)/(sn.sa + sr.sb - i.n_shared) AS jaccard
+        |      FROM inter i JOIN sn ON sn.new_id = i.new_id
+        |                   JOIN sr ON sr.ref_id = i.ref_id
+        |      WHERE CAST(i.n_shared AS DOUBLE)/(sn.sa + sr.sb - i.n_shared) >= 0.5),
+        |sp AS (SELECT new_id, ref_id, n_shared, jaccard,
+        |        CASE WHEN ('0x' || substr(md5('split' || CAST(new_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000 < 200 THEN 'test' ELSE 'train' END AS split_new,
+        |        CASE WHEN ('0x' || substr(md5('split' || CAST(ref_id AS VARCHAR)), 1, 15))::BIGINT
+        |             % 1000 < 200 THEN 'test' ELSE 'train' END AS split_ref
+        |      FROM j)
+        |SELECT new_id, ref_id, n_shared, jaccard, split_new, split_ref,
+        |       split_new <> split_ref AS is_leak
+        |FROM sp ORDER BY new_id, ref_id""".stripMargin,
     "q_bm25" ->
       """WITH toks AS (SELECT doc_id, UNNEST(string_split(lower(text), ' ')) AS tok
         |              FROM documents),

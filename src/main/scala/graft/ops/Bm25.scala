@@ -37,9 +37,15 @@ import org.apache.spark.sql.functions._
   */
 object Bm25 {
 
-  def topKDocs(docs: DataFrame, idCol: String, textCol: String,
-      queries: DataFrame, k: Int = 10): DataFrame = {
-    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+  /** Frozen corpus-side statistics — everything BM25 scoring needs that
+    * does not depend on the queries: the (doc, term) tf postings
+    * (persisted — it feeds df AND scoring), per-doc lengths, and the
+    * 1-row corpus totals. Build once per corpus snapshot; score any
+    * number of query batches against it ([[StreamBm25]]'s
+    * train-batch / score-stream topology). */
+  final case class Bm25Index(tf: DataFrame, dl: DataFrame, corpus: DataFrame)
+
+  def buildIndex(docs: DataFrame, idCol: String, textCol: String): Bm25Index = {
     val spark = docs.sparkSession
     import spark.implicits._
     val toks = docs
@@ -53,6 +59,22 @@ object Bm25 {
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("dl"))
     val corpus = docs.agg(count(lit(1)).as("n_docs"))
       .crossJoin(tf.agg(coalesce(sum($"tf"), lit(0L)).as("s_tok")))
+    Bm25Index(tf, dl, corpus)
+  }
+
+  def topKDocs(docs: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, k: Int = 10): DataFrame =
+    topKDocsWithIndex(buildIndex(docs, idCol, textCol), queries, k)
+
+  /** Score a query table against a prebuilt [[Bm25Index]] — the scoring
+    * tail of [[topKDocs]], identical arithmetic (df is computed against
+    * the index's postings per query-term batch). */
+  def topKDocsWithIndex(ix: Bm25Index, queries: DataFrame,
+      k: Int = 10): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val spark = ix.tf.sparkSession
+    import spark.implicits._
+    val Bm25Index(tf, dl, corpus) = ix
     val terms = queries.select(col("query_id").cast("long").as("query_id"),
       col("term").cast("string").as("term")).distinct()
     val dfreq = tf

@@ -26,6 +26,55 @@ object SplitLeakage {
         % 1000 < testPermille, lit("test"))
       .otherwise(lit("train"))
 
+  /** Cross-corpus leak pairs — the monitor form of this audit: each
+    * ARRIVING document (a candidate for the next data drop) is checked
+    * for near-duplicates in the FROZEN reference corpus (what already
+    * shipped), and a pair whose two md5 split assignments differ is a
+    * leak event (the arriving doc would memorize across the boundary).
+    * Candidate mining is the shingle inverted index (never all-pairs;
+    * hot boilerplate shingles drop loudly via the [[Dedup]] cap), scored
+    * by exact shingle-set Jaccard with sizes from the UNCAPPED sets (the
+    * family verify discipline).
+    *
+    * Pure per-(newDocs, reference) function — no state — so the union of
+    * per-micro-batch outputs equals the batch run however the stream is
+    * chopped ([[graft.streaming.StreamSplitLeakage]] wraps exactly this).
+    *
+    * Output: (new_id, ref_id, n_shared, jaccard, split_new, split_ref,
+    * is_leak) for pairs with Jaccard ≥ threshold.
+    */
+  def crossCorpusLeaks(newDocs: DataFrame, reference: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, threshold: Double = 0.5,
+      salt: String = "split", testPermille: Int = 200,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(testPermille >= 1 && testPermille <= 999,
+      s"testPermille must be in [1, 999], got $testPermille")
+    val shNew = Dedup.shingles(newDocs, idCol, textCol, n)
+      .select(col("id").as("new_id"), col("shingle"))
+    val shRef = Dedup.shingles(reference, idCol, textCol, n)
+      .select(col("id").as("ref_id"), col("shingle"))
+    val refCapped = Dedup.capHotBuckets(shRef, Seq("shingle"),
+      maxBucketSize, "crossCorpusLeaks")
+    val cand = shNew.join(refCapped, "shingle")
+      .select("new_id", "ref_id").distinct()
+    val sizesNew = shNew.groupBy("new_id").agg(count(lit(1)).as("sa"))
+    val sizesRef = shRef.groupBy("ref_id").agg(count(lit(1)).as("sb"))
+    val inter = cand
+      .join(shNew, "new_id")
+      .join(shRef, Seq("ref_id", "shingle"))
+      .groupBy("new_id", "ref_id").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizesNew, "new_id").join(sizesRef, "ref_id")
+      .withColumn("jaccard", col("n_shared").cast("double") /
+        (col("sa") + col("sb") - col("n_shared")))
+      .where(col("jaccard") >= threshold)
+      .withColumn("split_new", splitOf(col("new_id"), salt, testPermille))
+      .withColumn("split_ref", splitOf(col("ref_id"), salt, testPermille))
+      .withColumn("is_leak", col("split_new") =!= col("split_ref"))
+      .select("new_id", "ref_id", "n_shared", "jaccard",
+        "split_new", "split_ref", "is_leak")
+  }
+
   /** Per unordered split-combo pair counts over a near-dup pair table:
     * (split_a, split_b, n_pairs, is_leak), split_a <= split_b; cross
     * combos are the leaks. */

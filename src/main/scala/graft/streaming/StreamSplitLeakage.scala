@@ -1,0 +1,38 @@
+package graft.streaming
+
+import graft.ops.SplitLeakage
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.streaming.StreamingQuery
+
+/** Streaming split-leakage monitor — contamination checking moved to
+  * WHERE documents arrive instead of after the dataset ships: each
+  * micro-batch of candidate documents is mined for near-duplicates
+  * against the FROZEN reference corpus ([[SplitLeakage.crossCorpusLeaks]]
+  * — shingle inverted index, uncapped-set Jaccard verify), and every
+  * cross-split pair is emitted as a leak event the ingestion pipeline can
+  * alert on or quarantine.
+  *
+  * Why foreachBatch: the leak set of a batch is a pure function of
+  * (batch, reference) — no cross-batch state — so the union of per-batch
+  * outputs is row-identical to running the batch operator on the union
+  * of all arrivals, however the stream is chopped (spec-pinned under
+  * shuffled arrival). The reference corpus is whatever already shipped;
+  * refresh it when the next drop freezes.
+  */
+object StreamSplitLeakage {
+
+  def start(docs: DataFrame, reference: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, threshold: Double = 0.5,
+      salt: String = "split", testPermille: Int = 200)(
+      sink: (DataFrame, Long) => Unit): StreamingQuery = {
+    require(docs.isStreaming, "docs must be a streaming DataFrame")
+    require(!reference.isStreaming, "reference must be a batch DataFrame")
+    docs.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        sink(SplitLeakage.crossCorpusLeaks(batch, reference, idCol,
+          textCol, n, threshold, salt, testPermille), batchId)
+      }
+      .start()
+  }
+}
