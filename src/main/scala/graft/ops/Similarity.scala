@@ -235,8 +235,10 @@ object Similarity {
     }
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
-    // assign every corpus vector to its cell (one narrow pass)
-    val vt = v.as[(Long, Array[Double])]
+    // assign every corpus vector to its cell (one narrow pass) —
+    // widen() first: with √N cells the per-row argmin is O(nCells·dim),
+    // compute-bound work a single-file scan would otherwise serialize
+    val vt = widen(v, "id").as[(Long, Array[Double])]
     val assigned = vt.mapPartitions { it =>
       val cs = bcCentroids.value
       it.map { case (id, vec) => (id, vec, nearestCentroid(vec, cs)) }
@@ -277,6 +279,57 @@ object Similarity {
     // no dedup needed: each corpus vector lives in exactly one cell, so a
     // (query, neighbor) pair can only arise once
     topKPerQuery(pairs, k)
+  }
+
+  /** ceil(log2(x)) for x >= 1. */
+  private def ceilLog2(x: Long): Int =
+    if (x <= 1L) 0 else 64 - java.lang.Long.numberOfLeadingZeros(x - 1)
+
+  /** Derive the LSH width from the corpus size: nBits =
+    * ceil(log2(N / targetOccupancy)) clamped to [4, 40] — expected bucket
+    * occupancy stays ~targetOccupancy as N grows, so candidate volume per
+    * table (~N·occupancy) is LINEAR in N. Exposed for spec pinning. */
+  private[graft] def autoNBits(n: Long, targetOccupancy: Int): Int =
+    math.min(40, math.max(4, ceilLog2(math.max(1L, n / targetOccupancy))))
+
+  /** Derive the IVF cell count from the corpus size: nCells = ceil(√N)
+    * clamped to [16, 4096] — the classic IVF sizing that balances the
+    * assignment pass (N·nCells) against the probe pass
+    * (N·nProbe·N/nCells); both grow as N^1.5, never N². */
+  private[graft] def autoNCells(n: Long): Int =
+    math.min(4096, math.max(16, math.ceil(math.sqrt(n.toDouble)).toInt))
+
+  /** WIDTH-ADAPTIVE LSH — the scale path the fixed-width portable
+    * variant cannot be: [[lshTopKPortable]]'s nBits is an oracle literal,
+    * so its candidate volume Σ|bucket|² ≈ N²·tables/2^nBits grows
+    * QUADRATICALLY at fixed width (r10 full-gate probe: q_ann_lsh 162×
+    * at 16× data). Here one count() sizes nBits to hold expected bucket
+    * occupancy at `targetOccupancy`, then [[lshTopK]] runs unchanged —
+    * candidate volume ~N·targetOccupancy·tables, linear in N. The width
+    * is a deterministic function of (N, targetOccupancy), so results are
+    * reproducible per corpus snapshot (just not expressible as one
+    * static SQL oracle — recall and parity are spec-pinned instead). */
+  def lshTopKAuto(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, targetOccupancy: Int = 32, tables: Int = 4, seed: Long = 42L,
+      maxBucketSize: Int = 1000): DataFrame = {
+    require(targetOccupancy >= 1, s"targetOccupancy must be >= 1")
+    val nBits = autoNBits(df.count(), targetOccupancy)
+    lshTopK(df, idCol, vecCol, dim, k, nBits, tables, seed, maxBucketSize)
+  }
+
+  /** WIDTH-ADAPTIVE IVF — [[ivfTopK]] with nCells = ceil(√N) (clamped
+    * [16, 4096]) and a sample sized to fit the codebook: the fixed
+    * 16-cell portable variant's probe pass scans N·nProbe/16 vectors per
+    * query — quadratic total at fixed cells (r10 full-gate probe:
+    * q_ann_ivf 63× at 16× data, AFTER the widen fix); √N cells keep both
+    * the assignment and probe passes at N^1.5. Deterministic per corpus
+    * snapshot, spec-pinned (recall + forced-width parity). */
+  def ivfTopKAuto(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nProbe: Int = 4, kmeansIters: Int = 5, seed: Long = 42L): DataFrame = {
+    val nCells = autoNCells(df.count())
+    val sampleSize = math.min(65536, math.max(2000, 8 * nCells))
+    ivfTopK(df, idCol, vecCol, dim, k, nCells, nProbe, kmeansIters,
+      sampleSize, seed)
   }
 
   /** Integer-quantized hyperplanes for the portable LSH variant: seeded
@@ -1233,8 +1286,8 @@ object Similarity {
       maxBucketSize: Int = 1000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val v = df.select(col(idCol).cast("long").as("id"),
-      col(vecCol).cast("array<double>").as("vec"))
+    val v = widen(df.select(col(idCol).cast("long").as("id"),
+      col(vecCol).cast("array<double>").as("vec")), "id")
     // persist: the bucket table feeds both sides of the self-join, and the
     // hyperplane sign computation (interpreted higher-order exprs) is the
     // most expensive stage of the operator

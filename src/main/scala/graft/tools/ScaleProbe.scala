@@ -44,6 +44,22 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Non-driver probe subjects (prefixed x_): the WIDTH-ADAPTIVE ANN
+    * scale paths, run beside their fixed-width oracle-literal driver
+    * twins so the jsonl shows the contrast — q_ann_lsh/q_ann_ivf are
+    * EXPECTED to flag at 16× (their widths are oracle literals; candidate
+    * volume grows ~quadratically at fixed width), and these lines show
+    * the auto-width forms the operator docs point to staying ~linear. */
+  val extraProbes: Seq[(String, Int, (org.apache.spark.sql.SparkSession, String) => DataFrame)] = Seq(
+    ("x_ann_lsh_auto", 16, (s, d) =>
+      graft.ops.Similarity.lshTopKAuto(
+        graft.queries.Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 5)),
+    ("x_ann_ivf_auto", 16, (s, d) =>
+      graft.ops.Similarity.ivfTopKAuto(
+        graft.queries.Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 5)))
+
   // (query, the scale factor its dominant input table gets)
   val defaultProbes: Seq[(String, Int)] = Seq(
     "q_louvain" -> 64, "q_modularity" -> 64, "q_triangles" -> 64,
@@ -70,27 +86,30 @@ object ScaleProbe {
     val full = args.contains("--full")
     val rest = args.filterNot(_ == "--full")
 
-    val wanted: Seq[(String, Int, String)] =
+    type Fn = (SparkSession, String) => DataFrame
+    val wanted: Seq[(String, Int, String, Fn)] =
       if (full) {
         val dir16 = sys.env.getOrElse("SPARK_GRAFT_SCALE16_DIR",
           "/tmp/graft_scale16")
         buildScaledTables16(spark, sfDir, dir16)
         val keys = graft.SparkEntry.queries.keys.toSeq.sorted
         val all = (if (rest.nonEmpty) keys.filter(rest.contains) else keys)
-          .map(q => (q, 16, dir16))
+          .map(q => (q, 16, dir16, graft.SparkEntry.queries(q)))
+        val extras = extraProbes
+          .filter { case (q, _, _) => rest.isEmpty || rest.contains(q) }
+          .map { case (q, f, fn) => (q, f, dir16, fn) }
         // append the deep ×64 graph lines (distributed paths past gates)
         buildScaledTables(spark, sfDir, outDir)
-        all ++ defaultProbes
+        all ++ extras ++ defaultProbes
           .filter { case (q, f) => f == 64 && (rest.isEmpty || rest.contains(q)) }
-          .map { case (q, f) => (q, f, outDir) }
+          .map { case (q, f) => (q, f, outDir, graft.SparkEntry.queries(q)) }
       } else {
         buildScaledTables(spark, sfDir, outDir)
         val base = if (rest.nonEmpty) defaultProbes.filter(p => rest.contains(p._1))
                    else defaultProbes
-        base.map { case (q, f) => (q, f, outDir) }
+        base.map { case (q, f) => (q, f, outDir, graft.SparkEntry.queries(q)) }
       }
-    wanted.foreach { case (name, factor, dir) =>
-      val fn = graft.SparkEntry.queries(name)
+    wanted.foreach { case (name, factor, dir, fn) =>
       def timed(d: String): (Double, Long) = {
         sweep(spark)
         val t0 = System.nanoTime()

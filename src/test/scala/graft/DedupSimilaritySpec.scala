@@ -277,6 +277,57 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(out.toSet == out2.toSet)
   }
 
+  test("auto-width derivations: nBits holds occupancy, nCells is sqrt(N), clamps hold") {
+    import graft.ops.Similarity.{autoNBits, autoNCells}
+    // occupancy target: 2^nBits buckets keep N/2^nBits <= targetOccupancy
+    for ((n, occ) <- Seq((2000L, 32), (32000L, 32), (1000000L, 32), (64L, 8))) {
+      val b = autoNBits(n, occ)
+      assert((1L << b) * occ >= n || b == 40, s"n=$n occ=$occ nBits=$b")
+      assert(b == 4 || (1L << (b - 1)) * occ < n, s"not minimal: n=$n b=$b")
+    }
+    assert(autoNBits(1L, 32) == 4)            // floor clamp
+    assert(autoNBits(Long.MaxValue, 1) == 40) // ceiling clamp
+    assert(autoNCells(2000L) == 45 && autoNCells(32000L) == 179)
+    assert(autoNCells(1L) == 16 && autoNCells(100000000000L) == 4096)
+  }
+
+  test("lshTopKAuto == lshTopK at the derived width; useful recall on testdata") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = graft.ops.Similarity.lshTopKAuto(emb, "vec_id", "embedding",
+        dim = 64, k = 5, targetOccupancy = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val forced = graft.ops.Similarity.lshTopK(emb, "vec_id", "embedding",
+        dim = 64, k = 5,
+        nBits = graft.ops.Similarity.autoNBits(emb.count(), 32))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(auto == forced)
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect auto).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("ivfTopKAuto == ivfTopK at the derived width; useful recall on testdata") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = graft.ops.Similarity.ivfTopKAuto(emb, "vec_id", "embedding",
+        dim = 64, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val nCells = graft.ops.Similarity.autoNCells(emb.count())
+    val forced = graft.ops.Similarity.ivfTopK(emb, "vec_id", "embedding",
+        dim = 64, k = 5, nCells = nCells,
+        sampleSize = math.min(65536, math.max(2000, 8 * nCells)))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(auto == forced)
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect auto).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
   test("IVF-PQ recall tracks the IVF probe ceiling on testdata") {
     // composed index: candidates come only from the nProbe/nCells probed
     // cells (the sub-quadratic property), so recall is bounded by IVF's
