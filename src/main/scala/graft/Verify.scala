@@ -30,12 +30,43 @@ object Verify {
     // then records a loud schema/hash FAIL row instead of nothing. The
     // failures are also echoed to stdout and collected in _errors.json.
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // Plan-shape certification (VERDICT r9 item 6): a QueryExecutionListener
+    // walks EVERY execution (final writes AND intermediate jobs the
+    // operators trigger) through AQE/query stages/cached plans
+    // (tools/PlanWalk) and attributes unpartitioned-window / cartesian
+    // counts to the running query → _plan_guards.json beside the
+    // correctness parquet, so each round's artifact also certifies plan
+    // shape. Listener callbacks are async — a short drain-sleep after
+    // each query bounds misattribution (the WindowSweepSpec pattern);
+    // totals are exact either way.
+    val guards = scala.collection.mutable.LinkedHashMap[String, Array[Long]]()
+    @volatile var currentQuery = ""
+    spark.listenerManager.register(
+      new org.apache.spark.sql.util.QueryExecutionListener {
+        override def onSuccess(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            durationNs: Long): Unit = {
+          val name = currentQuery
+          if (name.nonEmpty) {
+            val uw = graft.tools.PlanWalk.unpartitionedWindows(qe.executedPlan).size
+            val cj = graft.tools.PlanWalk.cartesians(qe.executedPlan).size
+            guards.synchronized {
+              val arr = guards.getOrElseUpdate(name, Array(0L, 0L, 0L))
+              arr(0) += 1; arr(1) += uw; arr(2) += cj
+            }
+          }
+        }
+        override def onFailure(funcName: String,
+            qe: org.apache.spark.sql.execution.QueryExecution,
+            exception: Exception): Unit = ()
+      })
     selected.foreach { case (name, fn) =>
       // operators persist internal subtrees (shingle postings, edge sets,
       // quantized vectors) and hand back lazy DFs, so a 180-query session
       // otherwise accumulates cache entries until LRU churn (ADVICE r7) —
       // each query's caches die with the query here
       spark.catalog.clearCache()
+      currentQuery = name
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -48,6 +79,15 @@ object Verify {
             .write.mode("overwrite").parquet(s"$outDir/$name")
         } catch { case _: Throwable => () }
       }
+      Thread.sleep(60) // drain async listener callbacks for this query
+    }
+    currentQuery = ""
+    Thread.sleep(200)
+    guards.synchronized {
+      Files.writeString(Paths.get(s"$outDir/_plan_guards.json"),
+        guards.map { case (k, a) =>
+          s""""$k": {"executions": ${a(0)}, "unpartitioned_windows": ${a(1)}, "cartesians": ${a(2)}}"""
+        }.mkString("{", ",", "}"))
     }
     if (errors.nonEmpty) {
       def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")

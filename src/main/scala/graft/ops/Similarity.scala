@@ -796,7 +796,8 @@ object Similarity {
     val codes = encoded.limit(maxBroadcastCodes + 1).collect()
     require(codes.length <= maxBroadcastCodes,
       s"PQ code table exceeds maxBroadcastCodes=$maxBroadcastCodes; " +
-        "compose with IVF cells (IVF-PQ) instead of the exhaustive scan")
+        "use ivfPqTopKPortable (IVF-PQ) — ADC over probed cells only, " +
+        "no broadcast code table, no exhaustive scan")
     val bcCodes = spark.sparkContext.broadcast(codes)
 
     // widen() the query side first: the scan-shaped Dataset otherwise
