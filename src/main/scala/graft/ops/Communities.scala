@@ -683,11 +683,39 @@ object Communities {
       .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y")
       .distinct()
       .localCheckpoint(true) // reused: level 0, contractions, all Q evals
-    var p = lpaLouvain(e0, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
-      .localCheckpoint(true)
-    for (_ <- 1 to levels)
-      p = contractMoveProject(e0, p, hierMoveRounds, maxLocalEdges)
+    // level-0 local gate against e0 DIRECTLY: e0 is already the canonical
+    // distinct (x<y) list, so the symmetric list is arr ++ arr.swapped —
+    // going through lpaLouvain would rebuild union+distinct over e0 (a
+    // full extra shuffle) and collect 2× the rows. Gate at
+    // maxLocalEdges/2 canonical edges ≡ lpaLouvain's maxLocalEdges
+    // symmetric rows, so the local/distributed switch point is unchanged.
+    var p: DataFrame = null
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val cap = (maxLocalEdges / 2).toInt
+      val arr = e0.limit(cap + 1).as[(String, String)].collect()
+      if (arr.length <= cap) {
+        if (arr.isEmpty)
+          return spark.emptyDataset[(String, String)].toDF("node", "community")
+        val sym = arr ++ arr.map { case (a, b) => (b, a) }
+        var labArr = localLpa(sym, lpaRounds)
+        for (_ <- 1 to moveRounds) labArr = localMoveStep(arr, labArr)
+        p = spark.createDataFrame(labArr.toIndexedSeq)
+          .toDF("node", "community").localCheckpoint(true)
+      }
+    }
+    if (p == null)
+      p = lpaLouvain(e0, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
         .localCheckpoint(true)
+    // checkpoint BETWEEN levels only: each level's inputs must be
+    // materialized (p0 feeds 4 subtrees), but the LAST level's output is
+    // consumed once by the caller — an eager checkpoint there would be a
+    // pure extra barrier job (q_louvain_hier is job-count-bound; p1 and
+    // the acceptance flag inside the level are already materialized /
+    // broadcast-reused)
+    for (i <- 1 to levels) {
+      p = contractMoveProject(e0, p, hierMoveRounds, maxLocalEdges)
+      if (i < levels) p = p.localCheckpoint(true)
+    }
     p
   }
 
@@ -742,11 +770,20 @@ object Communities {
     val degs = e0.select($"x".as("v")).union(e0.select($"y".as("v")))
       .groupBy("v").agg(count(lit(1)).as("d"))
       .join(both.withColumnRenamed("node", "v"), "v")
-    val dc20 = degs.groupBy("c0").agg(sum($"d").as("d_c"))
-      .agg(coalesce(sum($"d_c" * $"d_c"), lit(0L)).as("sum_dc2_0"))
-    val dc21 = degs.groupBy("c1").agg(sum($"d").as("d_c"))
-      .agg(coalesce(sum($"d_c" * $"d_c"), lit(0L)).as("sum_dc2_1"))
-    val flag = im.crossJoin(dc20).crossJoin(dc21)
+    // both Σ_c d_c² sums in ONE tree: explode each node's degree into a
+    // (side, community) row per partition — two separate groupBy trees
+    // would each re-evaluate the degs subtree (job-count again)
+    val dc2 = degs
+      .select($"d", explode(array(
+        struct(lit(0).as("side"), $"c0".as("c")),
+        struct(lit(1).as("side"), $"c1".as("c")))).as("sc"))
+      .groupBy($"sc.side".as("side"), $"sc.c".as("c"))
+      .agg(sum($"d").as("d_c"))
+      .groupBy($"side").agg(sum($"d_c" * $"d_c").as("s"))
+      .agg(
+        coalesce(sum(when($"side" === 0, $"s")), lit(0L)).as("sum_dc2_0"),
+        coalesce(sum(when($"side" === 1, $"s")), lit(0L)).as("sum_dc2_1"))
+    val flag = im.crossJoin(dc2)
       .select((lit(4L) * $"m" * $"intra1" - $"sum_dc2_1" >=
         lit(4L) * $"m" * $"intra0" - $"sum_dc2_0").as("take1"))
     p1.crossJoin(broadcast(flag)).where($"take1")
