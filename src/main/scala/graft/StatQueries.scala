@@ -156,8 +156,8 @@ private[graft] object StatQueries {
       val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
         q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
       val approx = Similarity.lshTopKPortable(e, "vec_id", "embedding",
-          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L)
-        .where(col("query_id") < 20)
+          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L,
+          queryPred = col("id") < 20) // audit pushdown: score 20 queries, not 32k
       graft.ops.AnnAudit.reciprocalRank(truth, approx)
     },
     "q_ndcg" -> { (s, d) =>
@@ -170,8 +170,8 @@ private[graft] object StatQueries {
       val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
         q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
       val approx = Similarity.lshTopKPortable(e, "vec_id", "embedding",
-          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L)
-        .where(col("query_id") < 20)
+          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L,
+          queryPred = col("id") < 20) // audit pushdown: score 20 queries, not 32k
       graft.ops.AnnAudit.ndcgAtK(truth, approx, k = 5)
     },
     "q_rand_index" -> { (s, d) =>

@@ -667,11 +667,9 @@ private[graft] object TextQueries {
         q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
       val ivf = Similarity.ivfTopKPortable(e, "vec_id", "embedding",
           dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
-          sampleN = 200, seed = 42L)
-        .where(col("query_id") < 20)
+          sampleN = 200, seed = 42L, queryPred = col("id") < 20)
       val pq = Similarity.pqTopKPortable(e, "vec_id", "embedding",
-          dim = 64, k = 5)
-        .where(col("query_id") < 20)
+          dim = 64, k = 5, queryPred = col("id") < 20)
       graft.ops.AnnAudit.recallAtK(truth, ivf)
         .withColumn("method", lit("ivf"))
         .unionByName(graft.ops.AnnAudit.recallAtK(truth, pq)
@@ -689,8 +687,8 @@ private[graft] object TextQueries {
         q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
       val ivfpq = Similarity.ivfPqTopKPortable(e, "vec_id", "embedding",
           dim = 64, k = 5, nCells = 16, nProbe = 4, m = 16, ksub = 16,
-          candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L)
-        .where(col("query_id") < 20)
+          candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L,
+          queryPred = col("id") < 20)
       graft.ops.AnnAudit.recallAtK(truth, ivfpq).orderBy("query_id")
     },
     "q_kmeans_distortion" -> { (s, d) =>
@@ -724,8 +722,8 @@ private[graft] object TextQueries {
       val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
         q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
       val approx = Similarity.lshTopKPortable(e, "vec_id", "embedding",
-          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L)
-        .where(col("query_id") < 20)
+          dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L,
+          queryPred = col("id") < 20) // audit pushdown: score 20 queries, not 32k
       graft.ops.AnnAudit.recallAtK(truth, approx)
     },
     "q_rrf_fusion" -> { (s, d) =>

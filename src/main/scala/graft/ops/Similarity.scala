@@ -351,9 +351,17 @@ object Similarity {
     * to hash-exact. Same structure as [[lshTopK]]: candidates share a
     * bucket in any table, exact rerank, rank ties broken by neighbor id.
     */
+  /** @param queryPred predicate over the internal `id` column selecting
+    *   which vectors act as QUERIES (all corpus vectors always index as
+    *   neighbors). Per-query results are independent, so
+    *   `lshTopKPortable(df, queryPred = p)` ≡
+    *   `lshTopKPortable(df).where(p on query_id)` — but the candidate
+    *   volume drops with the query count instead of scoring the whole
+    *   corpus and discarding (r10 probe: q_mrr audited 20 queries yet
+    *   paid the full 32k-query scan, 104× at 16×). The audits' pushdown. */
   def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
-      maxBucketSize: Int = 1000): DataFrame = {
+      maxBucketSize: Int = 1000, queryPred: Column = lit(true)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the quantized table feeds all `tables` bucket passes and
@@ -373,7 +381,7 @@ object Similarity {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = Dedup.capHotBuckets(bucketed, Seq("tbl", "bucket"),
       maxBucketSize, "lshTopKPortable")
-    val candidates = capped.as("a").join(capped.as("b"),
+    val candidates = capped.where(queryPred).as("a").join(capped.as("b"),
         col("a.tbl") === col("b.tbl") &&
           col("a.bucket") === col("b.bucket") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("query_id"), col("b.id").as("neighbor_id"))
@@ -565,7 +573,8 @@ object Similarity {
     */
   def ivfTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
-      sampleN: Int = 200, seed: Long = 42L): DataFrame = {
+      sampleN: Int = 200, seed: Long = 42L,
+      queryPred: Column = lit(true)): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the quantized table feeds the centroid sample, the cell
@@ -606,7 +615,10 @@ object Similarity {
       val cs = bcCentroids.value
       it.map { case (id, vec) => (id, vec, nearestCentroid(vec, cs)) }
     }.toDF("id", "vec", "cell")
-    val probes = vt.mapPartitions { it =>
+    // queryPred pushdown (audit queries probe a handful of ids; scoring
+    // only them ≡ post-filtering — per-query top-k is independent)
+    val probes = v.where(queryPred).as[(Long, Array[Double])]
+      .mapPartitions { it =>
       val cs = bcCentroids.value
       it.flatMap { case (id, vec) =>
         cs.indices.map(c => (c, sqDist(vec, cs(c)))).sortBy { case (c, d) => (d, c) }
@@ -741,7 +753,8 @@ object Similarity {
   def pqTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, m: Int = 16, ksub: Int = 16, candR: Int = 50,
       kmeansIters: Int = 2, sampleN: Int = 200, seed: Long = 42L,
-      maxBroadcastCodes: Int = 2_000_000): DataFrame = {
+      maxBroadcastCodes: Int = 2_000_000,
+      queryPred: Column = lit(true)): DataFrame = {
     require(candR >= k, s"candR=$candR must be >= k=$k")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     val subDim = dim / m
@@ -801,8 +814,9 @@ object Similarity {
     val bcCodes = spark.sparkContext.broadcast(codes)
 
     // widen() the query side first: the scan-shaped Dataset otherwise
-    // runs the whole nq×N ADC loop in one task on single-file inputs
-    val candidates = widen(v, "id").as[(Long, Array[Double])]
+    // runs the whole nq×N ADC loop in one task on single-file inputs;
+    // queryPred pushdown — audits score only the ids they grade
+    val candidates = widen(v.where(queryPred), "id").as[(Long, Array[Double])]
       .mapPartitions { it =>
       val bk = bcBooks.value
       val cds = bcCodes.value
@@ -959,7 +973,8 @@ object Similarity {
   def ivfPqTopKPortable(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
       ksub: Int = 16, candR: Int = 50, kmeansIters: Int = 2,
-      sampleN: Int = 200, seed: Long = 42L): DataFrame = {
+      sampleN: Int = 200, seed: Long = 42L,
+      queryPred: Column = lit(true)): DataFrame = {
     require(candR >= k, s"candR=$candR must be >= k=$k")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(nProbe >= 1 && nProbe <= nCells,
@@ -1030,8 +1045,10 @@ object Similarity {
         (c, id, code)
       }
     }
-    // each query probes its nProbe nearest coarse cells by (dist, cell)
-    val probes = v.as[(Long, Array[Double])].mapPartitions { it =>
+    // each query probes its nProbe nearest coarse cells by (dist, cell);
+    // queryPred pushdown for the audit form (per-query independence)
+    val probes = v.where(queryPred).as[(Long, Array[Double])]
+      .mapPartitions { it =>
       val cc = bcCoarse.value
       it.flatMap { case (id, vec) =>
         cc.indices.map(c => (c, sqDist(vec, cc(c))))
