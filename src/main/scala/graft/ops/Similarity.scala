@@ -332,6 +332,24 @@ object Similarity {
       sampleSize, seed)
   }
 
+  /** WIDTH-ADAPTIVE IVF-PQ — [[ivfPqTopKPortable]] (already the fully
+    * distributed cogroup shape) with nCells = ceil(√N) and a sample sized
+    * to fit the coarse codebook: at fixed cells the per-query ADC work is
+    * the probed fraction of the CORPUS (grows with N); √N cells hold
+    * per-cell occupancy at √N so assignment and ADC both stay N^1.5 —
+    * the deployable compressed-index sizing. Deterministic per corpus
+    * snapshot; spec-pinned via forced-width parity. */
+  def ivfPqTopKAuto(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nProbe: Int = 4, m: Int = 8, ksub: Int = 16, candR: Int = 50,
+      kmeansIters: Int = 2, seed: Long = 42L,
+      queryPred: Column = lit(true)): DataFrame = {
+    val n = df.count()
+    val nCells = autoNCells(n)
+    val sampleN = math.min(n, math.min(65536L, math.max(200L, 8L * nCells))).toInt
+    ivfPqTopKPortable(df, idCol, vecCol, dim, k, nCells, nProbe, m, ksub,
+      candR, kmeansIters, sampleN, seed, queryPred)
+  }
+
   /** Integer-quantized hyperplanes for the portable LSH variant: seeded
     * gaussians floored onto a ×1000 grid. The SAME array feeds the Spark
     * expressions and the literal lists in the generated DuckDB oracle, so

@@ -58,6 +58,10 @@ object ScaleProbe {
     ("x_ann_ivf_auto", 16, (s, d) =>
       graft.ops.Similarity.ivfTopKAuto(
         graft.queries.Tables.embeddings(s, d), "vec_id", "embedding",
+        dim = 64, k = 5)),
+    ("x_ann_ivfpq_auto", 16, (s, d) =>
+      graft.ops.Similarity.ivfPqTopKAuto(
+        graft.queries.Tables.embeddings(s, d), "vec_id", "embedding",
         dim = 64, k = 5)))
 
   // (query, the scale factor its dominant input table gets)

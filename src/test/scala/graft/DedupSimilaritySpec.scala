@@ -328,6 +328,22 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(recall > 0.3, s"recall=$recall")
   }
 
+  test("ivfPqTopKAuto == ivfPqTopKPortable at the derived width") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val nCells = graft.ops.Similarity.autoNCells(n)
+    val sampleN = math.min(n,
+      math.min(65536L, math.max(200L, 8L * nCells))).toInt
+    val auto = graft.ops.Similarity.ivfPqTopKAuto(emb, "vec_id",
+        "embedding", dim = 64, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val forced = graft.ops.Similarity.ivfPqTopKPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5, nCells = nCells, sampleN = sampleN)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(auto == forced && auto.nonEmpty)
+  }
+
   test("IVF-PQ recall tracks the IVF probe ceiling on testdata") {
     // composed index: candidates come only from the nProbe/nCells probed
     // cells (the sub-quadratic property), so recall is bounded by IVF's
