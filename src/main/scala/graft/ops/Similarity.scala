@@ -123,6 +123,13 @@ object Similarity {
     *   set false when corpus and queries are unrelated entities that merely
     *   share an id space.
     */
+  /** GATE CALIBRATION (r10 full-gate probe, tools/scale_probe_r10.jsonl):
+    * maxCorpusVectors = 10M ≈ 5 GB broadcast at dim 64 — the loud upper
+    * bound of the exact path. q_ann_topk measured 1.6× and
+    * q_hard_negatives 1.2× at 16× data (both stream the big side through
+    * one scan with per-row top-k, so growth is the broadcast build +
+    * linear scan). Cap kept: above it the caller wants an index family,
+    * not a bigger broadcast. */
   def bruteForceTopK(corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String, k: Int,
       maxCorpusVectors: Long = 10000000L,
@@ -181,7 +188,12 @@ object Similarity {
     * k-slot top-k aggregate (shuffle carries ≤ k pairs per query per
     * partition). No driver-side vector state; corpus scale is unbounded.
     * Pre-quantize both sides via [[quantize]] for an engine-exact result.
-    */
+    *
+    * GATE CALIBRATION (r10 full-gate probe, tools/scale_probe_r10.jsonl):
+    * the broadcast side here is the QUERY BATCH (training-batch sized by
+    * contract, no explicit cap — Spark's broadcast limit is the loud
+    * stop); q_hard_negatives measured 1.2× at 16× corpus, confirming
+    * cost tracks the streamed side. */
   def hardNegatives(corpus: DataFrame, idCol: String, vecCol: String,
       labelCol: String, queries: DataFrame, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"),
@@ -377,6 +389,15 @@ object Similarity {
     *   volume drops with the query count instead of scoring the whole
     *   corpus and discarding (r10 probe: q_mrr audited 20 queries yet
     *   paid the full 32k-query scan, 104× at 16×). The audits' pushdown. */
+  /** GATE CALIBRATION (r10 full-gate probe, tools/scale_probe_r10.jsonl):
+    * maxBucketSize = 1000 is a HOT-BUCKET bound (degenerate inputs — a
+    * boilerplate-heavy near-dup cluster), not an index-saturation bound:
+    * at 16× data mean occupancy is ~500, the cap never trips, and
+    * q_ann_lsh runs ~160× its base (candidate volume N²·tables/2^nBits
+    * at the oracle-literal nBits=6). That growth is the fixed width, so
+    * tightening the cap would only silently shrink recall; the scale
+    * answer is [[lshTopKAuto]] (occupancy-held nBits, probed ~linear as
+    * x_ann_lsh_auto in the same jsonl). Cap kept at 1000. */
   def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
       maxBucketSize: Int = 1000, queryPred: Column = lit(true)): DataFrame = {
@@ -436,7 +457,10 @@ object Similarity {
     * (tools/scale_probe_r09.jsonl) and the tightened cap bounds it;
     * at the driver's sf0.01 the largest bucket is 18 rows, so the cap
     * never trips the oracle comparison.
-    */
+    *
+    * GATE CALIBRATION (r10 full-gate probe, tools/scale_probe_r10.jsonl):
+    * q_ann_multiprobe measured 1.3× at 16× data with the 256 cap — the
+    * r9 tightening holds at full-gate coverage; 256 kept. */
   def lshTopKMultiProbe(df: DataFrame, idCol: String, vecCol: String,
       dim: Int, k: Int, nBits: Int = 6, tables: Int = 2, seed: Long = 42L,
       maxBucketSize: Int = 256): DataFrame = {
@@ -768,6 +792,13 @@ object Similarity {
     }
   }
 
+  /** GATE CALIBRATION (r10 full-gate probe, tools/scale_probe_r10.jsonl):
+    * maxBroadcastCodes = 2M ≈ 130 MB of m=16 int codes — the loud bound
+    * of THIS exhaustive-ADC form. q_ann_pq measured ~30× at 16× data
+    * (nq × N scan, quadratic by design below the cap); the composed
+    * [[ivfPqTopKPortable]] measured ~10× on identical data and
+    * [[ivfPqTopKAuto]] is the deployable sizing, so the cap stays a
+    * hard stop that names the replacement rather than a knob to raise. */
   def pqTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, m: Int = 16, ksub: Int = 16, candR: Int = 50,
       kmeansIters: Int = 2, sampleN: Int = 200, seed: Long = 42L,
