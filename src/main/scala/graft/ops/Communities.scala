@@ -683,13 +683,18 @@ object Communities {
       .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y")
       .distinct()
       .localCheckpoint(true) // reused: level 0, contractions, all Q evals
-    // level-0 local gate against e0 DIRECTLY: e0 is already the canonical
-    // distinct (x<y) list, so the symmetric list is arr ++ arr.swapped —
-    // going through lpaLouvain would rebuild union+distinct over e0 (a
-    // full extra shuffle) and collect 2× the rows. Gate at
-    // maxLocalEdges/2 canonical edges ≡ lpaLouvain's maxLocalEdges
-    // symmetric rows, so the local/distributed switch point is unchanged.
-    var p: DataFrame = null
+    // WHOLE-PIPELINE local gate against e0 DIRECTLY: e0 is already the
+    // canonical distinct (x<y) list, so the symmetric list is
+    // arr ++ arr.swapped — going through lpaLouvain would rebuild
+    // union+distinct over e0 (a full extra shuffle) and collect 2× the
+    // rows. Gate at maxLocalEdges/2 canonical edges ≡ lpaLouvain's
+    // maxLocalEdges symmetric rows, so the switch point is unchanged.
+    // Below the gate EVERY stage replays locally — LPA, moves,
+    // contraction, weighted moves, guarded acceptance — one collect and
+    // zero further Spark jobs instead of ~15 small ones (r10: the
+    // distributed level machinery alone held q_louvain_hier at ~4.7 s on
+    // a graph that fits in memory; job-count-bound, not data-bound).
+    // Above the gate the distributed forms run unchanged.
     if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
       val cap = (maxLocalEdges / 2).toInt
       val arr = e0.limit(cap + 1).as[(String, String)].collect()
@@ -699,24 +704,64 @@ object Communities {
         val sym = arr ++ arr.map { case (a, b) => (b, a) }
         var labArr = localLpa(sym, lpaRounds)
         for (_ <- 1 to moveRounds) labArr = localMoveStep(arr, labArr)
-        p = spark.createDataFrame(labArr.toIndexedSeq)
-          .toDF("node", "community").localCheckpoint(true)
+        for (_ <- 1 to levels)
+          labArr = localContractMoveProject(arr, labArr, hierMoveRounds)
+        return spark.createDataFrame(labArr.toIndexedSeq)
+          .toDF("node", "community")
       }
     }
-    if (p == null)
-      p = lpaLouvain(e0, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
-        .localCheckpoint(true)
-    // checkpoint BETWEEN levels only: each level's inputs must be
-    // materialized (p0 feeds 4 subtrees), but the LAST level's output is
-    // consumed once by the caller — an eager checkpoint there would be a
-    // pure extra barrier job (q_louvain_hier is job-count-bound; p1 and
-    // the acceptance flag inside the level are already materialized /
-    // broadcast-reused)
+    val e0c = e0.localCheckpoint(true) // distributed: reused by all levels
+    var p = lpaLouvain(e0c, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
+      .localCheckpoint(true)
     for (i <- 1 to levels) {
-      p = contractMoveProject(e0, p, hierMoveRounds, maxLocalEdges)
+      p = contractMoveProject(e0c, p, hierMoveRounds, maxLocalEdges)
       if (i < levels) p = p.localCheckpoint(true)
     }
     p
+  }
+
+  /** Driver-side replay of [[contractMoveProject]] — contraction,
+    * `hierMoveRounds` weighted supernode moves ([[localMoveStepWeighted]],
+    * the parity-spec'd twin of the distributed step), projection, and the
+    * exact integer Q·4m² guarded acceptance — over the already-collected
+    * canonical edge list. Semantics identical stage-for-stage: contracted
+    * keys utf8-ordered (≡ least/greatest), isolated supernodes keep their
+    * label, acceptance is non-strict (>=) on the original graph. */
+  private def localContractMoveProject(canon: Array[(String, String)],
+      lab: Array[(String, String)], hierMoveRounds: Int): Array[(String, String)] = {
+    val labMap = scala.collection.mutable.HashMap(lab: _*)
+    val wMap = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    canon.foreach { case (x, y) =>
+      val cx = labMap(x); val cy = labMap(y)
+      if (cx != cy) {
+        val key = if (utf8Lt(cx, cy)) (cx, cy) else (cy, cx)
+        wMap.update(key, wMap.getOrElse(key, 0L) + 1L)
+      }
+    }
+    val ce = wMap.iterator.map { case ((a, b), w) => (a, b, w) }.toArray
+    var sl: Array[(String, String)] = lab.map(_._2).distinct.map(c => (c, c))
+    for (_ <- 1 to hierMoveRounds) sl = localMoveStepWeighted(ce, sl)
+    val slMap = sl.toMap
+    val p1 = lab.map { case (n, c) => (n, slMap.getOrElse(c, c)) }
+    val m = canon.length.toLong
+    val degs = scala.collection.mutable.HashMap.empty[String, Long]
+    canon.foreach { case (x, y) =>
+      degs.update(x, degs.getOrElse(x, 0L) + 1L)
+      degs.update(y, degs.getOrElse(y, 0L) + 1L)
+    }
+    def q4m2(lm: scala.collection.Map[String, String]): Long = {
+      var intra = 0L
+      canon.foreach { case (x, y) => if (lm(x) == lm(y)) intra += 1L }
+      val dc = scala.collection.mutable.HashMap.empty[String, Long]
+      degs.foreach { case (v, d) =>
+        val c = lm(v); dc.update(c, dc.getOrElse(c, 0L) + d)
+      }
+      var s = 0L
+      dc.values.foreach(d => s += d * d)
+      4L * m * intra - s
+    }
+    if (q4m2(scala.collection.mutable.HashMap(p1: _*)) >= q4m2(labMap)) p1
+    else lab
   }
 
   /** One Louvain contraction level with guarded acceptance: contract the
@@ -783,12 +828,17 @@ object Communities {
       .agg(
         coalesce(sum(when($"side" === 0, $"s")), lit(0L)).as("sum_dc2_0"),
         coalesce(sum(when($"side" === 1, $"s")), lit(0L)).as("sum_dc2_1"))
-    val flag = im.crossJoin(dc2)
+    // the acceptance decision is ONE boolean — a 1-row collect (the
+    // repo's allowed driver-side shape) and a direct branch beats the
+    // old lazy crossJoin+union, whose two .where(take1/!take1) branches
+    // each re-evaluated the flag subtree on every consumer action
+    // (r10: q_louvain_hier regressed to 6.2 s when the final checkpoint
+    // stopped hiding that double evaluation)
+    val take1 = im.crossJoin(dc2)
       .select((lit(4L) * $"m" * $"intra1" - $"sum_dc2_1" >=
         lit(4L) * $"m" * $"intra0" - $"sum_dc2_0").as("take1"))
-    p1.crossJoin(broadcast(flag)).where($"take1")
-      .union(p0.crossJoin(broadcast(flag)).where(!$"take1"))
-      .select("node", "community")
+      .head().getBoolean(0)
+    if (take1) p1 else p0
   }
 
   /** Semi-supervised label SPREADING (Zhu & Ghahramani 2002 shape): a

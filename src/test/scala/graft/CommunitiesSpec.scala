@@ -192,4 +192,29 @@ class CommunitiesSpec extends AnyFunSuite {
       lpaRounds = 2, moveRounds = 2, maxLocalEdges = 0L))
     assert(gated == dist)
   }
+
+  test("louvainHier: whole-pipeline local replay ≡ distributed, random graphs + levels=2") {
+    // the r10 local path replays contraction + weighted moves + guarded
+    // acceptance driver-side; every stage must match the distributed
+    // forms node-for-node, including multi-level chaining
+    val rnd = new scala.util.Random(4242)
+    for (seed <- 0 until 4) {
+      val n = 12 + rnd.nextInt(10)
+      val edges = (0 until (3 * n)).map { _ =>
+        (s"v${rnd.nextInt(n)}", s"v${rnd.nextInt(n)}")
+      }.filter(e => e._1 != e._2).distinct
+      if (edges.nonEmpty) {
+        val df = edges.toDF("src", "dst")
+        for (levels <- Seq(1, 2)) {
+          val gated = labMap(Communities.louvainHier(df, "src", "dst",
+            lpaRounds = 3, moveRounds = 2, hierMoveRounds = 2,
+            levels = levels))
+          val dist = labMap(Communities.louvainHier(df, "src", "dst",
+            lpaRounds = 3, moveRounds = 2, hierMoveRounds = 2,
+            levels = levels, maxLocalEdges = 0L))
+          assert(gated == dist, s"seed=$seed levels=$levels")
+        }
+      }
+    }
+  }
 }
