@@ -129,6 +129,15 @@ object AssociationRules {
           else $"supp_a" / $"total_tx")
       val kept = pairs.where($"confidence" >= lit(params.minConfidence))
         .persist(StorageLevel.MEMORY_AND_DISK)
+      // MATERIALIZE kept (and, on its lineage, validItems/totals) while
+      // `rows` is still cached: everything here is lazy, so without this
+      // the finally-unpersist below emptied the rows cache before the
+      // caller's first action, which then re-derived the raw scan once
+      // per downstream subtree — the r10 full-gate probe measured
+      // q_assoc at 38× linear (89 s) on 16× data from exactly that
+      // recompute fan-out. One small count() action; after it the
+      // returned plan reads only the two persisted tables.
+      kept.count()
 
       // lift: exact numerator summed first, single final division
       val lift = (

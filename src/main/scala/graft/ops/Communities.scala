@@ -695,10 +695,24 @@ object Communities {
     // distributed level machinery alone held q_louvain_hier at ~4.7 s on
     // a graph that fits in memory; job-count-bound, not data-bound).
     // Above the gate the distributed forms run unchanged.
+    // persist e0 ACROSS the gate probe: the probe's limit-collect fully
+    // evaluates the co-order distinct either way, and without the cache
+    // the distributed branch's checkpoint re-derived it from the raw
+    // scan a second time (r10 ×64 probe: q_louvain_hier 243 s vs r9's
+    // 89 s — one whole extra e0 evaluation plus the failed 2.5M-row
+    // fetch). Local branch: the collected array IS the data. Both
+    // branches unpersist as soon as their copy is materialized.
+    val e0p = e0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
       val cap = (maxLocalEdges / 2).toInt
-      val arr = e0.limit(cap + 1).as[(String, String)].collect()
-      if (arr.length <= cap) {
+      // count-probe (the Betweenness pattern), not limit-collect: count
+      // materializes e0p into the cache either way, and on the FAIL side
+      // avoids fetching cap·2 strings to the driver just to throw them
+      // away (~120 MB + GC at the ×64 probe scale); on the PASS side the
+      // collect below reads the cache
+      if (e0p.count() <= cap) {
+        val arr = e0p.as[(String, String)].collect()
+        e0p.unpersist(blocking = false)
         if (arr.isEmpty)
           return spark.emptyDataset[(String, String)].toDF("node", "community")
         val sym = arr ++ arr.map { case (a, b) => (b, a) }
@@ -710,7 +724,8 @@ object Communities {
           .toDF("node", "community")
       }
     }
-    val e0c = e0.localCheckpoint(true) // distributed: reused by all levels
+    val e0c = e0p.localCheckpoint(true) // distributed: reused by all levels
+    e0p.unpersist(blocking = false)
     var p = lpaLouvain(e0c, "x", "y", lpaRounds, moveRounds, maxLocalEdges)
       .localCheckpoint(true)
     for (i <- 1 to levels) {
