@@ -900,6 +900,41 @@ private[graft] object TextQueries {
       // structure on the cell dimension, points only map-side-join in
       graft.ops.Density.gridDbscan(Tables.embeddings(s, d), "vec_id",
         "embedding", eps = 0.125, minPts = 10L).orderBy("id")
+    },
+    "q_dup_spans" -> { (s, d) =>
+      // cross-doc duplicated-span mining (ops/DupSpans): maximal token
+      // ranges whose every 4-gram occurs in >= 2 distinct docs — the
+      // position-level boilerplate signal (Lee et al. 2022 flavor);
+      // entity-keyed windows + one gram-keyed count, no doc pairs ever
+      graft.ops.DupSpans.dupSpans(Tables.documents(s, d), "doc_id", "text",
+        n = 4, minDocs = 2).orderBy("doc_id", "start_pos")
+    },
+    "q_pii_scrub" -> { (s, d) =>
+      // regex redaction pass (ops/Redact): PII-shaped patterns (email,
+      // phone) prove zero false positives on this corpus; the third
+      // corpus-hitting pattern exercises the rewrite+count plumbing.
+      // One codegen'd projection, zero shuffles before the sort
+      graft.ops.Redact.scrub(Tables.documents(s, d), "doc_id", "text", Seq(
+        graft.ops.Redact.Pattern("email",
+          "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
+        graft.ops.Redact.Pattern("phone", "[0-9]{3}-[0-9]{4}", "<PHONE>"),
+        graft.ops.Redact.Pattern("speed", "\\b(slow|fast)\\b", "<SPEED>")))
+        .orderBy("doc_id")
+    },
+    "q_blocklist" -> { (s, d) =>
+      // token-aligned phrase blocklist (ops/Blocklist): mixed 1/2/3-token
+      // phrases from one shared lead set, broadcast phrase join
+      graft.ops.Blocklist.phraseMatches(Tables.documents(s, d), "doc_id",
+          "text",
+          Seq("batch batch", "slow", "the fast key", "window window"))
+        .orderBy("doc_id", "phrase")
+    },
+    "q_token_budget" -> { (s, d) =>
+      // largest-remainder token-budget apportionment (ops/TokenBudget):
+      // per-source char masses -> integer quotas summing to exactly 1M;
+      // remainder ranking on the scale-safe globalRowNumber
+      graft.ops.TokenBudget.allocate(Tables.documents(s, d), "source",
+        "n_chars", budget = 1000000L).orderBy("grp")
     })
 
   def oracles: Map[String, String] = Map(
@@ -2388,5 +2423,67 @@ private[graft] object TextQueries {
         |FROM pts p
         |  LEFT JOIN coreclu k ON k.cell_x = p.cell_x AND k.cell_y = p.cell_y
         |  LEFT JOIN borderclu b ON b.cell_x = p.cell_x AND b.cell_y = p.cell_y
-        |ORDER BY p.id""".stripMargin)
+        |ORDER BY p.id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |g AS (SELECT doc_id, i - 1 AS pos,
+        |             array_to_string(w[i:i+3], ' ') AS gram
+        |      FROM toks, UNNEST(range(1, greatest(len(w) - 2, 1))) AS t(i)),
+        |dup AS (SELECT gram FROM g GROUP BY gram
+        |        HAVING COUNT(DISTINCT doc_id) >= 2),
+        |dp AS (SELECT doc_id, pos FROM g JOIN dup USING (gram)),
+        |isl AS (SELECT doc_id, pos,
+        |          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+        |            AS grp
+        |        FROM dp)
+        |SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS start_pos,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(COUNT(*) + 3 AS BIGINT) AS span_tokens
+        |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
+    "q_pii_scrub" ->
+      """WITH c1 AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(text,
+        |      '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |    regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}',
+        |      '<EMAIL>', 'g') AS t1
+        |  FROM documents),
+        |c2 AS (SELECT doc_id, n_email,
+        |    CAST(len(regexp_extract_all(t1, '[0-9]{3}-[0-9]{4}')) AS BIGINT)
+        |      AS n_phone,
+        |    regexp_replace(t1, '[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS t2
+        |  FROM c1)
+        |SELECT doc_id, n_email, n_phone,
+        |  CAST(len(regexp_extract_all(t2, '\b(slow|fast)\b')) AS BIGINT)
+        |    AS n_speed,
+        |  regexp_replace(t2, '\b(slow|fast)\b', '<SPEED>', 'g') AS text_clean
+        |FROM c2 ORDER BY doc_id""".stripMargin,
+    "q_blocklist" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |ph AS (SELECT phrase, len(string_split(phrase, ' ')) AS plen
+        |       FROM (VALUES ('batch batch'), ('slow'), ('the fast key'),
+        |                    ('window window')) p(phrase)),
+        |g AS (SELECT doc_id, pl.plen, i - 1 AS pos,
+        |             array_to_string(w[i:i+pl.plen-1], ' ') AS gram
+        |      FROM toks, (SELECT DISTINCT plen FROM ph) pl,
+        |           UNNEST(range(1, greatest(len(w) - pl.plen + 2, 1))) AS t(i))
+        |SELECT doc_id, phrase, CAST(COUNT(*) AS BIGINT) AS n_hits,
+        |       CAST(MIN(pos) AS BIGINT) AS first_pos
+        |FROM g JOIN ph ON ph.plen = g.plen AND ph.phrase = g.gram
+        |GROUP BY doc_id, phrase ORDER BY doc_id, phrase""".stripMargin,
+    "q_token_budget" ->
+      """WITH s AS (SELECT source AS grp, CAST(SUM(n_chars) AS BIGINT) AS sz
+        |           FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |t AS (SELECT CAST(SUM(sz) AS BIGINT) AS tot FROM s),
+        |q AS (SELECT grp, sz,
+        |        CAST((1000000 * sz) // tot AS BIGINT) AS fl,
+        |        CAST((1000000 * sz) % tot AS BIGINT) AS rem
+        |      FROM s, t),
+        |e AS (SELECT CAST(1000000 - SUM(fl) AS BIGINT) AS extra FROM q),
+        |r AS (SELECT grp, sz, fl,
+        |        row_number() OVER (ORDER BY rem DESC, grp) AS rn
+        |      FROM q)
+        |SELECT grp, sz,
+        |       CAST(fl + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |         AS quota
+        |FROM r, e ORDER BY grp""".stripMargin)
 }

@@ -1,0 +1,85 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Cross-document duplicated-span mining — the position-level view of
+  * corpus duplication that document- and passage-level dedup cannot give:
+  * for every document, the maximal token ranges in which EVERY word
+  * n-gram also occurs in at least `minDocs` distinct documents. These
+  * spans are the "memorized boilerplate" regions substring-level training
+  * -data dedup targets (Lee et al. 2022, "Deduplicating Training Data
+  * Makes Language Models Better", trains on suffix arrays; at cluster
+  * scale the equivalent signal is n-gram-resolution spans, which need
+  * only hash shuffles).
+  *
+  * Pipeline (all relational, no quadratic term anywhere):
+  *   1. per-row n-grams straight off the scan (`split` →
+  *      `transform(sequence, i → array_join(slice(…)))` → explode) —
+  *      ZERO shuffles before any aggregation, unlike a posexplode +
+  *      entity-window build which would shuffle the whole token table
+  *      by doc id first;
+  *   2. gram → distinct-doc count (one groupBy; map-side partial
+  *      aggregation compresses each partition to its distinct grams
+  *      before the shuffle), filtered to `>= minDocs`;
+  *   3. positions semi-joined back on the gram hash — an equi-join
+  *      Catalyst plans as a shuffle hash join, never a cartesian;
+  *   4. gaps-and-islands on the surviving positions (pos − row_number
+  *      per doc — an entity-keyed window over only the DUPLICATED
+  *      positions, a fraction of the token table) merging consecutive
+  *      duplicated positions into maximal spans.
+  *
+  * A span of `g` consecutive duplicated grams covers `g + n − 1` tokens.
+  * Positions are 0-based. Ties/determinism: positions within a doc are
+  * unique, so both windows have a total order.
+  *
+  * 100 TB posture: step 2's distinct-doc count is the only corpus-wide
+  * shuffle and its key domain is the gram vocabulary (zipfian — partial
+  * aggregation absorbs the head); a stopword-gram shared by millions of
+  * docs costs one counter, not a pair explosion, because the operator
+  * never materializes doc pairs. The reference has no positional
+  * operator at all (its dedup surface is whole-frame `group_by`); this is
+  * a beyond-reference training-pipeline operator in the family of
+  * [[Dedup.passageDuplication]] (which counts repeated fixed-width
+  * passages but does not merge them into maximal per-doc spans).
+  *
+  * Output: (doc_id, start_pos, n_grams, span_tokens), one row per
+  * maximal span.
+  */
+object DupSpans {
+
+  def dupSpans(df: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int = 2): DataFrame = {
+    require(n >= 2 && n <= 16, s"n must be in [2, 16], got $n")
+    require(minDocs >= 2, s"minDocs must be >= 2, got $minDocs")
+    // sequence(a, b) counts DOWN when b < a: short docs are guarded to an
+    // empty gram array, never negative-position garbage
+    val grams = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(__arr) >= $n THEN
+              transform(sequence(0, size(__arr) - $n),
+                i -> struct(CAST(i AS BIGINT) AS pos,
+                            array_join(slice(__arr, i + 1, $n), ' ')
+                              AS gram))
+            ELSE CAST(array() AS
+              array<struct<pos: bigint, gram: string>>)
+            END""")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+    val dupGrams = grams.groupBy(col("gram"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+      .select(col("gram"))
+    val dupPos = grams.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val isl = dupPos.withColumn("__grp",
+      col("pos") - row_number().over(w))
+    isl.groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("start_pos"),
+        count(lit(1)).as("n_grams"))
+      .select(col("doc_id"), col("start_pos"), col("n_grams"),
+        (col("n_grams") + lit(n - 1).cast("long")).as("span_tokens"))
+  }
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Largest-remainder (Hamilton) quota allocation — the data-mixing step
+  * of a training run: given per-group corpus sizes (tokens per source /
+  * domain / language) and a global token budget, hand each group an
+  * INTEGER quota proportional to its size such that the quotas sum to
+  * the budget EXACTLY. Floor-division alone under-allocates by up to
+  * (groups − 1); the largest-remainder rule gives the leftover units to
+  * the groups floor-division shortchanged the most — the same arithmetic
+  * parliaments use for seat apportionment, here integer-exact end to end
+  * (no double ratios, so the result is engine-portable and
+  * oracle-checkable bit-for-bit).
+  *
+  * Shape: one groupBy for sizes, two 1-row aggregates (total size, total
+  * floor allocation) broadcast back — the gated-collect family the repo
+  * already uses for thresholds — and ONE global ranking of groups by
+  * remainder, on [[Ranks.globalRowNumber]] (range exchange + per-
+  * partition numbering), never a single-partition window: the group
+  * domain can be large (per-site quotas) even when each group is huge.
+  * Ties on remainder break by group key ascending — deterministic and
+  * documented, as apportionment requires.
+  *
+  * Overflow: `budget · size` must stay in int64; guarded per row with a
+  * loud raise_error rather than a silent wrap (the repo's document-loud
+  * policy). Sizes must be non-negative; groups with null keys are
+  * dropped (null is not a domain).
+  *
+  * The reference has no allocation surface; beyond-reference pipeline
+  * operator in the curation family ([[Curation]], [[DomainAffinity]]).
+  *
+  * Output: (group, sz, quota), Σ quota = budget exactly (spec-pinned).
+  */
+object TokenBudget {
+
+  def allocate(df: DataFrame, groupCol: String, sizeCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val sizes = df.where(col(groupCol).isNotNull)
+      .groupBy(col(groupCol).as("grp"))
+      .agg(sum(col(sizeCol).cast("long")).as("sz"))
+      .where(col("sz") >= 0L)
+    if (budget == 0L)
+      return sizes.select(col("grp"), col("sz"), lit(0L).as("quota"))
+    val tot = sizes.agg(sum(col("sz")).as("__tot"))
+      .select(when(col("__tot") === 0L,
+        raise_error(lit("token budget: total size is zero but budget > 0 " +
+          "— nothing to apportion proportionally")))
+        .otherwise(col("__tot")).as("__tot"))
+    val guarded = sizes.crossJoin(broadcast(tot))
+      .withColumn("sz", when(
+        lit(budget) =!= 0L && col("sz") > lit(Long.MaxValue / math.max(budget, 1L)),
+        raise_error(concat(lit(s"token budget overflow: budget $budget * size "),
+          col("sz"), lit(" exceeds int64 — rescale sizes upstream"))))
+        .otherwise(col("sz")))
+      .withColumn("__fl", expr(s"(${budget}L * sz) div __tot"))
+      .withColumn("__rem", expr(s"(${budget}L * sz) % __tot"))
+    val extra = guarded.agg((lit(budget) - sum(col("__fl"))).as("__extra"))
+    // rank by remainder DESC, group ASC — globalRowNumber sorts ascending,
+    // so feed the negated remainder
+    val ranked = Ranks.globalRowNumber(
+      guarded.withColumn("__negrem", -col("__rem"))
+        .select(col("grp"), col("sz"), col("__fl"), col("__negrem")),
+      Seq("__negrem", "grp"))
+    ranked.crossJoin(broadcast(extra))
+      .select(col("grp"), col("sz"),
+        (col("__fl") + when(col("grn") <= col("__extra"), 1L).otherwise(0L))
+          .as("quota"))
+  }
+}

@@ -35,12 +35,17 @@ import org.apache.spark.sql.functions._
   * dimension sides), so fact⋈dim queries keep their match rate at scale.
   * nation/region stay passthrough (fixed-cardinality dims, as in TPC-H
   * scaling). FLAG RULE: a query is flagged when scaled time exceeds
-  * 2× LINEAR (scaled_sec > 2 · factor · base_sec) AND scaled_sec > 5 s
-  * (sub-second queries are dominated by fixed job-launch overhead, where
-  * ratios are noise, not scaling evidence). Graph queries whose local-
-  * replay gates don't trip at ×16 measure the gated path that genuinely
-  * runs at that size; their distributed paths are covered by the ×64
-  * deep-probe lines.
+  * 2× its WORK BOUND (scaled_sec > 2 · max(factor, rows_ratio) ·
+  * base_sec) AND scaled_sec > 5 s (sub-second queries are dominated by
+  * fixed job-launch overhead, where ratios are noise, not scaling
+  * evidence). rows_ratio is scaled_rows / base_rows: an operator whose
+  * OUTPUT genuinely grows superlinearly — q_radius_join's replica-
+  * densified points put 256× the true pairs within the radius at ×16 —
+  * cannot run sub-output time, so the bound is the larger of input and
+  * output growth; output-linear queries keep the plain 2×-linear bar.
+  * Graph queries whose local-replay gates don't trip at ×16 measure the
+  * gated path that genuinely runs at that size; their distributed paths
+  * are covered by the ×64 deep-probe lines.
   */
 object ScaleProbe {
 
@@ -124,8 +129,11 @@ object ScaleProbe {
         val (baseSec, baseRows) = timed(sfDir)
         val (scaledSec, scaledRows) = timed(dir)
         val ratio = if (baseSec > 0) scaledSec / baseSec else -1.0
-        val flagged = scaledSec > 2.0 * factor * baseSec && scaledSec > 5.0
-        println(f"""{"query":"$name","factor":$factor,"base_sec":$baseSec%.2f,"scaled_sec":$scaledSec%.2f,"ratio":$ratio%.2f,"base_rows":$baseRows,"scaled_rows":$scaledRows,"flagged":$flagged}""")
+        val rowsRatio =
+          if (baseRows > 0) scaledRows.toDouble / baseRows else 1.0
+        val workBound = math.max(factor.toDouble, rowsRatio)
+        val flagged = scaledSec > 2.0 * workBound * baseSec && scaledSec > 5.0
+        println(f"""{"query":"$name","factor":$factor,"base_sec":$baseSec%.2f,"scaled_sec":$scaledSec%.2f,"ratio":$ratio%.2f,"base_rows":$baseRows,"scaled_rows":$scaledRows,"rows_ratio":$rowsRatio%.2f,"flagged":$flagged}""")
       } catch {
         case scala.util.control.NonFatal(e) =>
           val msg = (Option(e.getMessage).getOrElse(e.getClass.getName))
