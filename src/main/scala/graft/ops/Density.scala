@@ -75,7 +75,12 @@ object Density {
           + (col("ya") - col("yb")) * (col("ya") - col("yb")))
           .as("dist_sq_q"))
       .where(col("dist_sq_q") <= epsQ * epsQ)
-      .distinct()
+    // exactly-once WITHOUT a distinct: b lives in exactly one cell, a
+    // probes 9 distinct cells, and id_a < id_b drops the mirror — so a
+    // qualifying pair meets exactly once. (A trailing distinct here was
+    // the operator's single biggest shuffle — output-sized, 116M rows at
+    // the 16x probe — and provably dedups nothing; DensitySpec pins the
+    // no-duplicate invariant on a coincident-point fixture.)
   }
 
   def gridDbscan(df: DataFrame, idCol: String, vecCol: String,

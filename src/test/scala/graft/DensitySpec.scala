@@ -49,4 +49,24 @@ class DensitySpec extends AnyFunSuite {
       Density.gridDbscan(pts, "vec_id", "embedding", eps = 0.1, minPts = 1L)
     }
   }
+
+  test("radiusPairs emits each qualifying pair exactly once, no distinct") {
+    // worst case for double-emission: coincident points (dist 0) plus
+    // cross-cell pairs exactly at the radius, both directions present
+    val pts = Seq(
+      (1L, Array(0.01f, 0.01f)), (2L, Array(0.01f, 0.01f)), // coincident
+      (3L, Array(0.02f, 0.01f)),                            // same cell
+      (4L, Array(0.135f, 0.01f)),  // next cell over, within radius of 3
+      (5L, Array(0.9f, 0.9f)))     // far away
+    val out = Density.radiusPairs(pts.toDF("vec_id", "embedding"),
+        "vec_id", "embedding", epsQ = 1250L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == out.distinct.length,
+      s"duplicate pairs emitted: ${out.groupBy(identity).filter(_._2.length > 1).keys}")
+    val set = out.toSet
+    assert(set.contains((1L, 2L)) && set.contains((1L, 3L)) &&
+      set.contains((2L, 3L)) && set.contains((3L, 4L)))
+    assert(out.forall { case (a, b) => a < b })
+    assert(!set.exists { case (a, b) => a == 5L || b == 5L })
+  }
 }
