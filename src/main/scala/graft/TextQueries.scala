@@ -935,6 +935,32 @@ private[graft] object TextQueries {
       // remainder ranking on the scale-safe globalRowNumber
       graft.ops.TokenBudget.allocate(Tables.documents(s, d), "source",
         "n_chars", budget = 1000000L).orderBy("grp")
+    },
+    "q_pack_pairs" -> { (s, d) =>
+      // complementary-pair sequence packing (ops/Packing): r-th longest
+      // pairs the r-th shortest when they fit 600 chars; one global
+      // ranking + one rank-keyed equi-join, no sequential bin state
+      graft.ops.Packing.packPairs(Tables.documents(s, d), "doc_id",
+        "n_chars", capacity = 600L).orderBy("doc_id")
+    },
+    "q_dsir" -> { (s, d) =>
+      // hashed-feature importance weights (ops/ImportanceWeights, the
+      // DSIR selection step in integer ppm form): md5-lane token buckets,
+      // target = lang 'en'; weight table broadcasts back (<= 4096 rows)
+      graft.ops.ImportanceWeights.hashedRatioScores(Tables.documents(s, d),
+        "doc_id", "text", isTarget = col("lang") === "en", buckets = 4096)
+        .orderBy("doc_id")
+    },
+    "q_dedup_incremental" -> { (s, d) =>
+      // incremental exact dedup (Dedup.incrementalExact): fold the odd
+      // docs into the even docs' digest ledger — the updated ledger must
+      // equal full-corpus exactDuplicates plus batch provenance (n_new)
+      val docs = Tables.documents(s, d)
+      val prev = Dedup.exactDuplicates(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text")
+      Dedup.incrementalExact(prev,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text")
+        .orderBy("text_sha")
     })
 
   def oracles: Map[String, String] = Map(
@@ -2485,5 +2511,59 @@ private[graft] object TextQueries {
         |SELECT grp, sz,
         |       CAST(fl + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
         |         AS quota
-        |FROM r, e ORDER BY grp""".stripMargin)
+        |FROM r, e ORDER BY grp""".stripMargin,
+    "q_pack_pairs" ->
+      """WITH base AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS len FROM documents),
+        |rk AS (SELECT doc_id, len,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY len DESC, doc_id) AS BIGINT) AS r,
+        |         CAST(COUNT(*) OVER () AS BIGINT) AS n FROM base),
+        |l AS (SELECT * FROM rk WHERE r < n + 1 - r),
+        |j AS (SELECT l.doc_id AS id_l, l.len AS len_l, l.r AS r_l,
+        |             s.doc_id AS id_s, s.len AS len_s, s.r AS r_s
+        |      FROM l JOIN rk s ON s.r = l.n + 1 - l.r),
+        |m AS (
+        |  SELECT id_l AS doc_id, len_l AS len, r_l AS rnk, id_l AS pack_id,
+        |         CASE WHEN len_l + len_s <= 600 THEN 2 ELSE 1 END AS n_members,
+        |         CASE WHEN len_l + len_s <= 600 THEN len_l + len_s ELSE len_l END AS pack_len
+        |  FROM j
+        |  UNION ALL
+        |  SELECT id_s, len_s, r_s,
+        |         CASE WHEN len_l + len_s <= 600 THEN id_l ELSE id_s END,
+        |         CASE WHEN len_l + len_s <= 600 THEN 2 ELSE 1 END,
+        |         CASE WHEN len_l + len_s <= 600 THEN len_l + len_s ELSE len_s END
+        |  FROM j
+        |  UNION ALL
+        |  SELECT doc_id, len, r, doc_id, 1, len FROM rk WHERE r = n + 1 - r)
+        |SELECT doc_id, len, rnk, pack_id,
+        |       CAST(n_members AS BIGINT) AS n_members,
+        |       CAST(pack_len AS BIGINT) AS pack_len,
+        |       (CAST(pack_len AS BIGINT) * 1000000) // 600 AS fill_ppm
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_dsir" ->
+      """WITH toks AS (SELECT doc_id,
+        |                CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS tgt,
+        |                unnest(string_split(text, ' ')) AS tok FROM documents),
+        |b AS (SELECT doc_id, tgt,
+        |        ('0x' || substr(md5(tok), 1, 15))::BIGINT % 4096 AS bkt FROM toks),
+        |stats AS (SELECT bkt, CAST(SUM(tgt) AS BIGINT) AS cnt_t,
+        |                 COUNT(*) AS cnt_s FROM b GROUP BY bkt),
+        |tot AS (SELECT CAST(SUM(cnt_t) AS BIGINT) AS tot_t,
+        |               CAST(SUM(cnt_s) AS BIGINT) AS tot_s FROM stats),
+        |w AS (SELECT bkt, (cnt_t * 1000000) // tot_t - (cnt_s * 1000000) // tot_s AS w
+        |      FROM stats, tot)
+        |SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w) AS BIGINT) AS score_ppm
+        |FROM b JOIN w USING (bkt) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH prev AS (SELECT sha256(text) AS text_sha, COUNT(*) AS pn,
+        |                     MIN(doc_id) AS pk
+        |              FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+        |inc AS (SELECT sha256(text) AS text_sha, COUNT(*) AS nn,
+        |               MIN(doc_id) AS nk
+        |        FROM documents WHERE doc_id % 2 = 1 GROUP BY 1)
+        |SELECT COALESCE(p.text_sha, i.text_sha) AS text_sha,
+        |       COALESCE(pn, 0) + COALESCE(nn, 0) AS n_copies,
+        |       COALESCE(LEAST(pk, nk), pk, nk) AS keep_id,
+        |       COALESCE(nn, 0) AS n_new
+        |FROM prev p FULL OUTER JOIN inc i ON p.text_sha = i.text_sha
+        |ORDER BY 1""".stripMargin)
 }

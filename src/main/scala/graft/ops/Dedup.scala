@@ -1048,4 +1048,41 @@ object Dedup extends org.apache.spark.internal.Logging {
       .select(col("id_a"), col("id_b"), col("n_inter"),
         col("jaccard_permille"))
   }
+
+  /** INCREMENTAL exact dedup — the only shape that survives a growing
+    * 100 TB corpus: fold a new batch of documents into the PRIOR
+    * snapshot's digest ledger (the (text_sha, n_copies, keep_id) output
+    * of [[exactDuplicates]]) without ever touching the prior corpus's
+    * text again. The prior petabytes are represented by their
+    * digest-width ledger (32 bytes + two longs per DISTINCT content);
+    * the batch pays one groupBy; one full-outer join on the digest
+    * stitches the two — co-partitioned on sha, uniform by construction
+    * (digests don't skew).
+    *
+    * Invariant (the correctness statement, spec-pinned and driver-
+    * checked): folding any partition of the corpus batch-by-batch yields
+    * EXACTLY the ledger [[exactDuplicates]] computes over the union —
+    * n_copies adds, keep_id is the global min — plus an `n_new` column
+    * (this batch's copy count; 0 = content seen before, untouched this
+    * batch) that makes the incremental provenance auditable.
+    *
+    * Output: (text_sha, n_copies, keep_id, n_new), one row per distinct
+    * content across prior ∪ batch.
+    */
+  def incrementalExact(prevLedger: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val prev = prevLedger.select(col("text_sha"),
+      col("n_copies").cast("long").as("__prev_n"),
+      col("keep_id").cast("long").as("__prev_keep"))
+    val inc = exactDuplicates(batch, idCol, textCol)
+      .select(col("text_sha"), col("n_copies").as("__new_n"),
+        col("keep_id").cast("long").as("__new_keep"))
+    prev.join(inc, Seq("text_sha"), "full_outer")
+      .select(col("text_sha"),
+        (coalesce(col("__prev_n"), lit(0L)) +
+          coalesce(col("__new_n"), lit(0L))).as("n_copies"),
+        coalesce(least(col("__prev_keep"), col("__new_keep")),
+          col("__prev_keep"), col("__new_keep")).as("keep_id"),
+        coalesce(col("__new_n"), lit(0L)).as("n_new"))
+  }
 }

@@ -234,29 +234,36 @@ object TextStats {
     * Output: (id, n_shingles, n_novel, novelty_permille). Integer counts
     * and integer division end-to-end; shingle derivation shared with the
     * Jaccard dedup family ([[Dedup.shingles]] — docs shorter than n
-    * tokens contribute their whole text as one shingle). The join back of
-    * first-owners onto shingle rows is shingle-keyed and co-partitioned
-    * with the aggregation that produced it — two shuffles total plus the
-    * final per-document count, all partial-aggregatable: the 100 TB shape.
+    * tokens contribute their whole text as one shingle).
+    *
+    * Shape (r10 rework): JOIN-FREE on the shingle axis. Per-doc NOVEL
+    * counts don't need first-owners joined back onto the full shingle
+    * table — they are a RE-AGGREGATION of the firsts table itself
+    * (groupBy first_id → count, one row per DISTINCT shingle in, one row
+    * per doc out), and per-doc shingle totals come straight off the
+    * shingle table. The previous shape paid a big-big shingle-keyed join
+    * plus a doc-keyed aggregation of the joined full-width table; this
+    * one touches the shingle axis exactly once (partial-min map-side) and
+    * stitches two per-doc aggregates with one left join on the small doc
+    * axis — at 100 TB the gram table is the heavy axis, and it now
+    * shuffles once instead of three times. The shingle subtree feeds both
+    * per-doc totals and the firsts aggregation, so it stays persisted
+    * (lazy-plan policy of Dedup.ngramJaccardPairs / ConnectedComponents).
     */
   def noveltyScores(df: DataFrame, idCol: String, textCol: String,
       n: Int = 3): DataFrame = {
-    // persisted: feeds both the first-owner aggregation and the join —
-    // without it the tokenize+window shingle subtree runs twice (plan
-    // audit r7). At sf0.1 the cache materialization actually costs more
-    // than the cheap recompute (~0.6 s, measured); at corpus scale the
-    // recompute is two extra full shuffles, so the persist is the right
-    // call. Left to LRU eviction (lazy-plan policy of
-    // Dedup.ngramJaccardPairs / ConnectedComponents).
     val sh = Dedup.shingles(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val first = sh.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
-    sh.join(first, "shingle")
-      .groupBy(col("id").as(idCol))
-      .agg(
-        count(lit(1)).as("n_shingles"),
-        sum(when(col("id") === col("first_id"), 1L).otherwise(0L)).as("n_novel"))
-      .withColumn("novelty_permille", expr("(n_novel * 1000) div n_shingles"))
+    val sizes = sh.groupBy(col("id").as(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    val novel = sh.groupBy(col("shingle")).agg(min(col("id")).as("first_id"))
+      .groupBy(col("first_id").as(idCol))
+      .agg(count(lit(1)).as("n_novel"))
+    sizes.join(novel, Seq(idCol), "left")
+      .select(col(idCol), col("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        expr("(coalesce(n_novel, 0L) * 1000) div n_shingles")
+          .as("novelty_permille"))
   }
 
   /** Top-`k` rarity-weighted keywords per document — the tf·idf term

@@ -69,4 +69,38 @@ object TokenBudget {
         (col("__fl") + when(col("grn") <= col("__extra"), 1L).otherwise(0L))
           .as("quota"))
   }
+
+  /** The identical largest-remainder arithmetic as a pure local function —
+    * the shared kernel [[graft.streaming.StreamTokenBudget]] runs per
+    * closed window (its per-window group state is small by contract; the
+    * DataFrame operator above is the corpus-scale path). Same contract:
+    * null groups dropped, negative totals dropped, budget 0 → all zeros,
+    * zero total with budget > 0 raises, budget·size overflow raises,
+    * remainder ties break by group ascending. Equivalence with the
+    * DataFrame operator is property-pinned in StreamTokenBudgetSpec.
+    */
+  def allocateLocal(rows: Seq[(String, Long)], budget: Long)
+      : Seq[(String, Long, Long)] = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    val sizes = rows.filter(_._1 != null)
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      .filter(_._2 >= 0L).sortBy(_._1)
+    if (budget == 0L) return sizes.map { case (g, s) => (g, s, 0L) }
+    val tot = sizes.map(_._2).sum
+    require(tot > 0L, "token budget: total size is zero but budget > 0 " +
+      "— nothing to apportion proportionally")
+    sizes.foreach { case (_, s) =>
+      require(s <= Long.MaxValue / budget,
+        s"token budget overflow: budget $budget * size $s exceeds int64 " +
+          "— rescale sizes upstream")
+    }
+    val fl = sizes.map { case (g, s) =>
+      (g, s, budget * s / tot, budget * s % tot)
+    }
+    val extra = budget - fl.map(_._3).sum
+    val order = fl.sortBy { case (g, _, _, rem) => (-rem, g) }
+    order.zipWithIndex.map { case ((g, s, f, _), i) =>
+      (g, s, f + (if (i < extra) 1L else 0L))
+    }.sortBy(_._1)
+  }
 }

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.Dedup
+import org.scalatest.funsuite.AnyFunSuite
+
+class IncrementalDedupSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def docs(rows: Seq[(Long, String)]) = rows.toDF("doc_id", "text")
+
+  private def ledger(df: org.apache.spark.sql.DataFrame)
+      : Map[String, (Long, Long)] =
+    df.select("text_sha", "n_copies", "keep_id")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("fold invariant: incremental ledger equals full-corpus exactDuplicates") {
+    val all = Seq(
+      (10L, "same text"), (3L, "same text"), (7L, "other"),
+      (4L, "batch only"), (9L, "same text"), (5L, "other"))
+    val prev = Dedup.exactDuplicates(docs(all.take(3)), "doc_id", "text")
+    val inc = Dedup.incrementalExact(prev, docs(all.drop(3)), "doc_id", "text")
+    assert(ledger(inc) ==
+      ledger(Dedup.exactDuplicates(docs(all), "doc_id", "text")))
+  }
+
+  test("n_new records only the batch's copies; untouched content shows 0") {
+    val prev = Dedup.exactDuplicates(
+      docs(Seq((1L, "kept"), (2L, "boiler"), (3L, "boiler"))), "doc_id", "text")
+    val out = Dedup.incrementalExact(prev,
+        docs(Seq((8L, "boiler"), (9L, "fresh"), (10L, "fresh"))),
+        "doc_id", "text")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => (r._2, r._3, r._4)).toSet
+    assert(out == Set(
+      (1L, 1L, 0L),  // "kept": prior only, untouched this batch
+      (3L, 2L, 1L),  // "boiler": 2 prior + 1 new, keeper stays prior min
+      (2L, 9L, 2L))) // "fresh": batch-only content, keeper is batch min
+  }
+
+  test("keep_id is the global min across snapshots, either direction") {
+    // batch brings a SMALLER id than the prior keeper
+    val prev = Dedup.exactDuplicates(docs(Seq((50L, "x"))), "doc_id", "text")
+    val out = Dedup.incrementalExact(prev, docs(Seq((2L, "x"))),
+      "doc_id", "text")
+    assert(ledger(out).values.toSeq == Seq((2L, 2L)))
+  }
+
+  test("folding in three batches equals folding in one (associativity)") {
+    val rows = (1L to 30L).map(i => (i, s"content ${i % 7}"))
+    val oneShot = ledger(Dedup.exactDuplicates(docs(rows), "doc_id", "text"))
+    val b1 = Dedup.exactDuplicates(docs(rows.slice(0, 10)), "doc_id", "text")
+    val b2 = Dedup.incrementalExact(b1, docs(rows.slice(10, 20)), "doc_id", "text")
+      .select("text_sha", "n_copies", "keep_id")
+    val b3 = Dedup.incrementalExact(b2, docs(rows.slice(20, 30)), "doc_id", "text")
+    assert(ledger(b3) == oneShot)
+  }
+}
