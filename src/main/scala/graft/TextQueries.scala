@@ -951,6 +951,20 @@ private[graft] object TextQueries {
         "doc_id", "text", isTarget = col("lang") === "en", buckets = 4096)
         .orderBy("doc_id")
     },
+    "q_vocab_coverage" -> { (s, d) =>
+      // top-V vocabulary coverage audit (ops/VocabCoverage): rank tokens
+      // by (count desc, tok asc) on globalRowNumber, keep 24, broadcast
+      // back; per-doc occurrence coverage in ppm — the vocab-sizing tool
+      graft.ops.VocabCoverage.topVCoverage(Tables.documents(s, d),
+        "doc_id", "text", vocabSize = 24).orderBy("doc_id")
+    },
+    "q_shard_layout" -> { (s, d) =>
+      // training-shard layout audit (ops/ShardLayout): md5-salted 16-way
+      // shard assignment; per shard row count, char mass, ppm share, and
+      // distinct-source coverage — the straggler/starvation check
+      graft.ops.ShardLayout.layoutAudit(Tables.documents(s, d), "doc_id",
+        "n_chars", "source", numShards = 16).orderBy("shard")
+    },
     "q_dedup_incremental" -> { (s, d) =>
       // incremental exact dedup (Dedup.incrementalExact): fold the odd
       // docs into the even docs' digest ledger — the updated ledger must
@@ -2553,6 +2567,31 @@ private[graft] object TextQueries {
         |      FROM stats, tot)
         |SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w) AS BIGINT) AS score_ppm
         |FROM b JOIN w USING (bkt) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab_coverage" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |              FROM documents),
+        |cnt AS (SELECT tok, COUNT(*) AS c FROM toks GROUP BY tok),
+        |v AS (SELECT tok FROM (SELECT tok,
+        |         ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS r FROM cnt)
+        |      WHERE r <= 24)
+        |SELECT t.doc_id, COUNT(*) AS n_toks,
+        |       CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) AS n_in_vocab,
+        |       (CAST(SUM(CASE WHEN v.tok IS NOT NULL THEN 1 ELSE 0 END)
+        |         AS BIGINT) * 1000000) // COUNT(*) AS coverage_ppm
+        |FROM toks t LEFT JOIN v ON v.tok = t.tok
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
+    "q_shard_layout" ->
+      """WITH a AS (SELECT ('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 16 AS shard,
+        |                  CAST(n_chars AS BIGINT) AS w, source
+        |           FROM documents),
+        |per AS (SELECT shard, COUNT(*) AS n_rows, CAST(SUM(w) AS BIGINT) AS tot_w,
+        |               COUNT(DISTINCT source) AS n_groups
+        |        FROM a GROUP BY shard),
+        |t AS (SELECT CAST(SUM(tot_w) AS BIGINT) AS tot FROM per)
+        |SELECT shard, n_rows, tot_w, (tot_w * 1000000) // tot AS share_ppm,
+        |       n_groups
+        |FROM per, t ORDER BY shard""".stripMargin,
     "q_dedup_incremental" ->
       """WITH prev AS (SELECT sha256(text) AS text_sha, COUNT(*) AS pn,
         |                     MIN(doc_id) AS pk

@@ -34,7 +34,12 @@ import org.apache.spark.sql.functions._
   * trainer's decision, not the packer's). Negative lengths raise loudly.
   *
   * The reference has no batching surface; beyond-reference pipeline
-  * operator in the curation family ([[TokenBudget]], [[Chunker]]).
+  * operator in the curation family. The packing family's other member is
+  * [[Chunker.packContiguous]] — ORDER-PRESERVING running-sum binning (for
+  * corpora whose document order carries meaning, packed per shard); this
+  * operator is the REORDERING form that trades order for fill (pair long
+  * with short), the choice when documents are exchangeable. [[TokenBudget]]
+  * apportions ACROSS groups; packing lays out WITHIN a batch.
   *
   * Output: one row per document —
   * (doc_id, len, rnk, pack_id, n_members, pack_len, fill_ppm), where
