@@ -951,6 +951,20 @@ private[graft] object TextQueries {
         "doc_id", "text", isTarget = col("lang") === "en", buckets = 4096)
         .orderBy("doc_id")
     },
+    "q_dedup_minhash_inc" -> { (s, d) =>
+      // incremental near-dup (Dedup.incrementalMinHashPairs): odd docs
+      // fold against the even docs' signature LEDGER — pairs touching the
+      // batch only, scored by matching-lane permille (the ledger carries
+      // signatures, not text); batch-equivalence invariant spec-pinned
+      val docs = Tables.documents(s, d)
+      val prevSig = Dedup.minHashSignaturesPortable(
+        docs.where(col("doc_id") % 2 === 0), "doc_id", "text",
+        n = 3, numHashes = 64)
+      Dedup.incrementalMinHashPairs(prevSig,
+        docs.where(col("doc_id") % 2 === 1), "doc_id", "text",
+        n = 3, numHashes = 64, bands = 16, thresholdPermille = 500)
+        .orderBy("id_a", "id_b")
+    },
     "q_vocab_coverage" -> { (s, d) =>
       // top-V vocabulary coverage audit (ops/VocabCoverage): rank tokens
       // by (count desc, tok asc) on globalRowNumber, keep 24, broadcast
@@ -2567,6 +2581,26 @@ private[graft] object TextQueries {
         |      FROM stats, tot)
         |SELECT doc_id, COUNT(*) AS n_toks, CAST(SUM(w) AS BIGINT) AS score_ppm
         |FROM b JOIN w USING (bkt) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_minhash_inc" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS shingle
+         |       FROM toks, UNNEST(range(1, greatest(len(w)-1, 2))) AS t(i)),
+         |${graft.ops.Dedup.minHashPortableOracleCtes(numHashes = 64, bands = 16)},
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |         FROM bnd a JOIN bnd b
+         |           ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+         |         WHERE a.doc_id % 2 = 1 OR b.doc_id % 2 = 1),
+         |est AS (SELECT c.id_a, c.id_b,
+         |          CAST(SUM(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT)
+         |            AS est_matches
+         |        FROM cand c
+         |        JOIN mh ma ON ma.doc_id = c.id_a
+         |        JOIN mh mb ON mb.doc_id = c.id_b AND mb.i = ma.i
+         |        GROUP BY c.id_a, c.id_b)
+         |SELECT id_a, id_b, est_matches,
+         |       (est_matches * 1000) // 64 AS est_permille
+         |FROM est WHERE (est_matches * 1000) // 64 >= 500
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_vocab_coverage" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
         |              FROM documents),

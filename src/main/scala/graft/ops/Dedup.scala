@@ -516,6 +516,113 @@ object Dedup extends org.apache.spark.internal.Logging {
   private[graft] val PortableBucketM = 1099511627776L // 2^40: fold modulus
   private[graft] val PortableBucketMul = 1000003L
 
+  /** Portable MinHash SIGNATURE LEDGER — the persistent state of
+    * incremental near-dup dedup: one row per document, wide columns
+    * mh_0..mh_{H-1}, computed with the identical md5-lane algebra as
+    * [[minHashLshPairsPortable]] (a signature is a pure function of the
+    * text, so ledgers built in different runs/engines agree bit for bit).
+    * At 100 TB this ledger is what survives between ingestion batches:
+    * 8·H bytes per document instead of the text.
+    */
+  def minHashSignaturesPortable(df: DataFrame, idCol: String,
+      textCol: String, n: Int = 3, numHashes: Int = 64): DataFrame = {
+    val coeffs = portableMinHashCoeffs(numHashes)
+    val hashed = shingles(df, idCol, textCol, n)
+      .withColumn("__md5", md5(col("shingle")))
+      .withColumn("h1", graft.functions.functions.hex_to_long(substring(col("__md5"), 1, 8)))
+      .withColumn("h2", graft.functions.functions.hex_to_long(substring(col("__md5"), 9, 8)))
+    val mins = coeffs.zipWithIndex.map { case ((k, l), i) =>
+      min((col("h1") * lit(k) + col("h2") * lit(l)) % lit(PortableMinHashP)).as(s"mh_$i")
+    }
+    hashed.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+  }
+
+  /** Band-bucket rows (id, band, bucket) from a wide signature ledger —
+    * the same Horner fold as [[minHashLshPairsPortable]]'s inline band
+    * derivation, factored for the incremental path. */
+  private[graft] def signatureBandBuckets(sig: DataFrame, numHashes: Int,
+      bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
+    val bandCols = (0 until bands).map { b =>
+      val slice = (0 until rowsPerBand).map(r => col(s"mh_${b * rowsPerBand + r}"))
+      val bucket = slice.reduce((acc, mh) =>
+        (acc * lit(PortableBucketMul) + mh) % lit(PortableBucketM))
+      struct(lit(b).as("band"), bucket.as("bucket"))
+    }
+    sig.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band"), col("bb.bucket"))
+  }
+
+  /** INCREMENTAL near-dup mining — the MinHash analog of
+    * [[incrementalExact]]: fold a new batch of documents against the
+    * PRIOR snapshot's signature ledger ([[minHashSignaturesPortable]]
+    * output) and emit every near-dup pair INVOLVING A BATCH DOCUMENT,
+    * without re-reading or re-pairing the prior corpus. Prior petabytes
+    * are represented by 8·numHashes bytes per doc; the batch pays one
+    * shingle scan for its own signatures; candidates come from band
+    * buckets of the UNION ledger restricted to pairs with ≥ 1 batch
+    * member (prior×prior pairs were already mined when those batches
+    * arrived — re-emitting them would double the ledger's work forever).
+    *
+    * Scoring is the SIGNATURE estimate (matching-lane permille), not
+    * exact shingle Jaccard — deliberately: the prior text is cold
+    * storage by design, so the incremental path scores on what the
+    * ledger carries (the accuracy of that estimate is itself audited by
+    * [[minHashEstimateAudit]]). The batch-equivalence invariant is
+    * spec-pinned: incremental(ledger(A), B) ≡ incremental(∅, A∪B)
+    * restricted to pairs touching B.
+    *
+    * Hot buckets (boilerplate) drop loudly via [[capHotBuckets]] on the
+    * union band table — candidate generation only, the family
+    * convention. Ids must be unique across prior ∪ batch (ledger
+    * discipline; a reused id is the caller's corruption).
+    *
+    * Output: (id_a, id_b, est_matches, est_permille) for pairs with
+    * est_permille ≥ thresholdPermille, id_a < id_b, ≥ 1 batch member.
+    */
+  def incrementalMinHashPairs(prevSig: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, n: Int = 3, numHashes: Int = 64,
+      bands: Int = 16, thresholdPermille: Int = 500,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val batchSig = minHashSignaturesPortable(batch, idCol, textCol, n, numHashes)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val allSig = prevSig.select(batchSig.columns.map(col): _*)
+      .unionByName(batchSig)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val buckets = capHotBuckets(
+      signatureBandBuckets(allSig, numHashes, bands),
+      Seq("band", "bucket"), maxBucketSize, "incrementalMinHashPairs")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // batch-side bucket rows are a pure function of batchSig — derived
+    // directly, never semi-joined out of the union bucket table (one full
+    // shuffle saved). Cap equivalence: a bucket the cap drops has ZERO
+    // rows on the union side, so capped×uncapped-batch ≡ capped×capped —
+    // candidate pairs must touch the batch (prior×prior was mined when
+    // those batches arrived)
+    val batchBuckets = signatureBandBuckets(batchSig, numHashes, bands)
+    val candidates = buckets.as("a")
+      .join(batchBuckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") =!= col("b.id"))
+      .select(least(col("a.id"), col("b.id")).as("id_a"),
+        greatest(col("a.id"), col("b.id")).as("id_b"))
+      .distinct()
+    val matchCols = (0 until numHashes).map(i =>
+      when(col(s"a_mh_$i") === col(s"b_mh_$i"), 1L).otherwise(0L))
+    val aSide = allSig.select(col("id").as("id_a") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"a_mh_$i")): _*)
+    val bSide = allSig.select(col("id").as("id_b") +:
+      (0 until numHashes).map(i => col(s"mh_$i").as(s"b_mh_$i")): _*)
+    candidates.join(aSide, Seq("id_a")).join(bSide, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        matchCols.reduce(_ + _).as("est_matches"))
+      .withColumn("est_permille",
+        expr(s"(est_matches * 1000) div $numHashes"))
+      .where(col("est_permille") >= thresholdPermille)
+      .select("id_a", "id_b", "est_matches", "est_permille")
+  }
+
   /** Cross-engine-portable MinHash+LSH: each shingle is md5-hashed ONCE;
     * the first 16 hex chars split into two 32-bit ints (h1, h2), and the
     * i-th hash function is `(K_i·h1 + L_i·h2) mod (2^31-1)` with 16-bit

@@ -56,4 +56,43 @@ class IncrementalDedupSpec extends AnyFunSuite {
     val b3 = Dedup.incrementalExact(b2, docs(rows.slice(20, 30)), "doc_id", "text")
     assert(ledger(b3) == oneShot)
   }
+
+  // --- incremental MinHash (signature-ledger near-dup) ---
+
+  private def minhashPairs(prev: Seq[(Long, String)], batch: Seq[(Long, String)])
+      : Set[(Long, Long, Long, Long)] = {
+    val prevSig = Dedup.minHashSignaturesPortable(docs(prev), "doc_id", "text")
+    Dedup.incrementalMinHashPairs(prevSig, docs(batch), "doc_id", "text",
+        thresholdPermille = 500)
+      .as[(Long, Long, Long, Long)].collect().toSet
+  }
+
+  test("batch-equivalence: ledger(A)+B pairs == one-shot pairs touching B") {
+    val a = Seq((2L, "the quick brown fox jumps over the lazy dog"),
+      (4L, "the quick brown fox jumps over the lazy cat"),
+      (6L, "completely different material lives here today"))
+    val b = Seq((1L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "completely different material lives here today"),
+      (5L, "nothing like anything else in this corpus at all"))
+    val incremental = minhashPairs(a, b)
+    val oneShot = minhashPairs(Seq.empty, a ++ b)
+      .filter(p => p._1 % 2 == 1 || p._2 % 2 == 1)
+    assert(incremental == oneShot && incremental.nonEmpty)
+    // prior×prior pairs (2,4) must NOT re-emit
+    assert(!incremental.exists(p => p._1 % 2 == 0 && p._2 % 2 == 0))
+  }
+
+  test("identical text scores 64/64 lanes; est_permille is floored") {
+    val got = minhashPairs(
+      Seq((2L, "alpha beta gamma delta epsilon zeta")),
+      Seq((9L, "alpha beta gamma delta epsilon zeta")))
+    assert(got == Set((2L, 9L, 64L, 1000L)))
+  }
+
+  test("unrelated batch emits nothing against the ledger") {
+    val got = minhashPairs(
+      Seq((2L, "one two three four five six seven")),
+      Seq((9L, "eight nine ten eleven twelve thirteen fourteen")))
+    assert(got.isEmpty)
+  }
 }
