@@ -621,6 +621,17 @@ private[graft] object GraphQueries {
           "src", "dst", lpaRounds = 4, moveRounds = 2, hierMoveRounds = 1)
         .orderBy("node")
     },
+    "q_leiden" -> { (s, d) =>
+      // Leiden-style refinement (Communities.leidenRefine): the q_louvain
+      // coarse partition re-partitioned FROM SINGLETONS on each
+      // community's intra-edge subgraph (2 move rounds, subgraph-exact
+      // integer gains) — >1 refined label inside a community = badly
+      // connected, the defect Leiden repairs; refined labels never cross
+      // coarse boundaries by construction
+      graft.ops.Communities.leidenRefine(Tables.coOrderPairEdges(s, d),
+          "src", "dst", lpaRounds = 4, moveRounds = 2, refineRounds = 2)
+        .orderBy("node")
+    },
     "q_simrank" -> { (s, d) =>
       // SimRank structural similarity on the directed nation graph
       // (ops/SimRank): recursive "similar in-neighbors" measure on the
@@ -1825,6 +1836,7 @@ private[graft] object GraphQueries {
          |ORDER BY node""".stripMargin,
     "q_louvain" -> louvainOracle(moveRounds = 2),
     "q_louvain_hier" -> louvainHierOracle(moveRounds = 2),
+    "q_leiden" -> leidenOracle(moveRounds = 2, refineRounds = 2),
     "q_label_spread" -> labelSpreadOracle(rounds = 3, ratePermille = 20,
       salt = "spread"),
     "q_graph_density" -> ccOracle(

@@ -233,7 +233,7 @@ private[graft] object QueryHelpers {
     * ml0 → ml1 → … — each round's dcc/evc/cand/score tables read the
     * PREVIOUS round's labels; graph-static tables (adjv, m, degv) are
     * shared. Mirrors ops.Communities.louvain round for round. */
-  def louvainOracle(moveRounds: Int): String = {
+  def louvainCtes(moveRounds: Int): String = {
     val head =
       s"""${lpaCtes(4)},
          |adjv AS MATERIALIZED (SELECT x AS v, y AS n FROM e0
@@ -264,7 +264,61 @@ private[graft] object QueryHelpers {
          |                ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
          |         FROM sc$i) WHERE rn = 1)""".stripMargin
     }.mkString(",\n")
-    s"$head,\n$steps\nSELECT node, community FROM ml$moveRounds ORDER BY node"
+    s"$head,\n$steps"
+  }
+
+  def louvainOracle(moveRounds: Int): String =
+    s"""${louvainCtes(moveRounds)}
+       |SELECT node, community FROM ml$moveRounds ORDER BY node""".stripMargin
+
+  /** Unrolled Leiden-style refinement oracle: the [[louvainCtes]] chain
+    * to ml{moveRounds} (the coarse partition), then the intra-community
+    * subgraph (edges whose endpoints share a coarse label), its own
+    * adjacency/m/degree tables, singleton init, and `refineRounds`
+    * move-round blocks of the IDENTICAL shape over the subgraph tables.
+    * Mirrors ops.Communities.leidenRefine stage for stage. */
+  def leidenOracle(moveRounds: Int, refineRounds: Int): String = {
+    val ml = s"ml$moveRounds"
+    val head =
+      s"""${louvainCtes(moveRounds)},
+         |intra AS MATERIALIZED (SELECT e0.x, e0.y FROM e0
+         |        JOIN $ml la ON la.node = e0.x
+         |        JOIN $ml lb ON lb.node = e0.y
+         |        WHERE la.community = lb.community),
+         |adjr AS MATERIALIZED (SELECT x AS v, y AS n FROM intra
+         |        UNION ALL SELECT y AS v, x AS n FROM intra),
+         |mr AS (SELECT COUNT(*) AS m FROM intra),
+         |degr AS MATERIALIZED (SELECT v, COUNT(*) AS d FROM adjr GROUP BY v),
+         |rf0 AS (SELECT DISTINCT v AS node, v AS community FROM adjr)""".stripMargin
+    val steps = (1 to refineRounds).map { i =>
+      val p = s"rf${i - 1}"
+      s"""dcr$i AS (SELECT community, CAST(SUM(d) AS BIGINT) AS d_c
+         |        FROM degr JOIN $p ON degr.v = $p.node GROUP BY community),
+         |evr$i AS (SELECT adjr.v, $p.community AS c, COUNT(*) AS e_vc
+         |        FROM adjr JOIN $p ON $p.node = adjr.n GROUP BY 1, 2),
+         |ownr$i AS (SELECT node AS v, community AS c, 0 AS e_vc FROM $p),
+         |candr$i AS (SELECT v, c, CAST(MAX(e_vc) AS BIGINT) AS e_vc FROM (
+         |            SELECT * FROM evr$i UNION ALL SELECT * FROM ownr$i)
+         |          GROUP BY v, c),
+         |scr$i AS (SELECT candr$i.v, candr$i.c,
+         |         4 * mr.m * candr$i.e_vc
+         |           - 2 * degr.d * (dcr$i.d_c -
+         |               CASE WHEN candr$i.c = $p.community THEN degr.d ELSE 0 END) AS score
+         |       FROM candr$i CROSS JOIN mr
+         |       JOIN $p ON $p.node = candr$i.v
+         |       JOIN degr ON degr.v = candr$i.v
+         |       JOIN dcr$i ON dcr$i.community = candr$i.c),
+         |rf$i AS MATERIALIZED (SELECT v AS node, c AS community FROM (
+         |         SELECT v, c,
+         |                ROW_NUMBER() OVER (PARTITION BY v ORDER BY score DESC, c ASC) AS rn
+         |         FROM scr$i) WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+       |$steps
+       |SELECT $ml.node, $ml.community,
+       |       COALESCE(rf$refineRounds.community, $ml.node) AS refined
+       |FROM $ml LEFT JOIN rf$refineRounds ON rf$refineRounds.node = $ml.node
+       |ORDER BY $ml.node""".stripMargin
   }
 
   /** Unrolled multi-LEVEL Louvain oracle (VERDICT r8 item 5): the

@@ -640,6 +640,96 @@ object Communities {
     lab
   }
 
+  /** Leiden-STYLE refinement — the well-connectedness audit Louvain lacks
+    * (Traag et al. 2019's motivating defect: Louvain communities can be
+    * internally DISCONNECTED or bridge-thin, and nothing in the move
+    * phase ever detects it). Refinement here re-partitions each coarse
+    * community FROM SINGLETONS using only its INTRA-community edges:
+    *
+    *   1. coarse partition P = [[lpaLouvain]] (LPA init + synchronous
+    *      move rounds — the q_louvain recipe);
+    *   2. the intra-community SUBGRAPH: edges whose endpoints share a
+    *      P-label (cross-community edges drop — refinement must not see
+    *      them, that is what confines refined labels inside P);
+    *   3. `refineRounds` synchronous [[modularityMoveStep]] rounds on
+    *      that subgraph seeded from singletons (via [[louvain]], which
+    *      brings the one-collect local-replay gate for free);
+    *   4. nodes with no intra-community edge keep themselves as their
+    *      refined label.
+    *
+    * A coarse community emerging with MORE THAN ONE refined label is
+    * badly connected — its parts hold together only through other
+    * communities — exactly the condition Leiden's refinement phase
+    * repairs. Deviation from the paper, deliberate and documented: gains
+    * are the SUBGRAPH's own exact-integer modularity (its m and degrees),
+    * moves are synchronous with the repo's fixed tie-breaks, and there is
+    * no randomized aggregation — every stage is deterministic, so the
+    * unrolled-CTE oracle replays the partition sequence exactly (the
+    * lpaLouvain discipline; true Leiden's randomized refinement cannot be
+    * oracled at all). Refined labels never cross coarse boundaries by
+    * construction (spec-pinned).
+    *
+    * Output: (node, community, refined), one row per labeled node.
+    */
+  def leidenRefine(edges: DataFrame, srcCol: String, dstCol: String,
+      lpaRounds: Int = 4, moveRounds: Int = 2, refineRounds: Int = 2,
+      maxLocalEdges: Long = 5000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    // Integrated local replay (the lpaLouvain/louvainHier gate): ONE
+    // capped collect runs coarse LPA+moves, the intra filter, and the
+    // singleton-seeded refine rounds in memory — composing the gated
+    // operators would collect the edge list three times
+    if (maxLocalEdges > 0 && maxLocalEdges < Int.MaxValue - 1) {
+      val half = edges.select(col(srcCol).as("a"), col(dstCol).as("b"))
+        .where($"a".isNotNull && $"b".isNotNull && $"a" =!= $"b")
+      val symRaw = half.union(half.select($"b".as("a"), $"a".as("b"))).distinct()
+      val capped = symRaw.limit(maxLocalEdges.toInt + 1)
+        .as[(String, String)].collect()
+      if (capped.length <= maxLocalEdges) {
+        if (capped.isEmpty)
+          return spark.emptyDataset[(String, String, String)]
+            .toDF("node", "community", "refined")
+        val canon = capped.filter { case (a, b) => utf8Lt(a, b) }
+        var labArr = localLpa(capped, lpaRounds)
+        for (_ <- 1 to moveRounds) labArr = localMoveStep(canon, labArr)
+        val lab = labArr.toMap
+        val intraCanon = canon.filter { case (a, b) =>
+          lab.get(a).exists(ca => lab.get(b).contains(ca)) }
+        var ref = intraCanon.flatMap(e => Seq(e._1, e._2)).distinct
+          .map(n => (n, n))
+        for (_ <- 1 to refineRounds) ref = localMoveStep(intraCanon, ref)
+        val refMap = ref.toMap
+        return spark.createDataFrame(
+            labArr.map { case (n, c) => (n, c, refMap.getOrElse(n, n)) }
+              .toIndexedSeq)
+          .toDF("node", "community", "refined")
+      }
+    }
+    val coarse = lpaLouvain(edges, srcCol, dstCol, lpaRounds, moveRounds,
+        maxLocalEdges = 0L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = edges.select(least(col(srcCol), col(dstCol)).as("x"),
+        greatest(col(srcCol), col(dstCol)).as("y"))
+      .where($"x".isNotNull && $"y".isNotNull && $"x" =!= $"y")
+      .distinct()
+    val intra = e
+      .join(coarse.select($"node".as("x"), $"community".as("__ca")), "x")
+      .join(coarse.select($"node".as("y"), $"community".as("__cb")), "y")
+      .where($"__ca" === $"__cb").select("x", "y")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val singles = intra.select($"x".as("node"))
+      .union(intra.select($"y".as("node"))).distinct()
+      .select($"node", $"node".as("community"))
+    val refined = louvain(intra, "x", "y", singles, refineRounds,
+      maxLocalEdges = 0L)
+    coarse
+      .join(refined.select($"node", $"community".as("__r")), Seq("node"),
+        "left")
+      .select($"node", $"community",
+        coalesce($"__r", $"node").as("refined"))
+  }
+
   /** Multi-level Louvain with ONE contraction level (VERDICT r8 item 5):
     * real Louvain alternates node-move rounds with contracting each
     * community into a supernode and moving supernodes. Here:
