@@ -9,10 +9,20 @@ object Bench {
     * so every timed rep starts from the same cold state a clean single-
     * query run sees.
     */
+  /** r10: unpersist BLOCKING. With 304 queries in rotation,
+    * `blocking = false` left the previous query's persisted blocks
+    * draining INTO the next query's timed reps — in-run times ran well
+    * over clean single-query runs (q_source_overlap 13.9 s in-run vs
+    * ~2.7 s clean; q_scd2 3.8 vs 0.3), which is measurement
+    * contamination, not operator cost; the blocking sweep restored
+    * in-run ≈ clean for every prior offender. The sweep executes
+    * OUTSIDE the timer, so the deterministic cleanup costs wall-clock
+    * only, never measured time.
+    */
   private def sweep(spark: SparkSession): Unit = {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
