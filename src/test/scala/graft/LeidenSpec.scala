@@ -49,6 +49,18 @@ class LeidenSpec extends AnyFunSuite {
     assert(byCoarse.nonEmpty)
   }
 
+  test("forced-distributed path is row-identical to the local replay") {
+    val edges = graft.queries.Tables.coOrderPairEdges(spark,
+      "/root/testdata/sf0.001")
+    val local = Communities.leidenRefine(edges, "src", "dst",
+        lpaRounds = 4, moveRounds = 2, refineRounds = 2)
+      .as[(String, String, String)].collect().toSet
+    val dist = Communities.leidenRefine(edges, "src", "dst",
+        lpaRounds = 4, moveRounds = 2, refineRounds = 2, maxLocalEdges = 0L)
+      .as[(String, String, String)].collect().toSet
+    assert(dist == local && local.nonEmpty)
+  }
+
   test("refined labels never cross coarse communities on the testdata graph") {
     val edges = graft.queries.Tables.coOrderPairEdges(spark,
       "/root/testdata/sf0.001")
