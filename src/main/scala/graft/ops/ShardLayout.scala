@@ -40,7 +40,12 @@ object ShardLayout {
       pmod(graft.functions.functions.hex_to_long(substring(
           md5(concat(lit("shard"), col(idCol).cast("string"))), 1, 15)),
         lit(numShards.toLong)).as("shard"),
-      col(weightCol).cast("long").as("__w"),
+      // a null weight is corruption, not zero mass — raise, don't skip
+      // (sum() would silently drop it and the shares would still print)
+      when(col(weightCol).isNull,
+        raise_error(concat(lit("shard layout: null weight for id "),
+          col(idCol).cast("string"))))
+        .otherwise(col(weightCol).cast("long")).as("__w"),
       col(groupCol).as("__g"))
     val per = assigned.groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"), sum(col("__w")).as("tot_w"),

@@ -55,6 +55,17 @@ class VocabShardSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("null weight raises loudly (corruption, not zero mass)") {
+    val df = Seq((Some(1L), Option.empty[Long], Some("s")),
+        (Some(2L), Some(5L), Some("s")))
+      .toDF("doc_id", "n_chars", "source")
+    val boom = intercept[Exception] {
+      ShardLayout.layoutAudit(df, "doc_id", "n_chars", "source",
+        numShards = 4).collect()
+    }
+    assert(boom.getMessage.contains("null weight"))
+  }
+
   test("empty-mass layout raises loudly") {
     val boom = intercept[Exception] {
       ShardLayout.layoutAudit(Seq((1L, 0L, "s")).toDF("doc_id", "n_chars", "source"),
