@@ -65,6 +65,35 @@ object Bench {
     // cached subtree the warmup populated.
     val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUP", "1").toInt
     val errors = scala.collection.mutable.LinkedHashMap[String, String]()
+    // CALIBRATION BLOCK (VERDICT r10 item 2): two judge rounds in a row
+    // hand-adjudicated uniform host drift (r9 cold-measurement change;
+    // r10 ~1.3-1.7× uniform slowdown on identical code). These three
+    // FROZEN TPC-H shapes — untouched since r4, single-pass scan/join/agg,
+    // no operator code shared with the round's changes — are measured
+    // FIRST (cold session, before the rotation warms anything) with the
+    // same warmup+min-of-reps discipline, and emitted as a separate
+    // `calibration` field on the totals line. Cross-round normalization
+    // rule (SURVEY §7.6): drift = median over the three of
+    // (calibration_rN[q] / calibration_rM[q]); a per-query regression is
+    // adjudicated on raw_sec / drift, not raw_sec. The queries also run
+    // in the normal rotation below — the block is measurement, not a
+    // substitute.
+    val calibrationNames = Seq("q_tpch_q6", "q_tpch_q14", "q_tpch_q3")
+    val calibration = calibrationNames.flatMap { name =>
+      SparkEntry.queries.get(name).map { fn =>
+        (0 until warmups).foreach { _ =>
+          sweep(spark)
+          try fn(spark, sfDir).count() catch { case NonFatal(_) => }
+        }
+        val times = (0 until reps).map { _ =>
+          sweep(spark)
+          val t0 = System.nanoTime()
+          try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case NonFatal(_) => -1.0 }
+        }
+        name -> times.min
+      }
+    }
     val results = SparkEntry.queries.filter(q => wanted(q._1)).map {
       case (name, fn) =>
         (0 until warmups).foreach { _ =>
@@ -108,8 +137,10 @@ object Bench {
       "\"" + k + "\":\"" +
         v.take(80).replace("\\", "\\\\").replace("\"", "\\\"") + "\""
     }.mkString("{", ",", "}")
+    val calibJson = calibration.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val totalsLine =
-      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"nerr":${errors.size},"errors":$errSample,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","nq":${results.size},"nerr":${errors.size},"errors":$errSample,"calibration":$calibJson,"sf":"$sfDir"}"""
     println(totalsLine)
     println(s"""{"metric":"queries","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"runs","runs":$runs,"sf":"$sfDir"}""")

@@ -198,6 +198,37 @@ private[graft] object TextQueries {
           ksub = 16, candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L)
         .orderBy("query_id", "rank")
     },
+    "q_ann_lsh_auto" -> { (s, d) =>
+      // WIDTH-ADAPTIVE LSH behind the gate (VERDICT r10 item 1): nBits is
+      // derived from COUNT(*) on BOTH sides (Spark autoNBits / the
+      // oracle's params CTE over prefix-stable plane literals), so the
+      // form a 100 TB user would run — occupancy held at 32, candidate
+      // volume linear in N where q_ann_lsh's fixed width is quadratic —
+      // is hash-exact at any sf, not just the gate corpus
+      Similarity.lshTopKAutoPortable(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, k = 5, targetOccupancy = 32, tables = 4,
+          seed = 42L)
+        .orderBy("query_id", "rank")
+    },
+    "q_ann_ivf_auto" -> { (s, d) =>
+      // WIDTH-ADAPTIVE IVF behind the gate: ceil(√N) cells + stride init
+      // (the SQL-expressible seeding), sampleN from the same rule the
+      // oracle derives — assignment and probe passes N^1.5 where
+      // q_ann_ivf's fixed 16 cells probe-flagged 101× at ×16
+      Similarity.ivfTopKAutoPortable(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, k = 5, nProbe = 4, kmeansIters = 3)
+        .orderBy("query_id", "rank")
+    },
+    "q_ann_ivfpq_auto" -> { (s, d) =>
+      // WIDTH-ADAPTIVE IVF-PQ behind the gate: √N coarse cells, stride
+      // init at both codebook levels, residual ADC inside probed cells
+      // only — the deployable compressed-index sizing, oracle-derived
+      // widths end to end
+      Similarity.ivfPqTopKAutoPortable(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, k = 5, nProbe = 4, m = 16, ksub = 16,
+          candR = 50, kmeansIters = 2)
+        .orderBy("query_id", "rank")
+    },
     "q_tokenize" -> { (s, d) =>
       // real greedy longest-match subword tokenization against the
       // explicit vocab; head_toks cell-compares the actual token SEQUENCE
@@ -1271,6 +1302,13 @@ private[graft] object TextQueries {
       dim = 64, k = 5, nBits = 6, tables = 2, seed = 42L),
     "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
       dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L),
+    "q_ann_lsh_auto" -> graft.ops.Similarity.lshAutoOracle(
+      dim = 64, k = 5, targetOccupancy = 32, tables = 4, seed = 42L),
+    "q_ann_ivf_auto" -> graft.ops.Similarity.ivfAutoOracle(
+      dim = 64, k = 5, nProbe = 4, kmeansIters = 3),
+    "q_ann_ivfpq_auto" -> graft.ops.Similarity.ivfPqAutoOracle(
+      dim = 64, k = 5, nProbe = 4, m = 16, ksub = 16, candR = 50,
+      kmeansIters = 2),
     "q_tokenize" ->
       s"""WITH RECURSIVE
          |${tokenizeCtes()}

@@ -674,6 +674,17 @@ object Communities {
   def leidenRefine(edges: DataFrame, srcCol: String, dstCol: String,
       lpaRounds: Int = 4, moveRounds: Int = 2, refineRounds: Int = 2,
       maxLocalEdges: Long = 5000000L): DataFrame = {
+    // bounds validated BEFORE the gate branch (ADVICE r10): the
+    // distributed fall-through hits lpaLouvain/louvain requires anyway,
+    // but the local fast path used to skip them — so e.g. moveRounds=0
+    // silently "succeeded" on small graphs and threw once the edge count
+    // crossed the cap; argument validity must not depend on input size
+    require(lpaRounds >= 1 && lpaRounds <= 64,
+      s"lpaRounds must be in [1, 64], got $lpaRounds")
+    require(moveRounds >= 1 && moveRounds <= 32,
+      s"moveRounds must be in [1, 32], got $moveRounds")
+    require(refineRounds >= 1 && refineRounds <= 32,
+      s"refineRounds must be in [1, 32], got $refineRounds")
     val spark = edges.sparkSession
     import spark.implicits._
     // Integrated local replay (the lpaLouvain/louvainHier gate): ONE

@@ -616,7 +616,7 @@ object Similarity {
   def ivfTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
       sampleN: Int = 200, seed: Long = 42L,
-      queryPred: Column = lit(true)): DataFrame = {
+      queryPred: Column = lit(true), strideInit: Boolean = false): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // persisted: the quantized table feeds the centroid sample, the cell
@@ -630,7 +630,8 @@ object Similarity {
       .as[(Long, Array[Double])].collect().map(_._2)
     require(sample.length == sampleN,
       s"portable IVF needs exactly $sampleN sample vectors (got ${sample.length})")
-    var centroids = ivfInitIndices(sampleN, nCells, seed).map(sample).toArray
+    var centroids = (if (strideInit) strideInitIndices(sampleN, nCells)
+                     else ivfInitIndices(sampleN, nCells, seed)).map(sample).toArray
     for (_ <- 0 until kmeansIters) {
       val sums = Array.fill(centroids.length)(new Array[Double](dim))
       val counts = Array.fill(centroids.length)(0L)
@@ -1023,7 +1024,7 @@ object Similarity {
       dim: Int, k: Int, nCells: Int = 16, nProbe: Int = 4, m: Int = 8,
       ksub: Int = 16, candR: Int = 50, kmeansIters: Int = 2,
       sampleN: Int = 200, seed: Long = 42L,
-      queryPred: Column = lit(true)): DataFrame = {
+      queryPred: Column = lit(true), strideInit: Boolean = false): DataFrame = {
     require(candR >= k, s"candR=$candR must be >= k=$k")
     require(dim % m == 0, s"dim $dim must divide into m=$m subspaces")
     require(nProbe >= 1 && nProbe <= nCells,
@@ -1046,7 +1047,8 @@ object Similarity {
       s"portable IVF-PQ needs exactly $sampleN sample vectors (got ${sample.length})")
     def lloyd(pts: Array[Array[Double]], nC: Int, sd: Long): Array[Array[Double]] = {
       val d = pts.head.length
-      var cs = ivfInitIndices(pts.length, nC, sd).map(pts).toArray
+      var cs = (if (strideInit) strideInitIndices(pts.length, nC)
+                else ivfInitIndices(pts.length, nC, sd)).map(pts).toArray
       for (_ <- 0 until kmeansIters) {
         val sums = Array.fill(cs.length)(new Array[Double](d))
         val counts = Array.fill(cs.length)(0L)
@@ -1428,5 +1430,352 @@ object Similarity {
       .select(col("__id").as(idCol),
         expr("transform(__a, s -> s.code)").as("codes"),
         expr("transform(__a, s -> s.recon)").as("recon"))
+  }
+
+  // ------------------------------------------------------------------
+  // WIDTH-ADAPTIVE PORTABLE ANN (r11, VERDICT r10 item 1): the gate
+  // previously pinned only the fixed-width portable forms, whose widths
+  // are oracle literals and whose candidate volume therefore grows ~N²
+  // (r10 full-gate probe: q_ann_lsh 92×, q_ann_ivf 101× at ×16). The
+  // width-adaptive sizing rules (autoNBits / autoNCells) are pure
+  // functions of the corpus size N, so the oracle can derive the SAME
+  // width from COUNT(*) inside the SQL itself — these *AutoPortable
+  // variants plus their *AutoOracle mirrors put the widths a 100 TB user
+  // would actually run behind the hash-exact gate at ANY sf.
+  // ------------------------------------------------------------------
+
+  /** Deterministic SQL-expressible k-means seeding for the width-adaptive
+    * portable IVF forms: cell c seeds from sample rank
+    * floor(c·sampleN/nCells) — evenly spaced over the id-ranked sample.
+    * [[ivfInitIndices]]'s seeded shuffle is a pure function of a FIXED
+    * (sampleN, nCells), fine as oracle literals, but unwritable in SQL
+    * once both depend on COUNT(*); the stride is one integer division,
+    * identical in Scala and DuckDB. */
+  private[graft] def strideInitIndices(sampleN: Int, nCells: Int): Vector[Int] =
+    Vector.tabulate(nCells)(c => (c.toLong * sampleN / nCells).toInt)
+
+  /** The width-adaptive sample size shared by the auto-portable IVF
+    * forms: 8 vectors per cell, floored at the fixed portable forms' 200,
+    * capped at the corpus (the portable paths collect the sample, and
+    * `require(sample.length == sampleN)` must hold). */
+  private[graft] def autoSampleN(n: Long, nCells: Int): Int =
+    math.min(n, math.max(200L, 8L * nCells)).toInt
+
+  /** Hard ceiling on the oracle's embedded plane literals: [[autoNBits]]
+    * clamps to 40, but the auto ORACLE embeds `maxAutoNBits` plane rows
+    * per table (prefix property of [[quantizedPlanes]]: row i is identical
+    * for every nBits, so the oracle just uses the first nBits rows).
+    * 16 bits covers corpora to targetOccupancy·2^16 ≈ 2M vectors at the
+    * default occupancy — far past any oracle-checked scale; the Spark
+    * side raises loudly rather than silently diverging beyond it. */
+  private[graft] val maxAutoNBits = 16
+
+  /** Width-adaptive portable LSH — [[lshTopKPortable]] with nBits derived
+    * from the corpus size ([[autoNBits]]: expected bucket occupancy held
+    * at `targetOccupancy`, so candidate volume stays ~N·occupancy·tables,
+    * LINEAR in N where the fixed-width form is quadratic). Hash-exact
+    * against [[lshAutoOracle]], which recomputes the same nBits from
+    * COUNT(*) in SQL — the oracle is width-adaptive too, valid at any sf.
+    */
+  def lshTopKAutoPortable(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, targetOccupancy: Int = 32, tables: Int = 4,
+      seed: Long = 42L, maxBucketSize: Int = 1000,
+      queryPred: Column = lit(true)): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val nBits = autoNBits(df.count(), targetOccupancy)
+    require(nBits <= maxAutoNBits,
+      s"corpus needs nBits=$nBits > maxAutoNBits=$maxAutoNBits oracle plane " +
+        "rows; raise Similarity.maxAutoNBits (regenerates the oracle) first")
+    lshTopKPortable(df, idCol, vecCol, dim, k, nBits, tables, seed,
+      maxBucketSize, queryPred)
+  }
+
+  /** Width-adaptive portable IVF — [[ivfTopKPortable]] with
+    * nCells = ceil(√N) ([[autoNCells]]; assignment and probe passes both
+    * N^1.5 instead of the fixed-width form's quadratic probe pass),
+    * sampleN = [[autoSampleN]], stride init ([[strideInitIndices]] — the
+    * SQL-expressible seeding). Hash-exact against [[ivfAutoOracle]]. */
+  def ivfTopKAutoPortable(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nProbe: Int = 4, kmeansIters: Int = 3,
+      queryPred: Column = lit(true)): DataFrame = {
+    val n = df.count()
+    val nCells = autoNCells(n)
+    ivfTopKPortable(df, idCol, vecCol, dim, k, nCells, nProbe, kmeansIters,
+      autoSampleN(n, nCells), seed = 0L, queryPred, strideInit = true)
+  }
+
+  /** Width-adaptive portable IVF-PQ — [[ivfPqTopKPortable]] (already the
+    * fully distributed cogroup shape) at √N coarse cells with stride
+    * init for BOTH codebook levels; per-cell occupancy ~√N keeps
+    * assignment and ADC at N^1.5. Hash-exact against [[ivfPqAutoOracle]].
+    */
+  def ivfPqTopKAutoPortable(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, k: Int, nProbe: Int = 4, m: Int = 8, ksub: Int = 16,
+      candR: Int = 50, kmeansIters: Int = 2,
+      queryPred: Column = lit(true)): DataFrame = {
+    val n = df.count()
+    val nCells = autoNCells(n)
+    ivfPqTopKPortable(df, idCol, vecCol, dim, k, nCells, nProbe, m, ksub,
+      candR, kmeansIters, autoSampleN(n, nCells), seed = 0L, queryPred,
+      strideInit = true)
+  }
+
+  /** Exact-cosine rerank tail shared by the auto oracles (same text as
+    * the fixed-width oracles' tails — kept verbatim so the arithmetic is
+    * character-identical). Expects CTEs `q(id, v)` and
+    * `cand(query_id, neighbor_id)` to be in scope. */
+  private def oracleRerankTail(dim: Int, k: Int): String =
+    s"""n AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(v) t(x)) AS nrm FROM q),
+       |scored AS (SELECT c.query_id, c.neighbor_id,
+       |             (SELECT SUM(qq.v[i] * nv.v[i])
+       |              FROM UNNEST(range(1, ${dim + 1})) t(i)) /
+       |               SQRT(nq.nrm * nn.nrm) AS cosine
+       |           FROM cand c
+       |           JOIN q qq ON qq.id = c.query_id
+       |           JOIN q nv ON nv.id = c.neighbor_id
+       |           JOIN n nq ON nq.id = c.query_id
+       |           JOIN n nn ON nn.id = c.neighbor_id),
+       |ranked AS (SELECT query_id, neighbor_id, cosine,
+       |             ROW_NUMBER() OVER (PARTITION BY query_id
+       |               ORDER BY cosine DESC, neighbor_id ASC) AS rank
+       |           FROM scored)
+       |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+       |FROM ranked WHERE rank <= $k
+       |ORDER BY query_id, rank""".stripMargin
+
+  /** The nBits derivation as SQL, integer-exact: smallest b with
+    * 2^b >= max(1, N // targetOccupancy), clamped [4, 40] — exactly
+    * [[autoNBits]] (ceilLog2 via bit shifts on both sides, no float
+    * log). Expects CTE `q(id, v)`. */
+  private def autoNBitsSql(targetOccupancy: Int): String =
+    s"""params AS (SELECT LEAST(40, GREATEST(4,
+       |    (SELECT MIN(b) FROM range(0, 63) t(b)
+       |     WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) >=
+       |       GREATEST(1, (SELECT COUNT(*) FROM q) // $targetOccupancy)))) AS nbits)""".stripMargin
+
+  /** DuckDB mirror of [[lshTopKAutoPortable]]: plane literals for ALL
+    * [[maxAutoNBits]] rows per table in long format (the prefix property
+    * of [[quantizedPlanes]] makes row i width-independent), nbits derived
+    * from COUNT(*) in the `params` CTE, bucket = Σ 2^i over the first
+    * nbits sign bits — the same integer arithmetic as the fixed-width
+    * oracle at whatever width the corpus implies. */
+  private[graft] def lshAutoOracle(dim: Int, k: Int,
+      targetOccupancy: Int = 32, tables: Int = 4, seed: Long = 42L): String = {
+    val planeRows = (0 until tables).flatMap { t =>
+      val planes = quantizedPlanes(dim, maxAutoNBits, seed + t * 7919)
+      (0 until maxAutoNBits).map { i =>
+        s"($t, $i, ${planes(i).mkString("[", ", ", "]")})"
+      }
+    }.mkString(",\n  ")
+    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+       |           FROM embeddings),
+       |${autoNBitsSql(targetOccupancy)},
+       |pl AS (SELECT * FROM (VALUES
+       |  $planeRows) pl0(tbl, i, p)),
+       |plu AS (SELECT tbl, i, j, p[j] AS pv
+       |        FROM pl, UNNEST(range(1, ${dim + 1})) t(j)
+       |        WHERE i < (SELECT nbits FROM params)),
+       |qu AS (SELECT id, j, v[j] AS x FROM q, UNNEST(range(1, ${dim + 1})) t(j)),
+       |dots AS (SELECT u.id, p.tbl, p.i, SUM(u.x * p.pv) AS dot
+       |         FROM qu u JOIN plu p ON p.j = u.j
+       |         GROUP BY u.id, p.tbl, p.i),
+       |b AS (SELECT id, tbl,
+       |        SUM(CASE WHEN dot >= 0
+       |            THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END) AS bucket
+       |      FROM dots GROUP BY id, tbl),
+       |cand AS (SELECT DISTINCT a.id AS query_id, bb.id AS neighbor_id
+       |         FROM b a JOIN b bb
+       |           ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id <> bb.id),
+       |${oracleRerankTail(dim, k)}""".stripMargin
+  }
+
+  /** The nCells / sampleN derivation as SQL — exactly [[autoNCells]] +
+    * [[autoSampleN]] (IEEE sqrt then ceil on both sides), plus the
+    * stride-init (cell → sample rank) table. Expects CTEs `q(id, v)` and
+    * `samp(id, v, rn)` ordering to already exist downstream. */
+  private def autoCellsSql: String =
+    s"""params AS (SELECT n,
+       |    LEAST(4096, GREATEST(16,
+       |      CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS BIGINT))) AS ncells
+       |  FROM (SELECT COUNT(*) AS n FROM q)),
+       |params2 AS (SELECT n, ncells,
+       |    LEAST(n, GREATEST(200, 8 * ncells)) AS samplen FROM params)""".stripMargin
+
+  /** DuckDB mirror of [[ivfTopKAutoPortable]]: [[ivfPortableOracle]]'s
+    * Lloyd/assign/probe/rerank CTE chain with nCells and sampleN derived
+    * from COUNT(*) (`params`/`params2`) and the literal seeded-shuffle
+    * init replaced by the stride init ([[strideInitIndices]] as one
+    * integer division per cell). */
+  private[graft] def ivfAutoOracle(dim: Int, k: Int, nProbe: Int = 4,
+      kmeansIters: Int = 3): String = {
+    val iters = (1 to kmeansIters).map { i =>
+      s"""d$i AS (SELECT s.rn, c.cell,
+         |          SUM((s.x - c.cv) * (s.x - c.cv)) AS dist
+         |        FROM sampu s JOIN c${i - 1} c ON c.j = s.j
+         |        GROUP BY s.rn, c.cell),
+         |a$i AS (SELECT rn, cell FROM (
+         |          SELECT rn, cell,
+         |                 ROW_NUMBER() OVER (PARTITION BY rn ORDER BY dist, cell) AS r
+         |          FROM d$i) WHERE r = 1),
+         |c$i AS (SELECT p.cell, p.j, COALESCE(u.val, p.cv) AS cv
+         |        FROM c${i - 1} p LEFT JOIN (
+         |          SELECT a.cell, s.j, FLOOR(SUM(s.x) / COUNT(*)) AS val
+         |          FROM a$i a JOIN sampu s ON s.rn = a.rn
+         |          GROUP BY a.cell, s.j) u
+         |        ON u.cell = p.cell AND u.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+       |           FROM embeddings),
+       |$autoCellsSql,
+       |samp AS (SELECT id, v, rn FROM (
+       |           SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM q)
+       |         WHERE rn <= (SELECT samplen FROM params2)),
+       |sampu AS (SELECT rn, j, v[j] AS x
+       |          FROM samp, UNNEST(range(1, ${dim + 1})) t(j)),
+       |init AS (SELECT rn - 1 AS cell,
+       |           ((rn - 1) * (SELECT samplen FROM params2))
+       |             // (SELECT ncells FROM params2) + 1 AS srn
+       |         FROM samp WHERE rn <= (SELECT ncells FROM params2)),
+       |c0 AS (SELECT m.cell, s.j, s.x AS cv
+       |       FROM init m JOIN sampu s ON s.rn = m.srn),
+       |$iters,
+       |qu AS (SELECT id, j, v[j] AS x FROM q, UNNEST(range(1, ${dim + 1})) t(j)),
+       |dall AS (SELECT u.id, c.cell, SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+       |         FROM qu u JOIN c$kmeansIters c ON c.j = u.j
+       |         GROUP BY u.id, c.cell),
+       |rankedcells AS (SELECT id, cell,
+       |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
+       |                FROM dall),
+       |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe),
+       |cand AS (SELECT p.id AS query_id, a.id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.id <> p.id),
+       |${oracleRerankTail(dim, k)}""".stripMargin
+  }
+
+  /** DuckDB mirror of [[ivfPqTopKAutoPortable]]:
+    * [[ivfPqPortableOracle]]'s two-level CTE chain (g-prefixed coarse
+    * Lloyd, p-prefixed per-subspace residual Lloyd, LUT × code ADC,
+    * exact rerank) with nCells/sampleN from COUNT(*) and stride init at
+    * both codebook levels (ksub and m are fixed literals, so the PQ
+    * stride table is a constant range() cross join). */
+  private[graft] def ivfPqAutoOracle(dim: Int, k: Int, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, candR: Int = 50,
+      kmeansIters: Int = 2): String = {
+    val subDim = dim / m
+    val coarseIters = (1 to kmeansIters).map { i =>
+      s"""gd$i AS (SELECT u.rn, c.cell,
+         |           SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+         |         FROM sampu u JOIN g${i - 1} c ON c.j = u.j
+         |         GROUP BY u.rn, c.cell),
+         |ga$i AS (SELECT rn, cell FROM (
+         |           SELECT rn, cell,
+         |                  ROW_NUMBER() OVER (PARTITION BY rn ORDER BY dist, cell) AS r
+         |           FROM gd$i) WHERE r = 1),
+         |g$i AS (SELECT p.cell, p.j, COALESCE(u2.val, p.cv) AS cv
+         |        FROM g${i - 1} p LEFT JOIN (
+         |          SELECT a.cell, u.j, FLOOR(SUM(u.x) / COUNT(*)) AS val
+         |          FROM ga$i a JOIN sampu u ON u.rn = a.rn
+         |          GROUP BY a.cell, u.j) u2
+         |        ON u2.cell = p.cell AND u2.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    val pqIters = (1 to kmeansIters).map { i =>
+      s"""pd$i AS (SELECT u.rn, c.s, c.cell,
+         |           SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+         |         FROM sres u JOIN p${i - 1} c ON c.j = u.j AND c.s = u.s
+         |         GROUP BY u.rn, c.s, c.cell),
+         |pa$i AS (SELECT rn, s, cell FROM (
+         |           SELECT rn, s, cell,
+         |                  ROW_NUMBER() OVER (PARTITION BY rn, s ORDER BY dist, cell) AS r
+         |           FROM pd$i) WHERE r = 1),
+         |p$i AS (SELECT p.s, p.cell, p.j, COALESCE(u2.val, p.cv) AS cv
+         |        FROM p${i - 1} p LEFT JOIN (
+         |          SELECT a.s, a.cell, u.j, FLOOR(SUM(u.x) / COUNT(*)) AS val
+         |          FROM pa$i a JOIN sres u ON u.rn = a.rn AND u.s = a.s
+         |          GROUP BY a.s, a.cell, u.j) u2
+         |        ON u2.s = p.s AND u2.cell = p.cell AND u2.j = p.j)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q0 AS (SELECT vec_id AS id, list_transform(embedding,
+       |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v0
+       |           FROM embeddings),
+       |nrm0 AS (SELECT id, SQRT((SELECT SUM(x * x) FROM UNNEST(v0) t(x))) AS nr
+       |         FROM q0),
+       |q AS (SELECT q0.id, CASE WHEN n.nr = 0 THEN q0.v0
+       |        ELSE list_transform(q0.v0,
+       |          x -> FLOOR((x * CAST(10000.0 AS DOUBLE)) / n.nr)) END AS v
+       |      FROM q0 JOIN nrm0 n ON n.id = q0.id),
+       |$autoCellsSql,
+       |samp AS (SELECT id, v, rn FROM (
+       |           SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM q)
+       |         WHERE rn <= (SELECT samplen FROM params2)),
+       |sampu AS (SELECT rn, j, v[j] AS x
+       |          FROM samp, UNNEST(range(1, ${dim + 1})) t(j)),
+       |ginit AS (SELECT rn - 1 AS cell,
+       |            ((rn - 1) * (SELECT samplen FROM params2))
+       |              // (SELECT ncells FROM params2) + 1 AS srn
+       |          FROM samp WHERE rn <= (SELECT ncells FROM params2)),
+       |g0 AS (SELECT i.cell, u.j, u.x AS cv
+       |       FROM ginit i JOIN sampu u ON u.rn = i.srn),
+       |$coarseIters,
+       |sd AS (SELECT u.rn, c.cell, SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+       |       FROM sampu u JOIN g$kmeansIters c ON c.j = u.j
+       |       GROUP BY u.rn, c.cell),
+       |sa AS (SELECT rn, cell FROM (
+       |         SELECT rn, cell,
+       |                ROW_NUMBER() OVER (PARTITION BY rn ORDER BY dist, cell) AS r
+       |         FROM sd) WHERE r = 1),
+       |sres AS (SELECT u.rn, u.j, CAST((u.j - 1) // $subDim AS INT) AS s,
+       |           u.x - c.cv AS x
+       |         FROM sampu u JOIN sa ON sa.rn = u.rn
+       |         JOIN g$kmeansIters c ON c.cell = sa.cell AND c.j = u.j),
+       |pinit AS (SELECT CAST(ts.s AS INT) AS s, tc.cell,
+       |            (tc.cell * (SELECT samplen FROM params2)) // $ksub + 1 AS srn
+       |          FROM range(0, $m) ts(s), range(0, $ksub) tc(cell)),
+       |p0 AS (SELECT i.s, i.cell, r.j, r.x AS cv
+       |       FROM pinit i JOIN sres r ON r.rn = i.srn AND r.s = i.s),
+       |$pqIters,
+       |qu AS (SELECT id, j, v[j] AS x FROM q, UNNEST(range(1, ${dim + 1})) t(j)),
+       |dall AS (SELECT u.id, c.cell, SUM((u.x - c.cv) * (u.x - c.cv)) AS dist
+       |         FROM qu u JOIN g$kmeansIters c ON c.j = u.j
+       |         GROUP BY u.id, c.cell),
+       |rankedcells AS (SELECT id, cell,
+       |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
+       |                FROM dall),
+       |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe),
+       |qres AS (SELECT u.id, u.j, CAST((u.j - 1) // $subDim AS INT) AS s,
+       |           u.x - c.cv AS x
+       |         FROM qu u JOIN assign a ON a.id = u.id
+       |         JOIN g$kmeansIters c ON c.cell = a.cell AND c.j = u.j),
+       |pcd AS (SELECT r.id, b.s, b.cell,
+       |          SUM((r.x - b.cv) * (r.x - b.cv)) AS dist
+       |        FROM qres r JOIN p$kmeansIters b ON b.s = r.s AND b.j = r.j
+       |        GROUP BY r.id, b.s, b.cell),
+       |pcode AS (SELECT id, s, cell FROM (
+       |            SELECT id, s, cell,
+       |                   ROW_NUMBER() OVER (PARTITION BY id, s ORDER BY dist, cell) AS r
+       |            FROM pcd) WHERE r = 1),
+       |pru AS (SELECT u.id, p.cell AS pc, u.j,
+       |          CAST((u.j - 1) // $subDim AS INT) AS s, u.x - c.cv AS x
+       |        FROM qu u JOIN probe p ON p.id = u.id
+       |        JOIN g$kmeansIters c ON c.cell = p.cell AND c.j = u.j),
+       |lut AS (SELECT r.id, r.pc, b.s, b.cell,
+       |          SUM((r.x - b.cv) * (r.x - b.cv)) AS dist
+       |        FROM pru r JOIN p$kmeansIters b ON b.s = r.s AND b.j = r.j
+       |        GROUP BY r.id, r.pc, b.s, b.cell),
+       |adc AS (SELECT l.id AS query_id, nc.id AS neighbor_id,
+       |          SUM(l.dist) AS adist
+       |        FROM lut l
+       |        JOIN assign na ON na.cell = l.pc AND na.id <> l.id
+       |        JOIN pcode nc ON nc.id = na.id AND nc.s = l.s AND nc.cell = l.cell
+       |        GROUP BY l.id, nc.id),
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |           SELECT query_id, neighbor_id,
+       |                  ROW_NUMBER() OVER (PARTITION BY query_id
+       |                    ORDER BY adist ASC, neighbor_id ASC) AS r
+       |           FROM adc) WHERE r <= $candR),
+       |${oracleRerankTail(dim, k)}""".stripMargin
   }
 }

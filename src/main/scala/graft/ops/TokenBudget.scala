@@ -75,7 +75,8 @@ object TokenBudget {
     * closed window (its per-window group state is small by contract; the
     * DataFrame operator above is the corpus-scale path). Same contract:
     * null groups dropped, negative totals dropped, budget 0 → all zeros,
-    * zero total with budget > 0 raises, budget·size overflow raises,
+    * no surviving groups → empty, zero total over surviving groups with
+    * budget > 0 raises, budget·size (and corpus-total) overflow raises,
     * remainder ties break by group ascending. Equivalence with the
     * DataFrame operator is property-pinned in StreamTokenBudgetSpec.
     */
@@ -86,7 +87,16 @@ object TokenBudget {
       .groupMapReduce(_._1)(_._2)(_ + _).toSeq
       .filter(_._2 >= 0L).sortBy(_._1)
     if (budget == 0L) return sizes.map { case (g, s) => (g, s, 0L) }
-    val tot = sizes.map(_._2).sum
+    // no surviving groups → empty allocation, matching the DataFrame
+    // operator (whose raise_error lives on size rows — zero rows, zero
+    // raises); the zero-total raise below is for groups that EXIST with
+    // nothing to apportion over (ADVICE r10 negative-path parity)
+    if (sizes.isEmpty) return Seq.empty
+    // addExact (ADVICE r10): every term is >= 0 after the negative-total
+    // drop, so a plain sum wrapping negative would silently corrupt every
+    // quota downstream; overflow of the CORPUS total must raise like the
+    // per-group budget·size overflow below does
+    val tot = sizes.map(_._2).foldLeft(0L)(Math.addExact)
     require(tot > 0L, "token budget: total size is zero but budget > 0 " +
       "— nothing to apportion proportionally")
     sizes.foreach { case (_, s) =>

@@ -118,6 +118,32 @@ object ScaleProbe {
                    else defaultProbes
         base.map { case (q, f) => (q, f, outDir, graft.SparkEntry.queries(q)) }
       }
+    // CALIBRATION HEADER (VERDICT r10 item 8): the flag rule's ">5 s" arm
+    // is wall-seconds, so host drift between probe sessions can mask or
+    // fake flags. Time the same three frozen TPC-H shapes Bench's
+    // calibration block uses (min of 3, base dir) and emit them as the
+    // run's first jsonl line next to their PINNED r11 reference values;
+    // drift = median(now/pinned), and a cross-round comparison reads the
+    // flag rule on scaled_sec/drift rather than raw scaled_sec.
+    val calibPinned = Map(   // r11 idle-host reference, sf0.1, local[32],
+      // measured in probe context (post-buildScaledTables, min of 3)
+      "q_tpch_q6" -> 0.222, "q_tpch_q14" -> 0.523, "q_tpch_q3" -> 0.827)
+    val calibNow = calibPinned.keys.toSeq.sorted.flatMap { q =>
+      graft.SparkEntry.queries.get(q).map { fn =>
+        val times = (0 until 3).map { _ =>
+          sweep(spark)
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        q -> times.min
+      }
+    }
+    val driftRatios = calibNow
+      .map { case (q, s) => s / calibPinned(q) }.sorted
+    val drift =
+      if (driftRatios.isEmpty) 1.0 else driftRatios(driftRatios.size / 2)
+    println(f"""{"calibration":${calibNow.map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")},"calibration_pinned":${calibPinned.toSeq.sortBy(_._1).map { case (q, s) => f""""$q":$s%.3f""" }.mkString("{", ",", "}")},"drift":$drift%.2f}""")
     wanted.foreach { case (name, factor, dir, fn) =>
       def timed(d: String): (Double, Long) = {
         sweep(spark)

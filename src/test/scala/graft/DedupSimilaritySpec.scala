@@ -344,6 +344,70 @@ class DedupSimilaritySpec extends AnyFunSuite {
     assert(auto == forced && auto.nonEmpty)
   }
 
+  test("strideInitIndices: nCells evenly-spaced distinct ranks inside the sample") {
+    val s = graft.ops.Similarity.strideInitIndices(200, 23)
+    assert(s.length == 23 && s.distinct.length == 23)
+    assert(s.head == 0 && s.forall(i => i >= 0 && i < 200))
+    assert(s == s.sorted)
+    // the exact integer rule the oracles replicate: floor(c*sampleN/nCells)
+    assert(s(7) == 7L * 200 / 23)
+  }
+
+  test("lshTopKAutoPortable == lshTopKPortable at the derived width; recall holds") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val auto = graft.ops.Similarity.lshTopKAutoPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5, targetOccupancy = 32)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val forced = graft.ops.Similarity.lshTopKPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5,
+        nBits = graft.ops.Similarity.autoNBits(emb.count(), 32))
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(auto == forced && auto.nonEmpty)
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect auto).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("ivfTopKAutoPortable == ivfTopKPortable at derived width+stride; recall holds") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val nCells = graft.ops.Similarity.autoNCells(n)
+    val auto = graft.ops.Similarity.ivfTopKAutoPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val forced = graft.ops.Similarity.ivfTopKPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5, nCells = nCells,
+        sampleN = graft.ops.Similarity.autoSampleN(n, nCells),
+        strideInit = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(auto == forced && auto.nonEmpty)
+    val brute = graft.ops.Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+        emb, "vec_id", "embedding", 5)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (brute intersect auto).size.toDouble / brute.size
+    assert(recall > 0.3, s"recall=$recall")
+  }
+
+  test("ivfPqTopKAutoPortable == ivfPqTopKPortable at derived width+stride") {
+    val emb = TestSpark.spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val n = emb.count()
+    val nCells = graft.ops.Similarity.autoNCells(n)
+    val auto = graft.ops.Similarity.ivfPqTopKAutoPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5, m = 16)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val forced = graft.ops.Similarity.ivfPqTopKPortable(emb, "vec_id",
+        "embedding", dim = 64, k = 5, nCells = nCells, m = 16,
+        sampleN = graft.ops.Similarity.autoSampleN(n, nCells),
+        strideInit = true)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(auto == forced && auto.nonEmpty)
+  }
+
   test("IVF-PQ recall tracks the IVF probe ceiling on testdata") {
     // composed index: candidates come only from the nProbe/nCells probed
     // cells (the sub-quadratic property), so recall is bounded by IVF's

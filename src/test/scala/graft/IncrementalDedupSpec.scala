@@ -95,4 +95,27 @@ class IncrementalDedupSpec extends AnyFunSuite {
       Seq((9L, "eight nine ten eleven twelve thirteen fourteen")))
     assert(got.isEmpty)
   }
+
+  test("gate corpus stays far below the hot-bucket cap (ADVICE r10)") {
+    // incrementalMinHashPairs drops buckets past maxBucketSize=1000 while
+    // the q_dedup_minhash_inc DuckDB oracle mines all buckets UNCAPPED —
+    // equivalent only while no band bucket approaches the cap. Pin that
+    // invariant on the exact gate configuration (both gate sfs), so a
+    // future corpus regeneration that grows a boilerplate bucket fails
+    // HERE with a named cause instead of as a confusing pair-set diff in
+    // CORRECTNESS. Headroom 4×: flag at >250, cap at 1000.
+    for (sf <- Seq("0.001", "0.01")) {
+      val docs = TestSpark.spark.read
+        .parquet(s"/root/testdata/sf$sf/documents.parquet")
+      val sig = Dedup.minHashSignaturesPortable(docs, "doc_id", "text",
+        n = 3, numHashes = 64)
+      val maxBucket = Dedup.signatureBandBuckets(sig, 64, 16)
+        .groupBy("band", "bucket").count()
+        .agg(org.apache.spark.sql.functions.max("count"))
+        .as[Long].head()
+      assert(maxBucket <= 250,
+        s"sf$sf max band bucket $maxBucket is within 4x of the 1000 cap: " +
+          "the capped operator and the uncapped oracle are about to diverge")
+    }
+  }
 }

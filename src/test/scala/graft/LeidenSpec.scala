@@ -18,6 +18,19 @@ class LeidenSpec extends AnyFunSuite {
     for { i <- 0 until n; j <- i + 1 until n }
       yield (s"$prefix$i", s"$prefix$j")
 
+  test("round bounds are validated on the LOCAL path too (ADVICE r10)") {
+    // pre-fix, moveRounds=0 silently succeeded below maxLocalEdges and
+    // threw only once the edge count crossed the cap — argument validity
+    // must not depend on input size
+    val edges = k("a", 3).toDF("src", "dst")
+    for ((lpa, mv, ref) <- Seq((0, 2, 2), (2, 0, 2), (2, 2, 0),
+                               (65, 2, 2), (2, 33, 2), (2, 2, 33)))
+      intercept[IllegalArgumentException] {
+        Communities.leidenRefine(edges, "src", "dst",
+          lpaRounds = lpa, moveRounds = mv, refineRounds = ref)
+      }
+  }
+
   test("well-connected communities stay whole: two disjoint cliques") {
     val out = refine(k("a", 4) ++ k("b", 4))
     assert(out.length == 8)

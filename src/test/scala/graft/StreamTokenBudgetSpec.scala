@@ -69,6 +69,57 @@ class StreamTokenBudgetSpec extends AnyFunSuite {
     }
   }
 
+  test("negative per-row sizes: drop-negative-totals parity (ADVICE r10 property gap)") {
+    // the original property generated only non-negative sizes, so the
+    // "negative group totals are dropped" contract was asserted in both
+    // docstrings but never exercised; these trials mix negative rows so
+    // some group totals land negative (dropped), some positive-with-
+    // negative-rows (kept), and occasionally ALL drop (both sides raise)
+    val rnd = new scala.util.Random(11)
+    var droppedGroupsSeen = false
+    for (trial <- 1 to 12) {
+      val rows = (0 until rnd.nextInt(12) + 2)
+        .map(i => (s"g${rnd.nextInt(5)}", rnd.nextInt(2000).toLong - 800L))
+      val budget = rnd.nextInt(100000).toLong + 1L
+      val totals = rows.groupMapReduce(_._1)(_._2)(_ + _)
+      if (totals.exists(_._2 < 0)) droppedGroupsSeen = true
+      if (totals.values.forall(_ < 0)) {
+        // every group dropped: both sides return EMPTY (the DataFrame
+        // operator's raise_error lives on size rows — zero rows, zero
+        // raises — and the local kernel mirrors that)
+        assert(TokenBudget.allocateLocal(rows, budget).isEmpty)
+        assert(TokenBudget.allocate(rows.toDF("g", "n"), "g", "n", budget)
+          .collect().isEmpty)
+      } else if (totals.values.filter(_ >= 0).sum == 0L) {
+        // groups exist but have nothing to apportion over: both raise
+        intercept[IllegalArgumentException] {
+          TokenBudget.allocateLocal(rows, budget)
+        }
+        intercept[Exception] {
+          TokenBudget.allocate(rows.toDF("g", "n"), "g", "n", budget)
+            .collect()
+        }
+      } else {
+        val local = TokenBudget.allocateLocal(rows, budget).toSet
+        val df = TokenBudget.allocate(rows.toDF("g", "n"), "g", "n", budget)
+          .as[(String, Long, Long)].collect().toSet
+        assert(local == df, s"trial $trial budget $budget rows $rows")
+        assert(local.forall(_._2 >= 0L)) // dropped groups never resurface
+        assert(!local.exists(r => totals.get(r._1).exists(_ < 0)))
+      }
+    }
+    assert(droppedGroupsSeen, "generator never produced a negative group total")
+  }
+
+  test("corpus-total overflow raises instead of wrapping (ADVICE r10)") {
+    // two groups each fine against budget*size, but their SUM wraps int64
+    val big = Long.MaxValue / 2 + 1
+    val boom = intercept[ArithmeticException] {
+      TokenBudget.allocateLocal(Seq(("a", big), ("b", big)), budget = 1L)
+    }
+    assert(boom.getMessage.contains("overflow"))
+  }
+
   test("group-cardinality contract raises loudly") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(String, Long, Long)]
