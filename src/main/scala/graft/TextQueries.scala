@@ -881,6 +881,24 @@ private[graft] object TextQueries {
           "doc_id", "text"),
         bands = 4, maxHamming = 20).orderBy("id_a", "id_b")
     },
+    "q_phash_pixels" -> { (s, d) =>
+      // DECODED-PIXEL perceptual hash (r11, VERDICT r10 item 6): gradient
+      // PNGs built from a doc_id formula (seed = doc_id % 1024, so docs
+      // sharing a seed are pixel-identical), javax.imageio decode → 8×8
+      // pooled-luma average-hash → the same band/verify plumbing as
+      // q_phash_dedup. The oracle re-derives each pHash from the id
+      // FORMULA — it can only match if real pixels round-tripped
+      import s.implicits._
+      val ids = Tables.documents(s, d)
+        .select(col("doc_id").cast("long")).as[Long]
+      val assets = ids.mapPartitions(_.map { id =>
+        (id, "image", graft.ops.Multimodal.syntheticGradientImage(
+          16, 16, (id % 1024).toInt))
+      }).toDF("asset_id", "kind", "payload")
+      graft.ops.Multimodal.phashPixelNearDup(assets,
+          graft.ops.Multimodal.ImageIoDecoder, bands = 4, maxHamming = 8)
+        .orderBy("id_a", "id_b")
+    },
     "q_knn_shapley" -> { (s, d) =>
       // KNN-Shapley data valuation (ops/DataValue): closed-form Shapley
       // of each training vector for a 5-NN classifier over a sampled
@@ -939,6 +957,17 @@ private[graft] object TextQueries {
       // entity-keyed windows + one gram-keyed count, no doc pairs ever
       graft.ops.DupSpans.dupSpans(Tables.documents(s, d), "doc_id", "text",
         n = 4, minDocs = 2).orderBy("doc_id", "start_pos")
+    },
+    "q_dup_spans_multi" -> { (s, d) =>
+      // MULTI-RESOLUTION dup spans (ops/DupSpans.dupSpansMulti): token
+      // coverage unioned across (4-gram, >=4 docs), (8-gram, >=3),
+      // (16-gram, >=2) and merged into maximal spans — long verbatim
+      // matches at low support, short grams only as broad boilerplate
+      // (the suffix-array trade of Lee et al. 2022 at n-gram cost);
+      // still zero doc-pair joins
+      graft.ops.DupSpans.dupSpansMulti(Tables.documents(s, d), "doc_id",
+          "text", Seq((4, 4), (8, 3), (16, 2)))
+        .orderBy("doc_id", "start_pos")
     },
     "q_pii_scrub" -> { (s, d) =>
       // regex redaction pass (ops/Redact): PII-shaped patterns (email,
@@ -2384,6 +2413,33 @@ private[graft] object TextQueries {
         |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
         |FROM c WHERE bit_count(xor(ha, hb)) <= 20
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_phash_pixels" ->
+      """WITH px AS (
+        |  SELECT doc_id, tx.x AS x, ty.y AS y,
+        |         ((doc_id % 1024) * 7 + tx.x * 3 + ty.y * 7 +
+        |          tx.x * ty.y * ((doc_id % 1024) % 13 + 1)) % 256 AS luma
+        |  FROM documents, range(0, 16) tx(x), range(0, 16) ty(y)),
+        |cells AS (SELECT doc_id,
+        |            ((y * 8) // 16) * 8 + (x * 8) // 16 AS cell,
+        |            SUM(luma) AS csum, COUNT(*) AS cnt
+        |          FROM px GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, SUM(csum) // 256 AS gmean
+        |        FROM cells GROUP BY 1),
+        |ph AS (SELECT c.doc_id AS id,
+        |         SUM(CASE WHEN c.csum // c.cnt >= t.gmean
+        |             THEN (CAST(1 AS BIGINT) << CAST(c.cell AS INT))
+        |             ELSE 0 END) AS h
+        |       FROM cells c JOIN tot t USING (doc_id)
+        |       WHERE c.cell < 60 GROUP BY 1),
+        |b AS (SELECT id, h, k, (h >> (15 * CAST(k AS INT))) & 32767 AS bv
+        |      FROM ph, UNNEST([0, 1, 2, 3]) AS t(k)),
+        |c2 AS (SELECT DISTINCT a.id AS id_a, bb.id AS id_b,
+        |         a.h AS ha, bb.h AS hb
+        |       FROM b a JOIN b bb ON bb.k = a.k AND bb.bv = a.bv
+        |         AND a.id < bb.id)
+        |SELECT id_a, id_b, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+        |FROM c2 WHERE bit_count(xor(ha, hb)) <= 8
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_knn_shapley" ->
       """WITH q AS (SELECT vec_id AS id, list_transform(embedding,
         |         x -> CAST(FLOOR(CAST(x AS DOUBLE) * 10000.0) AS BIGINT))
@@ -2532,6 +2588,39 @@ private[graft] object TextQueries {
         |       CAST(COUNT(*) AS BIGINT) AS n_grams,
         |       CAST(COUNT(*) + 3 AS BIGINT) AS span_tokens
         |FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""".stripMargin,
+    "q_dup_spans_multi" -> {
+      // one (grams → dup grams → covered intervals) CTE chain per
+      // resolution, then the running-max island merge over the union
+      val res = Seq((4, 4), (8, 3), (16, 2))
+      val chains = res.map { case (n, m) =>
+        s"""g$n AS (SELECT doc_id, i - 1 AS pos,
+           |            array_to_string(w[i:i+${n - 1}], ' ') AS gram
+           |      FROM toks, UNNEST(range(1, greatest(len(w) - ${n - 2}, 1))) AS t(i)),
+           |dup$n AS (SELECT gram FROM g$n GROUP BY gram
+           |          HAVING COUNT(DISTINCT doc_id) >= $m),
+           |iv$n AS (SELECT doc_id, pos AS s, pos + ${n - 1} AS e
+           |         FROM g$n JOIN dup$n USING (gram))""".stripMargin
+      }.mkString(",\n")
+      val unioned = res.map { case (n, _) => s"SELECT * FROM iv$n" }
+        .mkString("\nUNION ALL\n")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |$chains,
+         |iv AS (SELECT DISTINCT doc_id, s, e FROM (
+         |$unioned)),
+         |mx AS (SELECT doc_id, s, e,
+         |         MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+         |       FROM iv),
+         |grp AS (SELECT doc_id, s, e,
+         |          SUM(CASE WHEN pmax IS NULL OR s > pmax + 1
+         |              THEN 1 ELSE 0 END)
+         |            OVER (PARTITION BY doc_id ORDER BY s, e
+         |              ROWS UNBOUNDED PRECEDING) AS g
+         |        FROM mx)
+         |SELECT doc_id, CAST(MIN(s) AS BIGINT) AS start_pos,
+         |       CAST(MAX(e) - MIN(s) + 1 AS BIGINT) AS span_tokens
+         |FROM grp GROUP BY doc_id, g ORDER BY doc_id, start_pos""".stripMargin
+    },
     "q_pii_scrub" ->
       """WITH c1 AS (SELECT doc_id,
         |    CAST(len(regexp_extract_all(text,

@@ -93,11 +93,20 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("ERROR")
 
     val full = args.contains("--full")
-    val rest = args.filterNot(_ == "--full")
+    val deep64 = args.contains("--deep64")
+    val rest = args.filterNot(a => a == "--full" || a == "--deep64")
 
     type Fn = (SparkSession, String) => DataFrame
     val wanted: Seq[(String, Int, String, Fn)] =
-      if (full) {
+      if (deep64) {
+        // ×64 deep lines for the text/ANN families (VERDICT r10 item 3):
+        // runMain graft.tools.ScaleProbe --deep64 q_a q_b ...
+        val dir64 = sys.env.getOrElse("SPARK_GRAFT_SCALE64T_DIR",
+          "/tmp/graft_scale64t")
+        buildScaledTables64Text(spark, sfDir, dir64)
+        require(rest.nonEmpty, "--deep64 needs explicit query names")
+        rest.toSeq.map(q => (q, 64, dir64, graft.SparkEntry.queries(q)))
+      } else if (full) {
         val dir16 = sys.env.getOrElse("SPARK_GRAFT_SCALE16_DIR",
           "/tmp/graft_scale16")
         buildScaledTables16(spark, sfDir, dir16)
@@ -287,6 +296,50 @@ object ScaleProbe {
 
     Seq("region", "nation", "customer", "supplier", "part", "orders")
       .foreach(n => w(t(n), n))
+    java.nio.file.Files.createFile(marker)
+    println(s"""{"probe":"tables_built","dir":"$outDir"}""")
+  }
+
+  /** ×64 replica set for the TEXT/ANN families (VERDICT r10 item 3): the
+    * dedup/ANN/text 100 TB claims rested on ×16 (6.9M rows); this dir
+    * takes documents/embeddings/events to ×64 (~96M document tokens,
+    * 128k vectors). Cross-replica distinctness can't ride the 26-letter
+    * rotation at 64 replicas, so every WORD gets a `z<rep>z` prefix
+    * instead — token counts and within-replica near-dup structure are
+    * preserved exactly while no shingle ever collides across replicas.
+    * Embeddings shift by rep·1e-4 per lane (the ×16 scheme); relational
+    * tables pass through (these probes don't read them at scale). */
+  def buildScaledTables64Text(spark: SparkSession, sfDir: String,
+      outDir: String): Unit = {
+    val marker = java.nio.file.Paths.get(outDir, "_PROBE_READY")
+    if (java.nio.file.Files.exists(marker)) return
+    def reps = spark.range(64).toDF("rep")
+    def t(name: String): DataFrame =
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    def w(df: DataFrame, name: String): Unit =
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+
+    w(t("documents").crossJoin(broadcast(reps))
+      .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+        expr("regexp_replace(text, '(^| )', " +
+          "'\\\\1z' || CAST(rep AS STRING) || 'z')").as("text"),
+        col("lang"),
+        concat(col("source"), lit("_r"), col("rep")).as("source"),
+        col("n_chars")), "documents")
+
+    w(t("embeddings").crossJoin(broadcast(reps))
+      .select((col("vec_id") + col("rep") * 100000000L).as("vec_id"),
+        expr("transform(embedding, x -> CAST(x + rep * 0.0001 AS FLOAT))")
+          .as("embedding"),
+        col("label")), "embeddings")
+
+    w(t("events").crossJoin(broadcast(reps))
+      .select((col("event_id") + col("rep") * 10000000000L).as("event_id"),
+        col("ts"), (col("user_id") + col("rep") * 100000000L).as("user_id"),
+        col("event_type"), col("value"), col("props")), "events")
+
+    Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem").foreach(n => w(t(n), n))
     java.nio.file.Files.createFile(marker)
     println(s"""{"probe":"tables_built","dir":"$outDir"}""")
   }
