@@ -757,6 +757,22 @@ private[graft] object TextQueries {
           queryPred = col("id") < 20) // audit pushdown: score 20 queries, not 32k
       graft.ops.AnnAudit.recallAtK(truth, approx)
     },
+    "q_ann_recall_auto" -> { (s, d) =>
+      // recall@5 audit of the WIDTH-ADAPTIVE LSH index (r11): the same
+      // trust-but-verify as q_ann_recall, over lshTopKAutoPortable —
+      // the form a 100 TB deployment runs; its oracle derives nBits from
+      // COUNT(*) like the index itself, so the audit too is hash-exact
+      // at any sf
+      val e = Tables.embeddings(s, d)
+      val q = e.select(col("vec_id"),
+        Similarity.quantize(col("embedding")).as("qv"))
+      val truth = Similarity.bruteForceTopK(q, "vec_id", "qv",
+        q.where(col("vec_id") < 20), "vec_id", "qv", k = 5)
+      val approx = Similarity.lshTopKAutoPortable(e, "vec_id", "embedding",
+          dim = 64, k = 5, targetOccupancy = 32, tables = 4, seed = 42L,
+          queryPred = col("id") < 20)
+      graft.ops.AnnAudit.recallAtK(truth, approx)
+    },
     "q_rrf_fusion" -> { (s, d) =>
       // reciprocal-rank fusion (ops/RankFusion) of two ANN scorers over
       // the same query batch: exact cosine top-20 + inner-product top-20,
@@ -2178,6 +2194,36 @@ private[graft] object TextQueries {
          |SELECT query_id, n_truth, n_hits,
          |  (1000 * n_hits) // n_truth AS recall_permille
          |FROM j ORDER BY query_id""".stripMargin,
+    "q_ann_recall_auto" ->
+      s"""WITH lsh AS (SELECT * FROM (
+         |${graft.ops.Similarity.lshAutoOracle(dim = 64, k = 5,
+              targetOccupancy = 32, tables = 4, seed = 42L)})),
+         |bf AS (SELECT * FROM (
+         |  WITH q AS (SELECT vec_id, list_transform(embedding,
+         |               x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
+         |             FROM embeddings),
+         |  n AS (SELECT vec_id, (SELECT SUM(x*x) FROM UNNEST(v) AS t(x)) AS nrm FROM q),
+         |  p AS (SELECT qq.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |          (SELECT SUM(qq.v[i]*c.v[i])
+         |           FROM UNNEST(range(1, len(qq.v)+1)) AS t(i)) AS dot
+         |        FROM (SELECT * FROM q WHERE vec_id < 20) qq
+         |        JOIN q c ON c.vec_id <> qq.vec_id),
+         |  scored AS (SELECT query_id, neighbor_id,
+         |               ROW_NUMBER() OVER (PARTITION BY query_id
+         |                 ORDER BY dot / SQRT(na.nrm * nb.nrm) DESC,
+         |                   neighbor_id ASC) AS rank
+         |             FROM p JOIN n na ON na.vec_id = query_id
+         |                    JOIN n nb ON nb.vec_id = neighbor_id)
+         |  SELECT query_id, neighbor_id FROM scored WHERE rank <= 5)),
+         |j AS (SELECT b.query_id, COUNT(*) AS n_truth,
+         |        CAST(SUM(CASE WHEN l.neighbor_id IS NOT NULL
+         |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+         |      FROM bf b LEFT JOIN lsh l
+         |        ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+         |      GROUP BY 1)
+         |SELECT query_id, n_truth, n_hits,
+         |  (1000 * n_hits) // n_truth AS recall_permille
+         |FROM j ORDER BY query_id""".stripMargin,
     "q_rrf_fusion" ->
       """WITH q AS (SELECT vec_id, list_transform(embedding,
         |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
@@ -2593,13 +2639,14 @@ private[graft] object TextQueries {
       // resolution, then the running-max island merge over the union
       val res = Seq((4, 4), (8, 3), (16, 2))
       val chains = res.map { case (n, m) =>
+        // gh mirrors the Spark side's portable 60-bit md5 gram lane
         s"""g$n AS (SELECT doc_id, i - 1 AS pos,
-           |            array_to_string(w[i:i+${n - 1}], ' ') AS gram
+           |            ('0x' || substr(md5(array_to_string(w[i:i+${n - 1}], ' ')), 1, 15))::BIGINT AS gh
            |      FROM toks, UNNEST(range(1, greatest(len(w) - ${n - 2}, 1))) AS t(i)),
-           |dup$n AS (SELECT gram FROM g$n GROUP BY gram
+           |dup$n AS (SELECT gh FROM g$n GROUP BY gh
            |          HAVING COUNT(DISTINCT doc_id) >= $m),
            |iv$n AS (SELECT doc_id, pos AS s, pos + ${n - 1} AS e
-           |         FROM g$n JOIN dup$n USING (gram))""".stripMargin
+           |         FROM g$n JOIN dup$n USING (gh))""".stripMargin
       }.mkString(",\n")
       val unioned = res.map { case (n, _) => s"SELECT * FROM iv$n" }
         .mkString("\nUNION ALL\n")

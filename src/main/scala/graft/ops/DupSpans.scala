@@ -128,11 +128,46 @@ object DupSpans {
       require(n >= 2 && n <= 16, s"n must be in [2, 16], got $n")
       require(m >= 2, s"minDocs must be >= 2, got $m")
     }
-    val intervals = resolutions.map { case (n, m) =>
-      dupPositions(df, idCol, textCol, n, m)
-        .select(col("doc_id"), col("pos").as("s"),
-          (col("pos") + lit((n - 1).toLong)).as("e"))
-    }.reduce(_ unionByName _)
+    // ONE scan emits every resolution's grams (tagged with n) — three
+    // separate dupPositions passes would read and re-tokenize the corpus
+    // per resolution; here the scan, the explode, and the vocabulary
+    // count shuffle are all paid once, keyed by (n, gram) (gram strings
+    // of different n cannot collide, the tag just keeps the per-
+    // resolution thresholds and counts separate)
+    val arrs = resolutions.map { case (n, _) =>
+      expr(
+        s"""CASE WHEN size(__arr) >= $n THEN
+              transform(sequence(0, size(__arr) - $n),
+                i -> struct($n AS n, CAST(i AS BIGINT) AS pos,
+                            array_join(slice(__arr, i + 1, $n), ' ')
+                              AS gram))
+            ELSE CAST(array() AS
+              array<struct<n: int, pos: bigint, gram: string>>)
+            END""")
+    }
+    // shuffle the 60-bit md5 lane of each gram, not the gram STRING: a
+    // 16-gram is ~100 bytes and the vocabulary count is the operator's
+    // only corpus-wide shuffle — hashing map-side cuts its bytes ~12×
+    // (measured ×64: 548 s → see scale_probe_r11.jsonl). The hash is the
+    // repo's portable md5 lane, applied identically in the DuckDB oracle,
+    // so results stay hash-exact BY CONSTRUCTION (a collision — ~N²/2⁶¹ —
+    // would merge the same two grams in both engines).
+    val grams = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr"))
+      .select(col("doc_id"), explode(concat(arrs: _*)).as("g"))
+      .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
+        graft.functions.functions.hex_to_long(
+          substring(md5(col("g.gram")), 1, 15)).as("gh"))
+    val minDocsExpr = expr(resolutions
+      .map { case (n, m) => s"WHEN n = $n THEN $m" }
+      .mkString("CASE ", " ", " END"))
+    val dupGrams = grams.groupBy(col("n"), col("gh"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"))
+      .where(col("n_docs") >= minDocsExpr)
+      .select(col("n"), col("gh"))
+    val intervals = grams.join(dupGrams, Seq("n", "gh"), "left_semi")
+      .select(col("doc_id"), col("pos").as("s"),
+        (col("pos") + col("n") - 1).cast("long").as("e"))
       .distinct() // resolutions overlap heavily; dedupe before the window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val merged = intervals

@@ -397,7 +397,11 @@ object Similarity {
     * at the oracle-literal nBits=6). That growth is the fixed width, so
     * tightening the cap would only silently shrink recall; the scale
     * answer is [[lshTopKAuto]] (occupancy-held nBits, probed ~linear as
-    * x_ann_lsh_auto in the same jsonl). Cap kept at 1000. */
+    * x_ann_lsh_auto in the same jsonl). Cap kept at 1000. r11: the
+    * width-adaptive twin is now ITSELF gated hash-exact —
+    * q_ann_lsh_auto / [[lshTopKAutoPortable]] with the COUNT(*)-derived
+    * [[lshAutoOracle]], probed 2.4× at ×16 (tools/scale_probe_r11.jsonl)
+    * where this fixed-width form probes ~92×. */
   def lshTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
       k: Int, nBits: Int = 6, tables: Int = 4, seed: Long = 42L,
       maxBucketSize: Int = 1000, queryPred: Column = lit(true)): DataFrame = {

@@ -321,8 +321,9 @@ object ScaleProbe {
 
     w(t("documents").crossJoin(broadcast(reps))
       .select((col("doc_id") + col("rep") * 100000000L).as("doc_id"),
+        // Java replacement syntax: group backreference is $1, not \1
         expr("regexp_replace(text, '(^| )', " +
-          "'\\\\1z' || CAST(rep AS STRING) || 'z')").as("text"),
+          "'$1z' || CAST(rep AS STRING) || 'z')").as("text"),
         col("lang"),
         concat(col("source"), lit("_r"), col("rep")).as("source"),
         col("n_chars")), "documents")
