@@ -554,6 +554,18 @@ private[graft] object TextQueries {
         .select(col("doc_id"), col("source"), col("rate_permille"))
         .orderBy("doc_id")
     },
+    "q_mix_temperature" -> { (s, d) =>
+      // temperature-scaled mixture (Mixture.temperatureMix): target
+      // shares DERIVED from the corpus, p(source) ∝ √n (T=2 — the one
+      // power IEEE guarantees exactly, so the weights are engine-
+      // portable), largest-remainder permille apportionment, then the
+      // same identity-hash acceptance as q_mixture
+      graft.ops.Mixture.temperatureMix(Tables.documents(s, d), "doc_id",
+          "source", totalTarget = 40L, salt = "tmix")
+        .select(col("doc_id"), col("source"), col("share_permille"),
+          col("rate_permille"))
+        .orderBy("doc_id")
+    },
     "q_collocations" -> { (s, d) =>
       // document-level token collocation lift (ops/Collocations):
       // integer sufficient stats + double lift, df-capped pairing
@@ -1818,6 +1830,35 @@ private[graft] object TextQueries {
         |SELECT d.doc_id, d.source, CAST(rate_permille AS BIGINT) AS rate_permille
         |FROM documents d JOIN rates USING (source)
         |WHERE ('0x' || substr(md5('mix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+        |      % 1000 < rate_permille
+        |ORDER BY doc_id""".stripMargin,
+    "q_mix_temperature" ->
+      """WITH cnt AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+        |             FROM documents WHERE source IS NOT NULL GROUP BY 1),
+        |w AS (SELECT source, n,
+        |        CAST(FLOOR(SQRT(CAST(n AS DOUBLE)) * 1000000.0) AS BIGINT) AS wt
+        |      FROM cnt),
+        |t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM w),
+        |q AS (SELECT source, n, wt,
+        |        CAST((1000 * wt) // tot AS BIGINT) AS fl,
+        |        CAST((1000 * wt) % tot AS BIGINT) AS rem
+        |      FROM w, t),
+        |e AS (SELECT CAST(1000 - SUM(fl) AS BIGINT) AS extra FROM q),
+        |r AS (SELECT source, n, fl,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rn
+        |      FROM q),
+        |sh AS (SELECT source, n,
+        |         CAST(fl + CASE WHEN rn <= extra THEN 1 ELSE 0 END AS BIGINT)
+        |           AS share_permille
+        |       FROM r, e),
+        |rates AS (SELECT source, share_permille,
+        |            CAST(LEAST(1000,
+        |              (((40 * share_permille) // 1000) * 1000) // n)
+        |              AS BIGINT) AS rate_permille
+        |          FROM sh)
+        |SELECT d.doc_id, d.source, share_permille, rate_permille
+        |FROM documents d JOIN rates USING (source)
+        |WHERE ('0x' || substr(md5('tmix' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
         |      % 1000 < rate_permille
         |ORDER BY doc_id""".stripMargin,
     "q_collocations" ->

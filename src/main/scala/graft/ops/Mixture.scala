@@ -54,4 +54,44 @@ object Mixture {
     df.join(broadcast(rates), sourceCol)
       .where(bucket < col("rate_permille"))
   }
+
+  /** TEMPERATURE-scaled mixture (r11) — the mT5/XLM-R sampling rule
+    * where target shares are derived FROM the corpus instead of given:
+    * p(s) ∝ n_s^(1/T), flattening the head and up-weighting the tail.
+    * T is fixed at 2 deliberately: the square root is the one power
+    * IEEE 754 guarantees correctly rounded, so the derived integer
+    * weights floor(√n · 10⁶) are bit-identical in every engine — a
+    * general pow(n, 1/T) is not, and would demote the oracle to
+    * rows-only. Shares in per-mille come from the largest-remainder
+    * apportionment of 1000 over the weights (the exact
+    * [[TokenBudget.allocate]] kernel, so Σ share = 1000 by
+    * construction); per-source accept rates and the identity-hash
+    * acceptance test are [[mixSample]]'s.
+    *
+    * Plan shape: one sources-sized aggregation, the allocate kernel's
+    * range-exchanged ranking over one row per source, a broadcast rate
+    * join, a scan-local filter — the corpus is never sorted or
+    * repartitioned. Output: surviving rows + share_permille +
+    * rate_permille.
+    */
+  def temperatureMix(df: DataFrame, idCol: String, sourceCol: String,
+      totalTarget: Long, salt: String = ""): DataFrame = {
+    require(totalTarget > 0, s"totalTarget must be positive, got $totalTarget")
+    val counts = df.where(col(sourceCol).isNotNull)
+      .groupBy(col(sourceCol)).agg(count(lit(1)).as("__n"))
+    val weights = counts.select(col(sourceCol),
+      floor(sqrt(col("__n").cast("double")) * lit(1000000.0))
+        .cast("long").as("__w"))
+    val shares = TokenBudget.allocate(weights, sourceCol, "__w", 1000L)
+      .select(col("grp").as(sourceCol), col("quota").as("share_permille"))
+    val rates = counts.join(shares, sourceCol)
+      .withColumn("__keep", expr(s"(${totalTarget}L * share_permille) div 1000"))
+      .withColumn("rate_permille",
+        least(lit(1000L), expr("(__keep * 1000) div __n")))
+      .select(col(sourceCol), col("share_permille"), col("rate_permille"))
+    val bucket = graft.functions.functions.hex_to_long(
+      substring(md5(concat(lit(salt), col(idCol).cast("string"))), 1, 15)) % 1000
+    df.join(broadcast(rates), sourceCol)
+      .where(bucket < col("rate_permille"))
+  }
 }
