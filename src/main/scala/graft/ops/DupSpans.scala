@@ -128,46 +128,86 @@ object DupSpans {
       require(n >= 2 && n <= 16, s"n must be in [2, 16], got $n")
       require(m >= 2, s"minDocs must be >= 2, got $m")
     }
-    // ONE scan emits every resolution's grams (tagged with n) — three
-    // separate dupPositions passes would read and re-tokenize the corpus
-    // per resolution; here the scan, the explode, and the vocabulary
-    // count shuffle are all paid once, keyed by (n, gram) (gram strings
-    // of different n cannot collide, the tag just keeps the per-
-    // resolution thresholds and counts separate)
-    val arrs = resolutions.map { case (n, _) =>
-      expr(
-        s"""CASE WHEN size(__arr) >= $n THEN
-              transform(sequence(0, size(__arr) - $n),
-                i -> struct($n AS n, CAST(i AS BIGINT) AS pos,
-                            array_join(slice(__arr, i + 1, $n), ' ')
+    // CONTAINMENT PRE-FILTER (r12, VERDICT r11 item 4). The containment
+    // theorem cuts both ways: it makes equal thresholds degenerate (the
+    // Scaladoc above), and it PRUNES — an n-gram at position p occurring
+    // in >= m >= 2 docs implies every constituent n0-gram (positions
+    // p .. p+n−n0) occurs in >= 2 docs. So one cheap pass at the FINEST
+    // resolution with the weakest threshold (m=2) yields a per-position
+    // mask, and the longer resolutions' (much wider) gram strings are
+    // materialized and hashed ONLY at positions whose n0-sub-positions
+    // are all masked — instead of at every position of the corpus. The
+    // output is IDENTICAL: every occurrence of an n-gram string held by
+    // >= 2 docs survives the mask (all its sub-grams are shared through
+    // the same string), so per-string distinct-doc counts over the
+    // candidates equal the full counts for every string that could pass
+    // its threshold. (Prior shape — all resolutions' grams off one scan,
+    // hashed lanes — measured 540 s at ×64; the long-gram construction
+    // and its shuffle were the dominant term.)
+    val n0 = resolutions.map(_._1).min
+    val m0 = resolutions.find(_._1 == n0).get._2
+    val rest = resolutions.filter(_._1 != n0)
+    val docsArr = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr"))
+    def md5Lane(c: org.apache.spark.sql.Column) =
+      graft.functions.functions.hex_to_long(substring(md5(c), 1, 15))
+    // pass A: finest grams, hashed map-side (the 60-bit md5 lane — shuffle
+    // 8-byte lanes, not strings; a collision ~N²/2⁶¹ would merge the same
+    // grams in the DuckDB oracle too, so hash-exactness is by construction)
+    val grams0 = docsArr
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(__arr) >= $n0 THEN
+              transform(sequence(0, size(__arr) - $n0),
+                i -> struct(CAST(i AS BIGINT) AS pos,
+                            array_join(slice(__arr, i + 1, $n0), ' ')
                               AS gram))
             ELSE CAST(array() AS
-              array<struct<n: int, pos: bigint, gram: string>>)
-            END""")
-    }
-    // shuffle the 60-bit md5 lane of each gram, not the gram STRING: a
-    // 16-gram is ~100 bytes and the vocabulary count is the operator's
-    // only corpus-wide shuffle — hashing map-side cuts its bytes ~12×
-    // (measured ×64: 548 s → see scale_probe_r11.jsonl). The hash is the
-    // repo's portable md5 lane, applied identically in the DuckDB oracle,
-    // so results stay hash-exact BY CONSTRUCTION (a collision — ~N²/2⁶¹ —
-    // would merge the same two grams in both engines).
-    val grams = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr"))
-      .select(col("doc_id"), explode(concat(arrs: _*)).as("g"))
-      .select(col("doc_id"), col("g.n").as("n"), col("g.pos").as("pos"),
-        graft.functions.functions.hex_to_long(
-          substring(md5(col("g.gram")), 1, 15)).as("gh"))
-    val minDocsExpr = expr(resolutions
-      .map { case (n, m) => s"WHEN n = $n THEN $m" }
-      .mkString("CASE ", " ", " END"))
-    val dupGrams = grams.groupBy(col("n"), col("gh"))
+              array<struct<pos: bigint, gram: string>>)
+            END""")).as("g"))
+      .select(col("doc_id"), col("g.pos").as("pos"),
+        md5Lane(col("g.gram")).as("gh"))
+    val counts0 = grams0.groupBy(col("gh"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
-      .where(col("n_docs") >= minDocsExpr)
-      .select(col("n"), col("gh"))
-    val intervals = grams.join(dupGrams, Seq("n", "gh"), "left_semi")
+      .where(col("n_docs") >= 2)
+    // duplicated finest positions + their counts: the mask for the longer
+    // resolutions AND (at n_docs >= m0) the finest resolution's coverage.
+    // Persisted — it feeds one window per longer resolution and is only
+    // the duplicated fraction of the token table.
+    val dup0 = grams0.join(counts0, "gh")
+      .select(col("doc_id"), col("pos"), col("n_docs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val finestIntervals = dup0.where(col("n_docs") >= m0)
       .select(col("doc_id"), col("pos").as("s"),
-        (col("pos") + col("n") - 1).cast("long").as("e"))
+        (col("pos") + lit(n0 - 1)).cast("long").as("e"))
+    // candidates for each longer n: positions whose whole [p, p+n−n0]
+    // window of finest positions is masked — a doc-partitioned range
+    // window over dup0 only (positions past size−n lack sub-positions,
+    // so exactly the valid n-gram starts can qualify)
+    val longIntervals = rest.map { case (n, m) =>
+      val need = n - n0 + 1
+      val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+        .rangeBetween(0, n - n0)
+      val cand = dup0
+        .withColumn("__cnt", count(lit(1)).over(w))
+        .where(col("__cnt") === need)
+        .select(col("doc_id"), col("pos"))
+      // materialize the wide grams at candidate positions only: join back
+      // to the token arrays (docs shuffled once by id, candidate rows are
+      // 16 bytes) and slice — the full-corpus explode of ~100-byte
+      // n-grams never happens
+      val candGrams = cand.join(docsArr, "doc_id")
+        .select(col("doc_id"), col("pos"),
+          md5Lane(expr(s"array_join(slice(__arr, pos + 1, $n), ' ')"))
+            .as("gh"))
+      val countsN = candGrams.groupBy(col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .where(col("nd") >= m)
+        .select(col("gh"))
+      candGrams.join(countsN, Seq("gh"), "left_semi")
+        .select(col("doc_id"), col("pos").as("s"),
+          (col("pos") + lit(n - 1)).cast("long").as("e"))
+    }
+    val intervals = (finestIntervals +: longIntervals).reduce(_ union _)
       .distinct() // resolutions overlap heavily; dedupe before the window
     val w = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val merged = intervals

@@ -170,6 +170,28 @@ object PageRank {
       maxBroadcastNodes: Long = 10_000_000L): DataFrame =
     fixedPoint(edges, None, iters, scale, maxLocalEdges, maxBroadcastNodes)
 
+  /** CONVERGENT fixed-point PageRank (r12, VERDICT r11 item 7): the same
+    * integer recurrence as [[scoresFixedPoint]] run UNTIL the integer L1
+    * delta Σ_v |r_t+1[v] − r_t[v]| drops below `tolQ` (or `maxIter` caps
+    * it) — the data-dependent stopping rule [[scores]] applies, on the
+    * portable grid. The r11 claim that "a data-dependent stop isn't
+    * SQL-mirrorable" fell to DuckDB's recursive CTEs: the oracle
+    * ([[graft.QueryHelpers.pagerankConvOracle]]) carries each step's L1
+    * on its rows and the recursive term refuses to fire once it is below
+    * tolQ — the SAME stopping rule over the SAME integers, so the
+    * CONVERGENT path (not just fixed-iteration twins) is hash-exact at
+    * any sf. tolQ is on the rank grid: tolQ = scale·tol mirrors a
+    * double-path tolerance `tol`. Returns the ranks AFTER the first
+    * iteration whose L1 beat tolQ. */
+  def scoresFixedPointConvergent(edges: DataFrame, tolQ: Long = 1_000_000L,
+      maxIter: Int = 60, scale: Long = 1000000000000L,
+      maxLocalEdges: Long = 5_000_000L,
+      maxBroadcastNodes: Long = 10_000_000L): DataFrame = {
+    require(tolQ > 0, s"tolQ must be positive, got $tolQ (use scoresFixedPoint for a fixed iteration count)")
+    fixedPoint(edges, None, maxIter, scale, maxLocalEdges, maxBroadcastNodes,
+      tolQ = tolQ)
+  }
+
   /** Personalized PageRank: the same integer fixed-point recurrence with
     * the uniform teleport replaced by a teleport onto `sources` only —
     * initial mass `scale div |S|` on each source, per-iteration base
@@ -209,7 +231,8 @@ object PageRank {
 
   private def fixedPoint(edges0: DataFrame, sources: Option[Seq[String]],
       iters: Int, scale: Long, maxLocalEdges: Long,
-      maxBroadcastNodes: Long, weight: Option[String] = None): DataFrame = {
+      maxBroadcastNodes: Long, weight: Option[String] = None,
+      tolQ: Long = 0L): DataFrame = {
     val spark = edges0.sparkSession
     import spark.implicits._
 
@@ -246,13 +269,21 @@ object PageRank {
         val base = Array.tabulate(n)(i =>
           if (isSrc(i)) (3 * scale) / (20 * denom) else 0L)
         var it = 0
-        while (it < iters) {
+        var converged = false
+        while (it < iters && !converged) {
           val next = base.clone()
           var i = 0
           while (i < es.length) {
             val (s, d, m, od) = es(i)
             next(d) += (17L * m * r(s)) / (20L * od)
             i += 1
+          }
+          if (tolQ > 0) {
+            // integer L1 — exact, so the convergent stop is the oracle's
+            var l1 = 0L
+            var j = 0
+            while (j < n) { l1 = Math.addExact(l1, math.abs(next(j) - r(j))); j += 1 }
+            converged = l1 < tolQ
           }
           r = next
           it += 1
@@ -284,17 +315,28 @@ object PageRank {
       .withColumn("rank_q", when(isSrcCol, lit(scale / denom)).otherwise(lit(0L)))
       .localCheckpoint(true)
     var it = 0
-    while (it < iters) {
+    var converged = false
+    while (it < iters && !converged) {
       val rankSide = ranks.withColumnRenamed("node", "src")
       val contrib = wEdges
         .join(if (useBroadcast) broadcast(rankSide) else rankSide, "src")
         .select($"dst", expr("(17 * m * rank_q) div (20 * outdeg)").as("c"))
         .groupBy($"dst").agg(sum($"c").as("incoming"))
-      ranks = ranks.select($"node")
+      val next = ranks.select($"node")
         .join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
         .select($"node",
           (baseCol + coalesce($"incoming", lit(0L))).as("rank_q"))
         .localCheckpoint(true)
+      if (tolQ > 0) {
+        // one extra 1-row action per iteration — the convergent variant's
+        // price; integer L1, so the stop is bit-identical to the oracle's
+        val l1 = next.withColumnRenamed("rank_q", "new_q")
+          .join(ranks, "node")
+          .agg(sum(abs($"new_q" - $"rank_q")).as("l1"))
+          .as[Long].head()
+        converged = l1 < tolQ
+      }
+      ranks = next
       it += 1
     }
     wEdges.unpersist()

@@ -565,7 +565,13 @@ object Similarity {
       tables: Int, seed: Long,
       qSelect: String = """SELECT vec_id AS id, list_transform(embedding,
         |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
-        |           FROM embeddings""".stripMargin): String = {
+        |           FROM embeddings""".stripMargin,
+      queryIdLt: Option[Long] = None): String = {
+    // queryIdLt mirrors the Spark side's `queryPred = col("id") < x`
+    // (VERDICT r11 item 1): bounding the QUERY side of the candidate
+    // join caps candidate volume at |queries|·tables·occupancy — linear
+    // in N at fixed width — where the unbounded all-pairs form grows ~N²
+    val qFilter = queryIdLt.map(x => s" AND a.id < $x").getOrElse("")
     def planeList(p: Array[Long]) = p.mkString("[", ", ", "]")
     val tableSelects = (0 until tables).map { t =>
       val planes = quantizedPlanes(dim, nBits, seed + t * 7919)
@@ -582,7 +588,7 @@ object Similarity {
        |$tableSelects),
        |cand AS (SELECT DISTINCT a.id AS query_id, bb.id AS neighbor_id
        |         FROM b a JOIN b bb
-       |           ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id <> bb.id),
+       |           ON a.tbl = bb.tbl AND a.bucket = bb.bucket AND a.id <> bb.id$qFilter),
        |scored AS (SELECT c.query_id, c.neighbor_id,
        |             (SELECT SUM(qq.v[i] * nv.v[i])
        |              FROM UNNEST(range(1, ${dim + 1})) t(i)) /
@@ -617,19 +623,18 @@ object Similarity {
     * rerank) reproduces exactly in DuckDB SQL ([[ivfPortableOracle]]).
     * Approximate relative to brute force, deterministic in itself.
     */
-  def ivfTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
-      sampleN: Int = 200, seed: Long = 42L,
-      queryPred: Column = lit(true), strideInit: Boolean = false): DataFrame = {
-    val spark = df.sparkSession
+  /** Quantized-Lloyd codebook on the sampleN smallest-id vectors of
+    * `v` (columns (id, vec), vec already quantized) — the training step
+    * shared by [[ivfTopKPortable]] and the incremental epoch freeze
+    * ([[incrementalIvfTopKAuto]]). Gated driver-local: sampleN bounds
+    * the collect. Every quantity is exact integer math or one
+    * deterministic IEEE op (floor-of-mean), so the result reproduces in
+    * the oracles' unrolled Lloyd CTEs. */
+  private[graft] def trainIvfCodebookPortable(v: DataFrame, dim: Int,
+      nCells: Int, kmeansIters: Int, sampleN: Int, seed: Long,
+      strideInit: Boolean): Array[Array[Double]] = {
+    val spark = v.sparkSession
     import spark.implicits._
-    // persisted: the quantized table feeds the centroid sample, the cell
-    // assignment pass AND the probe pass — without it each scan re-reads
-    // parquet and re-quantizes (r2's 4.4× regression)
-    val v = df.select(col(idCol).cast("long").as("id"),
-        quantize(col(vecCol)).as("vec"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-
     val sample = v.orderBy("id").limit(sampleN)
       .as[(Long, Array[Double])].collect().map(_._2)
     require(sample.length == sampleN,
@@ -655,6 +660,24 @@ object Similarity {
         }
       }.toArray
     }
+    centroids
+  }
+
+  def ivfTopKPortable(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+      k: Int, nCells: Int = 16, nProbe: Int = 4, kmeansIters: Int = 3,
+      sampleN: Int = 200, seed: Long = 42L,
+      queryPred: Column = lit(true), strideInit: Boolean = false): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    // persisted: the quantized table feeds the centroid sample, the cell
+    // assignment pass AND the probe pass — without it each scan re-reads
+    // parquet and re-quantizes (r2's 4.4× regression)
+    val v = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val centroids = trainIvfCodebookPortable(v, dim, nCells, kmeansIters,
+      sampleN, seed, strideInit)
     val bcCentroids = spark.sparkContext.broadcast(centroids)
 
     val vt = v.as[(Long, Array[Double])]
@@ -699,7 +722,13 @@ object Similarity {
     * CTEs, argmin assignment with (dist, cell) tiebreak, nProbe probing,
     * quantized-cosine rerank. */
   private[graft] def ivfPortableOracle(dim: Int, k: Int, nCells: Int,
-      nProbe: Int, kmeansIters: Int, sampleN: Int, seed: Long): String = {
+      nProbe: Int, kmeansIters: Int, sampleN: Int, seed: Long,
+      queryIdLt: Option[Long] = None): String = {
+    // queryIdLt mirrors the Spark side's `queryPred` (VERDICT r11 item 1):
+    // only the bounded query set probes cells, so probe-side cost is
+    // |queries|·nProbe·occupancy — linear in N at fixed nCells — where
+    // the all-queries form is quadratic
+    val qFilter = queryIdLt.map(x => s" AND id < $x").getOrElse("")
     val init = ivfInitIndices(sampleN, nCells, seed)
     val initRows = init.zipWithIndex
       .map { case (rnIdx, cell) => s"($cell, ${rnIdx + 1})" }.mkString(", ")
@@ -737,7 +766,7 @@ object Similarity {
        |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
        |                FROM dall),
        |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
-       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe),
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe$qFilter),
        |n AS (SELECT id, (SELECT SUM(x*x) FROM UNNEST(v) t(x)) AS nrm FROM q),
        |cand AS (SELECT p.id AS query_id, a.id AS neighbor_id
        |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.id <> p.id),
@@ -1524,6 +1553,114 @@ object Similarity {
       strideInit = true)
   }
 
+  // ------------------------------------------------------------------
+  // INCREMENTAL IVF (r12, VERDICT r11 item 5) — the similarity twin of
+  // Dedup.incrementalExact / incrementalMinHashPairs: a 100 TB pipeline
+  // must NOT re-index the whole corpus per arriving batch. The codebook
+  // is FROZEN per epoch (trained once on the epoch corpus); cell
+  // assignments accumulate in a persisted LEDGER (id, vec, cell); each
+  // batch only (a) assigns its own vectors under the frozen codebook —
+  // one broadcast-codebook map over |batch| rows — and (b) queries its
+  // vectors against the probed cells of ledger ∪ batch. Because
+  // assignment is a pure per-vector function of the frozen centroids,
+  //   incremental(ledger(A), B) ≡ full(A ∪ B, queries = B)
+  // under the same codebook, EXACTLY (spec-pinned in IncrementalAnnSpec
+  // and hash-exact-gated as q_ann_incremental).
+  // ------------------------------------------------------------------
+
+  /** Assign vectors to frozen-codebook cells — the ledger build/append
+    * step. Pure per-vector map (broadcast centroids, no shuffle): rows
+    * are (id, vec, cell) with vec the ×10000-quantized form, ready to
+    * persist as the epoch's ledger and to union with later batches. */
+  def ivfAssignLedger(df: DataFrame, idCol: String, vecCol: String,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("vec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vec) => (id, vec, nearestCentroid(vec, cs)) }
+      }.toDF("id", "vec", "cell")
+  }
+
+  /** Query `batch` against `ledger ∪ batch` under a FROZEN codebook.
+    * `ledger` is the persisted (id, vec, cell) table from
+    * [[ivfAssignLedger]]; only the batch is assigned and probed here —
+    * per-batch cost is |batch| · nProbe · occupancy, independent of how
+    * many epochs the ledger has accumulated. Join shape follows
+    * [[ivfTopKPortable]] (broadcast assigned side — the portable/gate
+    * form; the salted-join [[ivfTopK]] shape is the >memory scale path).
+    */
+  def incrementalIvfTopK(ledger: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, nProbe: Int,
+      centroids: Array[Array[Double]]): DataFrame = {
+    val spark = batch.sparkSession
+    import spark.implicits._
+    require(centroids.nonEmpty && centroids.forall(_.length == dim),
+      s"codebook must be non-empty with dim-$dim centroids")
+    val bc = spark.sparkContext.broadcast(centroids)
+    val batchAssigned = ivfAssignLedger(batch, idCol, vecCol, centroids)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = ledger.select(col("id"), col("vec"), col("cell"))
+      .union(batchAssigned)
+    val probes = batchAssigned.select(col("id"), col("vec"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (id, vec) =>
+          cs.indices.map(c => (c, sqDist(vec, cs(c))))
+            .sortBy { case (c, d) => (d, c) }
+            .take(nProbe).map { case (c, _) => (id, vec, c) }
+        }
+      }.toDF("query_id", "qvec", "cell")
+    val pairs = widen(probes, "query_id").join(broadcast(all), "cell")
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
+      .as[(Long, Array[Double], Long, Array[Double])]
+      .mapPartitions(_.map { case (q, qv, nb, nv) =>
+        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
+        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
+        (q, nb, d / math.sqrt(qn * nn))
+      }.filter(!_._3.isNaN))
+      .toDF("query_id", "neighbor_id", "cosine")
+    topKPerQuery(pairs, k)
+  }
+
+  /** The gate composition: freeze a width-adaptive codebook on the epoch
+    * corpus (√N_A cells, stride init — [[ivfTopKAutoPortable]]'s sizing,
+    * derived from the EPOCH count, as a frozen codebook must be), build
+    * its ledger, then run the incremental query for one arriving batch.
+    * Oracle mirror: [[ivfAutoOracle]] with `incrementalTailN` — widths
+    * from COUNT(*) − |tail| and probes restricted to the tail ids; the
+    * two coincide exactly when the epoch corpus holds the sampleN
+    * smallest ids (q_ann_incremental splits embeddings at N − 64, and
+    * sampleN ≤ N_A there). */
+  def incrementalIvfTopKAuto(epochCorpus: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String, dim: Int, k: Int, nProbe: Int = 4,
+      kmeansIters: Int = 3): DataFrame = {
+    val nA = epochCorpus.count()
+    val nCells = autoNCells(nA)
+    val sampleN = autoSampleN(nA, nCells)
+    val vA = epochCorpus.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainIvfCodebookPortable(vA, dim, nCells, kmeansIters,
+      sampleN, seed = 0L, strideInit = true)
+    val spark = epochCorpus.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(centroids)
+    val ledger = vA.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (id, vec) => (id, vec, nearestCentroid(vec, cs)) }
+      }.toDF("id", "vec", "cell")
+    incrementalIvfTopK(ledger, batch, idCol, vecCol, dim, k, nProbe,
+      centroids)
+  }
+
   /** Exact-cosine rerank tail shared by the auto oracles (same text as
     * the fixed-width oracles' tails — kept verbatim so the arithmetic is
     * character-identical). Expects CTEs `q(id, v)` and
@@ -1548,11 +1685,17 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
 
   /** The nBits derivation as SQL, integer-exact: smallest b with
-    * 2^b >= max(1, N // targetOccupancy), clamped [4, 40] — exactly
-    * [[autoNBits]] (ceilLog2 via bit shifts on both sides, no float
-    * log). Expects CTE `q(id, v)`. */
+    * 2^b >= max(1, N // targetOccupancy), clamped [4, maxAutoNBits] —
+    * [[autoNBits]] (ceilLog2 via bit shifts on both sides, no float log)
+    * with the upper clamp tightened from autoNBits' 40 to
+    * [[maxAutoNBits]] (ADVICE r11): the oracle embeds only maxAutoNBits
+    * plane rows, so a derived width past that would silently hash at 16
+    * bits while reporting more. Clamping here keeps the SQL's effective
+    * and derived widths equal; the Spark side raises loudly at the same
+    * boundary, so the two sides can never silently diverge.
+    * Expects CTE `q(id, v)`. */
   private def autoNBitsSql(targetOccupancy: Int): String =
-    s"""params AS (SELECT LEAST(40, GREATEST(4,
+    s"""params AS (SELECT LEAST($maxAutoNBits, GREATEST(4,
        |    (SELECT MIN(b) FROM range(0, 63) t(b)
        |     WHERE (CAST(1 AS BIGINT) << CAST(b AS INT)) >=
        |       GREATEST(1, (SELECT COUNT(*) FROM q) // $targetOccupancy)))) AS nbits)""".stripMargin
@@ -1598,11 +1741,11 @@ object Similarity {
     * [[autoSampleN]] (IEEE sqrt then ceil on both sides), plus the
     * stride-init (cell → sample rank) table. Expects CTEs `q(id, v)` and
     * `samp(id, v, rn)` ordering to already exist downstream. */
-  private def autoCellsSql: String =
+  private def autoCellsSql(nSql: String = "SELECT COUNT(*) FROM q"): String =
     s"""params AS (SELECT n,
        |    LEAST(4096, GREATEST(16,
        |      CAST(CEIL(SQRT(CAST(n AS DOUBLE))) AS BIGINT))) AS ncells
-       |  FROM (SELECT COUNT(*) AS n FROM q)),
+       |  FROM (SELECT ($nSql) AS n)),
        |params2 AS (SELECT n, ncells,
        |    LEAST(n, GREATEST(200, 8 * ncells)) AS samplen FROM params)""".stripMargin
 
@@ -1612,7 +1755,19 @@ object Similarity {
     * init replaced by the stride init ([[strideInitIndices]] as one
     * integer division per cell). */
   private[graft] def ivfAutoOracle(dim: Int, k: Int, nProbe: Int = 4,
-      kmeansIters: Int = 3): String = {
+      kmeansIters: Int = 3, incrementalTailN: Option[Int] = None): String = {
+    // incrementalTailN (VERDICT r11 item 5): mirror of
+    // [[incrementalIvfTopKAuto]] — the epoch corpus is the first
+    // COUNT(*) − tail ids, so widths derive from that count (a frozen
+    // codebook's widths are the EPOCH's, not the grown corpus's), the
+    // sample (smallest samplen ids) is epoch-only by construction, and
+    // only the arriving tail probes. Assignment/rerank still run over
+    // the full corpus = ledger ∪ batch.
+    val nSql = incrementalTailN
+      .map(t => s"SELECT COUNT(*) - $t FROM q")
+      .getOrElse("SELECT COUNT(*) FROM q")
+    val probeFilter = incrementalTailN
+      .map(_ => " AND id >= (SELECT n FROM params)").getOrElse("")
     val iters = (1 to kmeansIters).map { i =>
       s"""d$i AS (SELECT s.rn, c.cell,
          |          SUM((s.x - c.cv) * (s.x - c.cv)) AS dist
@@ -1632,7 +1787,7 @@ object Similarity {
     s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
        |           FROM embeddings),
-       |$autoCellsSql,
+       |${autoCellsSql(nSql)},
        |samp AS (SELECT id, v, rn FROM (
        |           SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM q)
        |         WHERE rn <= (SELECT samplen FROM params2)),
@@ -1653,7 +1808,7 @@ object Similarity {
        |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
        |                FROM dall),
        |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
-       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe),
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe$probeFilter),
        |cand AS (SELECT p.id AS query_id, a.id AS neighbor_id
        |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.id <> p.id),
        |${oracleRerankTail(dim, k)}""".stripMargin
@@ -1710,7 +1865,7 @@ object Similarity {
        |        ELSE list_transform(q0.v0,
        |          x -> FLOOR((x * CAST(10000.0 AS DOUBLE)) / n.nr)) END AS v
        |      FROM q0 JOIN nrm0 n ON n.id = q0.id),
-       |$autoCellsSql,
+       |${autoCellsSql()},
        |samp AS (SELECT id, v, rn FROM (
        |           SELECT id, v, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM q)
        |         WHERE rn <= (SELECT samplen FROM params2)),

@@ -135,17 +135,29 @@ object ScaleProbe {
     // drift = median(now/pinned), and a cross-round comparison reads the
     // flag rule on scaled_sec/drift rather than raw scaled_sec.
     val calibPinned = Map(   // r11 idle-host reference, sf0.1, local[32],
-      // measured in probe context (post-buildScaledTables, min of 3)
+      // measured in probe context (post-buildScaledTables, min of 3).
+      // NOTE (ADVICE r11): these pins are valid for THIS host/config only;
+      // running the probe on a different host requires re-pinning them
+      // from an idle min-of-3 in the same probe context first.
       "q_tpch_q6" -> 0.222, "q_tpch_q14" -> 0.523, "q_tpch_q3" -> 0.827)
     val calibNow = calibPinned.keys.toSeq.sorted.flatMap { q =>
-      graft.SparkEntry.queries.get(q).map { fn =>
-        val times = (0 until 3).map { _ =>
+      graft.SparkEntry.queries.get(q).flatMap { fn =>
+        // ADVICE r11: a transient calibration failure must not abort the
+        // whole probe run (Bench's block has the same guard) — drop the
+        // failed rep; if all reps fail, skip the query (median over the
+        // remaining pins still yields a usable drift).
+        val times = (0 until 3).flatMap { _ =>
           sweep(spark)
           val t0 = System.nanoTime()
-          fn(spark, sfDir).count()
-          (System.nanoTime() - t0) / 1e9
+          try { fn(spark, sfDir).count()
+                Some((System.nanoTime() - t0) / 1e9) }
+          catch { case scala.util.control.NonFatal(e) =>
+            System.err.println(s"calibration rep failed for $q: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName)
+                .linesIterator.next().take(200))
+            None }
         }
-        q -> times.min
+        if (times.nonEmpty) Some(q -> times.min) else None
       }
     }
     val driftRatios = calibNow

@@ -44,6 +44,41 @@ class BetweennessSpec extends AnyFunSuite {
     Seq("A", "C", "D", "E").foreach(n => assert(math.abs(c(n)) < 1e-9))
   }
 
+  test("normalized quantized tracks the double Brandes within quantization") {
+    // qbc_norm is ×1e12 of the normalized centrality with per-triple ×1e9
+    // floors: error per node ≤ #triples/1e9 on the raw, ×1000/denom after
+    // normalization — far under 1e-3 on these fixtures
+    for (edges <- Seq(
+        Seq("A" -> "B", "B" -> "C", "C" -> "D", "B" -> "D"),
+        Seq("A" -> "B", "A" -> "C", "A" -> "D", "A" -> "E"),
+        Seq("A" -> "B", "B" -> "C", "D" -> "E"))) {
+      val exact = centrality(edges, normalized = true, directed = false)
+      val q = Betweenness.betweennessNormalizedQuantized(
+          edges.toDF("from", "to"), "from", "to", directed = false)
+        .as[(String, Long)].collect().toMap
+      assert(q.keySet == exact.keySet)
+      q.foreach { case (node, qn) =>
+        assert(math.abs(qn / 1e12 - exact(node)) < 1e-3,
+          s"$node: $qn vs ${exact(node)} on $edges")
+      }
+    }
+  }
+
+  test("normalized quantized: n <= 2 yields zeros, directed denominator matches") {
+    val tiny = Betweenness.betweennessNormalizedQuantized(
+        Seq("A" -> "B").toDF("from", "to"), "from", "to")
+      .as[(String, Long)].collect().toMap
+    assert(tiny == Map("A" -> 0L, "B" -> 0L))
+    val edges = Seq("A" -> "B", "B" -> "C", "C" -> "A")
+    val exactDir = centrality(edges, normalized = true, directed = true)
+    val qDir = Betweenness.betweennessNormalizedQuantized(
+        edges.toDF("from", "to"), "from", "to", directed = true)
+      .as[(String, Long)].collect().toMap
+    qDir.foreach { case (node, qn) =>
+      assert(math.abs(qn / 1e12 - exactDir(node)) < 1e-3, s"$node")
+    }
+  }
+
   test("empty graph yields empty result (py:180-189)") {
     val schema = StructType(Seq(
       StructField("from", StringType), StructField("to", StringType)))

@@ -74,6 +74,54 @@ class PageRankSpec extends AnyFunSuite {
     assert(unw == w)
   }
 
+  test("convergent fixed point: stops at the first L1 < tolQ step, local replay exact") {
+    val edgeSeq = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+    val got = PageRank.scoresFixedPointConvergent(
+        edgeSeq.toDF("src", "dst"), tolQ = 1_000_000L, maxIter = 60)
+      .as[(String, Long)].collect().toMap
+    // local integer replay of the identical recurrence + stopping rule
+    val S = 1000000000000L
+    val em = edgeSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val od = edgeSeq.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = edgeSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size
+    var r = nodes.map(_ -> S / n).toMap
+    val base = (3 * S) / (20 * n)
+    var it = 0
+    var l1 = Long.MaxValue
+    while (it < 60 && l1 >= 1_000_000L) {
+      var next = nodes.map(_ -> base).toMap
+      em.foreach { case ((s, d), m) =>
+        next = next.updated(d, next(d) + (17L * m * r(s)) / (20L * od(s)))
+      }
+      l1 = nodes.map(v => math.abs(next(v) - r(v))).sum
+      r = next
+      it += 1
+    }
+    assert(it < 60, "fixture must converge before the cap")
+    assert(got == r)
+  }
+
+  test("convergent ≡ fixed-iteration at the convergence step; distributed path agrees") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+      .toDF("src", "dst")
+    val conv = PageRank.scoresFixedPointConvergent(edges, tolQ = 1L,
+        maxIter = 5).as[(String, Long)].collect().toMap
+    // tolQ=1 can only stop at an exact integer fixpoint or the cap; with
+    // maxIter=5 the cap fires, so conv ≡ 5 fixed iterations
+    val fp5 = PageRank.scoresFixedPoint(edges, iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(conv == fp5)
+    // distributed fall-through (gate forced to 0) runs the same stop rule
+    val dist = PageRank.scoresFixedPointConvergent(edges,
+        tolQ = 1_000_000L, maxIter = 60, maxLocalEdges = 0L)
+      .as[(String, Long)].collect().toMap
+    val local = PageRank.scoresFixedPointConvergent(edges,
+        tolQ = 1_000_000L, maxIter = 60)
+      .as[(String, Long)].collect().toMap
+    assert(dist == local)
+  }
+
   test("weighted drops non-positive edges and floors fractional weights") {
     val edges = Seq(("a", "b", 2.9), ("a", "c", 0.0), ("b", "a", 1.0))
       .toDF("src", "dst", "w")
