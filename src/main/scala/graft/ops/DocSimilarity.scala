@@ -86,7 +86,16 @@ object DocSimilarity {
     * The one count() is a parquet row-group read (no column scan). Cost
     * remains ≤ Σ_{df ≤ cap} df²: quadratic contributions only from
     * tokens near the cap, the price of exact sparse similarity — the
-    * probe rule measures it honestly.
+    * probe rule measures it honestly. Measured (r12 probe): the
+    * REPLICA-scaled probe corpus is anti-stationary for this rule —
+    * replication holds per-token df fixed while N grows, so the
+    * proportional cap admits the entire vocabulary and the ×16 probe
+    * line is a documented flag/timeout (~7.5e9 candidate pairs). On a
+    * stationary corpus (df ∝ N) membership is scale-invariant, which is
+    * the rule's design intent; at corpus scales where even the invariant
+    * membership's Σdf² is too hot, the banded families
+    * ([[graft.ops.Dedup]] MinHash/SimHash, [[graft.ops.Bm25]]) are the
+    * deployable near-dup/relevance paths.
     */
   def topKSimilarDocsAuto(docs: DataFrame, idCol: String, textCol: String,
       k: Int, maxDfPermille: Int = 500): DataFrame = {

@@ -1343,7 +1343,7 @@ object Similarity {
        |ORDER BY query_id, rank""".stripMargin
   }
 
-  private def nearestCentroid(x: Array[Double], cs: Array[Array[Double]]): Int = {
+  private[graft] def nearestCentroid(x: Array[Double], cs: Array[Array[Double]]): Int = {
     var best = 0; var bestD = Double.MaxValue; var c = 0
     while (c < cs.length) {
       val d = sqDist(x, cs(c))
@@ -1353,7 +1353,7 @@ object Similarity {
     best
   }
 
-  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+  private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
     var s = 0.0; var i = 0
     while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
     s

@@ -77,7 +77,11 @@ object ScaleProbe {
     "q_ann_pq" -> 16,
     // round-9 additions: the new heavyweights on their distributed paths
     "q_louvain_hier" -> 64, "q_dedup_winnow" -> 16, "q_bm25" -> 16,
-    "q_ann_multiprobe" -> 16, "q_split_leakage" -> 16)
+    "q_ann_multiprobe" -> 16, "q_split_leakage" -> 16,
+    // round-12 (VERDICT r11 item 8): the remaining >=3 s lineitem-graph
+    // queries with no x64 line — their local-replay gates trip at x64
+    // (6.9M edges > 5M), so these measure the true distributed paths
+    "q_percolation" -> 64, "q_link_pred" -> 64)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -259,6 +263,13 @@ object ScaleProbe {
     spark.catalog.clearCache()
     spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = false))
+    // r12 (the Bench item-3 fix, same leak here): broadcast/shuffle
+    // handles are reclaimed only when the ContextCleaner's weak refs are
+    // GC'd; a ×16/×64 probe job leaves enough debt that the NEXT query's
+    // base run absorbed full-GC pauses + cleaner churn (measured:
+    // q_pagerank base_sec 70 s in-probe vs 2.5 s in bench, right after a
+    // 151 s ×16 dup-spans job). The sweep runs outside the timer.
+    System.gc()
   }
 
   /** Disjoint-replica scaled copies of the four big tables + passthrough
