@@ -251,6 +251,15 @@ private[graft] object TextQueries {
           kmeansIters = 3)
         .orderBy("query_id", "rank")
     },
+    "q_ann_cell_stats" -> { (s, d) =>
+      // IVF index-health audit (r12): per-cell occupancy under the
+      // width-adaptive frozen codebook, dead cells included, hot flag at
+      // 8x design occupancy — the re-freeze signal for the incremental
+      // ledger family; oracle reuses the auto assignment CTE chain
+      Similarity.ivfCellStatsAuto(Tables.embeddings(s, d), "vec_id",
+          "embedding", dim = 64, kmeansIters = 3)
+        .orderBy("cell")
+    },
     "q_tokenize" -> { (s, d) =>
       // real greedy longest-match subword tokenization against the
       // explicit vocab; head_toks cell-compares the actual token SEQUENCE
@@ -1401,6 +1410,8 @@ private[graft] object TextQueries {
     "q_ann_incremental" -> graft.ops.Similarity.ivfAutoOracle(
       dim = 64, k = 5, nProbe = 4, kmeansIters = 3,
       incrementalTailN = Some(64)),
+    "q_ann_cell_stats" -> graft.ops.Similarity.ivfCellStatsOracle(
+      dim = 64, kmeansIters = 3),
     "q_tokenize" ->
       s"""WITH RECURSIVE
          |${tokenizeCtes()}

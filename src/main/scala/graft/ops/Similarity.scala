@@ -1661,6 +1661,64 @@ object Similarity {
       centroids)
   }
 
+  /** IVF index-health audit (r12) — the re-freeze signal the incremental
+    * family needs: a frozen epoch codebook serves arriving batches well
+    * only while the corpus still matches the epoch's distribution. This
+    * audit assigns the CURRENT corpus under the width-adaptive codebook
+    * and reports per-cell occupancy — every cell 0..nCells−1, including
+    * DEAD cells (occupancy 0, wasted probe width) — plus a `hot` flag
+    * where occupancy exceeds 8× the design occupancy (n div nCells ≈ √N
+    * at auto sizing): hot cells mean probe cost concentrates and the
+    * epoch should re-freeze at the current corpus width. All integer
+    * arithmetic; the oracle ([[ivfCellStatsOracle]]) reuses the auto
+    * oracle's assignment CTE chain verbatim, so the audit is hash-exact
+    * at any sf. Output: (cell, n_vecs, hot) ordered by cell. */
+  def ivfCellStatsAuto(df: DataFrame, idCol: String, vecCol: String,
+      dim: Int, kmeansIters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val n = df.count()
+    val nCells = autoNCells(n)
+    val sampleN = autoSampleN(n, nCells)
+    val vA = df.select(col(idCol).cast("long").as("id"),
+        quantize(col(vecCol)).as("vec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val centroids = trainIvfCodebookPortable(vA, dim, nCells, kmeansIters,
+      sampleN, seed = 0L, strideInit = true)
+    val bc = spark.sparkContext.broadcast(centroids)
+    val counts = vA.as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val cs = bc.value
+        it.map { case (_, vec) => nearestCentroid(vec, cs) }
+      }.toDF("cell")
+      .groupBy(col("cell")).agg(count(lit(1)).as("n_vecs"))
+    val designOcc = n / nCells
+    spark.range(nCells).select(col("id").cast("int").as("cell"))
+      .join(counts, Seq("cell"), "left")
+      .select(col("cell"),
+        coalesce(col("n_vecs"), lit(0L)).as("n_vecs"),
+        when(coalesce(col("n_vecs"), lit(0L)) > lit(8L * designOcc), 1L)
+          .otherwise(0L).as("hot"))
+  }
+
+  /** DuckDB mirror of [[ivfCellStatsAuto]]: the shared
+    * [[ivfAutoAssignCtes]] chain, then per-cell counts LEFT JOINed onto
+    * range(ncells) so dead cells report 0, hot = occupancy > 8·(n div
+    * ncells) — the identical integer algebra. */
+  private[graft] def ivfCellStatsOracle(dim: Int,
+      kmeansIters: Int = 3): String =
+    s"""WITH ${ivfAutoAssignCtes(dim, kmeansIters, "SELECT COUNT(*) FROM q")},
+       |cellcounts AS (SELECT cell, COUNT(*) AS nv FROM assign GROUP BY cell),
+       |cells AS (SELECT CAST(rn - 1 AS INT) AS cell FROM samp
+       |          WHERE rn <= (SELECT ncells FROM params2))
+       |SELECT cells.cell,
+       |       CAST(COALESCE(cc.nv, 0) AS BIGINT) AS n_vecs,
+       |       CAST(CASE WHEN COALESCE(cc.nv, 0) >
+       |              8 * ((SELECT n FROM params) // (SELECT ncells FROM params2))
+       |            THEN 1 ELSE 0 END AS BIGINT) AS hot
+       |FROM cells LEFT JOIN cellcounts cc ON cc.cell = cells.cell
+       |ORDER BY cells.cell""".stripMargin
+
   /** Exact-cosine rerank tail shared by the auto oracles (same text as
     * the fixed-width oracles' tails — kept verbatim so the arithmetic is
     * character-identical). Expects CTEs `q(id, v)` and
@@ -1768,6 +1826,19 @@ object Similarity {
       .getOrElse("SELECT COUNT(*) FROM q")
     val probeFilter = incrementalTailN
       .map(_ => " AND id >= (SELECT n FROM params)").getOrElse("")
+    s"""WITH ${ivfAutoAssignCtes(dim, kmeansIters, nSql)},
+       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe$probeFilter),
+       |cand AS (SELECT p.id AS query_id, a.id AS neighbor_id
+       |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.id <> p.id),
+       |${oracleRerankTail(dim, k)}""".stripMargin
+  }
+
+  /** The shared CTE chain of the width-adaptive IVF oracles — everything
+    * from the quantized `q` scan through stride init, unrolled Lloyd,
+    * and the full-corpus `assign`/`rankedcells` tables. Extracted (r12)
+    * so [[ivfAutoOracle]] and [[ivfCellStatsOracle]] stay one text. */
+  private def ivfAutoAssignCtes(dim: Int, kmeansIters: Int,
+      nSql: String): String = {
     val iters = (1 to kmeansIters).map { i =>
       s"""d$i AS (SELECT s.rn, c.cell,
          |          SUM((s.x - c.cv) * (s.x - c.cv)) AS dist
@@ -1784,7 +1855,7 @@ object Similarity {
          |          GROUP BY a.cell, s.j) u
          |        ON u.cell = p.cell AND u.j = p.j)""".stripMargin
     }.mkString(",\n")
-    s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+    s"""q AS (SELECT vec_id AS id, list_transform(embedding,
        |             x -> FLOOR(CAST(x AS DOUBLE) * CAST(10000.0 AS DOUBLE))) AS v
        |           FROM embeddings),
        |${autoCellsSql(nSql)},
@@ -1807,11 +1878,7 @@ object Similarity {
        |rankedcells AS (SELECT id, cell,
        |                  ROW_NUMBER() OVER (PARTITION BY id ORDER BY dist, cell) AS r
        |                FROM dall),
-       |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1),
-       |probe AS (SELECT id, cell FROM rankedcells WHERE r <= $nProbe$probeFilter),
-       |cand AS (SELECT p.id AS query_id, a.id AS neighbor_id
-       |         FROM probe p JOIN assign a ON a.cell = p.cell AND a.id <> p.id),
-       |${oracleRerankTail(dim, k)}""".stripMargin
+       |assign AS (SELECT id, cell FROM rankedcells WHERE r = 1)""".stripMargin
   }
 
   /** DuckDB mirror of [[ivfPqTopKAutoPortable]]:

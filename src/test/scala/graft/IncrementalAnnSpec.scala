@@ -91,6 +91,35 @@ class IncrementalAnnSpec extends AnyFunSuite {
     assert(l1 == l2)
   }
 
+  test("cell stats: every cell reported, occupancies sum to N, hot algebra exact") {
+    val nCells = Similarity.autoNCells(emb.count())
+    val stats = Similarity.ivfCellStatsAuto(emb, "vec_id", "embedding", dim)
+      .as[(Int, Long, Long)].collect().sortBy(_._1)
+    // every cell 0..nCells-1 appears exactly once (dead cells included)
+    assert(stats.map(_._1).toSeq == (0 until nCells))
+    // occupancies partition the corpus
+    assert(stats.map(_._2).sum == emb.count())
+    // hot flag is exactly occupancy > 8·(n div nCells), and the ledger
+    // assignment underlying the counts matches ivfAssignLedger
+    val n = emb.count()
+    val designOcc = n / nCells
+    stats.foreach { case (c, nv, hot) =>
+      assert(hot == (if (nv > 8 * designOcc) 1L else 0L), s"cell $c")
+    }
+    val sampleN = Similarity.autoSampleN(n, nCells)
+    val vA = emb.select(col("vec_id").cast("long").as("id"),
+      Similarity.quantize(col("embedding")).as("vec"))
+    val centroids = Similarity.trainIvfCodebookPortable(vA, dim, nCells,
+      kmeansIters = 3, sampleN = sampleN, seed = 0L, strideInit = true)
+    val fromLedger = Similarity.ivfAssignLedger(emb, "vec_id", "embedding",
+        centroids)
+      .groupBy(col("cell")).count()
+      .as[(Int, Long)].collect().toMap
+    stats.foreach { case (c, nv, _) =>
+      assert(fromLedger.getOrElse(c, 0L) == nv, s"cell $c")
+    }
+  }
+
   test("per-batch work scales with the batch: empty batch yields empty result") {
     val n = emb.count()
     val a = emb.where(col("vec_id") < n - 64)
