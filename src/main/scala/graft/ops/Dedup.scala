@@ -56,29 +56,37 @@ object Dedup extends org.apache.spark.internal.Logging {
   }
 
   /** Word n-gram shingle set, one row per (id, distinct shingle).
-    * Built with posexplode + window lead (whole-stage codegen) rather than
-    * transform/slice/array_join — higher-order array functions are
-    * CodegenFallback and re-tokenizing inside the lambda is O(tokens²)
-    * per document (measured 3× slower end-to-end at sf0.1).
     * Documents with fewer than n tokens contribute their whole text as the
     * single shingle.
+    *
+    * r12 OPT (guide §2.4 "remove shuffles outright"): single projection —
+    * split once, per-row transform/slice/array_join + array_distinct,
+    * explode — replacing the posexplode + per-id lead-window + global
+    * distinct form. That form cost TWO exchanges before any consumer's
+    * own shuffle, and the id-exchange carried (id, __txt, tok) per TOKEN
+    * — every document's full text duplicated across its token rows. The
+    * higher-order functions are CodegenFallback, but tokenization happens
+    * once per row (the O(tokens²) re-tokenizing-in-lambda variant the r2
+    * note warned about is not this), and (id, shingle) pairs are already
+    * distinct per row after array_distinct, so the global distinct folds
+    * away. A/B on sf0.1 documents (tools/ShingleBench, identical output
+    * verified by symmetric except): window 1.16 s vs projection 0.78 s
+    * per warm build, 4.9 vs 1.6 cold. The gated [[Similarity.widen]]
+    * keeps the per-row gram work off a lone scan task when a small file
+    * yields fewer splits than cores — a no-op at real scale.
     */
   private[graft] def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val base = df.select(col(idCol).as("id"), col(textCol).as("__txt"),
-      split(col(textCol), " ").as("__toks"))
-    val exploded = base.select(col("id"), col("__txt"), size(col("__toks")).as("__ntok"),
-      posexplode(col("__toks")).as(Seq("pos", "tok")))
-    val w = Window.partitionBy(col("id")).orderBy(col("pos"))
-    val leads = (1 until n).map(i => lead(col("tok"), i).over(w))
-    val withShingle = exploded.withColumn("shingle",
-      when(col("__ntok") >= n && col("pos") <= col("__ntok") - n,
-        concat_ws(" ", (col("tok") +: leads): _*))
-        .when(col("__ntok") < n && col("pos") === 0, col("__txt")))
-    withShingle.where(col("shingle").isNotNull)
-      .select(col("id"), col("shingle"))
-      .distinct()
+    val base = Similarity.widen(
+      df.select(col(idCol).as("id"), col(textCol).as("__txt"),
+        split(col(textCol), " ").as("__toks")), "id")
+    base.select(col("id"), explode(
+        when(size(col("__toks")) >= n,
+          array_distinct(expr(
+            s"""transform(sequence(1, size(__toks) - ${n - 1}),
+               | i -> concat_ws(' ', slice(__toks, i, $n)))""".stripMargin)))
+          .otherwise(array(col("__txt")))).as("shingle"))
+      .where(col("shingle").isNotNull)
   }
 
   /** Exact duplicate groups by content hash (sha256 of the raw text).
@@ -320,7 +328,13 @@ object Dedup extends org.apache.spark.internal.Logging {
       maxDist: Int = 20, n: Int = 3, maxPostings: Int = 1000): DataFrame = {
     require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
     val docs = df.select(col(idCol).as("id"), col(textCol).as("__txt"))
+    // r12 OPT (guide §2.4): persist — the shingle build fed the eager
+    // hot-postings count plus BOTH candidate self-join sides, so the
+    // tokenize+window pipeline ran 3× per call (profiled: 3 × ~6.5 MB
+    // rebuilds ≈ 2 s of a 6.7 s sf0.1 run). Same policy note as
+    // ngramJaccardPairs: left to LRU eviction, the returned plan is lazy.
     val sh = shingles(df, idCol, textCol, n)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val postings = capHotBuckets(sh, Seq("shingle"), maxPostings,
       "editDistancePairs shingle postings")
     val candidates = postings.as("a")

@@ -40,9 +40,10 @@ object FrequencySketch {
   // names — an itemCol with one of these names would silently alias into
   // the lane expressions / the estimate join (ADVICE r4). Reject loudly.
   private def checkItemCol(itemCol: String): Unit =
-    require(!Set("j", "idx", "cnt", "__md5").contains(itemCol),
+    require(!Set("j", "idx", "cnt", "__md5", "__cms_it").contains(itemCol),
       s"itemCol '$itemCol' collides with the sketch's internal column " +
-        "names {j, idx, cnt, __md5}; alias the column before sketching")
+        "names {j, idx, cnt, __md5, __cms_it}; alias the column before " +
+        "sketching")
 
   /** One pass over `df`: the sketch as (j, idx, cnt) rows, j < depth,
     * idx < width. Null items are skipped (they are not a value). */
@@ -52,8 +53,17 @@ object FrequencySketch {
       s"depth must be in [1, 4] (md5 yields four 32-bit lanes; e^-4 ≈ 2% " +
         s"failure probability is the standard operating point), got $depth")
     require(width >= 16 && width <= (1 << 30), s"width must be in [16, 2^30], got $width")
-    df.where(col(itemCol).isNotNull)
-      .select(md5(col(itemCol).cast("string")).as("__md5"))
+    // r12 OPT (guide §2.1/§6): the d·w grid build is md5-bound PER ROW,
+    // but Spark sizes scan splits by BYTES, so a small single-file input
+    // funnels the whole hash pass through 2-3 tasks while the other cores
+    // idle (profiled: 1.9 s of q_heavy_hitters' 3.0 s at sf0.1 in a
+    // 3-task stage). Widen to full parallelism via the gated
+    // Similarity.widen — a no-op at real scale where the scan is already
+    // wider than the core count, so nothing is tuned to local[32].
+    Similarity.widen(
+        df.where(col(itemCol).isNotNull)
+          .select(col(itemCol).cast("string").as("__cms_it")), "__cms_it")
+      .select(md5(col("__cms_it")).as("__md5"))
       .select(rowIds(depth).as("j"), col("__md5"))
       .select(col("j"), lane(width).as("idx"))
       .groupBy("j", "idx").agg(count(lit(1)).as("cnt"))

@@ -49,22 +49,39 @@ object SplitLeakage {
       maxBucketSize: Int = 1000): DataFrame = {
     require(testPermille >= 1 && testPermille <= 999,
       s"testPermille must be in [1, 999], got $testPermille")
+    // r12 OPT (guide §2.3/§2.4): persist both shingle tables — each fed
+    // 3 subtrees (cap/candidates/verify for ref; candidates/sizes/verify
+    // for new), so the document tokenize+window pipeline ran SIX times
+    // per call (6 parquet scans in the before-plan, plans/r12). And score
+    // via per-doc shingle ARRAYS (the Dedup.verifyJaccard shape) instead
+    // of re-joining each candidate against both full shingle tables: the
+    // posting re-join exploded every candidate by its documents' whole
+    // shingle sets and AQE coalesced the tiny-looking candidate side into
+    // ONE task that then computed the whole fan-out alone (profiled 5.1 s
+    // of a 9.0 s run at sf0.1). Shingle sets are distinct per id, so
+    // |array_intersect| is the exact shared count and array sizes are the
+    // exact UNCAPPED set sizes — output unchanged (oracle-verified).
     val shNew = Dedup.shingles(newDocs, idCol, textCol, n)
       .select(col("id").as("new_id"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val shRef = Dedup.shingles(reference, idCol, textCol, n)
       .select(col("id").as("ref_id"), col("shingle"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val refCapped = Dedup.capHotBuckets(shRef, Seq("shingle"),
       maxBucketSize, "crossCorpusLeaks")
     val cand = shNew.join(refCapped, "shingle")
       .select("new_id", "ref_id").distinct()
-    val sizesNew = shNew.groupBy("new_id").agg(count(lit(1)).as("sa"))
-    val sizesRef = shRef.groupBy("ref_id").agg(count(lit(1)).as("sb"))
-    val inter = cand
-      .join(shNew, "new_id")
-      .join(shRef, Seq("ref_id", "shingle"))
-      .groupBy("new_id", "ref_id").agg(count(lit(1)).as("n_shared"))
-    inter
-      .join(sizesNew, "new_id").join(sizesRef, "ref_id")
+    val arrNew = shNew.groupBy("new_id")
+      .agg(collect_list(col("shingle")).as("__sa"))
+    val arrRef = shRef.groupBy("ref_id")
+      .agg(collect_list(col("shingle")).as("__sb"))
+    cand
+      .join(arrNew, "new_id").join(arrRef, "ref_id")
+      .select(col("new_id"), col("ref_id"),
+        size(array_intersect(col("__sa"), col("__sb"))).cast("long")
+          .as("n_shared"),
+        size(col("__sa")).cast("long").as("sa"),
+        size(col("__sb")).cast("long").as("sb"))
       .withColumn("jaccard", col("n_shared").cast("double") /
         (col("sa") + col("sb") - col("n_shared")))
       .where(col("jaccard") >= threshold)
