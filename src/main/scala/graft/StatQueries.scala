@@ -128,9 +128,13 @@ private[graft] object StatQueries {
       // greedy max coverage (SetCover.greedyMaxCoverage): which six
       // sources together cover the most distinct 5-grams — the
       // (1-1/e) curation pick, unrolled-oracle-exact
-      val se = Tables.documents(s, d)
-        .select(col("source").as("s"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 5)
+      // r12 OPT: gated widen — the 5-gram transform is CPU-bound per row
+      // and the small single-file scan otherwise runs it in one task
+      // (profiled single-task gram stages in both set-cover queries);
+      // no-op at real scale. Keyed on the token array for even spread.
+      val se = graft.ops.Similarity.widen(Tables.documents(s, d)
+          .select(col("source").as("s"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 5), "w")
         .select(col("s"), explode(expr(
           "transform(sequence(0, size(w) - 5), i -> " +
             "concat_ws(' ', slice(w, i + 1, 5)))")).as("el"))
@@ -226,9 +230,10 @@ private[graft] object StatQueries {
       // best 5-gram coverage per byte under a 30%-of-corpus budget —
       // integer gain/cost ratios, shrinking-incidence rounds
       val docs = Tables.documents(s, d)
-      val se = docs
-        .select(col("source").as("s"), split(col("text"), " ").as("w"))
-        .where(size(col("w")) >= 5)
+      // r12 OPT: gated widen, same rationale as q_set_cover above
+      val se = graft.ops.Similarity.widen(docs
+          .select(col("source").as("s"), split(col("text"), " ").as("w"))
+          .where(size(col("w")) >= 5), "w")
         .select(col("s"), explode(expr(
           "transform(sequence(0, size(w) - 5), i -> " +
             "concat_ws(' ', slice(w, i + 1, 5)))")).as("el"))

@@ -385,12 +385,18 @@ object Dedup extends org.apache.spark.internal.Logging {
     require(threshold > 0 && threshold <= 1,
       s"threshold must be in (0, 1], got $threshold")
     val sh = shingles(df, idCol, textCol, n).persist(StorageLevel.MEMORY_AND_DISK)
-    // persist: the prefix index costs a df-join + per-id window sort, and
-    // the candidate self-join consumes it TWICE — without this the whole
-    // window plan runs once per join side
-    val indexed = capHotBuckets(prefixPostings(sh, threshold), Seq("shingle"),
-      maxPostings, "ngramJaccardPairsPrefix prefix postings")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    // persist: the prefix index costs a df-join + per-id in-row sort, and
+    // it is consumed THREE times — capHotBuckets' eager hot count plus
+    // both candidate self-join sides. r12 OPT: persist BELOW the cap, on
+    // prefixPostings itself, not on capHotBuckets' output — the eager hot
+    // count inside capHotBuckets otherwise evaluates the unpersisted
+    // prefix plan once in full before the persisted copy is ever written
+    // (profiled: two 0.7 s 32-task prefix builds per sf0.1 run). In the
+    // common no-hot case capHotBuckets returns this same persisted frame;
+    // when the cap fires, the anti-join is a cheap map over it.
+    val indexed = capHotBuckets(
+      prefixPostings(sh, threshold).persist(StorageLevel.MEMORY_AND_DISK),
+      Seq("shingle"), maxPostings, "ngramJaccardPairsPrefix prefix postings")
     val candidates = indexed.as("a")
       .join(indexed.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

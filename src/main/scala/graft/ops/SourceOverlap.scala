@@ -31,9 +31,15 @@ object SourceOverlap {
       n: Int = 5, maxDf: Int = 16): DataFrame = {
     require(n >= 2 && n <= 12, s"n must be in [2, 12], got $n")
     require(maxDf >= 2, s"maxDf must be >= 2, got $maxDf")
-    val sh = docs
+    // r12 OPT: gated widen (Similarity.widen) — the per-row 5-gram
+    // transform is CPU-bound and a small single-file scan otherwise runs
+    // it in one task (profiled 0.86 s single-task of a 4.2 s sf0.1 run);
+    // no-op at real scale. Keyed on the token array, not the (tiny-
+    // cardinality, size-skewed) source column, so rows spread evenly;
+    // the following distinct re-shuffles by (src, shingle) anyway.
+    val sh = graft.ops.Similarity.widen(docs
       .select(col(sourceCol).as("src"), split(col(textCol), " ").as("w"))
-      .where(size(col("w")) >= n)
+      .where(size(col("w")) >= n), "w")
       .select(col("src"), explode(expr(
         s"transform(sequence(0, size(w) - $n), i -> " +
           s"concat_ws(' ', slice(w, i + 1, $n)))")).as("shingle"))
