@@ -56,8 +56,14 @@ object DupSpans {
       n: Int, minDocs: Int): DataFrame = {
     // sequence(a, b) counts DOWN when b < a: short docs are guarded to an
     // empty gram array, never negative-position garbage
-    val grams = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr"))
+    // r12 OPT: widen + persist — the gram table feeds the distinct-doc
+    // count AND the position semi-join (2 evaluations), each otherwise
+    // re-splitting and re-slicing every text inside a lone scan task on
+    // small single-file inputs. Gated widen is a no-op at real scale;
+    // persist is left to LRU eviction (the returned plan is lazy).
+    val grams = Similarity.widen(df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr")),
+      "doc_id")
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(__arr) >= $n THEN
               transform(sequence(0, size(__arr) - $n),
@@ -68,6 +74,7 @@ object DupSpans {
               array<struct<pos: bigint, gram: string>>)
             END""")).as("g"))
       .select(col("doc_id"), col("g.pos").as("pos"), col("g.gram").as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dupGrams = grams.groupBy(col("gram"))
       .agg(countDistinct(col("doc_id")).as("n_docs"))
       .where(col("n_docs") >= minDocs)
@@ -147,8 +154,17 @@ object DupSpans {
     val n0 = resolutions.map(_._1).min
     val m0 = resolutions.find(_._1 == n0).get._2
     val rest = resolutions.filter(_._1 != n0)
-    val docsArr = df
-      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr"))
+    // r12 OPT: widen + persist the tokenized docs — this frame feeds the
+    // finest-gram explode AND one candGrams join per longer resolution
+    // (3 evaluations at the default resolutions), each otherwise
+    // re-splitting every text in a lone scan task (profiled: three
+    // single-task ~1-1.3 s stages of a 7.5 s sf0.1 run). The gated widen
+    // (Similarity.widen) is a no-op at real scale; the persisted token
+    // arrays are the corpus re-encoded once, read 3×.
+    val docsArr = Similarity.widen(df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("__arr")),
+      "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def md5Lane(c: org.apache.spark.sql.Column) =
       graft.functions.functions.hex_to_long(substring(md5(c), 1, 15))
     // pass A: finest grams, hashed map-side (the 60-bit md5 lane — shuffle

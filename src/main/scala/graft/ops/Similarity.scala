@@ -280,14 +280,16 @@ object Similarity {
       explode(array((0 until salt).map(lit): _*)))
     val pairs = saltedProbes.join(saltedAssigned, Seq("cell", "__salt"))
       .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .mapPartitions(_.map { case (q, qv, nb, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: cosine via the codegen'd ArrayDot expression instead of
+      // a typed mapPartitions closure — the object path paid Serialize/
+      // DeserializeToObject per candidate row and blocked whole-stage
+      // codegen through the scoring join. Each array_dot is an
+      // index-order loop and the combine is qn*nn -> sqrt -> divide,
+      // bit-identical to the fused closure (independent accumulators,
+      // same order), so scores and tie orders are unchanged.
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cosine"))
+      .where(!isnan(col("cosine")))
     // no dedup needed: each corpus vector lives in exactly one cell, so a
     // (query, neighbor) pair can only arise once
     topKPerQuery(pairs, k)
@@ -432,13 +434,11 @@ object Similarity {
     val scored = candidates
       .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
       .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .mapPartitions(_.map { case (nb, q, qv, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: codegen ArrayDot cosine, not a typed closure (see the
+      // IVF multi-probe site) — bit-identical scores, no object boundary.
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(scored, k)
   }
 
@@ -502,13 +502,11 @@ object Similarity {
     val scored = candidates
       .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
       .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .mapPartitions(_.map { case (nb, q, qv, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: codegen ArrayDot cosine, not a typed closure (see the
+      // IVF multi-probe site) — bit-identical scores, no object boundary.
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(scored, k)
   }
 
@@ -706,14 +704,16 @@ object Similarity {
     // funnels the ENTIRE nq·nProbe·|cell| scoring loop through one task.
     val pairs = widen(probes, "query_id").join(broadcast(assigned), "cell")
       .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .mapPartitions(_.map { case (q, qv, nb, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: cosine via the codegen'd ArrayDot expression instead of
+      // a typed mapPartitions closure — the object path paid Serialize/
+      // DeserializeToObject per candidate row and blocked whole-stage
+      // codegen through the scoring join. Each array_dot is an
+      // index-order loop and the combine is qn*nn -> sqrt -> divide,
+      // bit-identical to the fused closure (independent accumulators,
+      // same order), so scores and tie orders are unchanged.
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(pairs, k)
   }
 
@@ -930,14 +930,11 @@ object Similarity {
     val pairs = candidates
       .join(v.select($"id".as("query_id"), $"vec".as("qvec")), "query_id")
       .join(v.select($"id".as("neighbor_id"), $"vec".as("nvec")), "neighbor_id")
-      .select($"query_id", $"qvec", $"neighbor_id", $"nvec")
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .mapPartitions(_.map { case (q, qv, nb, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: codegen ArrayDot cosine, not a typed closure (see the
+      // IVF multi-probe site) — bit-identical scores, no object boundary.
+      .select($"query_id", $"neighbor_id",
+        cosine($"qvec", $"nvec").as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(pairs, k)
   }
 
@@ -1194,14 +1191,11 @@ object Similarity {
     val pairs = cand
       .join(v.select($"id".as("query_id"), $"vec".as("qvec")), "query_id")
       .join(v.select($"id".as("neighbor_id"), $"vec".as("nvec")), "neighbor_id")
-      .select($"query_id", $"qvec", $"neighbor_id", $"nvec")
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .mapPartitions(_.map { case (q, qv, nb, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: codegen ArrayDot cosine, not a typed closure (see the
+      // IVF multi-probe site) — bit-identical scores, no object boundary.
+      .select($"query_id", $"neighbor_id",
+        cosine($"qvec", $"nvec").as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(pairs, k)
   }
 
@@ -1411,13 +1405,12 @@ object Similarity {
     val scored = candidates
       .join(v.select(col("id").as("query_id"), col("vec").as("qvec")), "query_id")
       .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), "neighbor_id")
-      .as[(Long, Long, Array[Double], Array[Double])]
-      .mapPartitions(_.map { case (nb, q, qv, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN)) // zero-norm vectors would sort first under desc
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: codegen ArrayDot cosine, not a typed closure (see the
+      // IVF multi-probe site); the isnan filter still drops zero-norm
+      // vectors, which would sort first under desc.
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qvec"), col("nvec")).as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(scored, k)
   }
 
@@ -1618,14 +1611,16 @@ object Similarity {
       }.toDF("query_id", "qvec", "cell")
     val pairs = widen(probes, "query_id").join(broadcast(all), "cell")
       .where(col("query_id") =!= col("id"))
-      .select(col("query_id"), col("qvec"), col("id").as("neighbor_id"), col("vec"))
-      .as[(Long, Array[Double], Long, Array[Double])]
-      .mapPartitions(_.map { case (q, qv, nb, nv) =>
-        var qn = 0.0; var nn = 0.0; var d = 0.0; var i = 0
-        while (i < qv.length) { qn += qv(i) * qv(i); nn += nv(i) * nv(i); d += qv(i) * nv(i); i += 1 }
-        (q, nb, d / math.sqrt(qn * nn))
-      }.filter(!_._3.isNaN))
-      .toDF("query_id", "neighbor_id", "cosine")
+      // r12 OPT: cosine via the codegen'd ArrayDot expression instead of
+      // a typed mapPartitions closure — the object path paid Serialize/
+      // DeserializeToObject per candidate row and blocked whole-stage
+      // codegen through the scoring join. Each array_dot is an
+      // index-order loop and the combine is qn*nn -> sqrt -> divide,
+      // bit-identical to the fused closure (independent accumulators,
+      // same order), so scores and tie orders are unchanged.
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qvec"), col("vec")).as("cosine"))
+      .where(!isnan(col("cosine")))
     topKPerQuery(pairs, k)
   }
 
