@@ -53,6 +53,11 @@ object Similarity {
     * column is deterministic in CONTENT; all downstream per-row work is
     * order-free. */
   private[graft] def widen(df: DataFrame, keyCol: String): DataFrame = {
+    // Streaming micro-batch inputs cannot answer `.rdd` (it is a batch-only
+    // probe — AnalysisException), and their partitioning is the stream
+    // runner's business anyway: pass through untouched (r12; the batch
+    // ops this guards are also reused by the stream≡batch twins).
+    if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < p) df.repartition(p, col(keyCol)) else df
   }
