@@ -198,30 +198,46 @@ object DupSpans {
     // candidates for each longer n: positions whose whole [p, p+n−n0]
     // window of finest positions is masked — a doc-partitioned range
     // window over dup0 only (positions past size−n lack sub-positions,
-    // so exactly the valid n-gram starts can qualify)
-    val longIntervals = rest.map { case (n, m) =>
-      val need = n - n0 + 1
+    // so exactly the valid n-gram starts can qualify).
+    // r13 OPT (guide §2.4 — don't compute things twice): the r12 shape ran
+    // ONE range window over dup0 PER resolution and evaluated each
+    // resolution's candGrams (token-array join + slice + md5) TWICE — once
+    // under countsN and once as the semi-join probe side (profiled at
+    // sf0.1/local[32]: four 0.7-1.5 s 32-task stages, the bulk of the
+    // query). Now: one window pass computes every resolution's mask count
+    // (same partitioning+ordering, different frames — a single WindowExec),
+    // the candidate sets union into ONE gram materialization keyed by
+    // (n, gh), and survivors come back by exploding the per-group position
+    // list instead of re-evaluating the gram build as a join probe.
+    // Per-(n, gh) distinct-doc counts and survivor rows are identical to
+    // the per-resolution form; thresholds ride along as a literal column.
+    val longIntervals = if (rest.isEmpty) Nil else {
       val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-        .rangeBetween(0, n - n0)
-      val cand = dup0
-        .withColumn("__cnt", count(lit(1)).over(w))
-        .where(col("__cnt") === need)
-        .select(col("doc_id"), col("pos"))
+      val cntCols = rest.map { case (n, _) =>
+        count(lit(1)).over(w.rangeBetween(0, n - n0)).as(s"__cnt_$n") }
+      val masked = dup0.select(col("doc_id") +: col("pos") +: cntCols: _*)
+      val cands = rest.map { case (n, m) =>
+        masked.where(col(s"__cnt_$n") === (n - n0 + 1))
+          .select(col("doc_id"), col("pos"),
+            lit(n).as("__n"), lit(m).as("__m"))
+      }.reduce(_ union _)
       // materialize the wide grams at candidate positions only: join back
       // to the token arrays (docs shuffled once by id, candidate rows are
       // 16 bytes) and slice — the full-corpus explode of ~100-byte
       // n-grams never happens
-      val candGrams = cand.join(docsArr, "doc_id")
-        .select(col("doc_id"), col("pos"),
-          md5Lane(expr(s"array_join(slice(__arr, pos + 1, $n), ' ')"))
+      val candGrams = cands.join(docsArr, "doc_id")
+        .select(col("doc_id"), col("pos"), col("__n"), col("__m"),
+          md5Lane(array_join(
+            slice(col("__arr"), (col("pos") + lit(1)).cast("int"),
+              col("__n")), " "))
             .as("gh"))
-      val countsN = candGrams.groupBy(col("gh"))
-        .agg(countDistinct(col("doc_id")).as("nd"))
-        .where(col("nd") >= m)
-        .select(col("gh"))
-      candGrams.join(countsN, Seq("gh"), "left_semi")
-        .select(col("doc_id"), col("pos").as("s"),
-          (col("pos") + lit(n - 1)).cast("long").as("e"))
+      Seq(candGrams.groupBy(col("__n"), col("__m"), col("gh"))
+        .agg(countDistinct(col("doc_id")).as("nd"),
+          collect_list(struct(col("doc_id"), col("pos"))).as("ps"))
+        .where(col("nd") >= col("__m"))
+        .select(col("__n"), explode(col("ps")).as("p"))
+        .select(col("p.doc_id").as("doc_id"), col("p.pos").as("s"),
+          (col("p.pos") + col("__n") - lit(1)).cast("long").as("e")))
     }
     val intervals = (finestIntervals +: longIntervals).reduce(_ union _)
       .distinct() // resolutions overlap heavily; dedupe before the window
