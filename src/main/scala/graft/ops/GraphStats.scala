@@ -235,9 +235,15 @@ object GraphStats {
     val base = df.select(col(groupCol).as("tid"), col(itemCol).as("item"))
       .where(col("tid").isNotNull && col("item").isNotNull)
       .distinct()
-    val ok = base.groupBy("tid").agg(count(lit(1)).as("n"))
-      .where(col("n") <= maxGroupSize).select("tid")
-    base.join(ok, Seq("tid"), "left_semi")
+    // r13 OPT (guide §2.4): group-size cap via a window count over the
+    // same tid partitioning instead of groupBy + left-semi join — the
+    // join shape evaluated `base` (scan + distinct) twice per call; the
+    // window pass keeps the ADVICE-r4 bounded-buffer property (count
+    // spills row batches, the collect_list below only ever sees groups
+    // <= maxGroupSize) and the groupBy reuses the window's partitioning.
+    base.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tid"))))
+      .where(col("__n") <= maxGroupSize)
       .groupBy("tid").agg(collect_list(col("item")).as("items"))
       .select(explode(col("items")).as("a"), col("items"))
       .select(col("a"), explode(col("items")).as("b"))

@@ -155,15 +155,21 @@ object Tables {
       .where(col("l_quantity") <= maxQty)
       .select(col("l_orderkey").as("tid"),
         concat(lit("P"), col("l_partkey")).as("item"))
-    // size filter BEFORE collect_list: the count aggregate partial-
-    // aggregates map-side (tiny shuffle), and the semi-join means no
-    // collect_list buffer ever holds more than maxItems items — without
+    // size filter BEFORE collect_list: the per-tid count is checked before
+    // any collect_list buffer holds more than maxItems items — without
     // this, one pathologically large order would buffer its whole item
-    // list only to be discarded (ADVICE r4). Costs a second shuffle of
-    // the filtered rows; bounded buffers win at scale.
-    val okTids = li.groupBy("tid").agg(count(lit(1)).as("n"))
-      .where(col("n") <= maxItems).select("tid")
-    li.join(okTids, Seq("tid"), "left_semi")
+    // list only to be discarded (ADVICE r4). r13 OPT (guide §2.4): the
+    // count rides a WINDOW over the same tid partitioning instead of a
+    // separate groupBy + left-semi join — the r12 shape evaluated the
+    // filtered lineitem scan TWICE (count-agg side and join-probe side,
+    // profiled as two of the three heaviest stages of every coOrder
+    // consumer) and paid a second shuffle; the window's count spills
+    // bounded row batches, never an item buffer, and the groupBy reuses
+    // the window's hash partitioning, so the whole derivation is ONE scan
+    // and ONE exchange.
+    li.withColumn("__n", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("tid"))))
+      .where(col("__n") <= maxItems)
       .groupBy("tid").agg(collect_list(col("item")).as("items"))
       .select(explode(col("items")).as("src"), col("items"))
       .select(col("src"), explode(col("items")).as("dst"))
