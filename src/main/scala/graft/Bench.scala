@@ -185,6 +185,23 @@ object Bench {
     println(totalsLine)
     println(s"""{"metric":"queries","queries":$qs,"errors":$errJson,"sf":"$sfDir"}""")
     println(s"""{"metric":"runs","runs":$runs,"sf":"$sfDir"}""")
+    // r13 (VERDICT r12 item 2): the driver captures a bounded stdout TAIL,
+    // and at 314 queries the single queries/runs lines above outgrow it —
+    // the tail begins MID-LINE and the driver recovers no per-query data
+    // (PERF per_query empty two rounds running). Re-emit the per-query
+    // mins in bounded chunks (40 queries, well under 4 KB per line)
+    // IMMEDIATELY before the final totals line, so a bounded tail ends in
+    // complete parseable lines: each chunk is a self-contained
+    // {"metric":"queries","part":k,"parts":n,"queries":{...}} object and
+    // the union of the chunks equals the full queries dict above. Purely
+    // ADDITIVE — the existing lines, timing loop and min-of-reps
+    // methodology are untouched.
+    val chunkSeq = results.toSeq.grouped(40).toSeq
+    chunkSeq.zipWithIndex.foreach { case (grp, i) =>
+      val dict = grp.map { case (k, v) => "\"" + k + "\":" + r3(v.min) }
+        .mkString("{", ",", "}")
+      println(s"""{"metric":"queries","part":${i + 1},"parts":${chunkSeq.size},"queries":$dict,"sf":"$sfDir"}""")
+    }
     println(totalsLine)
     spark.stop()
   }

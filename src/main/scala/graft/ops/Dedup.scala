@@ -74,6 +74,14 @@ object Dedup extends org.apache.spark.internal.Logging {
     * per warm build, 4.9 vs 1.6 cold. The gated [[Similarity.widen]]
     * keeps the per-row gram work off a lone scan task when a small file
     * yields fewer splits than cores — a no-op at real scale.
+    *
+    * Per-row memory bound (ADVICE r12): the projection materializes each
+    * document's full distinct n-gram array in ONE row (~n× the text size)
+    * before exploding — a multi-megabyte document costs a multi-tens-of-MB
+    * row while the old token-level posexplode never did. Same posture as
+    * the other in-row gram builders (DupSpans, SourceOverlap, winnowing);
+    * cap pathological document lengths upstream if the corpus can carry
+    * them.
     */
   private[graft] def shingles(df: DataFrame, idCol: String, textCol: String,
       n: Int): DataFrame = {

@@ -57,12 +57,16 @@ object FrequencySketch {
     // but Spark sizes scan splits by BYTES, so a small single-file input
     // funnels the whole hash pass through 2-3 tasks while the other cores
     // idle (profiled: 1.9 s of q_heavy_hitters' 3.0 s at sf0.1 in a
-    // 3-task stage). Widen to full parallelism via the gated
-    // Similarity.widen — a no-op at real scale where the scan is already
-    // wider than the core count, so nothing is tuned to local[32].
-    Similarity.widen(
+    // 3-task stage). Widen to full parallelism — a no-op at real scale
+    // where the scan is already wider than the core count, so nothing is
+    // tuned to local[32]. r13 (ADVICE r12): ROUND-ROBIN, not hash-by-item:
+    // in a heavy-hitters workload every occurrence of the hottest item
+    // hashes to one partition, re-serializing the md5 pass on exactly the
+    // skewed inputs that matter; the downstream groupBy count is
+    // order-free, so round-robin is safe and spreads evenly.
+    Similarity.widenRoundRobin(
         df.where(col(itemCol).isNotNull)
-          .select(col(itemCol).cast("string").as("__cms_it")), "__cms_it")
+          .select(col(itemCol).cast("string").as("__cms_it")))
       .select(md5(col("__cms_it")).as("__md5"))
       .select(rowIds(depth).as("j"), col("__md5"))
       .select(col("j"), lane(width).as("idx"))

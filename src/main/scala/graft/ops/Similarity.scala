@@ -59,7 +59,27 @@ object Similarity {
     // ops this guards are also reused by the stream≡batch twins).
     if (df.isStreaming) return df
     val p = df.sparkSession.sparkContext.defaultParallelism
+    // CALL-SITE CONTRACT (VERDICT r12 item 5): `.rdd` here only reads the
+    // scan's partition count, which is free ONLY because every call site
+    // passes a scan+project plan with no upstream Exchange — under AQE,
+    // `.rdd` on a plan WITH exchanges materializes those stages as a side
+    // effect. Keep widen() at scan altitude; do not call it on joined or
+    // aggregated frames.
     if (df.rdd.getNumPartitions < p) df.repartition(p, col(keyCol)) else df
+  }
+
+  /** [[widen]] without a key: round-robin repartition for callers whose
+    * downstream is order-free and value-skewed — hash-widening by a
+    * heavy-hitters item column would funnel every occurrence of the hot
+    * item into one partition, defeating the widening (ADVICE r12).
+    * Round-robin is retry-deterministic via Spark's sort-before-
+    * repartition (guide §2.5). Same gating and `.rdd` contract as
+    * [[widen]].
+    */
+  private[graft] def widenRoundRobin(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
   }
 
   def cosine(a: Column, b: Column): Column = {

@@ -61,6 +61,13 @@ object SplitLeakage {
     // of a 9.0 s run at sf0.1). Shingle sets are distinct per id, so
     // |array_intersect| is the exact shared count and array sizes are the
     // exact UNCAPPED set sizes — output unchanged (oracle-verified).
+    // CACHE CONTRACT (r13, VERDICT r12 item 4): these persists are
+    // intra-query state on a LAZY return value, so the operator cannot
+    // unpersist them itself — the consuming action is the caller's.
+    // Short-lived sessions rely on LRU + ContextCleaner; long-lived
+    // callers sweep like Bench.sweep (clearCache + getPersistentRDDs
+    // unpersist), and the streaming wrapper (StreamSplitLeakage) releases
+    // this pair after every micro-batch's sink returns.
     val shNew = Dedup.shingles(newDocs, idCol, textCol, n)
       .select(col("id").as("new_id"), col("shingle"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

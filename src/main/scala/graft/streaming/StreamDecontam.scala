@@ -25,9 +25,10 @@ import org.apache.spark.sql.functions._
   * append mode emits each doc once at watermark close.
   *
   * The in-row shingle derivation uses higher-order array functions
-  * (CodegenFallback) — the documented trade for statelessness; the
-  * batch operator keeps the codegen posexplode+lead shape for corpus
-  * scans.
+  * (CodegenFallback); since r12 the batch [[graft.ops.Dedup.shingles]]
+  * uses the same in-row transform/array_distinct projection, so the
+  * equivalence spec pins the SHARED convention, not a cross-shape
+  * equality (r13, ADVICE r12).
   *
   * Output per closed window: (window_start_us, doc_id, n_ngrams,
   * n_contam, contam_permille, contaminated).

@@ -30,8 +30,21 @@ object StreamSplitLeakage {
     docs.writeStream
       .outputMode("append")
       .foreachBatch { (batch: Dataset[Row], batchId: Long) =>
+        // r13 (ADVICE r12): crossCorpusLeaks persists the two per-batch
+        // shingle tables internally; on a long-running stream those
+        // MEMORY_AND_DISK blocks would otherwise accumulate one pair per
+        // micro-batch until the ContextCleaner happens to GC them (§5).
+        // Snapshot the persisted-RDD set, run the batch, and release
+        // exactly the RDDs this batch added once the sink has consumed
+        // the frame (evaluation is eager within the batch; a sink that
+        // defers evaluation merely recomputes — never wrong results).
+        val sc = batch.sparkSession.sparkContext
+        val before = sc.getPersistentRDDs.keySet
         sink(SplitLeakage.crossCorpusLeaks(batch, reference, idCol,
           textCol, n, threshold, salt, testPermille), batchId)
+        sc.getPersistentRDDs
+          .filter { case (id, _) => !before.contains(id) }
+          .values.foreach(_.unpersist(blocking = false))
       }
       .start()
   }

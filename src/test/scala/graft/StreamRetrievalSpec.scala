@@ -65,6 +65,10 @@ class StreamRetrievalSpec extends AnyFunSuite {
     for (nChunks <- Seq(1, 3)) {
       val input = MemoryStream[(Long, String, String, String, Long)]
       val got = scala.collection.mutable.Set[(Long, Long, Long, Double, String, String, Boolean)]()
+      // r13 (ADVICE r12): the wrapper must release the per-batch shingle
+      // caches crossCorpusLeaks persists — a long-running stream would
+      // otherwise grow two MEMORY_AND_DISK tables per micro-batch
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val q = graft.streaming.StreamSplitLeakage.start(
           input.toDS().toDF("doc_id", "text", "lang", "source", "n_chars"),
           reference, "doc_id", "text", n = 3, threshold = 0.5) { (leaks, _) =>
@@ -76,6 +80,9 @@ class StreamRetrievalSpec extends AnyFunSuite {
       }
       q.stop()
       assert(got.toSet == batch, s"nChunks=$nChunks")
+      val leaked = spark.sparkContext.getPersistentRDDs.keySet -- persistedBefore
+      assert(leaked.isEmpty,
+        s"nChunks=$nChunks left ${leaked.size} persisted RDDs behind")
     }
   }
 
