@@ -222,8 +222,16 @@ object HyperBall {
         val out = localBallRegisters(capped, rounds, p, hashBits,
           fromRadius = rounds)
         if (out != null)
-          return spark.createDataFrame(
-              out.map(t => (t._2, t._3, t._4)).toIndexedSeq)
+          // r13 OPT (guide §5 — the driver should do almost no data work):
+          // the final register slice is ~10 rows per node (319 k rows at
+          // sf0.1), and createDataFrame(Seq) encodes a LocalRelation on
+          // the driver single-threaded — profiled as ~2 s of a 3.2 s
+          // query while every core idled. parallelize + createDataset
+          // moves the row encoding into tasks; values are identical and
+          // the caller's orderBy fixes the output order.
+          return spark.createDataset(spark.sparkContext.parallelize(
+              out.map(t => (t._2, t._3, t._4)).toIndexedSeq,
+              spark.sparkContext.defaultParallelism))
             .toDF("node", "idx", "rho")
       }
     }

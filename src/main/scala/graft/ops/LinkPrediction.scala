@@ -70,13 +70,28 @@ object LinkPrediction {
       nbr(cur(a)) = b; cur(a) += 1
       nbr(cur(b)) = a; cur(b) += 1
     }
+    // r13 OPT (guide §1.2 per-task work — here, per-WEDGE work): the key
+    // function ran a UTF-8 string comparison per wedge and the two tallies
+    // were generic HashMaps boxing every key — together the dominant cost
+    // of the replay (the distributed jobs account for ~1.2 s of a ~3 s
+    // query; the rest was this loop). Precompute each node's rank in the
+    // UTF-8 total order ONCE (rank is monotone in Utf8Order, so min/max by
+    // rank picks the same (a, b) orientation) and tally into open-addressed
+    // LongMaps. Same wedges, same integer arithmetic, same pair set.
+    val rank = new Array[Int](n)
+    locally {
+      val order = Array.range(0, n)
+        .sortWith((a, b) => Utf8Order.lt(names(a), names(b)))
+      var r0 = 0
+      while (r0 < n) { rank(order(r0)) = r0; r0 += 1 }
+    }
     val edgeSet = new java.util.HashSet[Long](ex.length * 2)
     def key(i: Int, j: Int): Long =
-      if (Utf8Order.lt(names(i), names(j))) i.toLong * n + j
+      if (rank(i) < rank(j)) i.toLong * n + j
       else j.toLong * n + i
     ex.foreach { case (a, b) => edgeSet.add(key(a, b)) }
-    val cnt = new scala.collection.mutable.HashMap[Long, Long]
-    val raq = new scala.collection.mutable.HashMap[Long, Long]
+    val cnt = new scala.collection.mutable.LongMap[Long]
+    val raq = new scala.collection.mutable.LongMap[Long]
     v = 0
     while (v < n) {
       if (deg(v) <= maxCenterDegree) {
@@ -86,8 +101,8 @@ object LinkPrediction {
           var j = i + 1
           while (j < off(v + 1)) {
             val k = key(nbr(i), nbr(j))
-            cnt.update(k, cnt.getOrElse(k, 0L) + 1)
-            if (withRa) raq.update(k, raq.getOrElse(k, 0L) + share)
+            cnt(k) = cnt.getOrElse(k, 0L) + 1
+            if (withRa) raq(k) = raq.getOrElse(k, 0L) + share
             j += 1
           }
           i += 1
