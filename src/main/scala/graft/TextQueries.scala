@@ -501,8 +501,17 @@ private[graft] object TextQueries {
       // whole pipeline hash-matches a DuckDB oracle.
       val assets = Multimodal.decodeAssets(
         Multimodal.packAssets(Tables.documents(s, d), "doc_id", "text"))
-      val feats = Multimodal.extractFeaturesPortable(assets, dim = 8)
-        .select(col("asset_id"), col("features"))
+      // r13 OPT (guide §2.1, VERDICT r12 item 3): widen the feature table
+      // before indexing — the decode pass leaves 1-2 partitions on a
+      // small single-file corpus, so the LSH bucket self-join fan-out +
+      // cosine rerank (this query's dominant stage: 0.88 s / 2 tasks /
+      // 15 MB written at sf0.1) streamed through 2 tasks. Gated no-op at
+      // real scale; same per-query widen precedent as q_set_cover's gram
+      // build. (Widening inside lshTopKPortable instead regressed the
+      // tiny-corpus q_ann_lsh pins 4x — see OPTIMIZATION_r13.md.)
+      val feats = Similarity.widen(
+        Multimodal.extractFeaturesPortable(assets, dim = 8)
+          .select(col("asset_id"), col("features")), "asset_id")
       Similarity.lshTopKPortable(feats, "asset_id", "features", dim = 8,
           k = 3, nBits = 4, tables = 2, seed = 42L)
         .orderBy("query_id", "rank")
